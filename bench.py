@@ -1,0 +1,56 @@
+"""Benchmark: run every registered query at $SPARK_GRAFT_SF_DIR (default
+sf0.1) on local[$SPARK_GRAFT_CPUS]; print ONE JSON line with per-query
+wall-clock seconds.
+
+Each query is materialized via a count-style action (``df.count()`` after a
+cache-free plan) so timing covers scan → shuffle → aggregation but not
+driver-side row materialization overhead beyond Spark's own collect of counts.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from go_web_mapreduce_spark.queries import REGISTRY  # noqa: E402
+from go_web_mapreduce_spark.session import get_spark  # noqa: E402
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark("bench")
+
+    # warm the JVM + parquet footers once so per-query numbers measure the
+    # queries, not session start-up
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+
+    per_query: dict[str, float] = {}
+    total = 0.0
+    for name, spec in sorted(REGISTRY.items()):
+        t0 = time.time()
+        n = spec.fn(spark, sf_dir).count()
+        dt = round(time.time() - t0, 3)
+        per_query[name] = dt
+        total += dt
+        print(f"# {name}: {dt:.3f}s ({n} rows)", file=sys.stderr)
+
+    print(
+        json.dumps(
+            {
+                "metric": "total_query_wall_clock",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": per_query,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

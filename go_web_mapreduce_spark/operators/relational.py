@@ -1,0 +1,629 @@
+"""Core relational operators — the declared query inventory (SURVEY.md §2.3).
+
+Each function is DataFrame-in/DataFrame-out, registered with its DuckDB
+oracle. Everything here is a stock Catalyst plan: filters and projections
+push into the parquet scan, aggregations get map-side partial aggregation,
+joins pick broadcast/sort-merge under AQE. No Python runs per-row anywhere.
+
+Reference anchors (what each query proves) are cited per function; the
+reference implements map/shuffle/reduce only (reference:
+server/static/js/main.js:7-30, algorithm/algorithm.go:170-192) — every query
+below is a workload that model expresses, re-expressed natively.
+
+Oracle discipline (FIXTURES.md §3): every aggregate aliased identically in
+both engines; collect_list/set wrapped in sort + join-to-string; doubles
+rounded in both engines; never depend on row order.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from go_web_mapreduce_spark.functions.numeric import davg, dsum
+from go_web_mapreduce_spark.functions.text import token_count, tokens
+from go_web_mapreduce_spark.registry import query
+from go_web_mapreduce_spark.sources.tables import load_table
+
+
+# ---------------------------------------------------------------------------
+# word count family — the reference's flagship example
+# ---------------------------------------------------------------------------
+
+
+def tokenized_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents exploded to one row per (doc_id, word). The map phase of the
+    reference's word count (reference: server/views.go:53-55) as a projection;
+    only (doc_id, text) are read from the scan (column pruning)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", F.explode(tokens("text")).alias("word"))
+
+
+@query(
+    "q_wordcount",
+    oracle="""
+    SELECT word, count(*) AS cnt
+    FROM (SELECT unnest(string_split(lower(text), ' ')) AS word FROM documents)
+    WHERE word <> ''
+    GROUP BY word
+    """,
+    description="flagship map→shuffle→reduce word count (reference: server/views.go:51-61)",
+)
+def q_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        tokenized_documents(spark, sf_dir)
+        .groupBy("word")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+@query(
+    "q_parity_partition",
+    oracle="""
+    SELECT length(word) % 2 AS pi, word, count(*) AS cnt
+    FROM (SELECT unnest(string_split(lower(text), ' ')) AS word FROM documents)
+    WHERE word <> ''
+    GROUP BY 1, 2
+    """,
+    description="user-defined partitioner len(word)%2 as a grouping column "
+    "(reference: server/views.go:54, main.js:12-14)",
+)
+def q_parity_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference lets the map UDF choose the shuffle bucket. DataFrame
+    semantics: the bucket is a computed grouping column; physical placement is
+    Catalyst's job (hash partitioning on the group keys) — observationally
+    equivalent under the order-insensitive oracle (SURVEY.md §4.3)."""
+    words = tokenized_documents(spark, sf_dir)
+    return (
+        words.withColumn("pi", (F.length("word") % 2).cast("bigint"))
+        .groupBy("pi", "word")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+@query(
+    "q_inverted_index",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(lower(text), ' ')) AS word FROM documents
+    ), d AS (
+      SELECT DISTINCT doc_id, word FROM toks WHERE word <> ''
+    )
+    SELECT word, string_agg(doc_id::varchar, ',' ORDER BY doc_id) AS doc_ids,
+           count(*) AS df
+    FROM d GROUP BY word
+    """,
+    description="inverted index: word → sorted distinct doc ids "
+    "(named workload, reference presentation 'Invert Index')",
+)
+def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        tokenized_documents(spark, sf_dir)
+        .distinct()
+        .groupBy("word")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_set("doc_id")), lambda x: x.cast("string")
+                ),
+                ",",
+            ).alias("doc_ids"),
+            F.count("*").alias("df"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# shuffle shape / grouping
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_shuffle_collect",
+    oracle="""
+    SELECT event_type,
+           string_agg(event_id::varchar, ',' ORDER BY event_id::varchar) AS ids,
+           count(*) AS n
+    FROM events GROUP BY event_type
+    """,
+    description="the shuffle's {key: [values...]} output shape "
+    "(reference: algorithm/algorithm.go:170-183)",
+)
+def q_shuffle_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(
+        F.array_join(
+            F.sort_array(F.collect_list(F.col("event_id").cast("string"))), ","
+        ).alias("ids"),
+        F.count("*").alias("n"),
+    )
+
+
+@query(
+    "q_group_agg",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+           CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE)
+             AS sum_disc_price,
+           CAST(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))) AS DOUBLE)
+             AS sum_charge,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / count(l_quantity) AS avg_qty,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / count(l_extendedprice)
+             AS avg_price,
+           CAST(sum(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) / count(l_discount) AS avg_disc,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    description="TPC-H-Q1-style multi-aggregate (associative reduce UDFs, SURVEY §2.2)",
+)
+def q_group_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity").alias("sum_qty"),
+            dsum("l_extendedprice").alias("sum_base_price"),
+            dsum(disc_price).alias("sum_disc_price"),
+            dsum(disc_price * (1 + F.col("l_tax")), scale=6).alias("sum_charge"),
+            davg("l_quantity").alias("avg_qty"),
+            davg("l_extendedprice").alias("avg_price"),
+            davg("l_discount").alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@query(
+    "q_filter_project",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           l_extendedprice * (1 - l_discount) AS revenue
+    FROM lineitem
+    WHERE l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+    """,
+    description="map-side filter + projection, pushed to the parquet scan "
+    "(reference: server/views.go:53-55; SURVEY §2.2 filter)",
+)
+def q_filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.filter(
+        F.col("l_discount").between(0.05, 0.07) & (F.col("l_quantity") < 24)
+    ).select(
+        "l_orderkey",
+        "l_linenumber",
+        # raw IEEE product: identical bits in any engine, so no rounding —
+        # round() itself is what disagrees across engines at .xx5 boundaries
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+    )
+
+
+@query(
+    "q_distinct",
+    oracle="SELECT DISTINCT user_id FROM events",
+    description="DISTINCT as dedup-by-key reduce (SURVEY §2.2)",
+)
+def q_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "events").select("user_id").distinct()
+
+
+@query(
+    "q_count_distinct",
+    oracle="""
+    SELECT event_type,
+           count(DISTINCT user_id) AS n_users,
+           count(*) AS n_events
+    FROM events GROUP BY event_type
+    """,
+    description="exact distinct-count aggregate per group",
+)
+def q_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("n_users"),
+            F.count("*").alias("n_events"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# joins
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_repartition_join",
+    oracle="""
+    SELECT c_mktsegment, count(*) AS n_orders, CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+    FROM customer JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_mktsegment
+    """,
+    description="the MR repartition join (SURVEY §2.2 joins): equi-join then aggregate",
+)
+def q_repartition_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    # Both sides shuffle on the key at scale (customer is not bounded);
+    # AQE downgrades to broadcast automatically when a side is small.
+    return (
+        customer.join(orders, customer.c_custkey == orders.o_custkey, "inner")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_orders"), dsum("o_totalprice").alias("total"))
+    )
+
+
+@query(
+    "q_multi_join",
+    oracle="""
+    SELECT r_name, count(*) AS n_orders, CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+    FROM region
+    JOIN nation   ON n_regionkey = r_regionkey
+    JOIN customer ON c_nationkey = n_nationkey
+    JOIN orders   ON o_custkey = c_custkey
+    GROUP BY r_name
+    """,
+    description="star-schema join chain region⋈nation⋈customer⋈orders",
+)
+def q_multi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    region = load_table(spark, sf_dir, "region")
+    nation = load_table(spark, sf_dir, "nation")
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    # region/nation are bounded dims (5/25 rows at any SF) — broadcast them
+    # explicitly so the big fact sides never shuffle for these joins.
+    dim = F.broadcast(
+        nation.join(region, nation.n_regionkey == region.r_regionkey, "inner")
+    )
+    return (
+        customer.join(dim, customer.c_nationkey == dim.n_nationkey, "inner")
+        .join(orders, F.col("o_custkey") == F.col("c_custkey"), "inner")
+        .groupBy("r_name")
+        .agg(F.count("*").alias("n_orders"), dsum("o_totalprice").alias("revenue"))
+    )
+
+
+@query(
+    "q_semi_anti",
+    oracle="""
+    SELECT n_name, count(*) AS n_customers
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    WHERE NOT EXISTS (SELECT 1 FROM events WHERE user_id = c_custkey)
+    GROUP BY n_name
+    """,
+    description="anti join (customers with no tracked events) per nation (SURVEY §2.2 joins)",
+)
+def q_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    events = load_table(spark, sf_dir, "events")
+    nation = load_table(spark, sf_dir, "nation")
+    no_orders = customer.join(
+        events, customer.c_custkey == events.user_id, "left_anti"
+    )
+    return (
+        no_orders.join(
+            F.broadcast(nation), F.col("c_nationkey") == nation.n_nationkey, "inner"
+        )
+        .groupBy("n_name")
+        .agg(F.count("*").alias("n_customers"))
+    )
+
+
+@query(
+    "q_semi_join",
+    oracle="""
+    SELECT c_mktsegment, count(*) AS n_customers
+    FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    GROUP BY c_mktsegment
+    """,
+    description="semi join (customers having orders) per market segment",
+)
+def q_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        customer.join(orders, customer.c_custkey == orders.o_custkey, "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_customers"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# sort / top-k / windows
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_topk",
+    oracle="""
+    SELECT user_id, CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total
+    FROM events GROUP BY user_id
+    ORDER BY sum(CAST(value AS DECIMAL(18,4))) DESC, user_id LIMIT 10
+    """,
+    description="MR 'Sort' workload as global top-k (reference presentation 'Sort')",
+)
+def q_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    # orderBy+limit compiles to TakeOrderedAndProject: per-partition top-k
+    # then a k-row merge on the driver — no global sort at any scale.
+    return (
+        events.groupBy("user_id")
+        .agg(F.sum(F.col("value").cast("decimal(18,4)")).alias("_total"))
+        .orderBy(F.col("_total").desc(), F.col("user_id"))
+        .limit(10)
+        .select("user_id", F.col("_total").cast("double").alias("total"))
+    )
+
+
+@query(
+    "q_window_rank",
+    oracle="""
+    SELECT event_type, event_id, value, rn
+    FROM (
+      SELECT event_type, event_id, value,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY value DESC, event_id) AS rn
+      FROM events
+    ) WHERE rn <= 3
+    """,
+    description="ranking window: top-3 events by value per type (SURVEY §2.2 windows)",
+)
+def q_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("event_type").orderBy(F.col("value").desc(), F.col("event_id"))
+    return (
+        events.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("event_type", "event_id", "value", "rn")
+    )
+
+
+@query(
+    "q_window_running",
+    oracle="""
+    SELECT user_id, event_id,
+           CAST(sum(CAST(value AS DECIMAL(18,4))) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+             AS running_total,
+           count(*) OVER (PARTITION BY user_id
+                          ORDER BY ts, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS running_n
+    FROM events
+    """,
+    description="analytic window with an explicit rows frame (running per-user totals)",
+)
+def q_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return events.select(
+        "user_id",
+        "event_id",
+        F.sum(F.col("value").cast("decimal(18,4)")).over(w).cast("double").alias("running_total"),
+        F.count("*").over(w).alias("running_n"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# set operations
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_union",
+    oracle="""
+    SELECT id, count(*) AS n FROM (
+      SELECT o_custkey AS id FROM orders
+      UNION ALL
+      SELECT user_id AS id FROM events
+    ) GROUP BY id
+    """,
+    description="union-all result concat (reference: algorithm/algorithm.go:337-343)",
+)
+def q_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").select(F.col("o_custkey").alias("id"))
+    events = load_table(spark, sf_dir, "events").select(F.col("user_id").alias("id"))
+    return orders.unionAll(events).groupBy("id").agg(F.count("*").alias("n"))
+
+
+@query(
+    "q_intersect",
+    oracle="""
+    SELECT user_id AS id FROM events
+    INTERSECT
+    SELECT o_custkey AS id FROM orders
+    """,
+    description="set intersection (SURVEY §2.2 set ops)",
+)
+def q_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events").select(F.col("user_id").alias("id"))
+    orders = load_table(spark, sf_dir, "orders").select(F.col("o_custkey").alias("id"))
+    return events.intersect(orders)
+
+
+@query(
+    "q_except",
+    oracle="""
+    SELECT o_custkey AS id FROM orders
+    EXCEPT
+    SELECT user_id AS id FROM events
+    """,
+    description="set difference (SURVEY §2.2 set ops)",
+)
+def q_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").select(F.col("o_custkey").alias("id"))
+    events = load_table(spark, sf_dir, "events").select(F.col("user_id").alias("id"))
+    return orders.exceptAll(events).distinct()
+
+
+# ---------------------------------------------------------------------------
+# grouping sets / rollup / pivot
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_rollup",
+    oracle="""
+    SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+           coalesce(l_linestatus, 'ALL') AS linestatus,
+           count(*) AS n, CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    description="hierarchical subtotals via ROLLUP (SURVEY §2.2 grouping sets)",
+)
+def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(F.count("*").alias("n"), dsum("l_quantity").alias("sum_qty"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "n",
+            "sum_qty",
+        )
+    )
+
+
+@query(
+    "q_cube",
+    oracle="""
+    SELECT coalesce(event_type, 'ALL') AS event_type,
+           coalesce(CAST(user_id AS varchar), 'ALL') AS user_id,
+           count(*) AS n, CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total
+    FROM events
+    GROUP BY CUBE (event_type, user_id)
+    """,
+    description="full cross-dimensional subtotals via CUBE",
+)
+def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.cube("event_type", "user_id")
+        .agg(F.count("*").alias("n"), dsum("value").alias("total"))
+        .select(
+            F.coalesce("event_type", F.lit("ALL")).alias("event_type"),
+            F.coalesce(F.col("user_id").cast("string"), F.lit("ALL")).alias("user_id"),
+            "n",
+            "total",
+        )
+    )
+
+
+@query(
+    "q_pivot",
+    oracle="""
+    SELECT user_id,
+           count(*) FILTER (WHERE event_type = 'click')    AS n_click,
+           count(*) FILTER (WHERE event_type = 'view')     AS n_view,
+           count(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
+           count(*) FILTER (WHERE event_type = 'signup')   AS n_signup,
+           count(*) FILTER (WHERE event_type = 'error')    AS n_error
+    FROM events GROUP BY user_id
+    """,
+    description="pivot event counts to one column per event type",
+)
+def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    kinds = ["click", "view", "purchase", "signup", "error"]
+    # explicit value list → single-pass pivot, no extra distinct-values job
+    out = events.groupBy("user_id").pivot("event_type", kinds).agg(F.count(F.lit(1)))
+    # pivot leaves null where a (user, type) pair never occurred; the FILTER
+    # oracle yields 0 — normalize to 0 here.
+    return out.select(
+        "user_id",
+        *[F.coalesce(F.col(k), F.lit(0)).alias(f"n_{k}") for k in kinds],
+    )
+
+
+# ---------------------------------------------------------------------------
+# scalar function surface (string / date / math / json)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_scalar_fns",
+    oracle="""
+    SELECT year(o_orderdate) AS order_year,
+           month(o_orderdate) AS order_month,
+           upper(o_orderpriority) AS priority,
+           count(*) AS n,
+           CAST(sum(CAST(sqrt(abs(o_totalprice)) AS DECIMAL(18,6))) AS DOUBLE) AS sum_sqrt_price,
+           max(o_totalprice % 1000) AS max_mod,
+           min(length(o_orderstatus)) AS min_status_len
+    FROM orders
+    GROUP BY 1, 2, 3
+    """,
+    description="string/date/math scalar functions (SURVEY §2.2 scalar fns)",
+)
+def q_scalar_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(
+            F.year("o_orderdate").alias("order_year"),
+            F.month("o_orderdate").alias("order_month"),
+            F.upper("o_orderpriority").alias("priority"),
+        )
+        .agg(
+            F.count("*").alias("n"),
+            dsum(F.sqrt(F.abs(F.col("o_totalprice"))), scale=6).alias("sum_sqrt_price"),
+            F.max(F.col("o_totalprice") % 1000).alias("max_mod"),
+            F.min(F.length("o_orderstatus")).alias("min_status_len"),
+        )
+    )
+
+
+@query(
+    "q_json_extract",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n,
+           sum(CAST(json_extract_string(props, '$.k') AS bigint)) AS sum_k,
+           count(DISTINCT CAST(json_extract_string(props, '$.k') AS bigint)) AS n_k
+    FROM events GROUP BY event_type
+    """,
+    description="JSON field extraction from the events.props payload (SURVEY §2.2 json fns)",
+)
+def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return events.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(k).alias("sum_k"),
+        F.countDistinct(k).alias("n_k"),
+    )
+
+
+@query(
+    "q_array_fns",
+    oracle="""
+    SELECT lang,
+           CAST(sum(len(list_filter(string_split(lower(text), ' '), t -> t <> ''))) AS DOUBLE) / count(*)
+             AS avg_tokens,
+           max(len(list_distinct(list_filter(string_split(lower(text), ' '), t -> t <> ''))))
+             AS max_distinct_tokens
+    FROM documents GROUP BY lang
+    """,
+    description="array transform/filter/distinct functions over tokenized text",
+)
+def q_array_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens("text")
+    return docs.groupBy("lang").agg(
+        (F.sum(token_count("text")).cast("double") / F.count("*")).alias("avg_tokens"),
+        F.max(F.size(F.array_distinct(toks))).alias("max_distinct_tokens"),
+    )

@@ -1,0 +1,87 @@
+"""Sources: parquet tables, JSON ingest, in-memory literals.
+
+The reference has exactly two sources — a JSON POST body
+(reference: server/api.go:8-13, server/views.go:83-160) and a built-in
+in-memory word list (reference: server/views.go:43-48). Both arrive as
+row-lists of ``{key, value}`` strings. Here the native substrate is columnar
+parquet read through the DataFrameReader (scan pushdown + column pruning for
+free); the reference's two ingest shapes are kept as thin constructors.
+
+Scale note: ``load_table`` never infers schemas and never collects; a scan of
+a 100 TB table stays a lazy ``FileScan parquet`` node with
+``PushedFilters``/``ReadSchema`` supplied by whatever the caller composes on
+top.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# the full driver-generated catalog (TESTDATA.md)
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Dimension tables small enough to broadcast at any realistic scale factor.
+# At 100 TB the facts (lineitem/orders/events/documents) grow; these stay tiny.
+BROADCAST_DIMS = frozenset({"region", "nation"})
+
+KV_SCHEMA = T.StructType(
+    [
+        T.StructField("key", T.StringType(), True),
+        T.StructField("value", T.StringType(), True),
+    ]
+)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Lazy parquet scan of one catalog table under ``sf_dir``.
+
+    ``events.ts`` is TIMESTAMP(NANOS) in the files — finer than Spark's
+    microsecond timestamps. It is read as a long (``nanosAsLong``, set in the
+    session factory) and exposed twice: ``ts`` as a microsecond timestamp for
+    calendar ops, ``ts_ns`` as the exact int64 for loss-free ordering.
+    """
+    if name not in TABLES:
+        raise ValueError(f"unknown table {name!r}; expected one of {TABLES}")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts_ns", F.col("ts")).withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000"))
+        )
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
+    """Load several tables at once: ``load_tables(spark, d, 'orders', 'customer')``."""
+    return {n: load_table(spark, sf_dir, n) for n in (names or TABLES)}
+
+
+def kv_from_rows(spark: SparkSession, rows: list[tuple[str | None, str | None]]) -> DataFrame:
+    """The reference's in-memory literal source (reference: server/views.go:43-48):
+    a list of ``(key, value)`` string pairs. Rejects rows where both sides are
+    empty, mirroring protocol validation (reference: protocol/input.go:18-22).
+    """
+    for k, v in rows:
+        if not k and not v:
+            raise ValueError("input row with both key and value empty")
+    return spark.createDataFrame(rows, KV_SCHEMA)
+
+
+def read_json_ingest(spark: SparkSession, path: str) -> DataFrame:
+    """The reference's HTTP ingest shape (reference: server/api.go:8-13): a JSON
+    array of ``{"key": ..., "value": ...}`` objects, read with an explicit
+    schema (no inference — inference is a full extra scan at scale).
+    """
+    return spark.read.schema(KV_SCHEMA).json(path)

@@ -1,0 +1,17 @@
+from __future__ import annotations
+
+import pytest
+
+from go_web_mapreduce_spark.session import get_spark
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="session")
+def spark():
+    return get_spark("tests", master="local[4]", shuffle_partitions=4)
+
+
+@pytest.fixture(scope="session")
+def sf_dir():
+    return SF_DIR
