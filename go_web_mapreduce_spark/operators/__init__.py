@@ -1,5 +1,12 @@
 """Operator modules. Importing this package populates the query registry."""
 
 from go_web_mapreduce_spark.operators import (  # noqa: F401
+    dedup,
+    mapreduce_compat,
+    multimodal,
     relational,
+    similarity,
+    temporal,
+    text_analysis,
 )
+from go_web_mapreduce_spark.streaming import events as _streaming_events  # noqa: F401

@@ -1,0 +1,339 @@
+"""Deduplication operators — exact and near-duplicate detection at scale.
+
+The engine's extension mandate: exact (hash-groupBy), MinHash+LSH
+(shingle → signature → band → bucket-join), SimHash (banded hamming),
+exact n-gram Jaccard (inverted-index join), embedding-cosine near-dup.
+
+Scale design (the part that matters at 100 TB):
+- signatures/fingerprints are map-side Column expressions over the documents
+  scan — no Python, no shuffle until the candidate join;
+- candidate generation shuffles only (doc_id, band_key) pairs — bytes
+  proportional to corpus size × bands, never corpus²;
+- verification joins are equi-joins on band keys / shingles, so Catalyst
+  hash-partitions both sides; hot buckets (boilerplate shingles) are capped
+  with a document-frequency filter, the standard prefix-filtering trick;
+- every hash is md5-derived (functions/hashing.py) so the DuckDB oracles
+  replicate the *exact* pipeline — near-dup results are hash-verified, not
+  eyeballed. Algorithms per Broder 1997 (MinHash), Charikar 2002 (SimHash),
+  LRU *Mining of Massive Datasets* ch.3 (banding) — all public.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from go_web_mapreduce_spark.functions.hashing import (
+    band_keys,
+    hamming_distance,
+    minhash_signature,
+    simhash,
+)
+from go_web_mapreduce_spark.functions.text import tokens, word_shingles
+from go_web_mapreduce_spark.registry import query
+from go_web_mapreduce_spark.sources.tables import load_table
+
+# MinHash-LSH configuration (shared by the Spark pipeline and the oracle)
+SHINGLE_K = 3
+NUM_HASHES = 12
+BANDS = 4
+ROWS_PER_BAND = 3
+MIN_MATCHING = 6  # est. jaccard >= 6/12 = 0.5
+
+# exact n-gram jaccard configuration
+JACCARD_THRESHOLD = 0.6
+MAX_SHINGLE_DF = 50  # stop-shingle cap: drop shingles in > this many docs
+
+# simhash configuration: 48 bits in 4 bands of 12; by pigeonhole, any pair at
+# hamming distance <= 3 shares at least one full band
+SIMHASH_BITS = 48
+SIMHASH_BANDS = 4
+SIMHASH_MAX_DIST = 3
+
+# DuckDB mirror of functions/text.py::tokens
+_TK = "list_filter(string_split(lower(text), ' '), t -> t <> '')"
+
+
+def _shingled_docs(spark: SparkSession, sf_dir: str, k: int = SHINGLE_K) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.array_distinct(word_shingles(tokens("text"), k)).alias("shingles"),
+    )
+
+
+def _sh_sql(k: int = SHINGLE_K) -> str:
+    """DuckDB expression for the distinct word-k-gram set of ``tk``."""
+    return (
+        f"list_distinct(list_transform(range(1, greatest(len(tk) - {k - 1}, 1) + 1),"
+        f" i -> array_to_string(tk[i:i+{k - 1}], ' ')))"
+    )
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+
+def dedup_exact(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
+    """Exact deduplication: keep one row per distinct value of ``cols``
+    (hash-groupBy; Catalyst plans a single shuffle on the hash)."""
+    return df.dropDuplicates(cols) if cols else df.dropDuplicates()
+
+
+@query(
+    "q_dedup_exact",
+    oracle="""
+    SELECT lang, count(*) AS n_total, count(DISTINCT text) AS n_unique
+    FROM documents GROUP BY lang
+    """,
+    description="exact dedup via content hash (extension mandate: dedup)",
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Counts unique sha256 content hashes per language. countDistinct(hash)
+    == countDistinct(text) barring collisions, which is what the oracle
+    checks without needing cross-engine sha2 parity."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy("lang").agg(
+        F.count("*").alias("n_total"),
+        F.countDistinct(F.sha2("text", 256)).alias("n_unique"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH near-dup
+# ---------------------------------------------------------------------------
+
+
+def minhash_candidates(
+    shingled: DataFrame,
+    id_col: str = "doc_id",
+    num_hashes: int = NUM_HASHES,
+    bands: int = BANDS,
+    rows_per_band: int = ROWS_PER_BAND,
+) -> DataFrame:
+    """LSH candidate pairs with their estimated jaccard.
+
+    Input: (id, shingles array). Output: (doc_a, doc_b, n_matching) where
+    n_matching = matching signature components out of ``num_hashes``.
+    The only shuffles are the band-key self-join and the final distinct.
+    """
+    sig = shingled.select(
+        F.col(id_col),
+        minhash_signature(F.col("shingles"), num_hashes).alias("sig"),
+    )
+    banded = sig.select(
+        id_col, "sig", F.explode(band_keys(F.col("sig"), bands, rows_per_band)).alias("bk")
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.bk") == F.col("b.bk")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .select(
+            F.col(f"a.{id_col}").alias("doc_a"),
+            F.col(f"b.{id_col}").alias("doc_b"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    n_matching = F.aggregate(
+        F.zip_with("sig_a", "sig_b", lambda x, y: F.when(x == y, 1).otherwise(0)),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    )
+    return pairs.select("doc_a", "doc_b", n_matching.alias("n_matching"))
+
+
+@query(
+    "q_dedup_minhash",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_TK} AS tk FROM documents),
+    sh AS (SELECT doc_id, {_sh_sql()} AS shingles FROM toks),
+    sig AS (
+      SELECT doc_id,
+             list_transform(range({NUM_HASHES}),
+               h -> list_min(list_transform(shingles, s -> md5(h::varchar || ':' || s))))
+               AS sig
+      FROM sh
+    ), banded AS (
+      SELECT doc_id, sig,
+             unnest(list_transform(range({BANDS}),
+               b -> md5('band' || b::varchar || ':' ||
+                        array_to_string(sig[b*{ROWS_PER_BAND}+1 : b*{ROWS_PER_BAND}+{ROWS_PER_BAND}], '|'))))
+               AS bk
+      FROM sig
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             a.sig AS sig_a, b.sig AS sig_b
+      FROM banded a JOIN banded b ON a.bk = b.bk AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           list_sum(list_transform(range({NUM_HASHES}),
+             i -> CASE WHEN sig_a[i+1] = sig_b[i+1] THEN 1 ELSE 0 END)) AS n_matching
+    FROM cand
+    WHERE list_sum(list_transform(range({NUM_HASHES}),
+            i -> CASE WHEN sig_a[i+1] = sig_b[i+1] THEN 1 ELSE 0 END)) >= {MIN_MATCHING}
+    """,
+    description="MinHash+LSH near-dup candidates with estimated jaccard >= 0.5 "
+    "(extension mandate: dedup; Broder 1997 / MMDS ch.3)",
+)
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cands = minhash_candidates(_shingled_docs(spark, sf_dir))
+    return cands.filter(F.col("n_matching") >= MIN_MATCHING)
+
+
+# ---------------------------------------------------------------------------
+# exact n-gram jaccard near-dup (inverted-index join)
+# ---------------------------------------------------------------------------
+
+
+def jaccard_pairs(
+    shingled: DataFrame,
+    id_col: str = "doc_id",
+    threshold: float = JACCARD_THRESHOLD,
+    max_df: int = MAX_SHINGLE_DF,
+) -> DataFrame:
+    """Exact jaccard over distinct shingle sets via an inverted-index join.
+
+    Shingles occurring in more than ``max_df`` documents are dropped from all
+    sets symmetrically (stop-shingle / prefix filtering): keeps hot-key join
+    fan-out bounded — the difference between n² and n·df at 100 TB.
+    """
+    exploded = shingled.select(id_col, F.explode("shingles").alias("s"))
+    # document frequency cap — symmetric, so jaccard on the filtered sets is
+    # still a well-defined (and mirrored-in-oracle) similarity
+    filtered = (
+        exploded.withColumn("df", F.count("*").over(W.partitionBy("s")))
+        .filter(F.col("df") <= max_df)
+        .drop("df")
+    )
+    sizes = filtered.groupBy(id_col).agg(F.count("*").alias("sz"))
+    a = filtered.alias("a")
+    b = filtered.alias("b")
+    inter = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .groupBy(F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("sz").alias("sz_b"))
+    jacc = F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", jacc.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+@query(
+    "q_dedup_ngram_jaccard",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_TK} AS tk FROM documents),
+    sh AS (SELECT doc_id, unnest({_sh_sql()}) AS s FROM toks),
+    capped AS (
+      SELECT doc_id, s FROM (
+        SELECT doc_id, s, count(*) OVER (PARTITION BY s) AS df FROM sh
+      ) WHERE df <= {MAX_SHINGLE_DF}
+    ),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM capped GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+      FROM capped a JOIN capped b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           inter / (sa.sz + sb.sz - inter) AS jaccard
+    FROM inter JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE inter / (sa.sz + sb.sz - inter) >= {JACCARD_THRESHOLD}
+    """,
+    description="exact n-gram jaccard near-dup pairs via inverted-index join "
+    "with stop-shingle DF cap (extension mandate: dedup)",
+)
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return jaccard_pairs(_shingled_docs(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# SimHash near-dup (banded hamming)
+# ---------------------------------------------------------------------------
+
+
+def simhash_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_dist: int = SIMHASH_MAX_DIST,
+) -> DataFrame:
+    """Near-dup pairs at hamming distance <= max_dist on 48-bit SimHash.
+
+    Candidate generation is *complete* by pigeonhole: 4 disjoint 12-bit bands;
+    any pair within distance 3 must agree on >= 1 whole band, so the band
+    equi-join finds every qualifying pair without an n² comparison.
+    """
+    sigs = docs.select(id_col, simhash(tokens(text_col), SIMHASH_BITS).alias("sh"))
+    band_width = SIMHASH_BITS // SIMHASH_BANDS
+    banded = sigs.select(
+        id_col,
+        "sh",
+        F.explode(
+            F.array(
+                *[
+                    F.concat(
+                        F.lit(f"{b}:"),
+                        F.shiftright(F.col("sh"), b * band_width)
+                        .bitwiseAND(F.lit((1 << band_width) - 1))
+                        .cast("string"),
+                    )
+                    for b in range(SIMHASH_BANDS)
+                ]
+            )
+        ).alias("bk"),
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(b, (F.col("a.bk") == F.col("b.bk")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .select(
+            F.col(f"a.{id_col}").alias("doc_a"),
+            F.col(f"b.{id_col}").alias("doc_b"),
+            hamming_distance(F.col("a.sh"), F.col("b.sh")).alias("dist"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+        .filter(F.col("dist") <= max_dist)
+    )
+
+
+def _simhash_sql() -> str:
+    """DuckDB mirror of functions/hashing.py::simhash (48-bit, md5-derived)."""
+    return f"""
+      list_sum(list_transform(range({SIMHASH_BITS}), j ->
+        CASE WHEN 2 * list_sum(list_transform(hashed, h -> (h >> j) & 1)) >= len(hashed)
+             THEN (1::BIGINT << j) ELSE 0 END))
+    """
+
+
+@query(
+    "q_dedup_simhash",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_TK} AS tk FROM documents),
+    hs AS (
+      SELECT doc_id,
+             list_transform(tk, t -> ('0x' || substr(md5(t), 1, 12))::BIGINT) AS hashed
+      FROM toks
+    ),
+    sig AS (SELECT doc_id, {_simhash_sql()} AS sh FROM hs)
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           bit_count(xor(a.sh, b.sh)) AS dist
+    FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.sh, b.sh)) <= {SIMHASH_MAX_DIST}
+    """,
+    description="SimHash near-dup pairs (hamming <= 3 on 48-bit fingerprints, "
+    "complete via pigeonhole banding; Charikar 2002)",
+)
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle brute-forces all pairs (fine at sf0.01); the Spark plan uses
+    banding so the same result is produced with an equi-join at any scale."""
+    return simhash_pairs(load_table(spark, sf_dir, "documents"))

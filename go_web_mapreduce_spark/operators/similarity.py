@@ -1,0 +1,235 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Extension mandate: brute-force cosine top-k as the exactness baseline, and an
+LSH-bucketed (random-hyperplane) variant as the 100 TB path. All vector math
+is JVM-side Column expressions (functions/vectors.py) — a Pandas-UDF variant
+pays Arrow transfer for a fold Catalyst codegens natively.
+
+Scale design:
+- top-k for one probe = broadcast the probe, single scan + TakeOrdered (no
+  shuffle of the corpus);
+- kNN for a probe *set* = broadcast the probe set (bounded), one scan of the
+  corpus, per-probe window rank on (probe, score) — shuffle carries only
+  (probe_id, vec_id, score) rows, never the vectors;
+- ANN-LSH = 8 deterministic md5-derived hyperplanes → 256 buckets; corpus is
+  hashed map-side; a probe searches its own bucket + all hamming-1 buckets
+  (multi-probe), so the candidate set is ~3.5% of the corpus regardless of n.
+
+The exact queries carry full DuckDB oracles: both engines compute the same
+left-fold dot product ((0+x1)+x2+... ≡ list_reduce), so scores are
+bit-identical and even the float values hash-match.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from go_web_mapreduce_spark.functions.vectors import cosine_similarity
+from go_web_mapreduce_spark.registry import query
+from go_web_mapreduce_spark.sources.tables import load_table
+
+TOP_K = 20
+KNN_PROBES = 10  # vec_id < 10 used as the probe set
+KNN_K = 3
+EMBEDDING_DIM = 64
+NUM_HYPERPLANES = 8
+NEAR_DUP_COS = 0.5
+
+# DuckDB mirror of the engine's fold-based cosine (bit-identical: both are
+# left folds over the same doubles)
+_COS_SQL = """
+  list_reduce(list_transform(range(len({a})), i -> {a}[i+1]::DOUBLE * {b}[i+1]::DOUBLE),
+              (x, y) -> x + y)
+  / (sqrt(list_reduce(list_transform({a}, x -> x::DOUBLE * x::DOUBLE), (x, y) -> x + y))
+     * sqrt(list_reduce(list_transform({b}, x -> x::DOUBLE * x::DOUBLE), (x, y) -> x + y)))
+"""
+
+
+def _cos_sql(a: str, b: str) -> str:
+    return _COS_SQL.format(a=a, b=b)
+
+
+def cosine_topk(
+    corpus: DataFrame, probe: DataFrame, k: int = TOP_K, id_col: str = "vec_id"
+) -> DataFrame:
+    """Top-k corpus rows by cosine to a single-row probe DataFrame.
+
+    The probe is broadcast (1 row); orderBy+limit compiles to
+    TakeOrderedAndProject — per-partition top-k, k-row merge, no global sort.
+    """
+    p = F.broadcast(probe.select(F.col("embedding").alias("probe_vec")))
+    scored = corpus.crossJoin(p).select(
+        id_col,
+        cosine_similarity(F.col("embedding"), F.col("probe_vec")).alias("score"),
+    )
+    return scored.orderBy(F.col("score").desc(), F.col(id_col)).limit(k)
+
+
+@query(
+    "q_similarity_topk",
+    oracle=f"""
+    WITH probe AS (SELECT embedding AS pv FROM embeddings WHERE vec_id = 0)
+    SELECT vec_id, {_cos_sql("embedding", "pv")} AS score
+    FROM embeddings, probe
+    ORDER BY score DESC, vec_id LIMIT {TOP_K}
+    """,
+    description="brute-force cosine top-20 for the vec_id=0 probe "
+    "(extension mandate: similarity search)",
+)
+def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return cosine_topk(emb, emb.filter(F.col("vec_id") == 0))
+
+
+def knn_join(
+    corpus: DataFrame, probes: DataFrame, k: int = KNN_K, id_col: str = "vec_id"
+) -> DataFrame:
+    """k nearest corpus neighbors for every probe row (self excluded).
+
+    Probes are broadcast; the shuffle for the rank window carries only
+    (query_id, vec_id, score) triples.
+    """
+    p = F.broadcast(
+        probes.select(
+            F.col(id_col).alias("query_id"), F.col("embedding").alias("probe_vec")
+        )
+    )
+    scored = (
+        corpus.crossJoin(p)
+        .filter(F.col(id_col) != F.col("query_id"))
+        .select(
+            "query_id",
+            id_col,
+            cosine_similarity(F.col("embedding"), F.col("probe_vec")).alias("score"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("score").desc(), F.col(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", id_col, "score", "rank")
+    )
+
+
+@query(
+    "q_similarity_knn",
+    oracle=f"""
+    WITH probes AS (
+      SELECT vec_id AS query_id, embedding AS pv FROM embeddings WHERE vec_id < {KNN_PROBES}
+    ), scored AS (
+      SELECT query_id, vec_id, {_cos_sql("embedding", "pv")} AS score
+      FROM embeddings, probes
+      WHERE vec_id <> query_id
+    )
+    SELECT query_id, vec_id, score,
+           row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rank
+    FROM scored
+    QUALIFY rank <= {KNN_K}
+    """,
+    description="exact 3-NN join for a 10-probe set (similarity search baseline)",
+)
+def q_similarity_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return knn_join(emb, emb.filter(F.col("vec_id") < KNN_PROBES))
+
+
+@query(
+    "q_dedup_embedding",
+    oracle=f"""
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           {_cos_sql("a.embedding", "b.embedding")} AS score
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE {_cos_sql("a.embedding", "b.embedding")} >= {NEAR_DUP_COS}
+    """,
+    description="embedding-cosine near-dup pairs (cos >= 0.5) "
+    "(extension mandate: dedup). Exact all-pairs here; the LSH-bucketed "
+    "plan (ann_lsh_buckets) is the 100 TB path.",
+)
+def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = emb.alias("a")
+    b = emb.alias("b")
+    score = cosine_similarity(F.col("a.embedding"), F.col("b.embedding"))
+    return (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            score.alias("score"),
+        )
+        .filter(F.col("score") >= NEAR_DUP_COS)
+    )
+
+
+# ---------------------------------------------------------------------------
+# ANN: random-hyperplane LSH buckets (the scale path)
+# ---------------------------------------------------------------------------
+
+
+def _hyperplanes(num: int = NUM_HYPERPLANES, dim: int = EMBEDDING_DIM) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes: component (j, i) derives from
+    md5(f"{j}:{i}") — reproducible everywhere, no RNG state."""
+    planes = []
+    for j in range(num):
+        row = []
+        for i in range(dim):
+            h = int(hashlib.md5(f"{j}:{i}".encode()).hexdigest()[:8], 16)
+            row.append((h % 2001) / 1000.0 - 1.0)  # in [-1, 1]
+        planes.append(row)
+    return planes
+
+
+def ann_lsh_buckets(df: DataFrame, id_col: str = "vec_id") -> DataFrame:
+    """Adds a ``bucket`` column: the sign pattern of NUM_HYPERPLANES dot
+    products — a pure map-side pass (vectors never shuffle)."""
+    planes = _hyperplanes()
+    bucket = F.lit(0)
+    for j, plane in enumerate(planes):
+        lit_plane = F.array(*[F.lit(v) for v in plane])
+        d = F.aggregate(
+            F.zip_with(F.col("embedding"), lit_plane, lambda x, y: x.cast("double") * y),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        bucket = bucket + F.when(d >= 0, F.lit(1 << j)).otherwise(F.lit(0))
+    return df.withColumn("bucket", bucket)
+
+
+def ann_topk_lsh(
+    corpus: DataFrame, probe: DataFrame, k: int = TOP_K, id_col: str = "vec_id"
+) -> DataFrame:
+    """Approximate top-k: score only corpus rows whose bucket is the probe's
+    bucket or any hamming-1 neighbor (multi-probe LSH). Candidate fraction is
+    ~(1 + H)/2^H of the corpus — independent of corpus size."""
+    bucketed = ann_lsh_buckets(corpus, id_col)
+    p = ann_lsh_buckets(probe, id_col).select(
+        F.col("embedding").alias("probe_vec"), F.col("bucket").alias("pb")
+    )
+    probe_buckets = F.array(
+        F.col("pb"), *[F.col("pb").bitwiseXOR(F.lit(1 << j)) for j in range(NUM_HYPERPLANES)]
+    )
+    p = F.broadcast(p.select("probe_vec", F.explode(probe_buckets).alias("bucket")))
+    cands = bucketed.join(p, "bucket")
+    return (
+        cands.select(
+            id_col,
+            cosine_similarity(F.col("embedding"), F.col("probe_vec")).alias("score"),
+        )
+        .orderBy(F.col("score").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+@query(
+    "q_similarity_ann_lsh",
+    oracle=None,  # approximate by construction — driver records rows+schema
+    description="ANN top-20 via multi-probe random-hyperplane LSH "
+    "(the 100 TB similarity path; recall vs exact asserted in tests)",
+)
+def q_similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ann_topk_lsh(emb, emb.filter(F.col("vec_id") == 0))

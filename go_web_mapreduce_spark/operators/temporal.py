@@ -1,0 +1,170 @@
+"""Temporal operators over the events stream table: time bucketing,
+gap-based sessionization, as-of joins.
+
+The reference is batch-only (SURVEY §2.2 streaming: absent); these are the
+time-series capabilities the new engine adds natively. The streaming module
+(go_web_mapreduce_spark/streaming/) runs the same hourly aggregation through
+Structured Streaming and is asserted equal in tests.
+
+Precision note: events.ts is nanosecond-precision in parquet. Spark (µs
+timestamps) and DuckDB (reads this parquet as µs TIMESTAMP) both see the
+floor-to-µs value, so every ordering/gap comparison here uses microseconds
+(``ts_ns div 1000`` == DuckDB ``epoch_us``) for exact cross-engine parity;
+``ts_ns`` remains available for loss-free ordering where no oracle is
+involved.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from go_web_mapreduce_spark.functions.numeric import dsum
+from go_web_mapreduce_spark.registry import query
+from go_web_mapreduce_spark.sources.tables import load_table
+
+SESSION_GAP_US = 30 * 60 * 1_000_000  # 30 minutes, in microseconds
+
+
+def hourly_rollup(events: DataFrame) -> DataFrame:
+    """Counts and value sums per (hour bucket, event_type). The hypertable-
+    rollup pattern: at scale this is one shuffle on (hour, type) — a few
+    thousand groups regardless of row count."""
+    bucket = F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss")
+    return events.groupBy(
+        bucket.alias("hour"), "event_type"
+    ).agg(F.count("*").alias("n"), dsum("value").alias("total_value"))
+
+
+@query(
+    "q_events_hourly",
+    oracle="""
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+           event_type, count(*) AS n,
+           CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+    description="time bucketing of the stream table (SURVEY §2.3 "
+    "q_events_sessionless_window); streaming twin in streaming/events.py",
+)
+def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return hourly_rollup(load_table(spark, sf_dir, "events"))
+
+
+def sessionize(events: DataFrame, gap_us: int = SESSION_GAP_US) -> DataFrame:
+    """Assigns a session id per user: a new session starts when the gap from
+    the previous event exceeds ``gap_us``. Classic lag + running-sum-of-flags;
+    one shuffle on user_id, sort within partition."""
+    events = events.withColumn("_ts_us", F.expr("ts_ns div 1000"))
+    w = W.partitionBy("user_id").orderBy("_ts_us", "event_id")
+    gap = F.col("_ts_us") - F.lag("_ts_us").over(w)
+    new_session = F.when(gap.isNull() | (gap > gap_us), 1).otherwise(0)
+    return events.withColumn(
+        "session_id",
+        F.sum(new_session).over(w.rowsBetween(W.unboundedPreceding, W.currentRow)),
+    )
+
+
+@query(
+    "q_sessionize",
+    oracle=f"""
+    WITH flagged AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w IS NULL
+                    OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > {SESSION_GAP_US}
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+    ), sess AS (
+      SELECT user_id, event_id,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM flagged
+    )
+    SELECT user_id, count(DISTINCT session_id) AS n_sessions, count(*) AS n_events,
+           CAST(count(*) AS DOUBLE) / count(DISTINCT session_id) AS events_per_session
+    FROM sess GROUP BY user_id
+    """,
+    description="gap-based sessionization (30 min) via lag + running flag sum",
+)
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sess = sessionize(load_table(spark, sf_dir, "events"))
+    return sess.groupBy("user_id").agg(
+        F.countDistinct("session_id").alias("n_sessions"),
+        F.count("*").alias("n_events"),
+        (F.count("*").cast("double") / F.countDistinct("session_id")).alias(
+            "events_per_session"
+        ),
+    )
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str = "ts_ns",
+    right_ts: str = "ts_ns",
+    tolerance_ns: int | None = None,
+) -> DataFrame:
+    """As-of join: for each left row, the latest right row with
+    right_ts <= left_ts (optionally within ``tolerance_ns``), per ``on`` key.
+
+    Spark lacks a native as-of join; this composes equi-join on the key +
+    range filter + per-left-row rank. The shuffle is the key equi-join; the
+    rank window never re-shuffles (same key partitioning). For dense right
+    sides, the applyInPandas ``pd.merge_asof`` per key group is the
+    alternative; the join form wins when the right side is filtered sparse.
+    """
+    lw = left.select(
+        F.col(on).alias("_k"),
+        F.col(left_ts).alias("_lts"),
+        *[F.col(c) for c in left.columns if c not in (on,)],
+    )
+    rw = right.select(
+        F.col(on).alias("_k"),
+        F.col(right_ts).alias("_rts"),
+        *[F.col(c).alias(f"r_{c}") for c in right.columns if c not in (on,)],
+    )
+    cond = F.col("_rts") <= F.col("_lts")
+    if tolerance_ns is not None:
+        cond = cond & (F.col("_rts") >= F.col("_lts") - tolerance_ns)
+    joined = lw.join(rw, on="_k", how="left").filter(cond | F.col("_rts").isNull())
+    return joined
+
+
+@query(
+    "q_asof_join",
+    oracle="""
+    WITH purchases AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+    ), clicks AS (
+      SELECT event_id AS click_id, user_id, ts AS click_ts FROM events
+      WHERE event_type = 'click'
+    )
+    SELECT event_id, click_id,
+           epoch_us(ts) - epoch_us(click_ts) AS gap_us
+    FROM purchases JOIN clicks USING (user_id)
+    WHERE epoch_us(click_ts) <= epoch_us(ts)
+    QUALIFY row_number() OVER (PARTITION BY event_id
+                               ORDER BY epoch_us(click_ts) DESC, click_id DESC) = 1
+    """,
+    description="as-of join: most recent prior click for each purchase, "
+    "per user (attribution; SURVEY §2.2 joins — as-of)",
+)
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", F.expr("ts_ns div 1000").alias("p_ts")
+    )
+    clicks = events.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", F.expr("ts_ns div 1000").alias("c_ts")
+    )
+    w = W.partitionBy("event_id").orderBy(F.col("c_ts").desc(), F.col("click_id").desc())
+    return (
+        purchases.join(clicks, "user_id")
+        .filter(F.col("c_ts") <= F.col("p_ts"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("event_id", "click_id", (F.col("p_ts") - F.col("c_ts")).alias("gap_us"))
+    )

@@ -1,0 +1,209 @@
+"""Text-analysis operators for training-data pipelines.
+
+Language ID (stopword heuristic), quality scoring (length / lexical ratios),
+token statistics, and document fingerprinting (md5 + bottom-sketch). All pure
+Column expressions — at 100 TB these are single map-side passes over the
+documents scan with aggregation on small (lang/source) keys, no shuffle of
+document bodies.
+
+Cross-engine determinism: every score is built from integer counts and
+fixed-order IEEE arithmetic (identical bits in Spark and DuckDB), and md5 is
+the portable fingerprint hash (functions/hashing.py). The DuckDB oracles for
+the heuristic queries are *generated from the same constants* so the two
+implementations cannot drift.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from go_web_mapreduce_spark.functions.text import token_count, tokens, word_shingles
+from go_web_mapreduce_spark.registry import query
+from go_web_mapreduce_spark.sources.tables import load_table
+
+# tiny per-language stopword lists (public common words); scoring = number of
+# tokens present in each list, argmax with fixed priority order for ties
+STOPWORDS = {
+    "en": ["the", "a", "and", "of", "to", "is", "in"],
+    "de": ["der", "die", "das", "und", "ist", "ein"],
+    "es": ["el", "la", "de", "que", "y", "un"],
+    "fr": ["le", "la", "les", "et", "est", "une"],
+    "zh": ["de5", "shi4", "le5"],  # romanized placeholders
+}
+LANG_PRIORITY = ["en", "de", "es", "fr", "zh"]
+ALL_STOPWORDS = [w for ws in STOPWORDS.values() for w in ws]
+
+# DuckDB token-list expression shared by the generated oracles (must mirror
+# functions/text.py::tokens exactly)
+_TK = "list_filter(string_split(lower(text), ' '), t -> t <> '')"
+
+
+def stopword_hits(toks: Column, words: list[str]) -> Column:
+    """Count of tokens contained in ``words`` (duplicates counted)."""
+    arr = F.array(*[F.lit(w) for w in words])
+    return F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
+
+
+def language_id(toks: Column) -> Column:
+    """Predicted language: argmax of stopword hits, ties broken by
+    LANG_PRIORITY order, 'und' (undetermined) when all scores are zero."""
+    scores = {lang: stopword_hits(toks, ws) for lang, ws in STOPWORDS.items()}
+    best = F.greatest(*scores.values())
+    expr = F.when(best == 0, F.lit("und"))
+    for lang in LANG_PRIORITY:
+        expr = expr.when(scores[lang] == best, F.lit(lang))
+    return expr
+
+
+def _sql_list(words: list[str]) -> str:
+    return "[" + ", ".join(f"'{w}'" for w in words) + "]"
+
+
+def _score_sql(lang: str) -> str:
+    return f"len(list_filter(tk, t -> list_contains({_sql_list(STOPWORDS[lang])}, t)))"
+
+
+def _lang_id_oracle() -> str:
+    scores = ", ".join(f"{_score_sql(lang)} AS s_{lang}" for lang in STOPWORDS)
+    best = "greatest(" + ", ".join(f"s_{lang}" for lang in STOPWORDS) + ")"
+    case = f"CASE WHEN {best} = 0 THEN 'und' " + " ".join(
+        f"WHEN s_{lang} = {best} THEN '{lang}'" for lang in LANG_PRIORITY
+    ) + " END"
+    return f"""
+    WITH toks AS (SELECT lang, {_TK} AS tk FROM documents),
+    scored AS (SELECT lang, {scores} FROM toks)
+    SELECT lang, {case} AS predicted, count(*) AS n
+    FROM scored GROUP BY 1, 2
+    """
+
+
+@query(
+    "q_lang_id",
+    oracle=_lang_id_oracle(),
+    description="language-ID heuristic: stopword-hit argmax vs labeled lang "
+    "(extension mandate: text analysis)",
+)
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("lang", language_id(tokens("text")).alias("predicted"))
+        .groupBy("lang", "predicted")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@query(
+    "q_text_stats",
+    oracle="""
+    SELECT lang,
+           count(*) AS n_docs,
+           CAST(sum(n_chars) AS DOUBLE) / count(*) AS avg_chars,
+           CAST(sum(len(list_filter(string_split(lower(text), ' '), t -> t <> ''))) AS DOUBLE)
+             / count(*) AS avg_tokens,
+           min(n_chars) AS min_chars,
+           max(n_chars) AS max_chars
+    FROM documents GROUP BY lang
+    """,
+    description="per-language document statistics (extension mandate: text analysis)",
+)
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        (F.sum("n_chars").cast("double") / F.count("*")).alias("avg_chars"),
+        (F.sum(token_count("text")).cast("double") / F.count("*")).alias("avg_tokens"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+    )
+
+
+def quality_score(text: Column) -> Column:
+    """Composite quality score in [0, 1] from public heuristics: doc length,
+    lexical diversity (type-token ratio), stopword presence. Fixed-order
+    arithmetic over integer counts → bit-identical across engines."""
+    toks = tokens(text)
+    n_tok = F.size(toks).cast("double")
+    n_distinct = F.size(F.array_distinct(toks)).cast("double")
+    stop_ratio = stopword_hits(toks, ALL_STOPWORDS).cast("double") / n_tok
+    length_component = F.least(n_tok / F.lit(100.0), F.lit(1.0))
+    ttr = n_distinct / n_tok
+    score = F.lit(0.4) * length_component + F.lit(0.3) * ttr + F.lit(0.3) * stop_ratio
+    return F.when(n_tok == 0.0, F.lit(0.0)).otherwise(score)
+
+
+def _quality_sql() -> str:
+    return f"""
+      CASE WHEN len(tk) = 0 THEN 0.0 ELSE
+        0.4 * least(len(tk)::DOUBLE / 100.0, 1.0)
+        + 0.3 * (len(list_distinct(tk))::DOUBLE / len(tk)::DOUBLE)
+        + 0.3 * (len(list_filter(tk, t -> list_contains({_sql_list(ALL_STOPWORDS)}, t)))::DOUBLE
+                 / len(tk)::DOUBLE)
+      END
+    """
+
+
+@query(
+    "q_quality_score",
+    oracle=f"""
+    WITH toks AS (SELECT lang, {_TK} AS tk FROM documents),
+    scored AS (SELECT lang, {_quality_sql()} AS q FROM toks)
+    SELECT lang, count(*) AS n_docs,
+           min(q) AS min_quality, max(q) AS max_quality,
+           CAST(sum(CAST(q AS DECIMAL(18,8))) AS DOUBLE) / count(*) AS avg_quality
+    FROM scored GROUP BY lang
+    """,
+    description="document quality scoring: length/diversity/stopword composite "
+    "(extension mandate: text analysis)",
+)
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    q = quality_score(F.col("text"))
+    return docs.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.min(q).alias("min_quality"),
+        F.max(q).alias("max_quality"),
+        (F.sum(q.cast("decimal(18,8)")).cast("double") / F.count("*")).alias(
+            "avg_quality"
+        ),
+    )
+
+
+@query(
+    "q_fingerprint",
+    oracle="""
+    WITH base AS (
+      SELECT source,
+             md5(trim(regexp_replace(lower(text), ' +', ' ', 'g'))) AS fp,
+             list_filter(string_split(lower(text), ' '), t -> t <> '') AS tk
+      FROM documents
+    ), sk AS (
+      SELECT source, fp,
+             list_min(list_transform(
+               list_transform(range(1, greatest(len(tk) - 4, 1) + 1),
+                              i -> array_to_string(tk[i:i+4], ' ')),
+               s -> md5(s))) AS sketch
+      FROM base
+    )
+    SELECT source, count(*) AS n_docs,
+           count(DISTINCT fp) AS n_unique_exact,
+           count(DISTINCT sketch) AS n_unique_sketch
+    FROM sk GROUP BY source
+    """,
+    description="document fingerprinting: normalized-md5 + bottom-1 shingle sketch "
+    "(extension mandate: text analysis)",
+)
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    norm = F.trim(F.regexp_replace(F.lower("text"), " +", " "))
+    toks = tokens("text")
+    sketch = F.array_min(F.transform(word_shingles(toks, 5), lambda s: F.md5(s)))
+    return (
+        docs.select("source", F.md5(norm).alias("fp"), sketch.alias("sketch"))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct("fp").alias("n_unique_exact"),
+            F.countDistinct("sketch").alias("n_unique_sketch"),
+        )
+    )

@@ -1,0 +1,96 @@
+"""Structured Streaming over the events table.
+
+The reference is strictly batch (an algorithm terminates when its job sets
+drain — reference: algorithm/algorithm.go:206-210); streaming is part of the
+new engine's extension surface. The same hourly rollup computed by
+operators/temporal.py runs here as a real streaming query (file source →
+windowed aggregation → memory sink), so batch/stream parity is testable and
+the registered query ``q_stream_hourly`` shares the batch oracle.
+
+Scale notes: at production scale the source becomes Kafka/object-store
+listing with ``maxFilesPerTrigger``; the aggregation state is per
+(window, event_type) — thousands of groups, bounded by a watermark when run
+in append mode. Here (finite input) complete mode + processAllAvailable
+drives the query to a deterministic final answer synchronously.
+"""
+
+from __future__ import annotations
+
+import itertools
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from go_web_mapreduce_spark.registry import query
+
+_counter = itertools.count()
+
+
+def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """readStream view of the events parquet (schema from the batch reader,
+    never inferred — inference is illegal on streams anyway)."""
+    batch = spark.read.parquet(f"{sf_dir}/events.parquet")
+    # the file-stream source wants a directory/glob, not a bare file path —
+    # a wildcard makes sf_dir the basePath and matches just the events file
+    stream = spark.readStream.schema(batch.schema).parquet(f"{sf_dir}/events.parqu*")
+    if dict(batch.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn("ts_ns", F.col("ts")).withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000"))
+        )
+    return stream
+
+
+def hourly_rollup_stream(
+    spark: SparkSession, sf_dir: str, watermark: str = "2 hours"
+) -> DataFrame:
+    """Runs the hourly count/sum rollup as a streaming query to completion
+    and returns the final result as a (batch) DataFrame.
+
+    Uses ``window(ts, '1 hour')`` (epoch-aligned → identical buckets to
+    ``date_trunc('hour')``), complete output mode, memory sink.
+    """
+    name = f"hourly_stream_{next(_counter)}"
+    agg = (
+        stream_events(spark, sf_dir)
+        .withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias(
+                "total_value"
+            ),
+        )
+    )
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name).select(
+        F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+        "event_type",
+        "n",
+        "total_value",
+    )
+
+
+@query(
+    "q_stream_hourly",
+    # same oracle as the batch q_events_hourly — the streaming plan must land
+    # on the identical final answer
+    oracle="""
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+           event_type, count(*) AS n,
+           CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+    description="hourly rollup through Structured Streaming (file source → "
+    "windowed agg → memory sink), oracle-equal to the batch plan",
+)
+def q_stream_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return hourly_rollup_stream(spark, sf_dir)
