@@ -10,3 +10,4 @@ from go_web_mapreduce_spark.operators import (  # noqa: F401
     text_analysis,
 )
 from go_web_mapreduce_spark.streaming import events as _streaming_events  # noqa: F401
+from go_web_mapreduce_spark.streaming import stateful as _streaming_stateful  # noqa: F401

@@ -627,3 +627,100 @@ def q_array_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.sum(token_count("text")).cast("double") / F.count("*")).alias("avg_tokens"),
         F.max(F.size(F.array_distinct(toks))).alias("max_distinct_tokens"),
     )
+
+
+# ---------------------------------------------------------------------------
+# range / theta joins, grouping sets, approximate aggregates
+# ---------------------------------------------------------------------------
+
+
+PRICE_BANDS = [
+    ("budget", 0.0, 1200.0),
+    ("mid", 1200.0, 1600.0),
+    ("premium", 1600.0, 2500.0),
+]
+
+
+@query(
+    "q_range_join",
+    oracle="""
+    WITH bands(band, lo, hi) AS (
+      VALUES ('budget', 0.0, 1200.0), ('mid', 1200.0, 1600.0),
+             ('premium', 1600.0, 2500.0)
+    )
+    SELECT band, count(*) AS n_parts,
+           CAST(sum(CAST(p_retailprice AS DECIMAL(18,4))) AS DOUBLE) AS total_price
+    FROM part JOIN bands ON p_retailprice >= lo AND p_retailprice < hi
+    GROUP BY band
+    """,
+    description="range (interval) join: facts against a banded dimension via "
+    "a broadcast theta-join — the scalable shape for interval joins with a "
+    "small interval side (SURVEY §2.2 joins)",
+)
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-equi joins can't hash-partition; the scalable plan broadcasts the
+    (tiny) interval side so the fact scan streams through a
+    BroadcastNestedLoopJoin with no shuffle of the big side."""
+    part = load_table(spark, sf_dir, "part")
+    bands = F.broadcast(
+        spark.createDataFrame(PRICE_BANDS, "band string, lo double, hi double")
+    )
+    return (
+        part.join(
+            bands,
+            (F.col("p_retailprice") >= F.col("lo"))
+            & (F.col("p_retailprice") < F.col("hi")),
+        )
+        .groupBy("band")
+        .agg(F.count("*").alias("n_parts"), dsum("p_retailprice").alias("total_price"))
+    )
+
+
+@query(
+    "q_grouping_sets",
+    oracle="""
+    SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+           coalesce(l_linestatus, 'ALL') AS linestatus,
+           count(*) AS n,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """,
+    description="explicit GROUPING SETS (disjoint subtotal sets, not the "
+    "rollup/cube lattice) — SURVEY §2.2 grouping sets",
+)
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("lineitem_gs")
+    return spark.sql(
+        """
+        SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+               coalesce(l_linestatus, 'ALL') AS linestatus,
+               count(*) AS n,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        FROM lineitem_gs
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        """
+    )
+
+
+@query(
+    "q_approx_distinct",
+    oracle=None,  # approximate by construction — sketch internals differ per
+    # engine; accuracy is asserted against exact counts in tests
+    description="approximate aggregates: HyperLogLog++ count-distinct and "
+    "approximate percentiles — the sketches that replace exact "
+    "count(DISTINCT)/percentile at 100 TB (SURVEY §2.2 approx aggregates)",
+)
+def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact count(DISTINCT) is a full shuffle of the distinct values;
+    approx_count_distinct is a fixed-size HLL sketch merged map-side —
+    constant memory per group at any scale. Same trade for percentiles."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_orderkey", 0.02).alias("approx_orders"),
+        F.percentile_approx("l_extendedprice", [0.5, 0.95], 1000).alias(
+            "price_p50_p95"
+        ),
+        F.count("*").alias("n"),
+    )

@@ -1,0 +1,154 @@
+"""Algorithm submission service — the reference's server surface, Spark-side.
+
+The reference's master is an HTTP server: ``POST /algorithm`` accepts
+``{map_input_length, map_code, reduce_code, input}`` (reference:
+server/api.go:8-13, server/views.go:83-160), spins up a dedicated *master*
+per algorithm, runs N masters concurrently (one goroutine pool each,
+reference: server/views.go:30-36), garbage-collects a master when its
+algorithm completes (server/views.go:134-157), and exposes results when the
+algorithm's ``CompletedChannel`` closes (master/master.go:216-223).
+
+This module keeps that *submission contract* — validation, the
+``max(1, mapJobs/10)`` reduce-partition heuristic (server/views.go:107-108),
+concurrent multi-algorithm execution, completion + result retrieval — while
+every distributed-systems concern underneath (scheduling, transport, phase
+barriers, retry) is Spark's (SURVEY.md §7 non-goals). Concurrent algorithms
+share one SparkSession and run in Spark's FAIR scheduler pools, the
+idiomatic replacement for the reference's master pool.
+"""
+
+from __future__ import annotations
+
+import math
+import threading
+import uuid
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+from go_web_mapreduce_spark.core import MapFn, ReduceFn, submit_algorithm
+from go_web_mapreduce_spark.sources.tables import kv_from_rows
+
+# the reference's reduce-job heuristic when the API caller doesn't choose
+# (reference: server/views.go:107-108)
+REDUCE_JOBS_DIVISOR = 10
+
+
+@dataclass
+class AlgorithmHandle:
+    """One submitted algorithm ≙ one reference master (master/master.go:42).
+
+    ``algorithm_id`` plays the reference's UUID job of addressing a running
+    master; ``wait()`` is the ``CompletedChannel`` + ``Results()`` pair
+    (algorithm/algorithm.go:216-218, 350).
+    """
+
+    algorithm_id: str
+    num_map_jobs: int
+    num_partitions: int
+    _thread: threading.Thread | None = field(default=None, repr=False)
+    _rows: list | None = field(default=None, repr=False)
+    _error: BaseException | None = field(default=None, repr=False)
+
+    def wait(self, timeout: float | None = None) -> list:
+        """Block until the algorithm completes; return the result rows
+        (``[Row(key=..., value=...)]``, order nondeterministic — reference:
+        algorithm/algorithm.go:337-343)."""
+        assert self._thread is not None
+        self._thread.join(timeout)
+        if self._thread.is_alive():
+            raise TimeoutError(f"algorithm {self.algorithm_id} still running")
+        if self._error is not None:
+            raise self._error
+        return self._rows
+
+    @property
+    def done(self) -> bool:
+        return self._thread is not None and not self._thread.is_alive()
+
+
+class AlgorithmService:
+    """Multi-algorithm submission pool over one SparkSession.
+
+    The reference keeps ``masters []*Master`` and removes each on completion
+    (server/views.go:30-36, 134-157); here the pool is a dict of handles and
+    the per-master goroutines are one Python thread per algorithm driving a
+    Spark job in its own FAIR scheduler pool.
+    """
+
+    def __init__(self, spark: SparkSession):
+        self._spark = spark
+        self._pool: dict[str, AlgorithmHandle] = {}
+        self._lock = threading.Lock()
+
+    def submit(
+        self,
+        map_fn: MapFn,
+        reduce_fn: ReduceFn,
+        input: DataFrame | list,
+        map_input_length: int,
+        num_partitions: int | None = None,
+    ) -> AlgorithmHandle:
+        """``POST /algorithm``. ``input`` is a DataFrame with (key, value)
+        string columns or a literal list of (key, value) pairs — the
+        reference's two ingest shapes (server/api.go:8-13, views.go:43-48).
+
+        Validation mirrors the reference's request validation + constructor
+        panics recovered to HTTP 400 (server/views.go:93-117) as ValueError.
+        """
+        if isinstance(input, list):
+            if not input:
+                raise ValueError("empty input")  # govalidator: input required
+            input = kv_from_rows(self._spark, input)
+        if map_input_length <= 0:
+            raise ValueError("map_input_length must be positive")
+
+        total = input.count()
+        if total == 0:
+            raise ValueError("empty input")
+        num_map_jobs = max(1, math.ceil(total / map_input_length))
+        if num_partitions is None:
+            # reference: reduceJobs = max(1, mapJobs/10) (server/views.go:107-108)
+            num_partitions = max(1, num_map_jobs // REDUCE_JOBS_DIVISOR)
+        result_df = submit_algorithm(
+            map_fn,
+            reduce_fn,
+            input,
+            input_len=map_input_length,
+            num_partitions=num_partitions,
+            total_rows=total,
+        )
+
+        algorithm_id = str(uuid.uuid4())
+        handle = AlgorithmHandle(
+            algorithm_id=algorithm_id,
+            num_map_jobs=num_map_jobs,
+            num_partitions=num_partitions,
+        )
+
+        def run() -> None:
+            # one FAIR pool per algorithm = the reference's master-per-
+            # algorithm concurrency (server/views.go:30-36)
+            sc = self._spark.sparkContext
+            sc.setLocalProperty("spark.scheduler.pool", algorithm_id)
+            try:
+                handle._rows = result_df.collect()
+            except BaseException as exc:  # surfaced on wait(), like HTTP 500
+                handle._error = exc
+            finally:
+                sc.setLocalProperty("spark.scheduler.pool", None)
+                with self._lock:
+                    # completed masters are GC'd (server/views.go:134-157)
+                    self._pool.pop(algorithm_id, None)
+
+        thread = threading.Thread(target=run, name=f"algorithm-{algorithm_id}")
+        handle._thread = thread
+        with self._lock:
+            self._pool[algorithm_id] = handle
+        thread.start()
+        return handle
+
+    def running(self) -> list[str]:
+        """IDs of algorithms not yet complete (the live master pool)."""
+        with self._lock:
+            return sorted(self._pool)

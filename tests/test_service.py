@@ -1,0 +1,76 @@
+"""AlgorithmService contract tests — the reference's server behaviors
+(SURVEY.md §5 patterns 2 and 4): request validation as ValueError, the
+reduce-partition heuristic, concurrent algorithms converging, pool GC on
+completion (reference: server/views.go:83-160)."""
+
+from __future__ import annotations
+
+import pytest
+
+from go_web_mapreduce_spark.service import AlgorithmService
+
+WORDS = ("bacon ipsum dolor amet bacon ribs bacon ham").split()
+
+
+@pytest.fixture(scope="module")
+def service(spark):
+    return AlgorithmService(spark)
+
+
+def wordcount_fns():
+    return (lambda k, v: (len(v) % 2, v, "1"), lambda k, vs: str(len(vs)))
+
+
+def test_submit_literal_input_and_wait(service):
+    map_fn, reduce_fn = wordcount_fns()
+    h = service.submit(map_fn, reduce_fn, [("", w) for w in WORDS], 3)
+    rows = {r["key"]: r["value"] for r in h.wait(timeout=120)}
+    assert rows["bacon"] == "3"
+    assert len(rows) == len(set(WORDS))
+    assert h.done
+
+
+def test_reduce_partition_heuristic(service):
+    """reference: reduceJobs = max(1, mapJobs/10) (server/views.go:107-108)."""
+    map_fn, reduce_fn = wordcount_fns()
+    h = service.submit(map_fn, reduce_fn, [("", w) for w in WORDS], 1)
+    # 8 rows / input_len 1 → 8 map jobs → max(1, 8//10) = 1 partition
+    assert h.num_map_jobs == 8
+    assert h.num_partitions == 1
+    h.wait(timeout=120)
+
+
+def test_concurrent_algorithms(service):
+    """Two masters live at once, both converge (reference: server/views.go:30-36;
+    SURVEY.md §5 pattern 4)."""
+    map_fn, reduce_fn = wordcount_fns()
+    h1 = service.submit(map_fn, reduce_fn, [("", w) for w in WORDS], 2)
+    h2 = service.submit(
+        lambda k, v: (0, v, v),
+        lambda k, vs: str(sum(len(x) for x in vs)),
+        [("", w) for w in WORDS],
+        2,
+    )
+    r1 = {r["key"]: r["value"] for r in h1.wait(timeout=120)}
+    r2 = {r["key"]: r["value"] for r in h2.wait(timeout=120)}
+    assert r1["bacon"] == "3"
+    assert r2["bacon"] == str(len("bacon") * 3)
+
+
+def test_pool_gc_after_completion(service):
+    map_fn, reduce_fn = wordcount_fns()
+    h = service.submit(map_fn, reduce_fn, [("", w) for w in WORDS], 3)
+    h.wait(timeout=120)
+    assert h.algorithm_id not in service.running()
+
+
+def test_empty_input_rejected(service):
+    map_fn, reduce_fn = wordcount_fns()
+    with pytest.raises(ValueError, match="empty input"):
+        service.submit(map_fn, reduce_fn, [], 3)
+
+
+def test_bad_map_input_length_rejected(service):
+    map_fn, reduce_fn = wordcount_fns()
+    with pytest.raises(ValueError, match="map_input_length"):
+        service.submit(map_fn, reduce_fn, [("", "w")], 0)
