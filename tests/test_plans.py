@@ -1,0 +1,72 @@
+"""Physical-plan quality gates — the scale properties that matter at 100 TB,
+asserted on the actual executed plans so a regression in plan shape fails CI
+even while results stay correct.
+
+What each assertion protects:
+- predicate pushdown + column pruning → a scan reads only the bytes it must;
+- broadcast joins for dimensions → no shuffle of the fact side;
+- partial (map-side) aggregation → shuffles carry group states, not rows;
+- TakeOrderedAndProject for top-k → no global sort;
+- no CollectLimit/driver materialization inside registered queries.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from go_web_mapreduce_spark.queries import REGISTRY
+
+
+def executed_plan(spark, sf_dir, name: str) -> str:
+    df = REGISTRY[name].fn(spark, sf_dir)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_filter_pushes_into_scan(spark, sf_dir):
+    plan = executed_plan(spark, sf_dir, "q_filter_project")
+    assert "PushedFilters: [" in plan
+    assert "GreaterThanOrEqual(l_discount" in plan
+
+
+def test_projection_prunes_scan_columns(spark, sf_dir):
+    plan = executed_plan(spark, sf_dir, "q_filter_project")
+    # only the 5 referenced columns reach the parquet reader — not the
+    # full 11-column lineitem schema
+    read_schema = plan.split("ReadSchema:", 1)[1].splitlines()[0]
+    assert "l_comment" not in read_schema
+    assert "l_partkey" not in read_schema
+
+
+def test_star_join_broadcasts_dimensions(spark, sf_dir):
+    plan = executed_plan(spark, sf_dir, "q_multi_join")
+    assert "BroadcastHashJoin" in plan
+    # the orders fact side must NOT be exchanged for the join at this size
+    assert plan.count("BroadcastHashJoin") >= 2
+
+
+def test_aggregation_is_partial_then_final(spark, sf_dir):
+    plan = executed_plan(spark, sf_dir, "q_group_agg")
+    assert "partial_sum" in plan or "partial_count" in plan
+
+
+def test_topk_avoids_global_sort(spark, sf_dir):
+    plan = executed_plan(spark, sf_dir, "q_topk")
+    assert "TakeOrderedAndProject" in plan
+    assert "Sort [" not in plan  # no full Sort node — per-partition top-k only
+
+
+def test_similarity_topk_never_shuffles_corpus(spark, sf_dir):
+    plan = executed_plan(spark, sf_dir, "q_similarity_topk")
+    assert "TakeOrderedAndProject" in plan
+    # single scan of embeddings; probe arrives via broadcast
+    assert plan.count("FileScan parquet") == 2
+    assert "Exchange hashpartitioning" not in plan
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["q_wordcount", "q_group_agg", "q_repartition_join", "q_multi_join", "q_topk"],
+)
+def test_no_driver_side_collect_in_plans(spark, sf_dir, name):
+    plan = executed_plan(spark, sf_dir, name)
+    assert "CollectLimit" not in plan
