@@ -1,0 +1,51 @@
+"""Sinks — the write side of the engine.
+
+The reference's only sink is the master-resident results list consumed once
+(reference: algorithm/algorithm.go:337-343, server/views.go:66-71). A real
+engine needs durable, scale-safe outputs; these helpers encode the shapes
+that behave at 100 TB:
+
+- **partitioned parquet** — the default analytical sink: partition columns
+  become directory pruning for every downstream scan;
+- **single-key-sorted parquet** — within-file ordering for range-scan
+  consumers, without a global sort (sortWithinPartitions);
+- **JSON lines** — the reference's wire shape (`{"key": .., "value": ..}`,
+  reference: protocol/input.go:11-13) for interop exports.
+
+All are thin over DataFrameWriter on purpose: the writer inherits the plan's
+parallelism — one file per partition, no driver funnel. ``coalesce(1)`` is
+deliberately NOT offered.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def write_parquet(
+    df: DataFrame,
+    path: str,
+    partition_by: list[str] | None = None,
+    mode: str = "error",
+) -> None:
+    """Partitioned parquet sink. ``partition_by`` columns turn into
+    hive-style directories — partition pruning for every later reader."""
+    w = df.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(path)
+
+
+def write_sorted_parquet(
+    df: DataFrame, path: str, sort_cols: list[str], mode: str = "error"
+) -> None:
+    """Parquet with rows sorted *within each output file* — ordered row
+    groups + min/max footer stats for range-scanning consumers. Uses
+    sortWithinPartitions: no global sort, no single-task funnel."""
+    df.sortWithinPartitions(*sort_cols).write.mode(mode).parquet(path)
+
+
+def write_json_lines(df: DataFrame, path: str, mode: str = "error") -> None:
+    """JSON-lines export — the reference's result wire shape
+    (reference: protocol/input.go:11-13)."""
+    df.write.mode(mode).json(path)

@@ -1,0 +1,90 @@
+"""Sinks round-trip and skew-mitigation equivalence tests."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from go_web_mapreduce_spark.functions.skew import salted_agg, salted_join, with_salt
+from go_web_mapreduce_spark.sources.sinks import (
+    write_json_lines,
+    write_parquet,
+    write_sorted_parquet,
+)
+from go_web_mapreduce_spark.sources.tables import load_table
+
+
+def test_partitioned_parquet_roundtrip_and_pruning(spark, sf_dir, tmp_path):
+    docs = load_table(spark, sf_dir, "documents")
+    out = str(tmp_path / "docs_by_lang")
+    write_parquet(docs, out, partition_by=["lang"])
+    back = spark.read.parquet(out)
+    assert back.count() == docs.count()
+    # reading one partition must scan only that directory (partition pruning)
+    one_lang = docs.select("lang").first()["lang"]
+    pruned = back.filter(F.col("lang") == one_lang)
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan and "lang" in plan.split("PartitionFilters:")[1][:120]
+    assert pruned.count() == docs.filter(F.col("lang") == one_lang).count()
+
+
+def test_sorted_parquet_sorts_within_files(spark, sf_dir, tmp_path):
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id")
+    out = str(tmp_path / "events_sorted")
+    write_sorted_parquet(ev.repartition(2), out, ["event_id"])
+    import glob
+
+    import pyarrow.parquet as pq
+
+    for f in glob.glob(f"{out}/*.parquet"):
+        ids = pq.read_table(f, columns=["event_id"]).column("event_id").to_pylist()
+        assert ids == sorted(ids)
+
+
+def test_json_lines_roundtrip(spark, sf_dir, tmp_path):
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    out = str(tmp_path / "docs_json")
+    write_json_lines(docs, out)
+    back = spark.read.json(out)
+    assert back.count() == docs.count()
+    assert set(back.columns) == {"doc_id", "lang"}
+
+
+def test_salted_agg_equals_plain_agg(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    got = {
+        r["event_type"]: r["n"]
+        for r in salted_agg(
+            ev,
+            ["event_type"],
+            [F.count("*").alias("pn")],
+            [F.sum("pn").alias("n")],
+            num_salts=8,
+        ).collect()
+    }
+    want = {
+        r["event_type"]: r["n"]
+        for r in ev.groupBy("event_type").agg(F.count("*").alias("n")).collect()
+    }
+    assert got == want
+
+
+@pytest.mark.parametrize("how", ["inner", "left"])
+def test_salted_join_equals_plain_join(spark, sf_dir, how):
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    customer = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    small = customer.withColumnRenamed("c_custkey", "o_custkey")
+    got = salted_join(orders, small, ["o_custkey"], num_salts=4, how=how)
+    want = orders.join(small, ["o_custkey"], how)
+    assert got.count() == want.count()
+    g = sorted(map(tuple, got.collect()))
+    w = sorted(map(tuple, want.collect()))
+    assert g == w
+
+
+def test_with_salt_bounds(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events").limit(100)
+    salts = with_salt(ev, 4).select("__salt").distinct().collect()
+    assert all(0 <= r["__salt"] < 4 for r in salts)
+    with pytest.raises(ValueError):
+        with_salt(ev, 0)
