@@ -23,9 +23,16 @@ from go_web_mapreduce_spark import queries as _q  # noqa: E402
 
 
 def _prepare(spark: SparkSession) -> None:
-    """Confs the engine needs that the driver's session may not set."""
+    """Confs the engine needs that the driver's session may not set.
+    All are runtime-settable SQL confs — safe on a vanilla session."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # right-size shuffles for the test scale factors (a vanilla session's
+    # default 200 partitions means 200 tasks per tiny shuffle); AQE coalesce
+    # keeps the setting harmless if the driver already tuned it
+    spark.conf.set("spark.sql.shuffle.partitions", "32")
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
 
 
 def entry(spark: SparkSession) -> DataFrame:

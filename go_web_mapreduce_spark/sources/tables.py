@@ -60,6 +60,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         df = df.withColumn("ts_ns", F.col("ts")).withColumn(
             "ts", F.timestamp_micros(F.expr("ts div 1000"))
         )
+    if name in BROADCAST_DIMS:
+        # a broadcast hint on a scan is inert outside joins and guarantees
+        # these fixed-size dimensions never put a shuffle on the fact side,
+        # independent of autoBroadcastJoinThreshold at any scale factor
+        df = F.broadcast(df)
     return df
 
 
