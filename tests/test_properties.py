@@ -1,0 +1,106 @@
+"""Property-based tests (hypothesis) — invariants that must hold for ANY
+input, not just the fixtures: the programmable kernel vs native plans,
+MinHash estimates vs true jaccard, and portable-hash stability.
+
+Spark actions are slow relative to hypothesis' default budget, so examples
+are capped small and deadlines disabled; the point is breadth of shapes
+(empty-ish keys, duplicates, unicode-ish strings), not volume.
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from go_web_mapreduce_spark.core import submit_algorithm
+from go_web_mapreduce_spark.functions.hashing import hash_family, minhash_from_hashes, shingle_hashes
+from go_web_mapreduce_spark.sources.tables import kv_from_rows
+
+WORDS = st.text(
+    alphabet=st.characters(whitelist_categories=("Ll", "Nd")), min_size=1, max_size=8
+)
+
+SPARK_SETTINGS = settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+
+
+@given(words=st.lists(WORDS, min_size=1, max_size=40))
+@SPARK_SETTINGS
+def test_mr_kernel_counts_match_native_groupby(spark, words):
+    """submit_algorithm word count == native groupBy().count() for any word
+    multiset (the reference's flagship semantics, server/views.go:51-61)."""
+    df = kv_from_rows(spark, [("", w) for w in words])
+    got = {
+        r["key"]: int(r["value"])
+        for r in submit_algorithm(
+            lambda k, v: (len(v) % 3, v, "1"),
+            lambda k, vs: str(len(vs)),
+            df,
+            input_len=7,
+            num_partitions=3,
+        ).collect()
+    }
+    want = {
+        r["value"]: r["n"]
+        for r in df.groupBy("value").agg(F.count("*").alias("n")).collect()
+    }
+    assert got == want
+
+
+@given(
+    words=st.lists(WORDS, min_size=1, max_size=30),
+    input_len=st.integers(min_value=1, max_value=50),
+    num_partitions=st.integers(min_value=1, max_value=8),
+)
+@SPARK_SETTINGS
+def test_mr_kernel_result_independent_of_chunking(spark, words, input_len, num_partitions):
+    """Chunk size and partition count are physical knobs — they must never
+    change the answer (reference: algorithm/algorithm.go:91-103 splits are
+    invisible to results)."""
+    df = kv_from_rows(spark, [("", w) for w in words])
+    out = submit_algorithm(
+        lambda k, v: (hash(v) % num_partitions, v, "1"),
+        lambda k, vs: str(len(vs)),
+        df,
+        input_len=input_len,
+        num_partitions=num_partitions,
+    )
+    got = {r["key"]: r["value"] for r in out.collect()}
+    assert sum(int(v) for v in got.values()) == len(words)
+    assert set(got) == set(words)
+
+
+@given(
+    a=st.sets(WORDS, min_size=1, max_size=30),
+    b=st.sets(WORDS, min_size=1, max_size=30),
+)
+@SPARK_SETTINGS
+def test_minhash_equal_sets_equal_sigs_and_bounds(spark, a, b):
+    """Identical sets → identical signatures; signature agreement is a
+    [0,1]-bounded estimator that is exact for identical and (almost surely)
+    below 1 for disjoint sets."""
+    df = spark.createDataFrame(
+        [(0, sorted(a)), (1, sorted(a)), (2, sorted(b))], "id bigint, sh array<string>"
+    )
+    sigs = {
+        r["id"]: tuple(r["sig"])
+        for r in df.select(
+            "id",
+            minhash_from_hashes(shingle_hashes(F.col("sh")), 12).alias("sig"),
+        ).collect()
+    }
+    assert sigs[0] == sigs[1]
+    if a.isdisjoint(b):
+        matches = sum(x == y for x, y in zip(sigs[0], sigs[2]))
+        assert matches < 12 or a == b
+
+
+def test_hash_family_is_deterministic_and_distinct():
+    fam = hash_family(12)
+    assert fam == hash_family(12)
+    assert len(set(fam)) == 12
+    assert all(a % 2 == 1 for a, _ in fam)

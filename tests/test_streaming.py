@@ -48,6 +48,74 @@ def test_stateful_final_state_equals_batch(spark, sf_dir):
     assert got == want and len(got) > 0
 
 
+def test_watermark_drops_late_rows_in_append_mode(spark, tmp_path):
+    """Late-data semantics: with a 1-hour watermark in append mode, a row
+    arriving in a later batch with an event time more than the delay behind
+    the observed max is dropped; windows emit only once finalized."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("k", T.StringType()),
+        ]
+    )
+    src = tmp_path / "late_src"
+    src.mkdir()
+
+    def write_batch(name: str, rows):
+        pdf = pd.DataFrame(rows, columns=["ts", "k"])
+        pdf["ts"] = pd.to_datetime(pdf["ts"])
+        spark.createDataFrame(pdf, schema).coalesce(1).write.parquet(
+            str(src / name)
+        )
+
+    import time
+
+    # batch a: the 10:00-window row plus a 13:00 row (watermark → 12:00
+    # after this batch)
+    write_batch("a", [("2024-01-01 10:10:00", "x"), ("2024-01-01 13:00:00", "x")])
+    time.sleep(1.1)  # file source orders batches by modification time
+    # batch b advances event time; processing it evicts + emits the
+    # (closed) 10:00 window
+    write_batch("b", [("2024-01-01 14:00:00", "x")])
+    time.sleep(1.1)
+    # batch c: a row for the ALREADY-FINALIZED 10:00 window — watermark
+    # semantics guarantee it cannot resurrect or duplicate the emission
+    write_batch("c", [("2024-01-01 10:20:00", "x")])
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{src}/*/")
+    )
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "k")
+        .agg(F.count("*").alias("n"))
+    )
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("late_demo")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    emissions = [
+        (r["w"]["start"].strftime("%H:%M"), r["n"])
+        for r in spark.table("late_demo").collect()
+    ]
+    # exactly one emission for the 10:00 window, counting only the on-time
+    # row; the too-late arrival was dropped, not re-emitted
+    assert emissions.count(("10:00", 1)) == 1
+    assert not any(w == "10:00" and n != 1 for w, n in emissions)
+
+
 def test_stateful_state_survives_micro_batches(spark, sf_dir, tmp_path):
     """State genuinely accumulates ACROSS micro-batches: two source files,
     maxFilesPerTrigger=1 → two batches; the final emission per key carries
