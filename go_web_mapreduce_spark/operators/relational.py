@@ -724,3 +724,61 @@ def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.count("*").alias("n"),
     )
+
+
+# ---------------------------------------------------------------------------
+# subqueries — Catalyst decorrelation coverage
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_exists_subquery",
+    oracle="""
+    SELECT c_mktsegment, count(*) AS n_customers
+    FROM customer c
+    WHERE EXISTS (
+      SELECT 1 FROM orders o
+      WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 100000
+    )
+    GROUP BY c_mktsegment
+    """,
+    description="correlated EXISTS subquery (decorrelated by Catalyst to a "
+    "semi join — no per-row subquery execution)",
+)
+def q_exists_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer_sq")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_sq")
+    return spark.sql(
+        """
+        SELECT c_mktsegment, count(*) AS n_customers
+        FROM customer_sq c
+        WHERE EXISTS (
+          SELECT 1 FROM orders_sq o
+          WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 100000
+        )
+        GROUP BY c_mktsegment
+        """
+    )
+
+
+@query(
+    "q_scalar_subquery",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS n_above_avg
+    FROM orders
+    WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)
+    GROUP BY o_orderpriority
+    """,
+    description="uncorrelated scalar subquery (planned as an independent "
+    "subquery stage whose single value feeds the filter)",
+)
+def q_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_ssq")
+    return spark.sql(
+        """
+        SELECT o_orderpriority, count(*) AS n_above_avg
+        FROM orders_ssq
+        WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders_ssq)
+        GROUP BY o_orderpriority
+        """
+    )

@@ -70,3 +70,21 @@ def test_similarity_topk_never_shuffles_corpus(spark, sf_dir):
 def test_no_driver_side_collect_in_plans(spark, sf_dir, name):
     plan = executed_plan(spark, sf_dir, name)
     assert "CollectLimit" not in plan
+
+
+def test_global_sort_uses_range_partitioning(spark, sf_dir):
+    """The reference names 'Sort' as a target workload (presentation slide;
+    MR-sort = range partitioner in map + per-partition sort). Spark's
+    orderBy IS that plan: Exchange rangepartitioning + per-partition Sort —
+    total order across partition boundaries with no single-task funnel."""
+    from pyspark.sql import functions as F
+
+    from go_web_mapreduce_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "value")
+    sorted_df = ev.orderBy(F.col("value").desc(), "event_id")
+    plan = sorted_df._jdf.queryExecution().executedPlan().toString()
+    assert "rangepartitioning" in plan
+    assert "Sort [" in plan
+    vals = [r["value"] for r in sorted_df.collect()]
+    assert vals == sorted(vals, reverse=True)
