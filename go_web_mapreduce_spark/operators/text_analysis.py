@@ -207,3 +207,42 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("sketch").alias("n_unique_sketch"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# subword (BPE-style pre-tokenizer) token counting
+# ---------------------------------------------------------------------------
+
+# GPT-2-style pre-tokenizer classes, restricted to RE2/Java-common syntax so
+# Spark (Java regex) and DuckDB (RE2) segment identically: letter runs,
+# digit runs, single other-non-space marks
+SUBWORD_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def subword_count(text: Column | str) -> Column:
+    """Number of BPE-pre-tokenizer segments — the unit LLM token budgets are
+    estimated in (whitespace words undercount ~1.3× for English)."""
+    col = F.col(text) if isinstance(text, str) else text
+    return F.size(F.regexp_extract_all(col, F.lit(SUBWORD_PATTERN), 0))
+
+
+@query(
+    "q_token_budget",
+    oracle=f"""
+    SELECT lang,
+           count(*) AS n_docs,
+           sum(len(regexp_extract_all(text, '{SUBWORD_PATTERN}'))) AS total_subwords,
+           sum(len(list_filter(string_split(lower(text), ' '), t -> t <> ''))) AS total_words
+    FROM documents GROUP BY lang
+    """,
+    description="token counting for LLM data budgeting: whitespace words vs "
+    "BPE-style subword segments per language (extension mandate: text "
+    "analysis / token counting)",
+)
+def q_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(subword_count("text")).alias("total_subwords"),
+        F.sum(token_count("text")).alias("total_words"),
+    )
