@@ -94,3 +94,66 @@ def hourly_rollup_stream(
 )
 def q_stream_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hourly_rollup_stream(spark, sf_dir)
+
+
+EVENT_CATEGORIES = [
+    ("click", "engagement"),
+    ("view", "engagement"),
+    ("purchase", "conversion"),
+    ("signup", "conversion"),
+    ("error", "ops"),
+]
+
+
+def categorized_counts_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join: enrich the event stream with a static dimension
+    (broadcast to every micro-batch — no state, no watermark needed for the
+    join itself), then aggregate per category.
+
+    The static side re-resolves per micro-batch, so at scale it can be a
+    slowly-changing dimension table; Spark plans the join as a broadcast
+    against each batch."""
+    name = f"categorized_stream_{next(_counter)}"
+    dim = F.broadcast(
+        spark.createDataFrame(EVENT_CATEGORIES, "event_type string, category string")
+    )
+    agg = (
+        stream_events(spark, sf_dir)
+        .join(dim, "event_type")
+        .groupBy("category")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("total_value"),
+        )
+    )
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)
+
+
+@query(
+    "q_stream_static_join",
+    oracle="""
+    WITH dim(event_type, category) AS (
+      VALUES ('click','engagement'), ('view','engagement'),
+             ('purchase','conversion'), ('signup','conversion'),
+             ('error','ops')
+    )
+    SELECT category, count(*) AS n,
+           CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+    FROM events JOIN dim USING (event_type)
+    GROUP BY category
+    """,
+    description="stream-static broadcast join + aggregation through "
+    "Structured Streaming, oracle-equal to the batch join",
+)
+def q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return categorized_counts_stream(spark, sf_dir)
