@@ -104,3 +104,15 @@ def test_json_ingest_reads_reference_wire_shape(spark, tmp_path):
     assert df.columns == ["key", "value"]
     got = sorted((r["key"], r["value"]) for r in df.collect())
     assert got == [("", "bacon"), ("k2", None)]
+
+
+def test_register_catalog_enables_plain_sql(spark, sf_dir):
+    from go_web_mapreduce_spark.sources.tables import register_catalog
+
+    names = register_catalog(spark, sf_dir, suffix="_cat")
+    assert len(names) == 10
+    n = spark.sql(
+        "SELECT count(*) AS n FROM lineitem_cat JOIN orders_cat "
+        "ON l_orderkey = o_orderkey"
+    ).first()["n"]
+    assert n > 0
