@@ -135,3 +135,96 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("sum_f0"),
     )
+
+
+RESIZED_SCHEMA = "doc_id bigint, thumb binary, width int, height int"
+FRAME_SCHEMA = "doc_id bigint, frame_no int, frame binary, offset_bytes bigint"
+
+FRAME_SIZE = 256  # bytes per fake "frame" slice of the payload
+
+
+def resize_media(media: DataFrame, width: int = 32, height: int = 32) -> DataFrame:
+    """Thumbnail/resample step: Arrow-batched 1→1 transform of binary
+    payloads to fixed-size outputs.
+
+    The pixel resample itself needs the stubbed decoder (decode_media), so
+    the stand-in derives a deterministic width×height byte block from the
+    payload digest; schema, batch iteration, and output sizing are the real
+    plumbing a PIL/ffmpeg resize drops into.
+    """
+    if width <= 0 or height <= 0:
+        raise ValueError("width and height must be positive")
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        n_out = width * height
+        for pdf in batches:
+            thumbs = []
+            for payload in pdf["payload"]:
+                digest = hashlib.md5(bytes(payload)).digest()
+                reps = -(-n_out // len(digest))  # ceil
+                thumbs.append((digest * reps)[:n_out])
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "thumb": thumbs,
+                    "width": width,
+                    "height": height,
+                }
+            )
+
+    return media.select("doc_id", "payload").mapInPandas(run, RESIZED_SCHEMA)
+
+
+def sample_frames(media: DataFrame, every_n: int = 4) -> DataFrame:
+    """Frame sampling: the 1→N row-expanding shape (a video payload yields
+    every ``every_n``-th frame as its own row) through mapInPandas — the
+    pattern a real container demuxer plugs into. Frames here are contiguous
+    FRAME_SIZE-byte slices of the payload (decode stubbed, see
+    decode_media); offsets are real."""
+    if every_n <= 0:
+        raise ValueError("every_n must be positive")
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            out = {"doc_id": [], "frame_no": [], "frame": [], "offset_bytes": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                raw = bytes(payload)
+                total = -(-len(raw) // FRAME_SIZE)  # ceil: number of frames
+                for frame_no in range(0, total, every_n):
+                    off = frame_no * FRAME_SIZE
+                    out["doc_id"].append(doc_id)
+                    out["frame_no"].append(frame_no)
+                    out["frame"].append(raw[off : off + FRAME_SIZE])
+                    out["offset_bytes"].append(off)
+            yield pd.DataFrame(out)
+
+    return media.select("doc_id", "payload").mapInPandas(run, FRAME_SCHEMA)
+
+
+@query(
+    "q_multimodal_frames",
+    oracle=f"""
+    SELECT count(*) AS n_frames,
+           count(DISTINCT doc_id) AS n_docs,
+           max(frame_no) AS max_frame_no
+    FROM (
+      SELECT doc_id,
+             unnest(range(0, CAST(ceil(octet_length(encode(text)) / {FRAME_SIZE}.0) AS BIGINT), 4)) AS frame_no
+      FROM documents
+    )
+    """,
+    description="1→N frame sampling over binary payloads via mapInPandas "
+    "(extension mandate: multimodal; demux stubbed, offsets/fan-out real)",
+)
+def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = as_media_table(load_table(spark, sf_dir, "documents"))
+    frames = sample_frames(media)
+    return frames.agg(
+        F.count("*").alias("n_frames"),
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.max("frame_no").alias("max_frame_no"),
+    )

@@ -782,3 +782,24 @@ def q_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY o_orderpriority
         """
     )
+
+
+@query(
+    "q_percentiles",
+    oracle="""
+    SELECT l_returnflag,
+           percentile_cont(0.5) WITHIN GROUP (ORDER BY l_extendedprice) AS median_price,
+           percentile_cont(0.9) WITHIN GROUP (ORDER BY l_extendedprice) AS p90_price,
+           count(*) AS n
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    description="exact percentiles (median/p90) per group — the exact "
+    "counterpart of q_approx_distinct's sketches",
+)
+def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.percentile("l_extendedprice", F.lit(0.5)).alias("median_price"),
+        F.percentile("l_extendedprice", F.lit(0.9)).alias("p90_price"),
+        F.count("*").alias("n"),
+    )
