@@ -272,6 +272,10 @@ def jaccard_pairs(
         .filter(F.size("docs") <= max_df)
         .select(F.sort_array("docs").alias("docs"))
     )
+    # NOTE: posting feeds both the sizes branch and the pair branch, so its
+    # upstream computes twice. persist() was measured WORSE here (columnar
+    # cache encode/decode of the array<bigint> lists costs more than the
+    # recompute); at real scale, checkpoint postings to parquet instead.
     sizes = (
         posting.select(F.explode("docs").alias(id_col))
         .groupBy(id_col)
