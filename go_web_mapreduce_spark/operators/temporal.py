@@ -105,32 +105,35 @@ def asof_join(
     on: str,
     left_ts: str = "ts_ns",
     right_ts: str = "ts_ns",
-    tolerance_ns: int | None = None,
+    tolerance: int | None = None,
 ) -> DataFrame:
-    """As-of join: for each left row, the latest right row with
-    right_ts <= left_ts (optionally within ``tolerance_ns``), per ``on`` key.
+    """As-of join: for each left row, the single LATEST right row with
+    right_ts <= left_ts (optionally within ``tolerance`` time units), per
+    ``on`` key. Right columns arrive prefixed ``r_``; left rows with no
+    qualifying right row are kept with nulls (merge_asof semantics).
 
     Spark lacks a native as-of join; this composes equi-join on the key +
     range filter + per-left-row rank. The shuffle is the key equi-join; the
-    rank window never re-shuffles (same key partitioning). For dense right
-    sides, the applyInPandas ``pd.merge_asof`` per key group is the
-    alternative; the join form wins when the right side is filtered sparse.
+    rank window re-uses the key partitioning. For dense right sides, the
+    applyInPandas ``pd.merge_asof`` per key group is the alternative; the
+    join form wins when the right side is filtered sparse.
     """
-    lw = left.select(
-        F.col(on).alias("_k"),
-        F.col(left_ts).alias("_lts"),
-        *[F.col(c) for c in left.columns if c not in (on,)],
-    )
+    lw = left.withColumn("_lrow", F.monotonically_increasing_id())
     rw = right.select(
-        F.col(on).alias("_k"),
+        F.col(on).alias("_rk"),
         F.col(right_ts).alias("_rts"),
-        *[F.col(c).alias(f"r_{c}") for c in right.columns if c not in (on,)],
+        *[F.col(c).alias(f"r_{c}") for c in right.columns if c != on],
     )
-    cond = F.col("_rts") <= F.col("_lts")
-    if tolerance_ns is not None:
-        cond = cond & (F.col("_rts") >= F.col("_lts") - tolerance_ns)
-    joined = lw.join(rw, on="_k", how="left").filter(cond | F.col("_rts").isNull())
-    return joined
+    cond = (F.col(on) == F.col("_rk")) & (F.col("_rts") <= F.col(left_ts))
+    if tolerance is not None:
+        cond = cond & (F.col("_rts") >= F.col(left_ts) - tolerance)
+    joined = lw.join(rw, cond, "left")
+    w = W.partitionBy("_lrow").orderBy(F.col("_rts").desc_nulls_last())
+    return (
+        joined.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "_rk", "_lrow")
+    )
 
 
 @query(
