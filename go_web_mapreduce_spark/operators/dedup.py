@@ -226,8 +226,10 @@ _B_LIST = "[" + ",".join(str(b) for _, b in hash_family(NUM_HASHES)) + "]"
       FROM banded a JOIN banded b ON a.bk = b.bk AND a.doc_id < b.doc_id
     )
     SELECT doc_a, doc_b,
-           list_sum(list_transform(range({NUM_HASHES}),
-             i -> CASE WHEN sig_a[i+1] = sig_b[i+1] THEN 1 ELSE 0 END)) AS n_matching
+           -- CAST: duckdb list_sum yields HUGEINT (float64 via pandas); pin to
+           -- int64 so the value-hash matches Spark's bigint (ADVICE r01)
+           CAST(list_sum(list_transform(range({NUM_HASHES}),
+             i -> CASE WHEN sig_a[i+1] = sig_b[i+1] THEN 1 ELSE 0 END)) AS BIGINT) AS n_matching
     FROM cand
     WHERE list_sum(list_transform(range({NUM_HASHES}),
             i -> CASE WHEN sig_a[i+1] = sig_b[i+1] THEN 1 ELSE 0 END)) >= {MIN_MATCHING}

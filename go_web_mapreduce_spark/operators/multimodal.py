@@ -102,7 +102,7 @@ def extract_features(media: DataFrame, dim: int = FEATURE_DIM) -> DataFrame:
     "q_multimodal_meta",
     oracle="""
     SELECT source, count(*) AS n_docs,
-           sum(octet_length(encode(text))) AS total_bytes,
+           CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,
            count(DISTINCT md5(text)) AS n_unique_payloads
     FROM documents GROUP BY source
     """,

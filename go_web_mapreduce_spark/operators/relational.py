@@ -466,7 +466,10 @@ def q_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders").select(F.col("o_custkey").alias("id"))
     events = load_table(spark, sf_dir, "events").select(F.col("user_id").alias("id"))
-    return orders.exceptAll(events).distinct()
+    # subtract == EXCEPT DISTINCT: any id present in events is removed, matching
+    # the oracle; exceptAll().distinct() is multiset subtraction and would keep
+    # ids whose order-count exceeds event-count (ADVICE r01)
+    return orders.subtract(events)
 
 
 # ---------------------------------------------------------------------------
@@ -592,7 +595,7 @@ def q_scalar_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_type,
            count(*) AS n,
-           sum(CAST(json_extract_string(props, '$.k') AS bigint)) AS sum_k,
+           CAST(sum(CAST(json_extract_string(props, '$.k') AS bigint)) AS BIGINT) AS sum_k,
            count(DISTINCT CAST(json_extract_string(props, '$.k') AS bigint)) AS n_k
     FROM events GROUP BY event_type
     """,
@@ -717,12 +720,22 @@ def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     approx_count_distinct is a fixed-size HLL sketch merged map-side —
     constant memory per group at any scale. Same trade for percentiles."""
     li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_orderkey", 0.02).alias("approx_orders"),
-        F.percentile_approx("l_extendedprice", [0.5, 0.95], 1000).alias(
-            "price_p50_p95"
-        ),
-        F.count("*").alias("n"),
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_orderkey", 0.02).alias("approx_orders"),
+            F.percentile_approx("l_extendedprice", [0.5, 0.95], 1000).alias("_pp"),
+            F.count("*").alias("n"),
+        )
+        # scalar columns, not the raw array: the driver's rows-only
+        # canonicalizer can't hash list cells (ADVICE r01)
+        .select(
+            "l_returnflag",
+            "approx_orders",
+            F.element_at("_pp", 1).alias("price_p50"),
+            F.element_at("_pp", 2).alias("price_p95"),
+            "n",
+        )
     )
 
 

@@ -106,11 +106,19 @@ def asof_join(
     left_ts: str = "ts_ns",
     right_ts: str = "ts_ns",
     tolerance: int | None = None,
+    left_id: str | list[str] | None = None,
 ) -> DataFrame:
     """As-of join: for each left row, the single LATEST right row with
     right_ts <= left_ts (optionally within ``tolerance`` time units), per
     ``on`` key. Right columns arrive prefixed ``r_``; left rows with no
     qualifying right row are kept with nulls (merge_asof semantics).
+
+    ``left_id`` names the left row's primary key (string or composite list);
+    the per-left-row rank is keyed on it, so re-ranking is deterministic under
+    stage recomputation/retries (monotonically_increasing_id is not — ADVICE
+    r01). Without it, all left columns + a duplicate-disambiguating
+    row_number form the key, which costs an extra window over the left side —
+    pass ``left_id`` on big inputs.
 
     Spark lacks a native as-of join; this composes equi-join on the key +
     range filter + per-left-row rank. The shuffle is the key equi-join; the
@@ -118,7 +126,18 @@ def asof_join(
     applyInPandas ``pd.merge_asof`` per key group is the alternative; the
     join form wins when the right side is filtered sparse.
     """
-    lw = left.withColumn("_lrow", F.monotonically_increasing_id())
+    if left_id is not None:
+        keys = [left_id] if isinstance(left_id, str) else list(left_id)
+        lw = left.withColumn("_lrow", F.struct(*[F.col(k) for k in keys]))
+    else:
+        dup_w = W.partitionBy(*left.columns).orderBy(F.lit(1))
+        lw = left.withColumn(
+            "_lrow",
+            F.struct(
+                *[F.col(c) for c in left.columns],
+                F.row_number().over(dup_w).alias("_dup"),
+            ),
+        )
     rw = right.select(
         F.col(on).alias("_rk"),
         F.col(right_ts).alias("_rts"),
@@ -132,7 +151,7 @@ def asof_join(
     return (
         joined.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
-        .drop("_rn", "_rk", "_lrow")
+        .drop("_rn", "_rk", "_rts", "_lrow")
     )
 
 

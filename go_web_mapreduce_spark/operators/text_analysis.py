@@ -231,8 +231,8 @@ def subword_count(text: Column | str) -> Column:
     oracle=f"""
     SELECT lang,
            count(*) AS n_docs,
-           sum(len(regexp_extract_all(text, '{SUBWORD_PATTERN}'))) AS total_subwords,
-           sum(len(list_filter(string_split(lower(text), ' '), t -> t <> ''))) AS total_words
+           CAST(sum(len(regexp_extract_all(text, '{SUBWORD_PATTERN}'))) AS BIGINT) AS total_subwords,
+           CAST(sum(len(list_filter(string_split(lower(text), ' '), t -> t <> ''))) AS BIGINT) AS total_words
     FROM documents GROUP BY lang
     """,
     description="token counting for LLM data budgeting: whitespace words vs "

@@ -43,8 +43,15 @@ def get_spark(
         cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
         master = f"local[{cpus}]"
     if shuffle_partitions is None:
-        n = master.split("[", 1)[1].rstrip("]") if "[" in master else "32"
-        shuffle_partitions = 32 if n == "*" else max(int(n), 1)
+        shuffle_partitions = 32
+        if "[" in master:
+            # 'local[N]', 'local[*]', or 'local[N,maxFailures]'
+            n = master.split("[", 1)[1].rstrip("]").split(",")[0].strip()
+            if n != "*":
+                try:
+                    shuffle_partitions = max(int(n), 1)
+                except ValueError:
+                    pass
 
     builder = (
         SparkSession.builder.appName(app_name)

@@ -28,5 +28,5 @@ def test_approx_percentiles_ordered_and_bounded(spark, sf_dir):
     li = load_table(spark, sf_dir, "lineitem")
     bounds = li.agg(F.min("l_extendedprice"), F.max("l_extendedprice")).first()
     for r in q_approx_distinct(spark, sf_dir).collect():
-        p50, p95 = r["price_p50_p95"]
+        p50, p95 = r["price_p50"], r["price_p95"]
         assert bounds[0] <= p50 <= p95 <= bounds[1]
