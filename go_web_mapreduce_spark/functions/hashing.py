@@ -94,6 +94,47 @@ def minhash_from_hashes(hs: Column, num_hashes: int) -> Column:
     return F.array(*[component(a, b) for a, b in hash_family(num_hashes)])
 
 
+def minhash_sig_arrow(shingles: Column, num_hashes: int) -> Column:
+    """Arrow-vectorized MinHash signature from an ``array<string>`` shingle
+    set: one md5 per shingle + the (A_i*h + B_i) mod P mixes, all inside a
+    single pandas_udf.
+
+    Bit-identical to ``minhash_from_hashes(shingle_hashes(...))`` (asserted
+    in tests): ``h = int(md5(s)[:8 hex], 16)`` matches
+    ``conv(substring(md5(s),1,8),16,10)``, the mix constants come from the
+    same :func:`hash_family`, and A*h+B < 2^60 is exact in int64 for all
+    three engines. The Column formulation pays interpreted HOF dispatch per
+    shingle (md5) and per shingle×component (mix); this kernel runs the
+    mixes as one numpy (shingles × components) matrix per document.
+    """
+    import hashlib
+
+    import numpy as np
+
+    fam = hash_family(num_hashes)
+    a_vec = np.array([a for a, _ in fam], dtype=np.int64)
+    b_vec = np.array([b for _, b in fam], dtype=np.int64)
+
+    @F.pandas_udf("array<bigint>")
+    def sig(batch: pd.Series) -> pd.Series:
+        md5 = hashlib.md5
+        out = []
+        for sh in batch:
+            if len(sh) == 0:
+                out.append(None)
+                continue
+            hs = np.fromiter(
+                (int(md5(s.encode("utf-8")).hexdigest()[:8], 16) for s in sh),
+                dtype=np.int64,
+                count=len(sh),
+            )
+            mixed = (hs[:, None] * a_vec[None, :] + b_vec[None, :]) % MINHASH_MOD
+            out.append(mixed.min(axis=0).tolist())
+        return pd.Series(out)
+
+    return sig(shingles)
+
+
 def band_keys(signature: Column, bands: int, rows_per_band: int) -> Column:
     """LSH band keys: hash each ``rows_per_band``-slice of the signature.
 
@@ -204,6 +245,43 @@ def simhash_from_hashes_arrow(hashed: Column, bits: int = 48) -> Column:
         return pd.Series(out)
 
     return fold(hashed)
+
+
+def simhash_from_tokens_arrow(toks: Column, bits: int = 48) -> Column:
+    """Arrow-vectorized SimHash straight from the token array: the per-token
+    48-bit md5 hash AND the popcount/majority fold run in one pandas_udf.
+
+    Output-identical to ``simhash_from_hashes(token_hashes(toks), size(toks))``
+    (asserted in tests). Splitting hash and fold into two projections still
+    left the md5-per-token ``transform`` interpreted in Catalyst — at sf0.1
+    that hash pass dominated the fingerprint cost; fused here it is one
+    hashlib call per token inside the Arrow batch with no intermediate
+    array<bigint> column materialized.
+    """
+    if not 1 <= bits <= 60:
+        raise ValueError("bits must be in [1, 60]")
+    import hashlib
+
+    import numpy as np
+
+    @F.pandas_udf("bigint")
+    def fold(batch: pd.Series) -> pd.Series:
+        md5 = hashlib.md5
+        shifts = np.arange(bits, dtype=np.int64)
+        out = np.zeros(len(batch), dtype=np.int64)
+        for row, tk in enumerate(batch):
+            if len(tk) == 0:
+                continue
+            a = np.fromiter(
+                (int(md5(t.encode("utf-8")).hexdigest()[:12], 16) for t in tk),
+                dtype=np.int64,
+                count=len(tk),
+            )
+            counts = ((a[:, None] >> shifts) & 1).sum(axis=0)
+            out[row] = int(((counts * 2 >= a.size).astype(np.int64) << shifts).sum())
+        return pd.Series(out)
+
+    return fold(toks)
 
 
 def hamming_distance(a: Column, b: Column) -> Column:

@@ -9,6 +9,7 @@ whole-stage codegen — no Python in the hot path.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -39,3 +40,35 @@ def word_shingles(toks: Column, k: int = 3) -> Column:
         lambda i: F.array_join(F.slice(toks, i, k), " "),
     )
     return ngrams
+
+
+def distinct_shingles_arrow(toks: Column, k: int = 3) -> Column:
+    """Arrow-vectorized distinct word-``k``-gram set of a token array.
+
+    Same value set as ``array_distinct(word_shingles(toks, k))`` (asserted in
+    tests/test_functions.py) but computed per Arrow batch in Python instead
+    of an interpreted per-position Catalyst ``transform``+``slice`` — HOFs
+    are CodegenFallback, and the slice-per-position copy made shingling the
+    single hottest expression in the dedup family (~0.5 ms/doc at sf0.1).
+    Map-side, no shuffle; parallel across partitions like any projection.
+
+    Tokenization stays in the JVM (``tokens()``) so lower/split semantics are
+    engine-exact; only the slicing/joining — pure ASCII-safe string
+    mechanics — moves to Python.
+    """
+
+    @F.pandas_udf("array<string>")
+    def shingle(batch: pd.Series) -> pd.Series:
+        out = []
+        for tk in batch:
+            n = len(tk)
+            if n > k - 1:
+                seen = dict.fromkeys(
+                    " ".join(tk[i : i + k]) for i in range(n - (k - 1))
+                )
+            else:
+                seen = {" ".join(tk): None}
+            out.append(list(seen))
+        return pd.Series(out)
+
+    return shingle(toks)

@@ -28,12 +28,10 @@ from go_web_mapreduce_spark.functions.hashing import (
     band_keys,
     hamming_distance,
     hash_family,
-    minhash_from_hashes,
-    shingle_hashes,
-    simhash_from_hashes_arrow,
-    token_hashes,
+    minhash_sig_arrow,
+    simhash_from_tokens_arrow,
 )
-from go_web_mapreduce_spark.functions.text import tokens, word_shingles
+from go_web_mapreduce_spark.functions.text import distinct_shingles_arrow, tokens
 from go_web_mapreduce_spark.registry import query
 from go_web_mapreduce_spark.sources.tables import load_table
 
@@ -60,13 +58,13 @@ _TK = "list_filter(string_split(lower(text), ' '), t -> t <> '')"
 
 def _shingled_docs(spark: SparkSession, sf_dir: str, k: int = SHINGLE_K) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    # tokens materialize in their OWN projection: word_shingles references its
-    # token array inside a per-position lambda, and Catalyst evaluates
-    # non-lambda subexpressions inside lambda bodies per iteration — inlining
-    # tokens() there re-tokenizes the document once per shingle position
+    # tokens materialize in their OWN projection (JVM-exact lower/split), then
+    # the shingle set is built by the Arrow kernel — the Column HOF formulation
+    # (array_distinct(word_shingles(...))) is value-identical but interpreted
+    # per position, measured ~10× slower (functions/text.py docstring)
     return docs.select("doc_id", tokens("text").alias("tk")).select(
         "doc_id",
-        F.array_distinct(word_shingles(F.col("tk"), k)).alias("shingles"),
+        distinct_shingles_arrow(F.col("tk"), k).alias("shingles"),
     )
 
 
@@ -126,9 +124,9 @@ def minhash_candidates(
     n_matching = matching signature components out of ``num_hashes``.
     The only shuffles are the band-key self-join and the final distinct.
 
-    Signature cost: one md5 per shingle (materialized in its own projection
-    so Catalyst cannot duplicate it), then ``num_hashes`` integer
-    multiply-add-mod mixes — not ``num_hashes`` md5 passes.
+    Signature cost: one md5 per shingle + ``num_hashes`` integer
+    multiply-add-mod mixes, fused in one Arrow kernel
+    (functions/hashing.py::minhash_sig_arrow) — map-side, no shuffle.
 
     Candidate generation is ONE shuffle: group by band key, collect the
     (id, sig) members, and generate ordered pairs inside each bucket row
@@ -136,8 +134,8 @@ def minhash_candidates(
     expansion is bounded) — no self-join, no second pass over the corpus.
     """
     sig = shingled.select(
-        F.col(id_col), shingle_hashes(F.col("shingles")).alias("hs")
-    ).select(F.col(id_col), minhash_from_hashes(F.col("hs"), num_hashes).alias("sig"))
+        F.col(id_col), minhash_sig_arrow(F.col("shingles"), num_hashes).alias("sig")
+    )
     banded = sig.select(
         id_col, "sig", F.explode(band_keys(F.col("sig"), bands, rows_per_band)).alias("bk")
     )
@@ -274,10 +272,12 @@ def jaccard_pairs(
         .filter(F.size("docs") <= max_df)
         .select(F.sort_array("docs").alias("docs"))
     )
-    # NOTE: posting feeds both the sizes branch and the pair branch, so its
-    # upstream computes twice. persist() was measured WORSE here (columnar
-    # cache encode/decode of the array<bigint> lists costs more than the
-    # recompute); at real scale, checkpoint postings to parquet instead.
+    # posting feeds both the sizes branch and the pair branch. persist() was
+    # measured WORSE (columnar cache encode/decode of array<bigint> costs
+    # more than recompute); localCheckpoint stores deserialized partitions
+    # and measured faster than either. At durable-cluster scale, checkpoint
+    # postings to parquet instead (executor-local blocks don't survive loss).
+    posting = posting.localCheckpoint(eager=False)
     sizes = (
         posting.select(F.explode("docs").alias(id_col))
         .groupBy(id_col)
@@ -291,7 +291,9 @@ def jaccard_pairs(
         )
 
     inter = (
-        posting.select(
+        # singleton postings produce no pairs but would still pay the
+        # interpreted pair-gen HOFs per row — and they are the vast majority
+        posting.filter(F.size("docs") >= 2).select(
             F.explode(F.flatten(F.transform(F.col("docs"), pairs_after))).alias("p")
         )
         .groupBy(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
@@ -355,18 +357,13 @@ def simhash_pairs(
     any pair within distance 3 must agree on >= 1 whole band, so the band
     equi-join finds every qualifying pair without an n² comparison.
 
-    Tokenization and the per-token md5 are materialized in their own
-    projections so each runs exactly once per document; the fingerprint fold
-    is Arrow-vectorized (exact integer ops — bit-identical to the Column
-    formulation and the oracle).
+    Tokenization materializes in its own JVM projection; the per-token md5
+    and the fingerprint fold are fused in one Arrow kernel (exact integer
+    ops — bit-identical to the Column formulation and the oracle).
     """
-    sigs = (
-        docs.select(id_col, tokens(text_col).alias("tk"))
-        .select(id_col, token_hashes(F.col("tk")).alias("hashed"))
-        .select(
-            id_col,
-            simhash_from_hashes_arrow(F.col("hashed"), SIMHASH_BITS).alias("sh"),
-        )
+    sigs = docs.select(id_col, tokens(text_col).alias("tk")).select(
+        id_col,
+        simhash_from_tokens_arrow(F.col("tk"), SIMHASH_BITS).alias("sh"),
     )
     band_width = SIMHASH_BITS // SIMHASH_BANDS
     banded = sigs.select(

@@ -305,6 +305,7 @@ def ivf_assign(
     num_centroids: int = IVF_CENTROIDS,
     seed: int = 42,
     id_col: str = "vec_id",
+    max_iter: int = 10,
 ):
     """Train a coarse quantizer (distributed k-means) and assign every
     corpus vector to its nearest centroid — the IVF partitioning step
@@ -313,15 +314,25 @@ def ivf_assign(
     Returns ``(assigned_df, centroids)``: the corpus with a ``cid`` column
     (assignment is a map-side model.transform — vectors never shuffle) and
     the centroid matrix as a plain list (C×dim floats — driver-tiny).
-    At 100 TB: train on a sample, persist the assigned table partitioned by
-    ``cid`` so a probe's nprobe buckets become partition pruning.
+
+    Training cost discipline: a coarse quantizer only partitions space — it
+    does not need a converged clustering. Random init (k-means|| adds ~2
+    extra full passes) and ``max_iter`` capped; recall vs exact is what's
+    asserted (tests/test_ann.py), not inertia. At 100 TB: train on a
+    driver-capped sample, persist the assigned table partitioned by ``cid``
+    so a probe's nprobe buckets become partition pruning.
     """
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
     feat = corpus.withColumn("__fv", array_to_vector("embedding"))
     model = KMeans(
-        k=num_centroids, seed=seed, featuresCol="__fv", predictionCol="cid"
+        k=num_centroids,
+        seed=seed,
+        featuresCol="__fv",
+        predictionCol="cid",
+        initMode="random",
+        maxIter=max_iter,
     ).fit(feat)
     assigned = model.transform(feat).select(id_col, "embedding", "cid")
     centroids = [[float(x) for x in c] for c in model.clusterCenters()]

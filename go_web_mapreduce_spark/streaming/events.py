@@ -17,6 +17,7 @@ drives the query to a deterministic final answer synchronously.
 from __future__ import annotations
 
 import itertools
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -24,6 +25,29 @@ from pyspark.sql import functions as F
 from go_web_mapreduce_spark.registry import query
 
 _counter = itertools.count()
+
+# State-store partition count for the engine's streaming aggregations. A
+# streaming query's shuffle-partition setting is frozen into its checkpoint at
+# first start and sizes the state store: one store (files, maintenance thread,
+# commit) per partition per stateful operator. The aggregations here key on
+# low-cardinality columns (event_type, category, hour×type), so a handful of
+# state partitions is the right size — 32+ would mean 32 mostly-empty RocksDB/
+# HDFS stores doing per-batch commits. At 100 TB scale this knob is set per
+# query to O(distinct keys / target-keys-per-store), not to the batch
+# shuffle default.
+STREAM_STATE_PARTITIONS = 8
+
+
+@contextmanager
+def scoped_shuffle_partitions(spark: SparkSession, n: int):
+    """Temporarily set spark.sql.shuffle.partitions (picked up by a streaming
+    query at start and persisted in its checkpoint thereafter)."""
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
 
 
 def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -61,16 +85,17 @@ def hourly_rollup_stream(
             ),
         )
     )
-    q = (
-        agg.writeStream.outputMode("complete")
-        .format("memory")
-        .queryName(name)
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
+    with scoped_shuffle_partitions(spark, STREAM_STATE_PARTITIONS):
+        q = (
+            agg.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
     return spark.table(name).select(
         F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("hour"),
         "event_type",
@@ -126,16 +151,17 @@ def categorized_counts_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("total_value"),
         )
     )
-    q = (
-        agg.writeStream.outputMode("complete")
-        .format("memory")
-        .queryName(name)
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
+    with scoped_shuffle_partitions(spark, STREAM_STATE_PARTITIONS):
+        q = (
+            agg.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
     return spark.table(name)
 
 

@@ -24,7 +24,11 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 from go_web_mapreduce_spark.registry import query
-from go_web_mapreduce_spark.streaming.events import stream_events
+from go_web_mapreduce_spark.streaming.events import (
+    STREAM_STATE_PARTITIONS,
+    scoped_shuffle_partitions,
+    stream_events,
+)
 
 _counter = itertools.count()
 
@@ -65,11 +69,17 @@ def run_to_completion(agg: DataFrame, spark: SparkSession) -> DataFrame:
     """Drive a stateful stream over the finite source and return the final
     per-key state: the latest (largest-n) emission per key."""
     name = f"stateful_stream_{next(_counter)}"
-    q = agg.writeStream.outputMode("update").format("memory").queryName(name).start()
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
+    with scoped_shuffle_partitions(spark, STREAM_STATE_PARTITIONS):
+        q = (
+            agg.writeStream.outputMode("update")
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
     # running counts grow monotonically; max() picks each key's final state
     return (
         spark.table(name)

@@ -109,3 +109,46 @@ def test_simhash_and_hamming(spark):
     d = {(r["ia"], r["ib"]): r["d"] for r in a.collect()}
     assert d[("a", "b")] == 0
     assert d[("a", "c")] > 0
+
+
+# --- Arrow-kernel / Column-formulation equivalence -------------------------
+# The hot dedup paths run Arrow pandas_udf kernels (functions/text.py,
+# functions/hashing.py); these pin them value-identical to the pure-Column
+# expressions that the DuckDB oracles mirror.
+
+
+def test_distinct_shingles_arrow_equals_column(spark):
+    from go_web_mapreduce_spark.functions.text import distinct_shingles_arrow
+
+    rows = [("the quick brown fox jumps over the quick brown fox",),
+            ("a b",), ("one",), ("",), ("x y z w x y z w",)]
+    df = spark.createDataFrame(rows, "text string").select(
+        tokens("text").alias("tk")
+    )
+    col = [r[0] for r in df.select(F.array_distinct(word_shingles(F.col("tk"), 3))).collect()]
+    arw = [r[0] for r in df.select(distinct_shingles_arrow(F.col("tk"), 3)).collect()]
+    assert [sorted(c) for c in col] == [sorted(a) for a in arw]
+
+
+def test_minhash_sig_arrow_equals_column(spark):
+    from go_web_mapreduce_spark.functions.hashing import (
+        minhash_from_hashes,
+        minhash_sig_arrow,
+        shingle_hashes,
+    )
+
+    rows = [(["a b c", "b c d", "c d e"],), (["zz"],), (["a b c"],)]
+    df = spark.createDataFrame(rows, "sh array<string>")
+    col = [r[0] for r in df.select(minhash_from_hashes(shingle_hashes(F.col("sh")), 12)).collect()]
+    arw = [r[0] for r in df.select(minhash_sig_arrow(F.col("sh"), 12)).collect()]
+    assert col == arw
+
+
+def test_simhash_from_tokens_arrow_equals_column(spark):
+    from go_web_mapreduce_spark.functions.hashing import simhash_from_tokens_arrow
+
+    rows = [("the quick brown fox",), ("one token stream of words",), ("solo",)]
+    df = spark.createDataFrame(rows, "text string").select(tokens("text").alias("tk"))
+    col = [r[0] for r in df.select(simhash(F.col("tk"))).collect()]
+    arw = [r[0] for r in df.select(simhash_from_tokens_arrow(F.col("tk"))).collect()]
+    assert col == arw
