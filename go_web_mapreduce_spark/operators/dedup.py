@@ -193,11 +193,13 @@ def _bucket_pairs(
 _A_LIST = "[" + ",".join(str(a) for a, _ in hash_family(NUM_HASHES)) + "]"
 _B_LIST = "[" + ",".join(str(b) for _, b in hash_family(NUM_HASHES)) + "]"
 
+_N_MATCH_SQL = f"""list_sum(list_transform(range({NUM_HASHES}),
+             i -> CASE WHEN sig_a[i+1] = sig_b[i+1] THEN 1 ELSE 0 END))"""
 
-@query(
-    "q_dedup_minhash",
-    oracle=f"""
-    WITH toks AS (SELECT doc_id, {_TK} AS tk FROM documents),
+# shared CTE chain: documents → shingles → minhash signatures → LSH band
+# candidates (mirrors minhash_candidates exactly; reused by the connected-
+# components oracle below)
+_MINHASH_CAND_CTE = f"""toks AS (SELECT doc_id, {_TK} AS tk FROM documents),
     sh AS (SELECT doc_id, {_sh_sql()} AS shingles FROM toks),
     hs AS (
       SELECT doc_id,
@@ -222,15 +224,19 @@ _B_LIST = "[" + ",".join(str(b) for _, b in hash_family(NUM_HASHES)) + "]"
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
              a.sig AS sig_a, b.sig AS sig_b
       FROM banded a JOIN banded b ON a.bk = b.bk AND a.doc_id < b.doc_id
-    )
+    )"""
+
+
+@query(
+    "q_dedup_minhash",
+    oracle=f"""
+    WITH {_MINHASH_CAND_CTE}
     SELECT doc_a, doc_b,
            -- CAST: duckdb list_sum yields HUGEINT (float64 via pandas); pin to
            -- int64 so the value-hash matches Spark's bigint (ADVICE r01)
-           CAST(list_sum(list_transform(range({NUM_HASHES}),
-             i -> CASE WHEN sig_a[i+1] = sig_b[i+1] THEN 1 ELSE 0 END)) AS BIGINT) AS n_matching
+           CAST({_N_MATCH_SQL} AS BIGINT) AS n_matching
     FROM cand
-    WHERE list_sum(list_transform(range({NUM_HASHES}),
-            i -> CASE WHEN sig_a[i+1] = sig_b[i+1] THEN 1 ELSE 0 END)) >= {MIN_MATCHING}
+    WHERE {_N_MATCH_SQL} >= {MIN_MATCHING}
     """,
     description="MinHash+LSH near-dup candidates with estimated jaccard >= 0.5 "
     "(extension mandate: dedup; Broder 1997 / MMDS ch.3)",
@@ -422,3 +428,111 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Oracle brute-forces all pairs (fine at sf0.01); the Spark plan uses
     banding so the same result is produced with an equi-join at any scale."""
     return simhash_pairs(load_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# dedup groups: connected components over near-dup pairs
+# ---------------------------------------------------------------------------
+
+
+def connected_components(
+    edges: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Connected components of the undirected near-dup graph by min-label
+    propagation: every vertex repeatedly adopts the smallest label among
+    itself and its neighbors until a fixpoint. Output: (doc_id, root) where
+    root = the component's minimum doc id — the canonical representative a
+    dedup pipeline keeps.
+
+    Distribution shape: each round is one equi-join (labels onto edge
+    endpoints) + one min-aggregation — all hash-partitioned on vertex id, no
+    driver-side graph. ``localCheckpoint`` per round truncates the lineage
+    (an iterative plan otherwise grows by one join per round and replans
+    from scratch). Convergence detection: sum(label) strictly decreases
+    while anything changes, so one cheap scalar action per round decides
+    termination. Rounds needed = graph diameter; near-dup components are
+    shallow (clusters of mutual near-copies), so propagation beats the
+    log-round large-star/small-star alternative (Kiveris et al. 2014) until
+    components get path-shaped — that variant is the fallback at 100 TB if
+    chains appear.
+
+    This is also the engine's iterative-graph slot: the reference names
+    "graph traversal" among its intended MapReduce workloads
+    (reference: presentation.pptx, "What is MapReduce?" slide).
+    """
+    from go_web_mapreduce_spark.session import scoped_shuffle_partitions
+
+    spark = edges.sparkSession
+    # the edge list is orders of magnitude smaller than the corpus that
+    # produced it; the fixpoint loop runs on few partitions so each round is
+    # a handful of tasks, not 32 near-empty ones
+    with scoped_shuffle_partitions(spark, 8):
+        und = (
+            edges.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+            .union(edges.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
+            .distinct()
+            .localCheckpoint()
+        )
+        labels = (
+            und.select(F.col("src").alias("id"))
+            .distinct()
+            .withColumn("lbl", F.col("id"))
+            .localCheckpoint()
+        )
+        prev_sum = labels.agg(F.sum("lbl")).first()[0]
+        for _ in range(max_iter):
+            msgs = (
+                und.join(labels, und["src"] == labels["id"])
+                .groupBy(F.col("dst").alias("id"))
+                .agg(F.min("lbl").alias("nlbl"))
+            )
+            labels = (
+                labels.join(msgs, "id", "left")
+                .select(
+                    "id",
+                    F.least(F.col("lbl"), F.coalesce("nlbl", F.col("lbl"))).alias(
+                        "lbl"
+                    ),
+                )
+                .localCheckpoint()
+            )
+            s = labels.agg(F.sum("lbl")).first()[0]
+            if s == prev_sum:
+                break
+            prev_sum = s
+    return labels.select(F.col("id").alias("doc_id"), F.col("lbl").alias("root"))
+
+
+@query(
+    "q_dedup_groups",
+    oracle=f"""
+    WITH RECURSIVE {_MINHASH_CAND_CTE},
+    edges AS (
+      SELECT doc_a, doc_b FROM cand WHERE {_N_MATCH_SQL} >= {MIN_MATCHING}
+    ),
+    und AS (
+      SELECT doc_a AS a, doc_b AS b FROM edges
+      UNION
+      SELECT doc_b, doc_a FROM edges
+    ),
+    reach(x, r) AS (
+      SELECT a, a FROM und
+      UNION
+      SELECT u.b, reach.r FROM reach JOIN und u ON u.a = reach.x
+    )
+    SELECT x AS doc_id, min(r) AS root FROM reach GROUP BY x
+    """,
+    description="dedup cluster assignment: connected components over the "
+    "MinHash near-dup pairs via distributed min-label propagation "
+    "(iterative joins, lineage-truncated per round); root = canonical doc "
+    "to keep. Oracle walks the same graph with a recursive CTE",
+)
+def q_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cands = minhash_candidates(_shingled_docs(spark, sf_dir))
+    edges = cands.filter(F.col("n_matching") >= MIN_MATCHING).select(
+        "doc_a", "doc_b"
+    )
+    return connected_components(edges)

@@ -816,3 +816,122 @@ def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile("l_extendedprice", F.lit(0.9)).alias("p90_price"),
         F.count("*").alias("n"),
     )
+
+
+# ---------------------------------------------------------------------------
+# window frames (sliding rows / time-range) and analytic functions
+# ---------------------------------------------------------------------------
+
+TRAILING_WINDOW_US = 30 * 60 * 1_000_000  # 30-minute trailing range frame
+
+
+@query(
+    "q_window_frames",
+    oracle=f"""
+    SELECT user_id, event_id,
+           CAST(sum(CAST(value AS DECIMAL(18,4))) OVER (
+                  PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+                  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE)
+             / count(*) OVER (
+                  PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+                  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS ma3,
+           CAST(sum(CAST(value AS DECIMAL(18,4))) OVER (
+                  PARTITION BY user_id ORDER BY epoch_us(ts)
+                  RANGE BETWEEN {TRAILING_WINDOW_US} PRECEDING AND CURRENT ROW) AS DOUBLE)
+             AS trailing_30m
+    FROM events
+    """,
+    description="bounded window frames: 3-row moving average + 30-minute "
+    "trailing time-range sum per user (SURVEY §2.2 windows — frames). The "
+    "range frame is the scalable trailing-aggregate shape: one shuffle on "
+    "user_id, sort within partition, no self-join",
+)
+def q_window_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Moving averages via decimal sums (exact, order-free) divided by the
+    frame row count — bit-identical across engines, unlike a float avg()."""
+    events = load_table(spark, sf_dir, "events").withColumn(
+        "_ts_us", F.expr("ts_ns div 1000")
+    )
+    rows_w = (
+        W.partitionBy("user_id")
+        .orderBy("_ts_us", "event_id")
+        .rowsBetween(-2, W.currentRow)
+    )
+    range_w = (
+        W.partitionBy("user_id")
+        .orderBy("_ts_us")
+        .rangeBetween(-TRAILING_WINDOW_US, W.currentRow)
+    )
+    dec = F.col("value").cast("decimal(18,4)")
+    return events.select(
+        "user_id",
+        "event_id",
+        (F.sum(dec).over(rows_w).cast("double") / F.count("*").over(rows_w)).alias(
+            "ma3"
+        ),
+        F.sum(dec).over(range_w).cast("double").alias("trailing_30m"),
+    )
+
+
+@query(
+    "q_lead_lag",
+    oracle="""
+    SELECT o_orderkey,
+           date_diff('day', lag(o_orderdate) OVER w, o_orderdate) AS days_since_prev,
+           date_diff('day', o_orderdate, lead(o_orderdate) OVER w) AS days_until_next,
+           ntile(4) OVER (PARTITION BY o_custkey
+                          ORDER BY o_totalprice, o_orderkey) AS price_quartile
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+    description="analytic lead/lag offsets (inter-order gap days) and ntile "
+    "quartiles per customer (SURVEY §2.2 windows — analytic fns)",
+)
+def q_lead_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wp = W.partitionBy("o_custkey").orderBy("o_totalprice", "o_orderkey")
+    return orders.select(
+        "o_orderkey",
+        F.datediff("o_orderdate", F.lag("o_orderdate").over(w)).alias(
+            "days_since_prev"
+        ),
+        F.datediff(F.lead("o_orderdate").over(w), "o_orderdate").alias(
+            "days_until_next"
+        ),
+        F.ntile(4).over(wp).alias("price_quartile"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# skew-mitigated join (planned salting — the AQE-independent path)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_salted_join",
+    oracle="""
+    SELECT c_mktsegment, count(*) AS n,
+           CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+    FROM events JOIN customer ON user_id = c_custkey
+    GROUP BY c_mktsegment
+    """,
+    description="skew-mitigated equi-join: the big (events) side salted over "
+    "16 sub-keys, the small (customer) side exploded to match — an algebraic "
+    "rewrite with results identical to the plain join (oracle is the plain "
+    "join). The planned alternative for heads too hot for AQE's skew split "
+    "(functions/skew.py)",
+)
+def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from go_web_mapreduce_spark.functions.skew import salted_join
+
+    events = load_table(spark, sf_dir, "events").select(
+        F.col("user_id").alias("c_custkey"), "value"
+    )
+    customer = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    joined = salted_join(events, customer, ["c_custkey"], num_salts=16)
+    return joined.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n"), dsum("value").alias("total_value")
+    )

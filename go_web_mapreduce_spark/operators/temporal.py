@@ -190,3 +190,46 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("event_id", "click_id", (F.col("p_ts") - F.col("c_ts")).alias("gap_us"))
     )
+
+
+@query(
+    "q_session_window",
+    oracle=f"""
+    WITH flagged AS (
+      SELECT user_id, event_id, epoch_us(ts) AS us,
+             CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w IS NULL
+                    OR epoch_us(ts) - lag(epoch_us(ts)) OVER w >= {SESSION_GAP_US}
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+    ), sess AS (
+      SELECT user_id, us,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      FROM flagged
+    )
+    SELECT user_id, min(us) AS start_us, count(*) AS n_events,
+           max(us) - min(us) AS span_us
+    FROM sess GROUP BY user_id, sid
+    """,
+    description="native session-window grouping (F.session_window): dynamic "
+    "gap-merged windows per user, one row per session. Same single shuffle "
+    "as a fixed window; sessions merge when an event lands strictly inside "
+    "the previous event's 30-min window (window end exclusive → a gap of "
+    "exactly 30 min starts a new session, hence the oracle's >=). This is "
+    "the grouping Structured Streaming uses for streaming sessionization",
+)
+def q_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events").withColumn(
+        "_ts_us", F.expr("ts_ns div 1000")
+    )
+    sw = F.session_window(F.col("ts"), "30 minutes")
+    return (
+        events.groupBy(sw.alias("w"), "user_id")
+        .agg(
+            F.min("_ts_us").alias("start_us"),
+            F.count("*").alias("n_events"),
+            (F.max("_ts_us") - F.min("_ts_us")).alias("span_us"),
+        )
+        .select("user_id", "start_us", "n_events", "span_us")
+    )

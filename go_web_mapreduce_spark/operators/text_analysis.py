@@ -246,3 +246,79 @@ def q_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(subword_count("text")).alias("total_subwords"),
         F.sum(token_count("text")).alias("total_words"),
     )
+
+
+# ---------------------------------------------------------------------------
+# corpus filtering: composite keep/drop rules (C4/Gopher-style, public)
+# ---------------------------------------------------------------------------
+
+# thresholds shared verbatim by the Spark expression and the oracle SQL
+FILTER_MIN_TOKENS = 5
+FILTER_MEAN_LEN_LO = 2.0
+FILTER_MEAN_LEN_HI = 12.0
+FILTER_MIN_TTR = 0.2
+FILTER_MIN_STOPWORD_HITS = 1
+
+
+def corpus_keep_flag(toks: Column) -> Column:
+    """1 if the document passes all quality-filter rules, else 0.
+
+    Rules follow the public C4 (Raffel et al. 2020) / Gopher (Rae et al.
+    2021) heuristic families: minimum length, mean-word-length band, lexical
+    diversity (type-token ratio), and at-least-one-stopword. All ratios are
+    integer-count divisions in float64 — bit-identical across engines.
+    """
+    n_tok = F.size(toks)
+    tok_chars = F.aggregate(
+        toks, F.lit(0), lambda acc, t: acc + F.length(t)
+    )
+    mean_len = tok_chars.cast("double") / n_tok.cast("double")
+    ttr = F.size(F.array_distinct(toks)).cast("double") / n_tok.cast("double")
+    hits = stopword_hits(toks, ALL_STOPWORDS)
+    keep = (
+        (n_tok >= FILTER_MIN_TOKENS)
+        & (mean_len >= FILTER_MEAN_LEN_LO)
+        & (mean_len <= FILTER_MEAN_LEN_HI)
+        & (ttr >= FILTER_MIN_TTR)
+        & (hits >= FILTER_MIN_STOPWORD_HITS)
+    )
+    return F.when(keep, F.lit(1)).otherwise(F.lit(0))
+
+
+@query(
+    "q_corpus_filter",
+    oracle=f"""
+    WITH toks AS (SELECT lang, {_TK} AS tk FROM documents),
+    flagged AS (
+      SELECT lang,
+             CASE WHEN len(tk) >= {FILTER_MIN_TOKENS}
+                   AND list_sum(list_transform(tk, t -> len(t)))::DOUBLE / len(tk)::DOUBLE
+                       >= {FILTER_MEAN_LEN_LO}
+                   AND list_sum(list_transform(tk, t -> len(t)))::DOUBLE / len(tk)::DOUBLE
+                       <= {FILTER_MEAN_LEN_HI}
+                   AND len(list_distinct(tk))::DOUBLE / len(tk)::DOUBLE >= {FILTER_MIN_TTR}
+                   AND len(list_filter(tk, t -> list_contains({_sql_list(ALL_STOPWORDS)}, t)))
+                       >= {FILTER_MIN_STOPWORD_HITS}
+                  THEN 1 ELSE 0 END AS keep
+      FROM toks
+    )
+    SELECT lang, count(*) AS n_docs,
+           CAST(sum(keep) AS BIGINT) AS n_kept,
+           CAST(sum(keep) AS DOUBLE) / count(*) AS retention
+    FROM flagged GROUP BY lang
+    """,
+    description="training-corpus filter pipeline: C4/Gopher-style composite "
+    "keep/drop rules (length, mean word length, type-token ratio, stopword "
+    "presence) with per-language retention — one map-side pass + tiny-key "
+    "aggregation (extension mandate: text analysis / quality filtering)",
+)
+def q_corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    flagged = docs.select("lang", tokens("text").alias("tk")).select(
+        "lang", corpus_keep_flag(F.col("tk")).alias("keep")
+    )
+    return flagged.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("keep").alias("n_kept"),
+        (F.sum("keep").cast("double") / F.count("*")).alias("retention"),
+    )

@@ -21,10 +21,30 @@ down to local[32] tests:
 from __future__ import annotations
 
 import os
+from contextlib import contextmanager
 
 from pyspark.sql import SparkSession
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+@contextmanager
+def scoped_shuffle_partitions(spark: SparkSession, n: int):
+    """Temporarily set spark.sql.shuffle.partitions.
+
+    Used where a plan's natural parallelism is far below the session default:
+    streaming state stores sized to key cardinality (streaming/events.py) and
+    iterative fixpoint loops over edge lists orders of magnitude smaller than
+    the corpus (operators/dedup.py::connected_components). Batch one-shot
+    queries instead rely on AQE coalescing, which cannot help streaming state
+    (partition count frozen into the checkpoint) and only trims, not
+    re-plans, a tiny iterative step."""
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
 
 
 def get_spark(

@@ -17,12 +17,12 @@ drives the query to a deterministic final answer synchronously.
 from __future__ import annotations
 
 import itertools
-from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from go_web_mapreduce_spark.registry import query
+from go_web_mapreduce_spark.session import scoped_shuffle_partitions
 
 _counter = itertools.count()
 
@@ -36,18 +36,6 @@ _counter = itertools.count()
 # query to O(distinct keys / target-keys-per-store), not to the batch
 # shuffle default.
 STREAM_STATE_PARTITIONS = 8
-
-
-@contextmanager
-def scoped_shuffle_partitions(spark: SparkSession, n: int):
-    """Temporarily set spark.sql.shuffle.partitions (picked up by a streaming
-    query at start and persisted in its checkpoint thereafter)."""
-    prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", str(n))
-    try:
-        yield
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev)
 
 
 def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
