@@ -376,3 +376,66 @@ def ivf_topk(
 def q_similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return ivf_topk(emb, emb.filter(F.col("vec_id") == 0))
+
+
+# ---------------------------------------------------------------------------
+# SVD / PCA top component — the reference's named "SVD" workload
+# ---------------------------------------------------------------------------
+
+
+def gram_matrix(corpus: DataFrame, col: str = "embedding", dim: int = EMBEDDING_DIM):
+    """X^T X of the embedding matrix in ONE distributed pass.
+
+    Each Arrow batch contributes a dim×dim partial Gram (numpy ``X^T X`` on
+    the batch); the driver sums the per-batch partials — ~(rows/batch) tiny
+    matrices, never the corpus. This is the classic MapReduce formulation of
+    SVD/PCA for tall-skinny matrices (reference names 'SVD' among its
+    intended workloads — presentation.pptx, "What is MapReduce?" slide):
+    the O(n·dim²) work distributes, the O(dim³) eigensolve is driver-side on
+    a dim×dim matrix. Scales to any row count; dim is the bound (dim ≲ 10⁴).
+    """
+    import numpy as np
+    import pandas as pd
+
+    def partial(batches):
+        acc = np.zeros((dim, dim))
+        for pdf in batches:
+            if len(pdf):
+                x = np.array(list(pdf[col]), dtype=np.float64)
+                acc += x.T @ x
+        yield pd.DataFrame({"g": [acc.reshape(-1).tolist()]})
+
+    parts = corpus.select(col).mapInPandas(partial, "g array<double>").collect()
+    total = np.zeros((dim, dim))
+    for r in parts:
+        total += np.array(r["g"], dtype=np.float64).reshape(dim, dim)
+    return total
+
+
+@query(
+    "q_svd_top_component",
+    oracle=None,  # eigensolve of the driver-side Gram; verified against
+    # numpy.linalg.svd on the collected matrix in tests/test_ann.py
+    description="top principal component of the embedding corpus: one "
+    "distributed pass builds the dim×dim Gram matrix (per-batch numpy "
+    "partials, driver merge), the dim-sized eigenproblem solves locally — "
+    "the tall-skinny SVD pattern for the reference's named 'SVD' workload",
+)
+def q_svd_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    g = gram_matrix(emb)
+    evals, evecs = np.linalg.eigh(g)
+    top = evecs[:, -1]
+    # deterministic sign convention: largest-|component| entry positive
+    if top[int(np.argmax(np.abs(top)))] < 0:
+        top = -top
+    sv = float(np.sqrt(max(evals[-1], 0.0)))
+    explained = float(evals[-1] / evals.sum()) if evals.sum() > 0 else 0.0
+    rows = [
+        (int(i), float(top[i]), sv, explained) for i in range(len(top))
+    ]
+    return emb.sparkSession.createDataFrame(
+        rows, "component bigint, loading double, singular_value double, explained_variance double"
+    )

@@ -63,3 +63,24 @@ def test_ivf_is_deterministic(spark, sf_dir):
     a = sorted(r["vec_id"] for r in ivf_topk(emb, probe, K).collect())
     b = sorted(r["vec_id"] for r in ivf_topk(emb, probe, K).collect())
     assert a == b
+
+
+def test_svd_top_component_matches_numpy(spark, sf_dir):
+    import numpy as np
+
+    from go_web_mapreduce_spark.operators.similarity import q_svd_top_component
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    x = np.array([r["embedding"] for r in emb.collect()], dtype=np.float64)
+    _, s, vt = np.linalg.svd(x, full_matrices=False)
+    ref = vt[0]
+    if ref[int(np.argmax(np.abs(ref)))] < 0:
+        ref = -ref
+
+    out = q_svd_top_component(spark, sf_dir).orderBy("component").collect()
+    got = np.array([r["loading"] for r in out])
+    assert len(got) == x.shape[1]
+    assert abs(out[0]["singular_value"] - s[0]) / s[0] < 1e-6
+    # direction matches up to numerical tolerance
+    assert np.abs(np.dot(got, ref)) > 1 - 1e-9
+    assert 0.0 < out[0]["explained_variance"] <= 1.0
