@@ -9,6 +9,7 @@ driver-side row materialization overhead beyond Spark's own collect of counts.
 
 from __future__ import annotations
 
+import gc
 import json
 import os
 import sys
@@ -38,18 +39,39 @@ def main() -> None:
         per_query[name] = dt
         total += dt
         print(f"# {name}: {dt:.3f}s ({n} rows)", file=sys.stderr)
+        # drop py4j refs promptly so the ContextCleaner can release the
+        # finished query's broadcasts/checkpoint blocks instead of letting
+        # the pressure land as a GC pause inside a later query's timing
+        gc.collect()
 
-    print(
-        json.dumps(
-            {
-                "metric": "total_query_wall_clock",
-                "value": round(total, 3),
-                "unit": "sec",
-                "queries": per_query,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    result = {
+        "metric": "total_query_wall_clock",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": per_query,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+
+    # optional throughput pass: all queries submitted concurrently into the
+    # session's FAIR scheduler pools — the engine's multi-algorithm surface
+    # (service.AlgorithmService; reference runs N masters concurrently,
+    # server/views.go:30-36). Wall clock of the whole batch, not per query.
+    if os.environ.get("SPARK_GRAFT_BENCH_CONCURRENT") == "1":
+        from concurrent.futures import ThreadPoolExecutor
+
+        def run(item):
+            name, spec = item
+            spark.sparkContext.setLocalProperty("spark.scheduler.pool", name)
+            return spec.fn(spark, sf_dir).count()
+
+        t0 = time.time()
+        with ThreadPoolExecutor(max_workers=8) as ex:
+            list(ex.map(run, sorted(REGISTRY.items())))
+        result["concurrent_wall_clock"] = round(time.time() - t0, 3)
+        print(f"# concurrent batch: {result['concurrent_wall_clock']:.1f}s",
+              file=sys.stderr)
+
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":

@@ -474,13 +474,13 @@ def connected_components(
             edges.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
             .union(edges.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
             .distinct()
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         labels = (
             und.select(F.col("src").alias("id"))
             .distinct()
             .withColumn("lbl", F.col("id"))
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         prev_sum = labels.agg(F.sum("lbl")).first()[0]
         for _ in range(max_iter):
@@ -497,7 +497,7 @@ def connected_components(
                         "lbl"
                     ),
                 )
-                .localCheckpoint()
+                .localCheckpoint(eager=False)
             )
             s = labels.agg(F.sum("lbl")).first()[0]
             if s == prev_sum:
