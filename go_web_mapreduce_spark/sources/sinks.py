@@ -49,3 +49,20 @@ def write_json_lines(df: DataFrame, path: str, mode: str = "error") -> None:
     """JSON-lines export — the reference's result wire shape
     (reference: protocol/input.go:11-13)."""
     df.write.mode(mode).json(path)
+
+
+def write_csv(
+    df: DataFrame, path: str, mode: str = "error", header: bool = True
+) -> None:
+    """CSV export for spreadsheet/legacy interop. Same parallel-writer
+    shape as the other sinks; compression left to the caller's conf. CSV is
+    an interchange sink only — no types, no stats, no pruning — never an
+    analytical input at scale."""
+    df.write.mode(mode).option("header", str(header).lower()).csv(path)
+
+
+def read_csv(spark, path: str, schema: str):
+    """Schema-explicit CSV source (inference requires an extra full pass and
+    guesses types — never in a pipeline). Returns a DataFrame identical in
+    shape to the parquet catalog's tables so CSV drops into any operator."""
+    return spark.read.schema(schema).option("header", "true").csv(path)

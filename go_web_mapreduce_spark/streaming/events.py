@@ -171,3 +171,50 @@ def categorized_counts_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return categorized_counts_stream(spark, sf_dir)
+
+
+def deduped_counts_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exactly-once dedup: the event stream is unioned with itself
+    (every event arrives twice — the at-least-once delivery a real source
+    exhibits), then ``dropDuplicatesWithinWatermark`` on event_id keeps one
+    copy. Final counts must equal the single-copy batch counts.
+
+    Scale notes: dedup state is one entry per event_id inside the watermark
+    horizon — the watermark BOUNDS the state (an unbounded dropDuplicates
+    would grow forever on an infinite stream); expired keys are evicted per
+    micro-batch. State is hash-partitioned on event_id like any keyed
+    state; the downstream count aggregation re-shuffles to event_type.
+    """
+    name = f"dedup_stream_{next(_counter)}"
+    src = stream_events(spark, sf_dir).withWatermark("ts", "2 hours")
+    dup = src.union(src)  # simulate at-least-once duplicate delivery
+    agg = (
+        dup.dropDuplicatesWithinWatermark(["event_id"])
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"))
+    )
+    with scoped_shuffle_partitions(spark, STREAM_STATE_PARTITIONS):
+        q = (
+            agg.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    return spark.table(name)
+
+
+@query(
+    "q_stream_dedup",
+    oracle="""
+    SELECT event_type, count(*) AS n FROM events GROUP BY event_type
+    """,
+    description="streaming dedup: a twice-delivered stream through "
+    "dropDuplicatesWithinWatermark (watermark-bounded keyed dedup state) "
+    "lands on the exact single-copy batch counts",
+)
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return deduped_counts_stream(spark, sf_dir)

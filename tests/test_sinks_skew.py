@@ -116,3 +116,16 @@ def test_register_catalog_enables_plain_sql(spark, sf_dir):
         "ON l_orderkey = o_orderkey"
     ).first()["n"]
     assert n > 0
+
+
+def test_csv_roundtrip(spark, tmp_path):
+    from go_web_mapreduce_spark.sources.sinks import read_csv, write_csv
+
+    df = spark.createDataFrame(
+        [(1, "a", 1.5), (2, "b", 2.5), (3, "c,with comma", -1.0)],
+        "id bigint, name string, score double",
+    )
+    path = str(tmp_path / "csv_out")
+    write_csv(df, path)
+    back = read_csv(spark, path, "id bigint, name string, score double")
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
