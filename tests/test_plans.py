@@ -88,3 +88,30 @@ def test_global_sort_uses_range_partitioning(spark, sf_dir):
     assert "Sort [" in plan
     vals = [r["value"] for r in sorted_df.collect()]
     assert vals == sorted(vals, reverse=True)
+
+
+def test_window_frames_single_shuffle(spark, sf_dir):
+    """Both frames share the user_id partitioning: one exchange total."""
+    plan = executed_plan(spark, sf_dir, "q_window_frames")
+    assert plan.count("Exchange hashpartitioning(user_id") <= 1
+    assert "Window" in plan
+
+
+def test_session_window_is_one_aggregation(spark, sf_dir):
+    plan = executed_plan(spark, sf_dir, "q_session_window")
+    assert "SessionWindow" in plan or "session_window" in plan
+    # no self-join formulation
+    assert "Join" not in plan
+
+
+def test_salted_join_explodes_small_side_only(spark, sf_dir):
+    plan = executed_plan(spark, sf_dir, "q_salted_join")
+    # the salt explode (Generate) feeds the small customer side; the big
+    # events side is salted with a projection, never exploded
+    assert "Generate explode" in plan
+    assert "customer" in plan
+
+
+def test_topk_no_global_sort(spark, sf_dir):
+    plan = executed_plan(spark, sf_dir, "q_topk")
+    assert "TakeOrderedAndProject" in plan

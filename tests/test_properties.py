@@ -104,3 +104,47 @@ def test_hash_family_is_deterministic_and_distinct():
     assert fam == hash_family(12)
     assert len(set(fam)) == 12
     assert all(a % 2 == 1 for a, _ in fam)
+
+
+# --- connected components vs reference union-find --------------------------
+
+
+def _uf_components(edges: list[tuple[int, int]]) -> dict[int, int]:
+    """Reference union-find: vertex → min id of its component."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        for v in (a, b):
+            parent.setdefault(v, v)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {v: find(v) for v in parent}
+
+
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 15), st.integers(0, 15)).filter(
+            lambda e: e[0] != e[1]
+        ),
+        min_size=1,
+        max_size=25,
+    )
+)
+@SPARK_SETTINGS
+def test_connected_components_matches_union_find(spark, edges):
+    from go_web_mapreduce_spark.operators.dedup import connected_components
+
+    df = spark.createDataFrame(
+        [(min(a, b), max(a, b)) for a, b in edges], "doc_a bigint, doc_b bigint"
+    )
+    got = {
+        r["doc_id"]: r["root"] for r in connected_components(df).collect()
+    }
+    assert got == _uf_components(edges)
