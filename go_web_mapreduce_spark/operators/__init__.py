@@ -8,6 +8,7 @@ from go_web_mapreduce_spark.operators import (  # noqa: F401
     similarity,
     temporal,
     text_analysis,
+    udtf_ops,
 )
 from go_web_mapreduce_spark.streaming import events as _streaming_events  # noqa: F401
 from go_web_mapreduce_spark.streaming import stateful as _streaming_stateful  # noqa: F401
