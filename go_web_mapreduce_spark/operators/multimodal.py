@@ -22,6 +22,7 @@ from collections.abc import Iterator
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from go_web_mapreduce_spark.functions.numeric import dsum
 from go_web_mapreduce_spark.registry import query
 from go_web_mapreduce_spark.sources.tables import load_table
 
@@ -121,19 +122,31 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_multimodal_features",
-    oracle=None,  # md5-derived fake features; plumbing check is rows+schema
+    # the stand-in features are md5-derived, so the pipeline is
+    # SQL-expressible: f0 = int(md5[:4 hex], 16) / 65535.0. The checked
+    # aggregate recomputes f0 in float64 from the digest — float32 array
+    # cells don't round-trip to decimal identically across engines (their
+    # float→decimal casts disagree in the 8th digit), so the array itself
+    # is pinned feature-vs-digest-consistent in tests instead
+    oracle="""
+    SELECT source, count(*) AS n_docs,
+           count(DISTINCT md5(text)) AS n_unique,
+           CAST(sum(CAST(('0x' || substr(md5(text), 1, 4))::BIGINT / 65535.0
+                         AS DECIMAL(18,8))) AS DOUBLE) AS sum_f0
+    FROM documents GROUP BY source
+    """,
     description="mapInPandas feature extraction over binary payloads "
-    "(decode stubbed; Arrow batch plumbing real)",
+    "(decode stubbed; Arrow batch plumbing real; the md5-derived stand-in "
+    "features make even this pipeline hash-verifiable)",
 )
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = as_media_table(load_table(spark, sf_dir, "documents"))
     feats = extract_features(media)
+    f0 = F.conv(F.substring("digest", 1, 4), 16, 10).cast("bigint") / F.lit(65535.0)
     return feats.groupBy("source").agg(
         F.count("*").alias("n_docs"),
         F.countDistinct("digest").alias("n_unique"),
-        F.sum(F.element_at("features", 1).cast("decimal(18,8)"))
-        .cast("double")
-        .alias("sum_f0"),
+        dsum(f0, scale=8).alias("sum_f0"),
     )
 
 

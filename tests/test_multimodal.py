@@ -60,3 +60,16 @@ def test_frame_sampling_fan_out_and_offsets(media):
 def test_features_fixed_width(media):
     rows = extract_features(media).limit(5).collect()
     assert all(len(r["features"]) == 8 for r in rows)
+
+
+def test_features_consistent_with_digest(media):
+    """Every feature component must be the float32 of its digest slice —
+    the invariant the hash-checked query (sum over digest) relies on."""
+    import numpy as np
+
+    for r in extract_features(media).limit(10).collect():
+        want = [
+            np.float32(int(r["digest"][4 * i : 4 * i + 4], 16) / 65535.0)
+            for i in range(len(r["features"]))
+        ]
+        assert [np.float32(f) for f in r["features"]] == want
