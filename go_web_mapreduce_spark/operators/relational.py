@@ -935,3 +935,73 @@ def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.groupBy("c_mktsegment").agg(
         F.count("*").alias("n"), dsum("value").alias("total_value")
     )
+
+
+# ---------------------------------------------------------------------------
+# merge / upsert (latest-wins change application)
+# ---------------------------------------------------------------------------
+
+
+def apply_upserts(
+    base: DataFrame, changes: DataFrame, key: str, version_col: str
+) -> DataFrame:
+    """MERGE with latest-wins semantics, engine-side: union the change set
+    onto the base and keep the highest-version row per key. One shuffle on
+    the key; no driver involvement. This is the lake-format-free upsert
+    shape — with Delta/Iceberg the same logic runs as MERGE INTO, but the
+    algebra (union + per-key rank) is what those formats execute underneath.
+    """
+    w = W.partitionBy(key).orderBy(F.col(version_col).desc())
+    return (
+        base.unionByName(changes)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+@query(
+    "q_upsert",
+    oracle="""
+    WITH changes AS (
+      SELECT o_orderkey, o_custkey,
+             CAST(CAST(o_totalprice * 1.1 AS DECIMAL(18,4)) AS DOUBLE) AS o_totalprice,
+             1 AS version
+      FROM orders WHERE o_orderkey % 10 = 0
+    ), unioned AS (
+      SELECT o_orderkey, o_custkey, o_totalprice, 0 AS version FROM orders
+      UNION ALL
+      SELECT * FROM changes
+    ), latest AS (
+      SELECT *, row_number() OVER (PARTITION BY o_orderkey ORDER BY version DESC) AS rn
+      FROM unioned
+    )
+    SELECT count(*) AS n_rows,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total,
+           CAST(sum(CASE WHEN version = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_updated
+    FROM latest WHERE rn = 1
+    """,
+    description="merge/upsert: a change set (10% of orders repriced) applied "
+    "latest-wins onto the base via union + per-key version rank — the "
+    "algebra MERGE INTO executes in lake formats; row count must not grow "
+    "and only changed rows carry the new version",
+)
+def q_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    base = orders.withColumn("version", F.lit(0))
+    changes = (
+        orders.filter(F.col("o_orderkey") % 10 == 0)
+        .withColumn(
+            "o_totalprice",
+            (F.col("o_totalprice") * 1.1).cast("decimal(18,4)").cast("double"),
+        )
+        .withColumn("version", F.lit(1))
+    )
+    merged = apply_upserts(base, changes, key="o_orderkey", version_col="version")
+    return merged.agg(
+        F.count("*").alias("n_rows"),
+        dsum("o_totalprice").alias("total"),
+        F.sum(F.when(F.col("version") == 1, 1).otherwise(0)).alias("n_updated"),
+    )
