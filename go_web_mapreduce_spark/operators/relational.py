@@ -1005,3 +1005,42 @@ def q_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         dsum("o_totalprice").alias("total"),
         F.sum(F.when(F.col("version") == 1, 1).otherwise(0)).alias("n_updated"),
     )
+
+
+@query(
+    "q_map_fns",
+    oracle="""
+    WITH per_type AS (
+      SELECT user_id, event_type, count(*) AS n
+      FROM events GROUP BY user_id, event_type
+    ), built AS (
+      SELECT user_id,
+             map_from_entries(list_sort(list({'k': event_type, 'v': n}))) AS m
+      FROM per_type GROUP BY user_id
+    )
+    SELECT user_id,
+           cardinality(m) AS n_types,
+           coalesce(map_extract(m, 'click')[1], 0) AS n_click,
+           array_to_string(map_keys(m), ',') AS types_csv
+    FROM built
+    """,
+    description="map-type functions: per-user event-type histogram built as "
+    "a MAP column (map_from_entries over sorted entries), then size / "
+    "key-extract / keys — SURVEY §2.2 array/map/json fns, map member",
+)
+def q_map_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entries are sorted before map construction so map_keys order is
+    deterministic in both engines (Spark preserves insertion order)."""
+    events = load_table(spark, sf_dir, "events")
+    per_type = events.groupBy("user_id", "event_type").agg(F.count("*").alias("n"))
+    built = per_type.groupBy("user_id").agg(
+        F.map_from_entries(
+            F.sort_array(F.collect_list(F.struct("event_type", "n")))
+        ).alias("m")
+    )
+    return built.select(
+        "user_id",
+        F.size("m").alias("n_types"),
+        F.coalesce(F.element_at("m", "click"), F.lit(0)).alias("n_click"),
+        F.array_join(F.map_keys("m"), ",").alias("types_csv"),
+    )
