@@ -218,3 +218,72 @@ def deduped_counts_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return deduped_counts_stream(spark, sf_dir)
+
+
+def session_window_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming sessionization with native session windows: dynamic
+    gap-merged windows maintained in the state store, watermark-bounded.
+    On the finite source the final sessions equal the batch
+    q_session_window result (shared oracle).
+
+    Scale notes: session state merges adjacent windows per key as events
+    arrive; the watermark closes sessions whose gap horizon has passed, so
+    state is bounded by ACTIVE sessions, not history. This is the streaming
+    shape of the reference-era 'sessionize in reduce' workload.
+    """
+    name = f"session_stream_{next(_counter)}"
+    agg = (
+        stream_events(spark, sf_dir)
+        .withColumn("_ts_us", F.expr("ts_ns div 1000"))
+        .withWatermark("ts", "2 hours")
+        .groupBy(
+            F.session_window(F.col("ts"), "30 minutes").alias("w"), "user_id"
+        )
+        .agg(
+            F.min("_ts_us").alias("start_us"),
+            F.count("*").alias("n_events"),
+            (F.max("_ts_us") - F.min("_ts_us")).alias("span_us"),
+        )
+    )
+    with scoped_shuffle_partitions(spark, STREAM_STATE_PARTITIONS):
+        q = (
+            agg.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    return spark.table(name).select("user_id", "start_us", "n_events", "span_us")
+
+
+@query(
+    "q_stream_session_window",
+    # identical oracle to the batch q_session_window — streaming must land
+    # on the same final sessions
+    oracle=f"""
+    WITH flagged AS (
+      SELECT user_id, event_id, epoch_us(ts) AS us,
+             CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w IS NULL
+                    OR epoch_us(ts) - lag(epoch_us(ts)) OVER w >= {30 * 60 * 1_000_000}
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+    ), sess AS (
+      SELECT user_id, us,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      FROM flagged
+    )
+    SELECT user_id, min(us) AS start_us, count(*) AS n_events,
+           max(us) - min(us) AS span_us
+    FROM sess GROUP BY user_id, sid
+    """,
+    description="streaming sessionization via native session windows "
+    "(state-store-merged dynamic windows), final sessions oracle-equal to "
+    "the batch q_session_window",
+)
+def q_stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return session_window_stream(spark, sf_dir)
