@@ -322,3 +322,73 @@ def q_corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("keep").alias("n_kept"),
         (F.sum("keep").cast("double") / F.count("*")).alias("retention"),
     )
+
+
+# ---------------------------------------------------------------------------
+# data mixing: reproducible hash-based stratified sampling to a target blend
+# ---------------------------------------------------------------------------
+
+# per-language keep rates in permille — the mixture recipe (en-heavy blend)
+MIXTURE_PERMILLE = {"en": 1000, "de": 500, "es": 400, "fr": 300, "zh": 200}
+MIXTURE_DEFAULT_PERMILLE = 100
+MIXTURE_SALT = 7
+
+
+def mixture_keep(lang: Column, doc_id: Column) -> Column:
+    """1 if the doc survives its language's sampling rate.
+
+    Sampling is HASH-based (md5 bucket of doc_id), not RNG: the same doc is
+    kept or dropped on every run, on any cluster, at any partitioning — the
+    reproducibility a training-data pipeline needs for ablations and
+    incremental re-runs. ``rand()``-based sampleBy can't offer that (and
+    can't be oracle-checked); the hash bucket is mirrored verbatim in SQL.
+    """
+    from go_web_mapreduce_spark.functions.hashing import md5_bucket
+
+    bucket = md5_bucket(doc_id.cast("string"), 1000, salt=MIXTURE_SALT)
+    rate = F.lit(MIXTURE_DEFAULT_PERMILLE)
+    for lg, pm in MIXTURE_PERMILLE.items():
+        rate = F.when(lang == lg, F.lit(pm)).otherwise(rate)
+    return F.when(bucket < rate, F.lit(1)).otherwise(F.lit(0))
+
+
+def _mixture_rate_sql() -> str:
+    cases = " ".join(
+        f"WHEN lang = '{lg}' THEN {pm}" for lg, pm in MIXTURE_PERMILLE.items()
+    )
+    return f"CASE {cases} ELSE {MIXTURE_DEFAULT_PERMILLE} END"
+
+
+@query(
+    "q_data_mixture",
+    oracle=f"""
+    WITH flagged AS (
+      SELECT lang, text,
+             CASE WHEN ('0x' || substr(md5('{MIXTURE_SALT}:' || doc_id::VARCHAR), 1, 8))::BIGINT
+                       % 1000 < {_mixture_rate_sql()}
+                  THEN 1 ELSE 0 END AS keep
+      FROM documents
+    )
+    SELECT lang, count(*) AS n_docs,
+           CAST(sum(keep) AS BIGINT) AS n_kept,
+           CAST(sum(CASE WHEN keep = 1
+                         THEN len(list_filter(string_split(lower(text), ' '), t -> t <> ''))
+                         ELSE 0 END) AS BIGINT) AS tokens_kept
+    FROM flagged GROUP BY lang
+    """,
+    description="training-data mixing: per-language hash-based stratified "
+    "sampling to a target blend (reproducible — no RNG), with surviving doc "
+    "and token counts per language (extension mandate: text analysis / "
+    "pipeline sampling)",
+)
+def q_data_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    keep = mixture_keep(F.col("lang"), F.col("doc_id"))
+    flagged = docs.select("lang", "text", keep.alias("keep"))
+    return flagged.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("keep").alias("n_kept"),
+        F.sum(F.when(F.col("keep") == 1, token_count("text")).otherwise(0)).alias(
+            "tokens_kept"
+        ),
+    )
