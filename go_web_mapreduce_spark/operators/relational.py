@@ -1044,3 +1044,37 @@ def q_map_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.element_at("m", "click"), F.lit(0)).alias("n_click"),
         F.array_join(F.map_keys("m"), ",").alias("types_csv"),
     )
+
+
+@query(
+    "q_outer_join",
+    oracle="""
+    SELECT
+      CASE WHEN c_custkey IS NULL THEN 'order_only'
+           WHEN user_id  IS NULL THEN 'customer_only'
+           ELSE 'both' END AS side,
+      count(*) AS n,
+      CAST(sum(CAST(coalesce(value, 0.0) AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+    FROM (SELECT DISTINCT c_custkey FROM customer) c
+    FULL OUTER JOIN events e ON c.c_custkey = e.user_id
+    GROUP BY 1
+    """,
+    description="full outer join with null-side classification (SURVEY §2.2 "
+    "joins — completes the equi/semi/anti/range/as-of/salted set). Shuffles "
+    "both sides on the key; nulls never match so no hot null-key partition",
+)
+def q_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = (
+        load_table(spark, sf_dir, "customer").select("c_custkey").distinct()
+    )
+    events = load_table(spark, sf_dir, "events").select("user_id", "value")
+    joined = customer.join(events, customer["c_custkey"] == events["user_id"], "outer")
+    side = (
+        F.when(F.col("c_custkey").isNull(), F.lit("order_only"))
+        .when(F.col("user_id").isNull(), F.lit("customer_only"))
+        .otherwise(F.lit("both"))
+    )
+    return joined.groupBy(side.alias("side")).agg(
+        F.count("*").alias("n"),
+        dsum(F.coalesce("value", F.lit(0.0))).alias("total_value"),
+    )
