@@ -536,3 +536,72 @@ def q_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_a", "doc_b"
     )
     return connected_components(edges)
+
+
+# ---------------------------------------------------------------------------
+# incremental dedup: new batch vs an existing (already-ingested) corpus
+# ---------------------------------------------------------------------------
+
+INCREMENTAL_SPLIT_FRACTION = 0.8  # first 80% of doc_ids = the "seen" corpus
+
+
+def incremental_dedup_stats(
+    seen: DataFrame, new: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """Classify a new batch against an existing corpus by content hash:
+    per source, how many new docs are exact duplicates of the seen corpus
+    vs genuinely novel.
+
+    Production shape: the seen side is just its DISTINCT hash set — at
+    100 TB that's the compact dedup index you persist (bucketed by hash for
+    a shuffle-free semi-join), never the corpus bodies. The join here is a
+    left semi/anti pair expressed as one aggregation over a left join.
+    """
+    seen_hashes = seen.select(
+        F.sha2(F.col(text_col), 256).alias("h")
+    ).distinct()
+    flagged = (
+        new.select("source", F.sha2(F.col(text_col), 256).alias("h"))
+        .join(seen_hashes.withColumn("_dup", F.lit(1)), "h", "left")
+    )
+    return flagged.groupBy("source").agg(
+        F.count("*").alias("n_new"),
+        F.sum(F.coalesce("_dup", F.lit(0))).alias("n_dup_of_seen"),
+        (F.count("*") - F.sum(F.coalesce("_dup", F.lit(0)))).alias("n_novel"),
+    )
+
+
+@query(
+    "q_dedup_incremental",
+    oracle=f"""
+    WITH bounds AS (
+      SELECT (min(doc_id) + CAST(floor((max(doc_id) - min(doc_id) + 1)
+                 * {INCREMENTAL_SPLIT_FRACTION}) AS BIGINT)) AS cut
+      FROM documents
+    ),
+    seen AS (SELECT DISTINCT md5(text) AS h FROM documents, bounds WHERE doc_id < cut),
+    new_docs AS (SELECT source, md5(text) AS h FROM documents, bounds WHERE doc_id >= cut),
+    flagged AS (
+      SELECT n.source, CASE WHEN s.h IS NULL THEN 0 ELSE 1 END AS dup
+      FROM new_docs n LEFT JOIN seen s ON n.h = s.h
+    )
+    SELECT source, count(*) AS n_new,
+           CAST(sum(dup) AS BIGINT) AS n_dup_of_seen,
+           CAST(count(*) - sum(dup) AS BIGINT) AS n_novel
+    FROM flagged GROUP BY source
+    """,
+    description="incremental dedup: a new ingest batch (top 20% of doc_ids) "
+    "checked against the already-seen corpus's content-hash index — the "
+    "production dedup shape (batch vs persisted hash set), exact via "
+    "semi-join semantics (extension mandate: dedup)",
+)
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """md5 vs sha2 note: the engine indexes on sha256; the oracle's md5 set
+    gives identical dup/novel classification (both are injective on this
+    corpus), keeping the check hash-portable without cross-engine sha2."""
+    docs = load_table(spark, sf_dir, "documents")
+    lo, hi = docs.agg(F.min("doc_id"), F.max("doc_id")).first()
+    cut = lo + int((hi - lo + 1) * INCREMENTAL_SPLIT_FRACTION)
+    seen = docs.filter(F.col("doc_id") < cut)
+    new = docs.filter(F.col("doc_id") >= cut)
+    return incremental_dedup_stats(seen, new)

@@ -1078,3 +1078,49 @@ def q_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n"),
         dsum(F.coalesce("value", F.lit(0.0))).alias("total_value"),
     )
+
+
+@query(
+    "q_tfidf",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(lower(text), ' ')) AS word FROM documents
+    ), tf AS (
+      SELECT doc_id, word, count(*) AS tf FROM toks WHERE word <> '' GROUP BY 1, 2
+    ), df AS (
+      SELECT word, count(*) AS df FROM (SELECT DISTINCT doc_id, word FROM tf) GROUP BY word
+    ), n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.word, tf.tf, df.df,
+             tf.tf * (n.n_docs::DOUBLE / df.df) AS score
+      FROM tf JOIN df USING (word), n
+    )
+    SELECT doc_id, word, tf, df, score
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY score DESC, word) AS rn
+      FROM scored
+    ) WHERE rn <= 3 AND doc_id < 50
+    """,
+    description="TF-IDF: term frequency x inverse document frequency, top-3 "
+    "distinctive terms per doc — the classic IR workload the reference's "
+    "inverted-index example builds toward. IDF uses the exact rational "
+    "N/df (log-free: same ranking, no cross-libm transcendental drift); "
+    "plan is two aggregations + one broadcast-able join on word",
+)
+def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    words = tokenized_documents(spark, sf_dir)
+    tf = words.groupBy("doc_id", "word").agg(F.count("*").alias("tf"))
+    df = tf.select("doc_id", "word").distinct().groupBy("word").agg(
+        F.count("*").alias("df")
+    )
+    n_docs = load_table(spark, sf_dir, "documents").select("doc_id").distinct().count()
+    score = F.col("tf") * (F.lit(float(n_docs)) / F.col("df"))
+    w = W.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("word"))
+    return (
+        tf.join(df, "word")
+        .withColumn("score", score)
+        .withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") <= 3) & (F.col("doc_id") < 50))
+        .select("doc_id", "word", "tf", "df", "score")
+    )
