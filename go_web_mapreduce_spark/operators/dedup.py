@@ -605,3 +605,69 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     seen = docs.filter(F.col("doc_id") < cut)
     new = docs.filter(F.col("doc_id") >= cut)
     return incremental_dedup_stats(seen, new)
+
+
+# ---------------------------------------------------------------------------
+# candidate → exact-verify: the production LSH pipeline's second stage
+# ---------------------------------------------------------------------------
+
+
+def verify_candidates_exact(
+    cands: DataFrame, shingled: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact jaccard for each candidate pair by joining the shingle sets
+    back onto the (small) candidate list — the verify stage that turns LSH
+    candidates into confirmed near-dups.
+
+    Scale shape: candidates are orders of magnitude fewer than the corpus,
+    so the two joins ship shingle arrays only for candidate members; the
+    set math (array_intersect / array_union) runs per pair, no shuffle
+    beyond the joins. This is why LSH banding + exact verify beats exact
+    all-pairs: the O(n²) part never materializes.
+    """
+    sa = shingled.select(
+        F.col(id_col).alias("doc_a"), F.col("shingles").alias("_sa")
+    )
+    sb = shingled.select(
+        F.col(id_col).alias("doc_b"), F.col("shingles").alias("_sb")
+    )
+    inter = F.size(F.array_intersect("_sa", "_sb"))
+    union = F.size(F.array_union("_sa", "_sb"))
+    return (
+        cands.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_matching",
+            (inter.cast("double") / union).alias("exact_jaccard"),
+        )
+    )
+
+
+@query(
+    "q_dedup_verify",
+    oracle=f"""
+    WITH {_MINHASH_CAND_CTE},
+    est AS (
+      SELECT doc_a, doc_b, CAST({_N_MATCH_SQL} AS BIGINT) AS n_matching
+      FROM cand WHERE {_N_MATCH_SQL} >= {MIN_MATCHING}
+    )
+    SELECT est.doc_a, est.doc_b, est.n_matching,
+           len(list_intersect(a.shingles, b.shingles))::DOUBLE
+             / len(list_distinct(a.shingles || b.shingles)) AS exact_jaccard
+    FROM est
+    JOIN sh a ON a.doc_id = est.doc_a
+    JOIN sh b ON b.doc_id = est.doc_b
+    """,
+    description="LSH candidate→exact-verify: every MinHash candidate pair "
+    "re-scored with its TRUE jaccard via shingle-set intersection — the "
+    "production second stage that bounds false positives; estimate and "
+    "exact score emitted side by side (extension mandate: dedup)",
+)
+def q_dedup_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    shingled = _shingled_docs(spark, sf_dir)
+    cands = minhash_candidates(shingled).filter(
+        F.col("n_matching") >= MIN_MATCHING
+    )
+    return verify_candidates_exact(cands, shingled)
