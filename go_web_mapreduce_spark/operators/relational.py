@@ -17,6 +17,7 @@ rounded in both engines; never depend on row order.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
@@ -1123,4 +1124,43 @@ def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rn", F.row_number().over(w))
         .filter((F.col("rn") <= 3) & (F.col("doc_id") < 50))
         .select("doc_id", "word", "tf", "df", "score")
+    )
+
+
+@query(
+    "q_udaf_second_max",
+    oracle="""
+    WITH ranked AS (
+      SELECT l_returnflag, l_extendedprice,
+             dense_rank() OVER (PARTITION BY l_returnflag
+                                ORDER BY l_extendedprice DESC) AS dr
+      FROM lineitem
+    )
+    SELECT l_returnflag,
+           max(CASE WHEN dr = 2 THEN l_extendedprice END) AS second_max,
+           count(DISTINCT l_extendedprice) AS n_distinct
+    FROM ranked GROUP BY l_returnflag
+    """,
+    description="custom UDAF via grouped-agg pandas_udf: second-largest "
+    "distinct value per group (an aggregate Spark lacks natively) — the "
+    "engine's user-defined-aggregate slot, Arrow-batched per group "
+    "(SURVEY §2.2 UDF/UDAF). Exact float equality semantics, no "
+    "transcendental drift, so even the UDAF is hash-verified",
+)
+def q_udaf_second_max(spark: SparkSession, sf_dir: str) -> DataFrame:
+    @F.pandas_udf("double")
+    def second_max(v: pd.Series) -> float:
+        u = v.drop_duplicates().nlargest(2)
+        return float(u.iloc[1]) if len(u) > 1 else None
+
+    # a grouped-agg pandas UDF cannot share an agg with JVM aggregates
+    # (INVALID_PANDAS_UDF_PLACEMENT), so the companion count is pandas too
+    @F.pandas_udf("long")
+    def n_distinct(v: pd.Series) -> int:
+        return int(v.nunique())
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        second_max("l_extendedprice").alias("second_max"),
+        n_distinct("l_extendedprice").alias("n_distinct"),
     )
