@@ -32,9 +32,16 @@ def main() -> None:
 
     per_query: dict[str, float] = {}
     total = 0.0
+    failed: list[str] = []
     for name, spec in sorted(REGISTRY.items()):
         t0 = time.time()
-        n = spec.fn(spark, sf_dir).count()
+        try:
+            n = spec.fn(spark, sf_dir).count()
+        except Exception as ex:  # noqa: BLE001 — one bad query must not
+            # zero out the whole round's bench record
+            failed.append(name)
+            print(f"# {name}: FAILED {type(ex).__name__}: {ex}", file=sys.stderr)
+            continue
         dt = round(time.time() - t0, 3)
         per_query[name] = dt
         total += dt
@@ -51,6 +58,8 @@ def main() -> None:
         "queries": per_query,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
+    if failed:
+        result["failed"] = failed
 
     # optional throughput pass: all queries submitted concurrently into the
     # session's FAIR scheduler pools — the engine's multi-algorithm surface
