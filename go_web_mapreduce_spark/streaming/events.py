@@ -187,7 +187,12 @@ def deduped_counts_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     name = f"dedup_stream_{next(_counter)}"
     src = stream_events(spark, sf_dir).withWatermark("ts", "2 hours")
-    dup = src.union(src)  # simulate at-least-once duplicate delivery
+    # simulate at-least-once duplicate delivery. union(src, src) measured
+    # FASTER than the one-scan explode(array(1,2)) formulation (4.4s vs
+    # 12.4s cold at sf0.1): the explode lands inside the streaming dedup
+    # stage and forces it out of the optimized path, while the double scan
+    # is cheap columnar IO
+    dup = src.union(src)
     agg = (
         dup.dropDuplicatesWithinWatermark(["event_id"])
         .groupBy("event_type")
