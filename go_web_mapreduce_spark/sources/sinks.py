@@ -66,3 +66,24 @@ def read_csv(spark, path: str, schema: str):
     guesses types — never in a pipeline). Returns a DataFrame identical in
     shape to the parquet catalog's tables so CSV drops into any operator."""
     return spark.read.schema(schema).option("header", "true").csv(path)
+
+
+def write_orc(
+    df: DataFrame,
+    path: str,
+    partition_by: list[str] | None = None,
+    mode: str = "error",
+) -> None:
+    """ORC sink — the other columnar format Spark ships natively. Same
+    pruning/pushdown story as parquet (ORC predicate pushdown + column
+    projection reach the scan); use when the downstream stack is
+    Hive/Trino-flavored."""
+    w = df.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.orc(path)
+
+
+def read_orc(spark, path: str):
+    """ORC source; schema comes from the file footers like parquet."""
+    return spark.read.orc(path)

@@ -129,3 +129,29 @@ def test_csv_roundtrip(spark, tmp_path):
     write_csv(df, path)
     back = read_csv(spark, path, "id bigint, name string, score double")
     assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
+
+
+def test_orc_roundtrip_with_pushdown(spark, tmp_path, sf_dir):
+    from pyspark.sql import functions as F
+
+    from go_web_mapreduce_spark.sources.sinks import read_orc, write_orc
+    from go_web_mapreduce_spark.sources.tables import load_table
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    path = str(tmp_path / "orders_orc")
+    write_orc(orders, path)
+    back = read_orc(spark, path)
+    assert back.count() == orders.count()
+    # predicate pushdown reaches the ORC scan
+    plan = (
+        back.filter(F.col("o_totalprice") > 1000.0)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PushedFilters: [" in plan and "o_totalprice" in plan
+    got = back.filter(F.col("o_totalprice") > 1000.0).count()
+    want = orders.filter(F.col("o_totalprice") > 1000.0).count()
+    assert got == want
