@@ -292,3 +292,69 @@ def session_window_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     return session_window_stream(spark, sf_dir)
+
+
+def hourly_rollup_append_stream(
+    spark: SparkSession, sf_dir: str, watermark: str = "2 hours"
+) -> DataFrame:
+    """The hourly rollup in APPEND output mode: a window row is emitted
+    exactly once, when the watermark passes its end, and its state is then
+    evicted. This is the production mode for unbounded streams — state is
+    bounded by the watermark horizon, unlike complete mode which retains
+    every window forever. On the finite source the emitted set is exactly
+    the windows whose end <= max(event time) - watermark delay; the tail
+    windows inside the horizon remain open (in state, unemitted) — the
+    oracle mirrors that boundary to the microsecond.
+    """
+    name = f"hourly_append_stream_{next(_counter)}"
+    agg = (
+        stream_events(spark, sf_dir)
+        .withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias(
+                "total_value"
+            ),
+        )
+    )
+    with scoped_shuffle_partitions(spark, STREAM_STATE_PARTITIONS):
+        q = (
+            agg.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    return spark.table(name).select(
+        F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+        "event_type",
+        "n",
+        "total_value",
+    )
+
+
+@query(
+    "q_stream_hourly_append",
+    # finalized windows only: end <= watermark = max event time - 2h
+    # (Spark tracks the watermark in milliseconds, hence the //1000)
+    oracle="""
+    WITH wm AS (
+      SELECT ((epoch_us(max(ts)) // 1000) - 7200000) * 1000 AS wm_us FROM events
+    )
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+           event_type, count(*) AS n,
+           CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+    FROM events, wm
+    WHERE epoch_us(date_trunc('hour', ts)) + 3600000000 <= wm_us
+    GROUP BY 1, 2
+    """,
+    description="append-mode streaming rollup: windows emitted exactly once "
+    "at watermark passage, state evicted — the bounded-state production "
+    "mode; emitted set oracle-matched to the watermark boundary",
+)
+def q_stream_hourly_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return hourly_rollup_append_stream(spark, sf_dir)
