@@ -21,6 +21,14 @@ from go_web_mapreduce_spark.queries import REGISTRY  # noqa: E402
 from go_web_mapreduce_spark.session import get_spark  # noqa: E402
 
 
+def _calibration_spin(n: int = 10_000_000) -> float:
+    t0 = time.time()
+    x = 0
+    for i in range(n):
+        x += i
+    return round(time.time() - t0, 3)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -57,6 +65,10 @@ def main() -> None:
         "unit": "sec",
         "queries": per_query,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        # fixed pure-Python spin: calibrates this host's single-core speed at
+        # measurement time (observed to swing ~1.5x with neighbor load —
+        # BASELINE.md). Compare rounds via value/calibration, not raw seconds.
+        "calibration_spin_sec": _calibration_spin(),
     }
     if failed:
         result["failed"] = failed

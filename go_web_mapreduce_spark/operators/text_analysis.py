@@ -392,3 +392,56 @@ def q_data_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
             "tokens_kept"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# entity resolution / record linkage: blocked fuzzy match
+# ---------------------------------------------------------------------------
+
+LINKAGE_MAX_EDIT = 5
+
+
+@query(
+    "q_record_linkage",
+    oracle=f"""
+    WITH pairs AS (
+      SELECT a.p_brand, levenshtein(a.p_name, b.p_name) AS d
+      FROM part a JOIN part b
+        ON a.p_brand = b.p_brand AND a.p_type = b.p_type
+       AND a.p_partkey < b.p_partkey
+    )
+    SELECT p_brand, count(*) AS n_pairs,
+           CAST(sum(CASE WHEN d <= {LINKAGE_MAX_EDIT} THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_linked,
+           min(d) AS min_dist
+    FROM pairs GROUP BY p_brand
+    """,
+    description="entity resolution: blocked fuzzy match — candidate pairs "
+    "only within (brand, type) blocks, Levenshtein distance as the linkage "
+    "score (exact DP, engine-identical). Blocking is what keeps record "
+    "linkage sub-quadratic at scale: pairs form inside blocks, never "
+    "across the corpus (extension mandate: training-data pipelines — "
+    "near-duplicate/entity dedup)",
+)
+def q_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_name", "p_brand", "p_type"
+    )
+    a = part.alias("a")
+    b = part.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.p_brand") == F.col("b.p_brand"))
+        & (F.col("a.p_type") == F.col("b.p_type"))
+        & (F.col("a.p_partkey") < F.col("b.p_partkey")),
+    ).select(
+        F.col("a.p_brand").alias("p_brand"),
+        F.levenshtein("a.p_name", "b.p_name").alias("d"),
+    )
+    return pairs.groupBy("p_brand").agg(
+        F.count("*").alias("n_pairs"),
+        F.sum(F.when(F.col("d") <= LINKAGE_MAX_EDIT, 1).otherwise(0)).alias(
+            "n_linked"
+        ),
+        F.min("d").alias("min_dist"),
+    )
