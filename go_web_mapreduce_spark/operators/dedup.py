@@ -5,8 +5,11 @@ The engine's extension mandate: exact (hash-groupBy), MinHash+LSH
 exact n-gram Jaccard (inverted-index join), embedding-cosine near-dup.
 
 Scale design (the part that matters at 100 TB):
-- signatures/fingerprints are map-side Column expressions over the documents
-  scan — no Python, no shuffle until the candidate join;
+- signatures/fingerprints are map-side passes over the documents scan —
+  tokenization as JVM Column expressions, then fused Arrow kernels for
+  shingle sets / MinHash / SimHash (measured 10-60× over interpreted
+  Catalyst HOFs, value-identical — functions/text.py, functions/hashing.py);
+  no shuffle until the candidate join;
 - candidate generation shuffles only (doc_id, band_key) pairs — bytes
   proportional to corpus size × bands, never corpus²;
 - verification joins are equi-joins on band keys / shingles, so Catalyst

@@ -1,9 +1,11 @@
 """Similarity search over embedding columns (``array<float>``).
 
-Extension mandate: brute-force cosine top-k as the exactness baseline, and an
-LSH-bucketed (random-hyperplane) variant as the 100 TB path. All vector math
-is JVM-side Column expressions (functions/vectors.py) — a Pandas-UDF variant
-pays Arrow transfer for a fold Catalyst codegens natively.
+Extension mandate: brute-force cosine top-k as the exactness baseline, and
+LSH-bucketed / IVF variants as the 100 TB paths. Single-probe scoring is
+JVM-side Column expressions (functions/vectors.py); the genuinely hot dense
+paths (all-pairs near-dup, Gram matrix) run numpy-blocked Arrow kernels with
+a fixed operation order that keeps scores bit-identical to the Column fold
+and the DuckDB oracle.
 
 Scale design:
 - top-k for one probe = broadcast the probe, single scan + TakeOrdered (no

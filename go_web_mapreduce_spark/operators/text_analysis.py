@@ -1,10 +1,12 @@
 """Text-analysis operators for training-data pipelines.
 
 Language ID (stopword heuristic), quality scoring (length / lexical ratios),
-token statistics, and document fingerprinting (md5 + bottom-sketch). All pure
-Column expressions — at 100 TB these are single map-side passes over the
-documents scan with aggregation on small (lang/source) keys, no shuffle of
-document bodies.
+token statistics, document fingerprinting (md5 + bottom-sketch), corpus
+filtering (C4/Gopher-style), hash-stratified data mixing, and blocked
+record linkage. All pure Column expressions — at 100 TB these are single
+map-side passes over the documents scan with aggregation on small
+(lang/source) keys, no shuffle of document bodies (linkage pairs form only
+inside (brand, type) blocks).
 
 Cross-engine determinism: every score is built from integer counts and
 fixed-order IEEE arithmetic (identical bits in Spark and DuckDB), and md5 is
