@@ -241,3 +241,28 @@ def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("doc_id").alias("n_docs"),
         F.max("frame_no").alias("max_frame_no"),
     )
+
+
+@query(
+    "q_multimodal_resize",
+    # the stand-in thumb is the payload digest tiled to width*height bytes,
+    # so the rollup is exactly checkable: distinct thumbs == distinct
+    # payload digests, and every thumb is exactly 32*32 bytes
+    oracle="""
+    SELECT count(*) AS n_thumbs,
+           count(DISTINCT md5(text)) AS n_unique,
+           CAST(count(*) * 1024 AS BIGINT) AS total_thumb_bytes
+    FROM documents
+    """,
+    description="1→1 resize/thumbnail step over binary payloads via "
+    "mapInPandas (decode stubbed; fixed-size output plumbing real) — "
+    "extension mandate: multimodal resize",
+)
+def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = as_media_table(load_table(spark, sf_dir, "documents"))
+    thumbs = resize_media(media, width=32, height=32)
+    return thumbs.agg(
+        F.count("*").alias("n_thumbs"),
+        F.countDistinct("thumb").alias("n_unique"),
+        F.sum(F.octet_length("thumb")).alias("total_thumb_bytes"),
+    )
