@@ -204,3 +204,77 @@ def test_asof_join_matches_pandas_merge_asof(spark, left, right):
         for r in merged.itertuples()
     }
     assert got == want
+
+
+# --- sessionize vs pure-Python reference -----------------------------------
+
+
+@given(
+    events=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 100)),
+        min_size=1,
+        max_size=20,
+        unique=True,
+    )
+)
+@SPARK_SETTINGS
+def test_sessionize_matches_reference(spark, events):
+    from go_web_mapreduce_spark.operators.temporal import sessionize
+
+    GAP = 10  # microseconds, for the test
+    rows = [(i, u, t * 1) for i, (u, t) in enumerate(events)]
+    df = spark.createDataFrame(
+        [(eid, u, ts * 1000) for eid, u, ts in rows],
+        "event_id bigint, user_id bigint, ts_ns bigint",
+    )
+    got = {
+        r["event_id"]: r["session_id"]
+        for r in sessionize(df, gap_us=GAP).collect()
+    }
+
+    # reference: per user, sorted by (ts, event_id); new session when gap > GAP
+    want = {}
+    by_user: dict[int, list[tuple[int, int]]] = {}
+    for eid, u, ts in rows:
+        by_user.setdefault(u, []).append((ts, eid))
+    for u, evs in by_user.items():
+        evs.sort()
+        sid, prev = 0, None
+        for ts, eid in evs:
+            if prev is None or ts - prev > GAP:
+                sid += 1
+            want[eid] = sid
+            prev = ts
+    assert got == want
+
+
+# --- upsert vs dict-based reference ----------------------------------------
+
+
+@given(
+    base=st.lists(st.tuples(st.integers(0, 5), st.integers(0, 100)),
+                  min_size=1, max_size=12),
+    changes=st.lists(st.tuples(st.integers(0, 5), st.integers(0, 100)),
+                     min_size=0, max_size=6),
+)
+@SPARK_SETTINGS
+def test_apply_upserts_latest_wins(spark, base, changes):
+    from go_web_mapreduce_spark.operators.relational import apply_upserts
+
+    # dedupe keys within each set (latest-wins is defined per version tier;
+    # ties within a tier are arbitrary otherwise)
+    base = list({k: v for k, v in base}.items())
+    changes = list({k: v for k, v in changes}.items())
+    bdf = spark.createDataFrame(
+        [(k, v, 0) for k, v in base], "k bigint, val bigint, version int"
+    )
+    cdf = spark.createDataFrame(
+        [(k, v, 1) for k, v in changes], "k bigint, val bigint, version int"
+    ) if changes else spark.createDataFrame([], "k bigint, val bigint, version int")
+    got = {
+        (r["k"]): (r["val"], r["version"])
+        for r in apply_upserts(bdf, cdf, key="k", version_col="version").collect()
+    }
+    want = {k: (v, 0) for k, v in base}
+    want.update({k: (v, 1) for k, v in changes if k in want or True})
+    assert got == want
