@@ -150,3 +150,63 @@ def test_stateful_state_survives_micro_batches(spark, sf_dir, tmp_path):
         for r in events.groupBy("event_type").agg(F.count("*").alias("n")).collect()
     }
     assert final == want and len(final) > 0
+
+
+def test_multi_microbatch_state_accumulation(spark, sf_dir, tmp_path):
+    """Incremental processing: the source split into 4 files consumed one
+    per micro-batch (maxFilesPerTrigger=1) must accumulate windowed state
+    across batches to the same final answer as one-shot batch execution.
+    The single-file tests above run one micro-batch; this is the test that
+    state survives and merges across triggers."""
+    from pyspark.sql import functions as F
+
+    from go_web_mapreduce_spark.session import scoped_shuffle_partitions
+    from go_web_mapreduce_spark.sources.tables import load_table
+
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "event_type", "value"
+    )
+    src_dir = str(tmp_path / "chunks")
+    events.repartition(4).write.parquet(src_dir)
+
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    agg = (
+        stream.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("tv"),
+        )
+    )
+    with scoped_shuffle_partitions(spark, 4):
+        q = (
+            agg.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName("chunked")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            n_batches = len(q.recentProgress)
+        finally:
+            q.stop()
+
+    got = {
+        (r["w"]["start"], r["event_type"]): (r["n"], round(r["tv"], 4))
+        for r in spark.table("chunked").collect()
+    }
+    want = {
+        (r["w"]["start"], r["event_type"]): (r["n"], round(r["tv"], 4))
+        for r in events.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("tv"),
+        )
+        .collect()
+    }
+    assert got == want
+    assert n_batches >= 4  # genuinely incremental, not one mega-batch
