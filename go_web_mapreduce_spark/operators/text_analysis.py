@@ -447,3 +447,59 @@ def q_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.min("d").alias("min_dist"),
     )
+
+
+# ---------------------------------------------------------------------------
+# n-gram language-model statistics (count-based bigram conditionals)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_bigram_lm",
+    oracle="""
+    WITH toks AS (
+      SELECT list_filter(string_split(lower(text), ' '), t -> t <> '') AS tk
+      FROM documents
+    ), big AS (
+      SELECT unnest(list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1])) AS bg
+      FROM toks WHERE len(tk) >= 2
+    ), cnt AS (
+      SELECT bg, count(*) AS c FROM big GROUP BY bg
+    ), pre AS (
+      SELECT split_part(bg, ' ', 1) AS w1, sum(c) AS cw1 FROM cnt GROUP BY 1
+    )
+    SELECT cnt.bg, cnt.c, CAST(pre.cw1 AS BIGINT) AS cw1,
+           cnt.c::DOUBLE / pre.cw1 AS p_cond
+    FROM cnt JOIN pre ON split_part(cnt.bg, ' ', 1) = pre.w1
+    ORDER BY cnt.c DESC, cnt.bg LIMIT 20
+    """,
+    description="count-based bigram LM statistics: top-20 bigrams with "
+    "conditional probability P(w2|w1) = c(w1 w2)/c(w1 ·) — the n-gram "
+    "model-building pass of a text pipeline; two aggregations + one join "
+    "on the prefix, all rational arithmetic (no transcendental drift)",
+)
+def q_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    bg = (
+        docs.select(tokens("text").alias("tk"))
+        .filter(F.size("tk") >= 2)
+        .select(F.explode(word_shingles(F.col("tk"), 2)).alias("bg"))
+    )
+    cnt = bg.groupBy("bg").agg(F.count("*").alias("c"))
+    pre = (
+        cnt.select(F.substring_index("bg", " ", 1).alias("w1"), "c")
+        .groupBy("w1")
+        .agg(F.sum("c").alias("cw1"))
+    )
+    return (
+        cnt.withColumn("w1", F.substring_index("bg", " ", 1))
+        .join(pre, "w1")
+        .select(
+            "bg",
+            "c",
+            "cw1",
+            (F.col("c").cast("double") / F.col("cw1")).alias("p_cond"),
+        )
+        .orderBy(F.col("c").desc(), "bg")
+        .limit(20)
+    )
