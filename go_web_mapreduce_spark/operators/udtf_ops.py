@@ -19,7 +19,6 @@ adds no shuffle: generation happens inside the scan stage.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
 from pyspark.sql.functions import udtf
 
 from go_web_mapreduce_spark.functions.text import tokens
