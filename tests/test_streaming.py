@@ -210,3 +210,70 @@ def test_multi_microbatch_state_accumulation(spark, sf_dir, tmp_path):
     }
     assert got == want
     assert n_batches >= 4  # genuinely incremental, not one mega-batch
+
+
+def test_checkpoint_recovery_resumes_not_restarts(spark, sf_dir, tmp_path):
+    """The reference re-queues failed jobs and guards duplicate completions
+    (reference: worker/base.go:77-90, master/master.go:181-189); Spark's
+    equivalent is checkpoint-based recovery. Stop a chunked stream mid-way,
+    restart from the same checkpoint: the final answer must equal batch
+    execution (no loss, no double counting) and the restarted query must
+    RESUME (its first batch id continues where the first run stopped)."""
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from go_web_mapreduce_spark.session import scoped_shuffle_partitions
+    from go_web_mapreduce_spark.sources.tables import load_table
+
+    events = load_table(spark, sf_dir, "events").select("event_type", "value")
+    src_dir = str(tmp_path / "chunks")
+    ckpt = str(tmp_path / "ckpt")
+    events.repartition(6).write.parquet(src_dir)
+
+    def build():
+        stream = (
+            spark.readStream.schema(events.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src_dir)
+        )
+        return stream.groupBy("event_type").agg(F.count("*").alias("n"))
+
+    with scoped_shuffle_partitions(spark, 4):
+        q1 = (
+            build().writeStream.outputMode("complete")
+            .format("memory").queryName("recov1")
+            .option("checkpointLocation", ckpt).start()
+        )
+        try:
+            deadline = _time.time() + 60
+            while _time.time() < deadline:
+                done = [p for p in q1.recentProgress]
+                if len(done) >= 2:
+                    break
+                _time.sleep(0.2)
+        finally:
+            q1.stop()  # mid-stream interruption
+        first_run_batches = {p["batchId"] for p in q1.recentProgress}
+        assert len(first_run_batches) >= 1
+
+        q2 = (
+            build().writeStream.outputMode("complete")
+            .format("memory").queryName("recov2")
+            .option("checkpointLocation", ckpt).start()
+        )
+        try:
+            q2.processAllAvailable()
+        finally:
+            q2.stop()
+        resumed_batches = {p["batchId"] for p in q2.recentProgress}
+
+    got = {r["event_type"]: r["n"] for r in spark.table("recov2").collect()}
+    want = {
+        r["event_type"]: r["n"]
+        for r in events.groupBy("event_type").agg(F.count("*").alias("n")).collect()
+    }
+    assert got == want  # exactly-once effect across the restart
+    if resumed_batches:
+        # the restart continued from the checkpoint, not from batch 0
+        assert min(resumed_batches) > 0
