@@ -24,6 +24,11 @@ from go_web_mapreduce_spark.sources.tables import TABLES  # noqa: E402
 
 
 def norm_cell(v):
+    # unwrap numpy scalars but PRESERVE the int-vs-float distinction — an
+    # int64 value arriving as float64 must render differently ('1.000000'
+    # vs '1'), exactly the mismatch the driver's hash would flag
+    if type(v).__module__ == "numpy" and hasattr(v, "item"):
+        v = v.item()
     if v is None:
         return "NULL"
     if isinstance(v, float):
@@ -56,7 +61,11 @@ def main() -> int:
         try:
             sdf = spec.fn(spark, sf_dir)
             scols = sdf.columns
-            srows = [tuple(r) for r in sdf.collect()]
+            # pandas path, like the driver: dtype mismatches (e.g. an int64
+            # column arriving as float64) must be visible locally — fetchall
+            # converts to python objects and hides that whole failure class
+            spdf = sdf.toPandas()
+            srows = [tuple(r) for r in spdf.itertuples(index=False)]
         except Exception as e:  # noqa: BLE001
             print(f"FAIL  {name}: spark error: {e}")
             n_fail += 1
@@ -66,9 +75,9 @@ def main() -> int:
             n_rows_only += 1
             continue
         try:
-            res = con.execute(spec.oracle)
-            dcols = [d[0] for d in res.description]
-            drows = res.fetchall()
+            ddf = con.execute(spec.oracle).df()
+            dcols = list(ddf.columns)
+            drows = [tuple(r) for r in ddf.itertuples(index=False)]
         except Exception as e:  # noqa: BLE001
             print(f"FAIL  {name}: duckdb error: {e}")
             n_fail += 1
