@@ -115,3 +115,27 @@ def test_salted_join_explodes_small_side_only(spark, sf_dir):
 def test_topk_no_global_sort(spark, sf_dir):
     plan = executed_plan(spark, sf_dir, "q_topk")
     assert "TakeOrderedAndProject" in plan
+
+
+def test_plan_utils_agree_with_direct_assertions(spark, sf_dir):
+    """The plans package helpers must report the same facts the direct
+    string assertions above check — they are the reusable API form."""
+    from go_web_mapreduce_spark import plans as P
+
+    fp = P.executed_plan(REGISTRY["q_filter_project"].fn(spark, sf_dir))
+    assert P.pushed_filters(fp) and any(
+        "l_discount" in f for f in P.pushed_filters(fp)
+    )
+    assert all("l_comment" not in s for s in P.read_schemas(fp))
+
+    mj = P.executed_plan(REGISTRY["q_multi_join"].fn(spark, sf_dir))
+    assert P.has_broadcast_join(mj)
+
+    ga = P.executed_plan(REGISTRY["q_group_agg"].fn(spark, sf_dir))
+    assert P.has_partial_aggregation(ga)
+
+    tk = P.executed_plan(REGISTRY["q_topk"].fn(spark, sf_dir))
+    assert P.is_take_ordered(tk)
+
+    wf = P.executed_plan(REGISTRY["q_window_frames"].fn(spark, sf_dir))
+    assert P.count_exchanges(wf, "hashpartitioning(user_id") <= 1
