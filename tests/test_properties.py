@@ -278,3 +278,36 @@ def test_apply_upserts_latest_wins(spark, base, changes):
     want = {k: (v, 0) for k, v in base}
     want.update({k: (v, 1) for k, v in changes if k in want or True})
     assert got == want
+
+
+# --- cross-operator consistency: LSH recall of high-jaccard pairs ----------
+
+
+def test_minhash_recalls_high_jaccard_pairs(spark, sf_dir):
+    """Every pair with exact jaccard >= 0.9 on the fixture corpus must be a
+    MinHash candidate at est >= 0.5 (LSH banding guarantee: with 12 hashes
+    in 4 bands of 3, P(miss | j=0.9) = (1-0.9³)⁴ ≈ 0.5% per pair; on this
+    fixed deterministic corpus the miss set is empty — pinned here as a
+    cross-operator regression between the exact and approximate pipelines)."""
+    from pyspark.sql import functions as F
+
+    from go_web_mapreduce_spark.operators.dedup import (
+        MIN_MATCHING,
+        _shingled_docs,
+        jaccard_pairs,
+        minhash_candidates,
+    )
+
+    sh = _shingled_docs(spark, sf_dir)
+    exact = {
+        (r["doc_a"], r["doc_b"])
+        for r in jaccard_pairs(sh, threshold=0.9, max_df=10**9).collect()
+    }
+    cands = {
+        (r["doc_a"], r["doc_b"])
+        for r in minhash_candidates(sh)
+        .filter(F.col("n_matching") >= MIN_MATCHING)
+        .collect()
+    }
+    assert exact, "fixture should contain high-jaccard near-dups"
+    assert exact <= cands
