@@ -2,9 +2,13 @@
 sf0.1) on local[$SPARK_GRAFT_CPUS]; print ONE JSON line with per-query
 wall-clock seconds.
 
-Each query is materialized via a count-style action (``df.count()`` after a
-cache-free plan) so timing covers scan → shuffle → aggregation but not
-driver-side row materialization overhead beyond Spark's own collect of counts.
+Each query is materialized via ``write.format("noop")`` — the v2 no-op sink
+evaluates EVERY output column and row without driver materialization.
+``count()`` would be dishonest here: Catalyst prunes unreferenced work under
+a count, eliminating entire Window operators and projections (measured:
+q_window_running's count-plan contains no Window node at all), so
+projection/window queries would time near zero while doing nothing. The
+(untimed) row count for the log line runs as a separate pruned pass.
 """
 
 from __future__ import annotations
@@ -44,7 +48,8 @@ def main() -> None:
     for name, spec in sorted(REGISTRY.items()):
         t0 = time.time()
         try:
-            n = spec.fn(spark, sf_dir).count()
+            df = spec.fn(spark, sf_dir)
+            df.write.mode("overwrite").format("noop").save()
         except Exception as ex:  # noqa: BLE001 — one bad query must not
             # zero out the whole round's bench record
             failed.append(name)
@@ -53,6 +58,7 @@ def main() -> None:
         dt = round(time.time() - t0, 3)
         per_query[name] = dt
         total += dt
+        n = df.count()  # untimed, pruned pass — for the log line only
         print(f"# {name}: {dt:.3f}s ({n} rows)", file=sys.stderr)
         # drop py4j refs promptly so the ContextCleaner can release the
         # finished query's broadcasts/checkpoint blocks instead of letting
@@ -83,7 +89,7 @@ def main() -> None:
         def run(item):
             name, spec = item
             spark.sparkContext.setLocalProperty("spark.scheduler.pool", name)
-            return spec.fn(spark, sf_dir).count()
+            spec.fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
 
         t0 = time.time()
         with ThreadPoolExecutor(max_workers=8) as ex:
