@@ -196,10 +196,17 @@ def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(extension mandate: text analysis)",
 )
 def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from go_web_mapreduce_spark.functions.text import distinct_shingles_arrow
+
     docs = load_table(spark, sf_dir, "documents")
     norm = F.trim(F.regexp_replace(F.lower("text"), " +", " "))
+    # min over md5 of the DISTINCT 5-gram set == min over all 5-grams, and
+    # the Arrow shingle kernel replaces the interpreted per-position
+    # slice/join HOF (the dedup family's measured pitfall)
     toks = tokens("text")
-    sketch = F.array_min(F.transform(word_shingles(toks, 5), lambda s: F.md5(s)))
+    sketch = F.array_min(
+        F.transform(distinct_shingles_arrow(toks, 5), lambda s: F.md5(s))
+    )
     return (
         docs.select("source", F.md5(norm).alias("fp"), sketch.alias("sketch"))
         .groupBy("source")
