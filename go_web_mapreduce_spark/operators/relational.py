@@ -626,10 +626,12 @@ def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_array_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    toks = tokens("text")
-    return docs.groupBy("lang").agg(
-        (F.sum(token_count("text")).cast("double") / F.count("*")).alias("avg_tokens"),
-        F.max(F.size(F.array_distinct(toks))).alias("max_distinct_tokens"),
+    # tokenize ONCE per row in its own projection; inlining tokens() into
+    # both aggregate expressions re-runs the (interpreted-HOF) tokenizer
+    tk = docs.select("lang", tokens("text").alias("tk"))
+    return tk.groupBy("lang").agg(
+        (F.sum(F.size("tk")).cast("double") / F.count("*")).alias("avg_tokens"),
+        F.max(F.size(F.array_distinct("tk"))).alias("max_distinct_tokens"),
     )
 
 

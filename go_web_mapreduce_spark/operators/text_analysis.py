@@ -160,12 +160,15 @@ def _quality_sql() -> str:
 )
 def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    q = quality_score(F.col("text"))
-    return docs.groupBy("lang").agg(
+    # materialize the score once per row: min/max/sum as separate aggregate
+    # expressions would each re-evaluate the whole (tokenize-heavy) score
+    # tree — multi-referenced expensive expressions get their own projection
+    scored = docs.select("lang", quality_score(F.col("text")).alias("q"))
+    return scored.groupBy("lang").agg(
         F.count("*").alias("n_docs"),
-        F.min(q).alias("min_quality"),
-        F.max(q).alias("max_quality"),
-        (F.sum(q.cast("decimal(18,8)")).cast("double") / F.count("*")).alias(
+        F.min("q").alias("min_quality"),
+        F.max("q").alias("max_quality"),
+        (F.sum(F.col("q").cast("decimal(18,8)")).cast("double") / F.count("*")).alias(
             "avg_quality"
         ),
     )
