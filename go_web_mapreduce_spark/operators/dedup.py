@@ -669,7 +669,9 @@ def verify_candidates_exact(
     "exact score emitted side by side (extension mandate: dedup)",
 )
 def q_dedup_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
-    shingled = _shingled_docs(spark, sf_dir)
+    # shingled feeds the candidate pipeline AND both sides of the verify
+    # join — checkpoint once instead of three Arrow-kernel evaluations
+    shingled = _shingled_docs(spark, sf_dir).localCheckpoint(eager=False)
     cands = minhash_candidates(shingled).filter(
         F.col("n_matching") >= MIN_MATCHING
     )

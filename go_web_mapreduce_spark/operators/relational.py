@@ -604,11 +604,15 @@ def q_scalar_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
-    k = F.get_json_object("props", "$.k").cast("bigint")
-    return events.groupBy("event_type").agg(
+    # parse the JSON once per row; two aggregate expressions over the
+    # inline extraction would each run get_json_object
+    parsed = events.select(
+        "event_type", F.get_json_object("props", "$.k").cast("bigint").alias("k")
+    )
+    return parsed.groupBy("event_type").agg(
         F.count("*").alias("n"),
-        F.sum(k).alias("sum_k"),
-        F.countDistinct(k).alias("n_k"),
+        F.sum("k").alias("sum_k"),
+        F.countDistinct("k").alias("n_k"),
     )
 
 
