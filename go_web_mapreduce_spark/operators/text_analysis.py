@@ -88,8 +88,23 @@ def _lang_id_oracle() -> str:
 )
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
+    # staged like the oracle's CTEs: tokenize once, score once per language,
+    # then argmax over the score COLUMNS. Inlining language_id(tokens(...))
+    # references the tokenizer subtree once per score use (~11x per row,
+    # interpreted); the column-staged form runs each stage once
+    scored = docs.select("lang", tokens("text").alias("tk")).select(
+        "lang",
+        *[
+            stopword_hits(F.col("tk"), ws).alias(f"s_{lg}")
+            for lg, ws in STOPWORDS.items()
+        ],
+    )
+    best = F.greatest(*[F.col(f"s_{lg}") for lg in STOPWORDS])
+    pred = F.when(best == 0, F.lit("und"))
+    for lg in LANG_PRIORITY:
+        pred = pred.when(F.col(f"s_{lg}") == best, F.lit(lg))
     return (
-        docs.select("lang", language_id(tokens("text")).alias("predicted"))
+        scored.select("lang", pred.alias("predicted"))
         .groupBy("lang", "predicted")
         .agg(F.count("*").alias("n"))
     )
