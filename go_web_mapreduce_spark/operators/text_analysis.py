@@ -294,6 +294,10 @@ def corpus_keep_flag(toks: Column) -> Column:
     2021) heuristic families: minimum length, mean-word-length band, lexical
     diversity (type-token ratio), and at-least-one-stopword. All ratios are
     integer-count divisions in float64 — bit-identical across engines.
+
+    NOTE: the band check references ``mean_len`` twice, which re-evaluates
+    the per-token length fold per reference when this Column is used
+    directly; q_corpus_filter stages the fold as a named column first.
     """
     n_tok = F.size(toks)
     tok_chars = F.aggregate(
@@ -304,8 +308,7 @@ def corpus_keep_flag(toks: Column) -> Column:
     hits = stopword_hits(toks, ALL_STOPWORDS)
     keep = (
         (n_tok >= FILTER_MIN_TOKENS)
-        & (mean_len >= FILTER_MEAN_LEN_LO)
-        & (mean_len <= FILTER_MEAN_LEN_HI)
+        & mean_len.between(FILTER_MEAN_LEN_LO, FILTER_MEAN_LEN_HI)
         & (ttr >= FILTER_MIN_TTR)
         & (hits >= FILTER_MIN_STOPWORD_HITS)
     )
@@ -341,8 +344,30 @@ def corpus_keep_flag(toks: Column) -> Column:
 )
 def q_corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    flagged = docs.select("lang", tokens("text").alias("tk")).select(
-        "lang", corpus_keep_flag(F.col("tk")).alias("keep")
+    # stage each rule input as a named column so the per-token length fold
+    # and the other HOF passes run exactly once per row
+    staged = docs.select("lang", tokens("text").alias("tk")).select(
+        "lang",
+        F.size("tk").alias("n_tok"),
+        (
+            F.aggregate(F.col("tk"), F.lit(0), lambda a, t: a + F.length(t))
+            .cast("double")
+            / F.size("tk").cast("double")
+        ).alias("mean_len"),
+        (
+            F.size(F.array_distinct("tk")).cast("double")
+            / F.size("tk").cast("double")
+        ).alias("ttr"),
+        stopword_hits(F.col("tk"), ALL_STOPWORDS).alias("hits"),
+    )
+    keep = (
+        (F.col("n_tok") >= FILTER_MIN_TOKENS)
+        & F.col("mean_len").between(FILTER_MEAN_LEN_LO, FILTER_MEAN_LEN_HI)
+        & (F.col("ttr") >= FILTER_MIN_TTR)
+        & (F.col("hits") >= FILTER_MIN_STOPWORD_HITS)
+    )
+    flagged = staged.select(
+        "lang", F.when(keep, F.lit(1)).otherwise(F.lit(0)).alias("keep")
     )
     return flagged.groupBy("lang").agg(
         F.count("*").alias("n_docs"),
