@@ -311,3 +311,27 @@ def test_minhash_recalls_high_jaccard_pairs(spark, sf_dir):
     }
     assert exact, "fixture should contain high-jaccard near-dups"
     assert exact <= cands
+
+
+# --- hash sampling: deterministic under any partitioning -------------------
+
+
+@given(ids=st.lists(st.integers(0, 10**6), min_size=1, max_size=30, unique=True))
+@SPARK_SETTINGS
+def test_mixture_keep_partitioning_invariant(spark, ids):
+    """Hash-based sampling keeps exactly the same rows regardless of how the
+    input is partitioned — the reproducibility contract rand()-based
+    sampling cannot make."""
+    from go_web_mapreduce_spark.operators.text_analysis import mixture_keep
+
+    rows = [(i, ["en", "de", "zh"][i % 3]) for i in ids]
+    a = spark.createDataFrame(rows, "doc_id bigint, lang string")
+    b = spark.createDataFrame(rows, "doc_id bigint, lang string").repartition(7)
+    keep = lambda df: {
+        r["doc_id"]
+        for r in df.select(
+            "doc_id", mixture_keep(F.col("lang"), F.col("doc_id")).alias("k")
+        ).collect()
+        if r["k"] == 1
+    }
+    assert keep(a) == keep(b)
