@@ -74,3 +74,18 @@ def test_bad_map_input_length_rejected(service):
     map_fn, reduce_fn = wordcount_fns()
     with pytest.raises(ValueError, match="map_input_length"):
         service.submit(map_fn, reduce_fn, [("", "w")], 0)
+
+
+def test_bench_helpers_importable():
+    """bench.py is driver-facing; its helpers must import and behave without
+    a full run (the full CLI is exercised by the verify recipe)."""
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "bench_mod", os.path.join(os.path.dirname(__file__), "..", "bench.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    spin = mod._calibration_spin(10_000)
+    assert isinstance(spin, float) and spin >= 0.0
