@@ -358,3 +358,81 @@ def hourly_rollup_append_stream(
 )
 def q_stream_hourly_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hourly_rollup_append_stream(spark, sf_dir)
+
+
+def purchase_click_attribution_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join: the purchases stream joined with the
+    clicks stream on user within a trailing 1-hour window — the streaming
+    attribution pattern.
+
+    Scale notes: BOTH sides are watermarked, and the join condition bounds
+    event-time distance, so each side's buffered state is evictable once
+    the other side's watermark passes the interval bound — state is
+    proportional to one watermark-horizon of traffic, not the stream's
+    history. An unbounded-condition stream-stream join would grow state
+    forever; the time bound is what makes this production-viable.
+    """
+    name = f"attribution_stream_{next(_counter)}"
+    purchases = (
+        stream_events(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("p_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+            F.expr("ts_ns div 1000").alias("p_us"),
+        )
+        .withWatermark("p_ts", "2 hours")
+    )
+    clicks = (
+        stream_events(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("c_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+            F.expr("ts_ns div 1000").alias("c_us"),
+        )
+        .withWatermark("c_ts", "2 hours")
+    )
+    joined = purchases.join(
+        clicks,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("c_ts") <= F.col("p_ts")),
+        "inner",
+    ).select("p_id", "c_id", (F.col("p_us") - F.col("c_us")).alias("gap_us"))
+    with scoped_shuffle_partitions(spark, STREAM_STATE_PARTITIONS):
+        q = (
+            joined.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    return spark.table(name)
+
+
+@query(
+    "q_stream_stream_join",
+    oracle="""
+    WITH p AS (
+      SELECT event_id AS p_id, user_id, epoch_us(ts) AS p_us FROM events
+      WHERE event_type = 'purchase'
+    ), c AS (
+      SELECT event_id AS c_id, user_id, epoch_us(ts) AS c_us FROM events
+      WHERE event_type = 'click'
+    )
+    SELECT p_id, c_id, p_us - c_us AS gap_us
+    FROM p JOIN c USING (user_id)
+    WHERE c_us >= p_us - 3600000000 AND c_us <= p_us
+    """,
+    description="stream-stream interval join (attribution: clicks within the "
+    "hour before each purchase), both sides watermarked so join state is "
+    "evictable — emitted pairs oracle-equal to the batch interval join",
+)
+def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return purchase_click_attribution_stream(spark, sf_dir)
