@@ -146,3 +146,56 @@ def wordcount_algorithm(input_df: DataFrame, input_len: int = 10, num_partitions
         input_len=input_len,
         num_partitions=num_partitions,
     )
+
+
+def submit_algorithm_native(
+    input_df: DataFrame,
+    pi_expr: str,
+    key_expr: str,
+    value_expr: str,
+    reduce_expr: str,
+    num_partitions: int,
+) -> DataFrame:
+    """The reference's algorithm contract with SQL *expression strings* in
+    the map/reduce slots instead of Python callables (SURVEY.md §4.3's
+    Column-DSL dispatcher).
+
+    ``pi_expr``/``key_expr``/``value_expr`` are row expressions over the
+    input's ``key``/``value`` columns (the map slot, reference:
+    main.js:11-20); ``reduce_expr`` is an aggregate expression over the
+    grouped ``values`` array (the reduce slot, main.js:24-30). Everything
+    compiles to a native Catalyst plan — no Python worker, no Arrow
+    transfer — so an algorithm expressible as expressions runs at
+    built-in-operator speed; drop to :func:`submit_algorithm` only for
+    genuinely open-coded logic.
+
+    Example — the reference's demo word count (server/views.go:53-59)::
+
+        submit_algorithm_native(
+            words,
+            pi_expr="length(value) % 2",
+            key_expr="value",
+            value_expr="'1'",
+            reduce_expr="cast(size(values) as string)",
+            num_partitions=2,
+        )
+    """
+    if num_partitions <= 0:
+        raise ValueError("num_partitions must be positive")
+    if not all(e and e.strip() for e in (pi_expr, key_expr, value_expr, reduce_expr)):
+        raise ValueError("empty expression")  # empty code panics in the reference
+    cols = set(input_df.columns)
+    if not {"key", "value"} <= cols:
+        raise ValueError("input must have 'key' and 'value' string columns")
+
+    mapped = input_df.select(
+        (F.expr(pi_expr).cast("bigint") % num_partitions).alias("pi"),
+        F.expr(key_expr).cast("string").alias("key"),
+        F.expr(value_expr).cast("string").alias("value"),
+    )
+    grouped = mapped.groupBy("pi", "key").agg(
+        F.collect_list("value").alias("values")
+    )
+    return grouped.select(
+        "key", F.expr(reduce_expr).cast("string").alias("value")
+    )

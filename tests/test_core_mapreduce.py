@@ -107,3 +107,32 @@ def test_map_must_be_one_to_one(spark, words):
     )
     with pytest.raises(Exception, match="must return"):
         out.collect()
+
+
+def test_native_expression_slots_match_callable_path(spark, words):
+    """SURVEY §4.3(b): expression-string slots must equal the Python-callable
+    path — and plan with zero Python stages."""
+    from go_web_mapreduce_spark.core import submit_algorithm_native
+
+    native = submit_algorithm_native(
+        words,
+        pi_expr="length(value) % 2",
+        key_expr="value",
+        value_expr="'1'",
+        reduce_expr="cast(size(values) as string)",
+        num_partitions=2,
+    )
+    got = sorted(map(tuple, native.collect()))
+    want = sorted(map(tuple, wordcount_algorithm(words, 5, 2).collect()))
+    assert got == want
+    plan = native._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" not in plan and "MapInPandas" not in plan
+
+
+def test_native_expression_slots_validation(spark, words):
+    from go_web_mapreduce_spark.core import submit_algorithm_native
+
+    with pytest.raises(ValueError):
+        submit_algorithm_native(words, "", "value", "'1'", "size(values)", 2)
+    with pytest.raises(ValueError):
+        submit_algorithm_native(words, "0", "value", "'1'", "size(values)", 0)
