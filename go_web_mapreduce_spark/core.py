@@ -49,6 +49,7 @@ def submit_algorithm(
     num_partitions: int,
     total_rows: int | None = None,
     exact_partitioning: bool = False,
+    contiguous_chunks: bool = False,
 ) -> DataFrame:
     """Run a reference-style MapReduce algorithm; returns the results
     DataFrame with schema ``key string, value string``.
@@ -62,6 +63,13 @@ def submit_algorithm(
     physical partition equal to its ``pi`` (RDD ``partitionBy`` shim —
     SURVEY.md §4.3); the default treats ``pi`` as a logical grouping column,
     which is observationally equivalent for results.
+
+    ``contiguous_chunks=True`` slices the input into the reference's exact
+    *contiguous* ragged chunks — map job *i* sees rows
+    ``[i*input_len, min((i+1)*input_len, N))`` in input order (reference:
+    algorithm/algorithm.go:91-103) — instead of the default round-robin
+    ``repartition``. Only chunk-*sensitive* map UDFs (e.g. per-job numbering)
+    need it; the order-insensitive results are identical either way.
     """
     if map_fn is None or reduce_fn is None:
         raise ValueError("map_fn and reduce_fn are required")  # empty code panics
@@ -106,9 +114,12 @@ def submit_algorithm(
             yield pd.DataFrame({"key": keys, "value": vals})
 
     # map phase: ceil(N/input_len) tasks, the reference's chunking (O3)
-    mapped = input_df.select("key", "value").repartition(num_map_jobs).mapInPandas(
-        run_map, MAPPED_SCHEMA
-    )
+    kv = input_df.select("key", "value")
+    if contiguous_chunks:
+        chunked = _contiguous_chunks(kv, input_len, num_map_jobs)
+    else:
+        chunked = kv.repartition(num_map_jobs)
+    mapped = chunked.mapInPandas(run_map, MAPPED_SCHEMA)
 
     # shuffle: {(pi, k, v)...} → {pi, k, [v...]} (reference O6), native Catalyst
     grouped = mapped.groupBy("pi", "key").agg(F.collect_list("value").alias("values"))
@@ -133,6 +144,26 @@ def _partition_by_pi(grouped: DataFrame, num_partitions: int) -> DataFrame:
     rdd = grouped.rdd.map(lambda r: (r["pi"], r)).partitionBy(
         num_partitions, lambda pi: int(pi)
     ).map(lambda kv: kv[1])
+    return spark.createDataFrame(rdd, schema)
+
+
+def _contiguous_chunks(kv: DataFrame, input_len: int, num_map_jobs: int) -> DataFrame:
+    """Place row *r* (in input order) in physical partition ``r // input_len``
+    — the reference's contiguous ragged slicing (algorithm/algorithm.go:91-103:
+    ``low := i * inputLen; high := min(low+inputLen, len(input))``).
+
+    ``zipWithIndex`` numbers rows in partition-then-offset order, which is the
+    DataFrame's row order for a deterministic source; the identity
+    ``partitionBy`` then routes chunk *i* to map task *i*. RDD shim confined to
+    the compat API, same trade as :func:`_partition_by_pi`."""
+    spark = kv.sparkSession
+    schema = kv.schema
+    rdd = (
+        kv.rdd.zipWithIndex()
+        .map(lambda ri: (ri[1] // input_len, ri[0]))
+        .partitionBy(num_map_jobs, lambda cid: int(cid))
+        .map(lambda kv_: kv_[1])
+    )
     return spark.createDataFrame(rdd, schema)
 
 
@@ -189,7 +220,12 @@ def submit_algorithm_native(
         raise ValueError("input must have 'key' and 'value' string columns")
 
     mapped = input_df.select(
-        (F.expr(pi_expr).cast("bigint") % num_partitions).alias("pi"),
+        # pmod, not %: Spark's % keeps the dividend's sign, so a pi_expr like
+        # ``hash(value) % 4`` would address negative buckets here while the
+        # Python-compat path (``int(pi) % num_partitions`` above) wraps to
+        # [0, n). The reference treats pi as a bucket index where a negative
+        # is out of range (protocol/message.go:15).
+        F.pmod(F.expr(pi_expr).cast("bigint"), F.lit(num_partitions)).alias("pi"),
         F.expr(key_expr).cast("string").alias("key"),
         F.expr(value_expr).cast("string").alias("value"),
     )

@@ -120,7 +120,8 @@ def minhash_sig_arrow(shingles: Column, num_hashes: int) -> Column:
         md5 = hashlib.md5
         out = []
         for sh in batch:
-            if len(sh) == 0:
+            if sh is None or len(sh) == 0:
+                # NULL shingle array degrades to NULL like the Column path
                 out.append(None)
                 continue
             hs = np.fromiter(
@@ -268,9 +269,14 @@ def simhash_from_tokens_arrow(toks: Column, bits: int = 48) -> Column:
     def fold(batch: pd.Series) -> pd.Series:
         md5 = hashlib.md5
         shifts = np.arange(bits, dtype=np.int64)
-        out = np.zeros(len(batch), dtype=np.int64)
-        for row, tk in enumerate(batch):
+        out: list[int | None] = []
+        for tk in batch:
+            if tk is None:
+                # NULL token array → NULL fingerprint, like the Column path
+                out.append(None)
+                continue
             if len(tk) == 0:
+                out.append(0)
                 continue
             a = np.fromiter(
                 (int(md5(t.encode("utf-8")).hexdigest()[:12], 16) for t in tk),
@@ -278,8 +284,8 @@ def simhash_from_tokens_arrow(toks: Column, bits: int = 48) -> Column:
                 count=len(tk),
             )
             counts = ((a[:, None] >> shifts) & 1).sum(axis=0)
-            out[row] = int(((counts * 2 >= a.size).astype(np.int64) << shifts).sum())
-        return pd.Series(out)
+            out.append(int(((counts * 2 >= a.size).astype(np.int64) << shifts).sum()))
+        return pd.Series(out, dtype="object")
 
     return fold(toks)
 

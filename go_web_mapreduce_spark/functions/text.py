@@ -61,6 +61,11 @@ def distinct_shingles_arrow(toks: Column, k: int = 3) -> Column:
     def shingle(batch: pd.Series) -> pd.Series:
         out = []
         for tk in batch:
+            if tk is None:
+                # NULL token array (null text) → NULL shingles, like the
+                # Column formulation this kernel is value-identical to
+                out.append(None)
+                continue
             n = len(tk)
             if n > k - 1:
                 seen = dict.fromkeys(

@@ -486,6 +486,7 @@ def connected_components(
             .localCheckpoint(eager=False)
         )
         prev_sum = labels.agg(F.sum("lbl")).first()[0]
+        converged = False
         for _ in range(max_iter):
             msgs = (
                 und.join(labels, und["src"] == labels["id"])
@@ -504,8 +505,17 @@ def connected_components(
             )
             s = labels.agg(F.sum("lbl")).first()[0]
             if s == prev_sum:
+                converged = True
                 break
             prev_sum = s
+    if not converged:
+        # labels are still moving: path-shaped components deeper than
+        # max_iter hops would get wrong roots silently; fail loudly instead
+        raise RuntimeError(
+            f"connected_components did not converge within max_iter={max_iter} "
+            "rounds; the graph has components deeper than max_iter hops — "
+            "raise max_iter or switch to the large-star/small-star variant"
+        )
     return labels.select(F.col("id").alias("doc_id"), F.col("lbl").alias("root"))
 
 

@@ -1057,7 +1057,7 @@ def q_map_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_outer_join",
     oracle="""
     SELECT
-      CASE WHEN c_custkey IS NULL THEN 'order_only'
+      CASE WHEN c_custkey IS NULL THEN 'event_only'
            WHEN user_id  IS NULL THEN 'customer_only'
            ELSE 'both' END AS side,
       count(*) AS n,
@@ -1077,7 +1077,7 @@ def q_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events").select("user_id", "value")
     joined = customer.join(events, customer["c_custkey"] == events["user_id"], "outer")
     side = (
-        F.when(F.col("c_custkey").isNull(), F.lit("order_only"))
+        F.when(F.col("c_custkey").isNull(), F.lit("event_only"))
         .when(F.col("user_id").isNull(), F.lit("customer_only"))
         .otherwise(F.lit("both"))
     )

@@ -140,34 +140,51 @@ def q_similarity_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def embedding_near_dup_pairs(
-    corpus: DataFrame, threshold: float = NEAR_DUP_COS, id_col: str = "vec_id"
+    corpus: DataFrame,
+    threshold: float = NEAR_DUP_COS,
+    id_col: str = "vec_id",
+    num_blocks: int = 16,
 ) -> DataFrame:
     """Exact all-pairs cosine near-dup: every (a, b) with ``id_a < id_b`` and
     ``cos(a, b) >= threshold``.
 
-    Distribution shape: one side is broadcast (exactly what Catalyst's
-    BroadcastNestedLoopJoin would do for the ``a.id < b.id`` theta-join), the
-    other side streams partition-by-partition through ``mapInPandas``; the
-    per-pair score is a vectorized numpy block product instead of an
-    interpreted per-pair fold — same plan topology, ~100× less CPU.
+    Distribution shape — **distributed block nested loop, nothing touches the
+    driver**: vectors are hashed into ``num_blocks`` blocks and packed one
+    block per row (``groupBy(blk).collect_list``); the left side explodes
+    each block *i* against partner keys ``j ∈ [i, B)``, so a plain equi-join
+    on ``j`` materializes every unordered block pair exactly once; each
+    (block_i, block_j) row is scored as one vectorized numpy product inside
+    ``mapInPandas``. No ``collect()``, no broadcast: peak memory anywhere is
+    two blocks, and shuffle volume is corpus_bytes × (B+1)/2 — the inherent
+    replication of exact all-pairs (at 100 TB you raise ``num_blocks`` so a
+    block fits a task, and the replication factor is the price of exactness;
+    the sub-quadratic scale path is ``ann_lsh_buckets`` + per-bucket exact
+    verification).
 
     Bit-parity discipline: products and accumulations run in float64
     *dimension-sequentially* (``acc += a[:, i] * b[:, i]``), the identical
     operation order as the Column-expression fold and the DuckDB
     ``list_reduce`` oracle, so scores are bit-identical across all three.
-
-    All-pairs is inherently O(n²) — it is the exactness baseline; the
-    sub-quadratic scale path is ``ann_lsh_buckets`` + per-bucket exact
-    verification.
     """
     import numpy as np
 
-    spark = corpus.sparkSession
-    side = corpus.select(id_col, "embedding").collect()
-    ids = np.array([r[0] for r in side], dtype=np.int64)
-    mat = np.array([r[1] for r in side], dtype=np.float64)
-    bc = spark.sparkContext.broadcast((ids, mat))
-    dim = mat.shape[1] if len(mat) else 0
+    packed = (
+        corpus.select(
+            F.pmod(F.hash(F.col(id_col)), F.lit(num_blocks)).alias("blk"),
+            F.struct(
+                F.col(id_col).alias("id"), F.col("embedding").alias("emb")
+            ).alias("s"),
+        )
+        .groupBy("blk")
+        .agg(F.collect_list("s").alias("rows"))
+    )
+    left = packed.select(
+        F.col("blk").alias("blk_a"),
+        F.col("rows").alias("rows_a"),
+        F.explode(F.sequence(F.col("blk"), F.lit(num_blocks - 1))).alias("blk_b"),
+    )
+    right = packed.select(F.col("blk").alias("blk_b"), F.col("rows").alias("rows_b"))
+    joined = left.join(right, "blk_b").select("blk_a", "blk_b", "rows_a", "rows_b")
 
     def norms_seq(m: "np.ndarray") -> "np.ndarray":
         acc = np.zeros(m.shape[0])
@@ -175,31 +192,46 @@ def embedding_near_dup_pairs(
             acc = acc + m[:, i] * m[:, i]
         return np.sqrt(acc)
 
+    def unpack(rows):
+        ids = np.array([r["id"] for r in rows], dtype=np.int64)
+        mat = np.array([list(r["emb"]) for r in rows], dtype=np.float64)
+        return ids, mat
+
     def score_block(batches):
         import pandas as pd
 
-        ids_b, mat_b = bc.value
-        nb = norms_seq(mat_b)
         for pdf in batches:
-            if not len(pdf):
-                continue
-            ids_a = pdf[id_col].to_numpy(dtype=np.int64)
-            mat_a = np.array(list(pdf["embedding"]), dtype=np.float64)
-            na = norms_seq(mat_a)
-            dots = np.zeros((len(ids_a), len(ids_b)))
-            for i in range(dim):
-                dots = dots + np.outer(mat_a[:, i], mat_b[:, i])
-            denom = np.outer(na, nb)
-            score = np.divide(
-                dots, denom, out=np.zeros_like(dots), where=denom != 0.0
-            )
-            keep = (ids_a[:, None] < ids_b[None, :]) & (score >= threshold)
-            ai, bj = np.nonzero(keep)
-            yield pd.DataFrame(
-                {"vec_a": ids_a[ai], "vec_b": ids_b[bj], "score": score[ai, bj]}
-            )
+            for rows_a, rows_b, ba, bb in zip(
+                pdf["rows_a"], pdf["rows_b"], pdf["blk_a"], pdf["blk_b"]
+            ):
+                ids_a, mat_a = unpack(rows_a)
+                ids_b, mat_b = unpack(rows_b)
+                na, nb = norms_seq(mat_a), norms_seq(mat_b)
+                dots = np.zeros((len(ids_a), len(ids_b)))
+                for i in range(mat_a.shape[1]):
+                    dots = dots + np.outer(mat_a[:, i], mat_b[:, i])
+                denom = np.outer(na, nb)
+                score = np.divide(
+                    dots, denom, out=np.zeros_like(dots), where=denom != 0.0
+                )
+                if ba == bb:
+                    # diagonal: both orientations present in the grid — keep
+                    # the upper triangle only
+                    keep = (ids_a[:, None] < ids_b[None, :]) & (score >= threshold)
+                    ai, bj = np.nonzero(keep)
+                    va, vb = ids_a[ai], ids_b[bj]
+                else:
+                    # off-diagonal: each unordered cross-block pair appears
+                    # exactly once (the join emits block pair (i, j≥i) once),
+                    # in whichever orientation the hash placed it — normalize
+                    ai, bj = np.nonzero(score >= threshold)
+                    va = np.minimum(ids_a[ai], ids_b[bj])
+                    vb = np.maximum(ids_a[ai], ids_b[bj])
+                yield pd.DataFrame(
+                    {"vec_a": va, "vec_b": vb, "score": score[ai, bj]}
+                )
 
-    return corpus.select(id_col, "embedding").mapInPandas(
+    return joined.mapInPandas(
         score_block, "vec_a bigint, vec_b bigint, score double"
     )
 
@@ -213,8 +245,10 @@ def embedding_near_dup_pairs(
     WHERE {_cos_sql("a.embedding", "b.embedding")} >= {NEAR_DUP_COS}
     """,
     description="embedding-cosine near-dup pairs (cos >= 0.5) "
-    "(extension mandate: dedup). Exact all-pairs via numpy-blocked broadcast "
-    "NLJ; the LSH-bucketed plan (ann_lsh_buckets) is the 100 TB path.",
+    "(extension mandate: dedup). Exact all-pairs via a fully distributed "
+    "block nested loop (packed blocks, equi-join on block pairs, numpy "
+    "scoring) — no driver collect, no broadcast; the LSH-bucketed plan "
+    "(ann_lsh_buckets) is the 100 TB path.",
 )
 def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
@@ -302,12 +336,17 @@ IVF_CENTROIDS = 32
 IVF_NPROBE = 8
 
 
+IVF_TRAIN_SAMPLE_CAP = 100_000  # rows the quantizer trains on, corpus-size-independent
+
+
 def ivf_assign(
     corpus: DataFrame,
     num_centroids: int = IVF_CENTROIDS,
     seed: int = 42,
     id_col: str = "vec_id",
     max_iter: int = 10,
+    train_sample_cap: int = IVF_TRAIN_SAMPLE_CAP,
+    total_rows: int | None = None,
 ):
     """Train a coarse quantizer (distributed k-means) and assign every
     corpus vector to its nearest centroid — the IVF partitioning step
@@ -318,16 +357,28 @@ def ivf_assign(
     the centroid matrix as a plain list (C×dim floats — driver-tiny).
 
     Training cost discipline: a coarse quantizer only partitions space — it
-    does not need a converged clustering. Random init (k-means|| adds ~2
-    extra full passes) and ``max_iter`` capped; recall vs exact is what's
-    asserted (tests/test_ann.py), not inertia. At 100 TB: train on a
-    driver-capped sample, persist the assigned table partitioned by ``cid``
-    so a probe's nprobe buckets become partition pruning.
+    does not need a converged clustering, and it does not need the corpus.
+    Training runs on a seeded ``sample`` capped at ``train_sample_cap`` rows
+    (one cheap count decides the fraction), so the k-means passes touch a
+    bounded set no matter the corpus size; only the map-side ``transform``
+    sees every vector. Random init (k-means|| adds ~2 extra full passes) and
+    ``max_iter`` capped; recall vs exact is what's asserted
+    (tests/test_ann.py), not inertia. Persist the result with
+    :func:`ivf_persist` so a probe's nprobe buckets become partition pruning.
     """
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
     feat = corpus.withColumn("__fv", array_to_vector("embedding"))
+    n = total_rows if total_rows is not None else corpus.count()
+    if n > train_sample_cap:
+        # oversample slightly so the expected draw clears the cap, then cut
+        frac = min(1.0, 1.1 * train_sample_cap / n)
+        train = feat.sample(withReplacement=False, fraction=frac, seed=seed).limit(
+            train_sample_cap
+        )
+    else:
+        train = feat
     model = KMeans(
         k=num_centroids,
         seed=seed,
@@ -335,10 +386,49 @@ def ivf_assign(
         predictionCol="cid",
         initMode="random",
         maxIter=max_iter,
-    ).fit(feat)
+    ).fit(train)
     assigned = model.transform(feat).select(id_col, "embedding", "cid")
     centroids = [[float(x) for x in c] for c in model.clusterCenters()]
     return assigned, centroids
+
+
+def ivf_persist(assigned: DataFrame, centroids: list[list[float]], path: str) -> None:
+    """Write the IVF index: the assigned corpus partitioned by ``cid`` (so an
+    nprobe search becomes parquet partition pruning — only the probed
+    directories are read) plus the centroid matrix as a tiny JSON sidecar."""
+    assigned.write.mode("overwrite").partitionBy("cid").parquet(f"{path}/vectors")
+    spark = assigned.sparkSession
+    spark.createDataFrame(
+        [(i, c) for i, c in enumerate(centroids)], "cid int, centroid array<double>"
+    ).coalesce(1).write.mode("overwrite").json(f"{path}/centroids")
+
+
+def ivf_load(spark: SparkSession, path: str):
+    """Load a persisted IVF index → ``(assigned_df, centroids)``. The
+    returned DataFrame is partition-pruned by any ``cid`` filter."""
+    assigned = spark.read.parquet(f"{path}/vectors")
+    cents = spark.read.json(f"{path}/centroids").collect()
+    centroids = [None] * len(cents)
+    for r in cents:
+        centroids[int(r["cid"])] = [float(x) for x in r["centroid"]]
+    return assigned, centroids
+
+
+def ivf_topk_persisted(
+    spark: SparkSession,
+    path: str,
+    probe: DataFrame,
+    k: int = TOP_K,
+    nprobe: int = IVF_NPROBE,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Search a persisted IVF index: rank centroids against the probe
+    driver-side (C×dim — tiny), then scan only the ``nprobe`` nearest
+    partitions (parquet partition pruning on ``cid``)."""
+    assigned, centroids = ivf_load(spark, path)
+    top_c = _nearest_centroids(probe, centroids, nprobe)
+    cands = assigned.filter(F.col("cid").isin(top_c))
+    return cosine_topk(cands.select(id_col, "embedding"), probe, k, id_col)
 
 
 def ivf_topk(
@@ -355,6 +445,16 @@ def ivf_topk(
     tests/test_ann.py) — far better than sign-LSH when neighbors are only
     weakly separated from the bulk."""
     assigned, centroids = ivf_assign(corpus, num_centroids, id_col=id_col)
+    top_c = _nearest_centroids(probe, centroids, nprobe)
+    cands = assigned.filter(F.col("cid").isin(top_c))
+    return cosine_topk(cands.select(id_col, "embedding"), probe, k, id_col)
+
+
+def _nearest_centroids(
+    probe: DataFrame, centroids: list[list[float]], nprobe: int
+) -> list[int]:
+    """The nprobe centroid ids nearest (by cosine) to the single-row probe —
+    a C×dim driver computation, the only non-distributed step of IVF."""
     pv = [float(x) for x in probe.select("embedding").first()["embedding"]]
 
     def cos(c: list[float]) -> float:
@@ -363,16 +463,20 @@ def ivf_topk(
         nb = sum(b * b for b in pv) ** 0.5
         return num / (na * nb) if na and nb else 0.0
 
-    top_c = sorted(range(len(centroids)), key=lambda i: -cos(centroids[i]))[:nprobe]
-    cands = assigned.filter(F.col("cid").isin([int(c) for c in top_c]))
-    return cosine_topk(cands.select(id_col, "embedding"), probe, k, id_col)
+    return [
+        int(i)
+        for i in sorted(range(len(centroids)), key=lambda i: -cos(centroids[i]))[
+            :nprobe
+        ]
+    ]
 
 
 @query(
     "q_similarity_ivf",
     oracle=None,  # approximate by construction — driver records rows+schema
-    description="ANN top-20 via IVF coarse quantizer (distributed k-means "
-    "partitioning + nprobe inverted-list scan) — the preferred 100 TB "
+    description="ANN top-20 via IVF coarse quantizer (sample-trained k-means "
+    "partitioning + nprobe inverted-list scan; ivf_persist partitions the "
+    "index by cid for partition-pruned search) — the preferred 100 TB "
     "similarity path; recall vs exact measured in tests/test_ann.py",
 )
 def q_similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
