@@ -1,6 +1,13 @@
 """Benchmark: run every registered query at $SPARK_GRAFT_SF_DIR (default
-sf0.1) on local[$SPARK_GRAFT_CPUS]; print ONE JSON line with per-query
-wall-clock seconds.
+sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+stdout layout (machine-parseable): first a JSON line carrying the per-query
+seconds map (``{"metric": "per_query_seconds", ...}``), then — LAST — a
+compact totals-only summary line (``{"metric": "total_query_wall_clock",
+...}``). The summary is last and small so a bounded tail capture always
+holds one complete JSON object (round 2's single fat line outgrew the
+driver's tail and parsed as null). The full result including the per-query
+map is also written to ``BENCH_detail.json`` next to this script.
 
 Each query is materialized via ``write.format("noop")`` — the v2 no-op sink
 evaluates EVERY output column and row without driver materialization.
@@ -65,40 +72,56 @@ def main() -> None:
         # the pressure land as a GC pause inside a later query's timing
         gc.collect()
 
-    result = {
+    summary = {
         "metric": "total_query_wall_clock",
         "value": round(total, 3),
         "unit": "sec",
-        "queries": per_query,
+        "n_queries": len(per_query),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         # fixed pure-Python spin: calibrates this host's single-core speed at
         # measurement time (observed to swing ~1.5x with neighbor load —
         # BASELINE.md). Compare rounds via value/calibration, not raw seconds.
         "calibration_spin_sec": _calibration_spin(),
+        "queries_file": "BENCH_detail.json",
     }
     if failed:
-        result["failed"] = failed
+        summary["failed"] = failed
 
     # optional throughput pass: all queries submitted concurrently into the
-    # session's FAIR scheduler pools — the engine's multi-algorithm surface
+    # FAIR scheduler pools — the engine's multi-algorithm surface
     # (service.AlgorithmService; reference runs N masters concurrently,
     # server/views.go:30-36). Wall clock of the whole batch, not per query.
+    # Each worker gets its OWN child session (newSession: isolated SQLConf,
+    # shared SparkContext), so queries that scope session conf
+    # (scoped_shuffle_partitions in streaming/dedup_groups) cannot race other
+    # threads' plans or leave the shared session pinned to a tiny value.
     if os.environ.get("SPARK_GRAFT_BENCH_CONCURRENT") == "1":
         from concurrent.futures import ThreadPoolExecutor
 
         def run(item):
             name, spec = item
-            spark.sparkContext.setLocalProperty("spark.scheduler.pool", name)
-            spec.fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+            sess = spark.newSession()
+            sess.sparkContext.setLocalProperty("spark.scheduler.pool", name)
+            spec.fn(sess, sf_dir).write.mode("overwrite").format("noop").save()
 
         t0 = time.time()
         with ThreadPoolExecutor(max_workers=8) as ex:
             list(ex.map(run, sorted(REGISTRY.items())))
-        result["concurrent_wall_clock"] = round(time.time() - t0, 3)
-        print(f"# concurrent batch: {result['concurrent_wall_clock']:.1f}s",
+        summary["concurrent_wall_clock"] = round(time.time() - t0, 3)
+        print(f"# concurrent batch: {summary['concurrent_wall_clock']:.1f}s",
               file=sys.stderr)
 
-    print(json.dumps(result))
+    detail = dict(summary)
+    detail["queries"] = per_query
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "BENCH_detail.json"), "w") as f:
+        json.dump(detail, f, indent=1)
+
+    # per-query map on its own line first; compact totals-only summary LAST
+    # so a bounded tail capture always ends with one complete JSON object
+    print(json.dumps({"metric": "per_query_seconds", "unit": "sec",
+                      "queries": per_query}))
+    print(json.dumps(summary))
 
 
 if __name__ == "__main__":

@@ -26,7 +26,12 @@ from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
 
-from go_web_mapreduce_spark.core import MapFn, ReduceFn, submit_algorithm
+from go_web_mapreduce_spark.core import (
+    MapFn,
+    ReduceFn,
+    submit_algorithm,
+    submit_algorithm_native,
+)
 from go_web_mapreduce_spark.sources.tables import kv_from_rows
 
 # the reference's reduce-job heuristic when the API caller doesn't choose
@@ -46,25 +51,44 @@ class AlgorithmHandle:
     algorithm_id: str
     num_map_jobs: int
     num_partitions: int
+    sink_path: str | None = None
     _thread: threading.Thread | None = field(default=None, repr=False)
     _rows: list | None = field(default=None, repr=False)
     _error: BaseException | None = field(default=None, repr=False)
+    _cancelled: bool = field(default=False, repr=False)
 
-    def wait(self, timeout: float | None = None) -> list:
-        """Block until the algorithm completes; return the result rows
+    def wait(self, timeout: float | None = None):
+        """Block until the algorithm completes. Returns the result rows
         (``[Row(key=..., value=...)]``, order nondeterministic — reference:
-        algorithm/algorithm.go:337-343)."""
+        algorithm/algorithm.go:337-343), or the ``sink_path`` when the
+        algorithm was submitted in sink mode (results written as parquet,
+        never collected). Raises if the algorithm failed or was cancelled."""
         assert self._thread is not None
         self._thread.join(timeout)
         if self._thread.is_alive():
             raise TimeoutError(f"algorithm {self.algorithm_id} still running")
+        if self._cancelled:
+            raise AlgorithmCancelled(self.algorithm_id)
         if self._error is not None:
             raise self._error
-        return self._rows
+        return self._rows if self.sink_path is None else self.sink_path
 
     @property
     def done(self) -> bool:
         return self._thread is not None and not self._thread.is_alive()
+
+    @property
+    def cancelled(self) -> bool:
+        return self._cancelled
+
+
+class AlgorithmCancelled(RuntimeError):
+    """Raised by ``wait()`` when the algorithm was cancelled mid-run — the
+    reference's closed-master path (master/master.go:198-208)."""
+
+    def __init__(self, algorithm_id: str):
+        super().__init__(f"algorithm {algorithm_id} was cancelled")
+        self.algorithm_id = algorithm_id
 
 
 class AlgorithmService:
@@ -88,6 +112,7 @@ class AlgorithmService:
         input: DataFrame | list,
         map_input_length: int,
         num_partitions: int | None = None,
+        sink_path: str | None = None,
     ) -> AlgorithmHandle:
         """``POST /algorithm``. ``input`` is a DataFrame with (key, value)
         string columns or a literal list of (key, value) pairs — the
@@ -95,6 +120,11 @@ class AlgorithmService:
 
         Validation mirrors the reference's request validation + constructor
         panics recovered to HTTP 400 (server/views.go:93-117) as ValueError.
+
+        ``sink_path`` switches result delivery from driver ``collect()`` (the
+        reference's master-side accumulation, algorithm/algorithm.go:337-343)
+        to a distributed parquet write at that path — the mode to use when
+        results don't fit a driver; ``wait()`` then returns the path.
         """
         if isinstance(input, list):
             if not input:
@@ -118,23 +148,78 @@ class AlgorithmService:
             num_partitions=num_partitions,
             total_rows=total,
         )
+        return self._launch(result_df, num_map_jobs, num_partitions, sink_path)
 
+    def submit_native(
+        self,
+        input: DataFrame | list,
+        map_input_length: int,
+        pi_expr: str,
+        key_expr: str,
+        value_expr: str,
+        reduce_expr: str,
+        num_partitions: int | None = None,
+        sink_path: str | None = None,
+    ) -> AlgorithmHandle:
+        """``POST /algorithm`` with SQL-expression slots: the same submission
+        contract as :meth:`submit` but compiled to pure Catalyst
+        (:func:`submit_algorithm_native`) — no Python workers. Shares the
+        pool/cancel/GC machinery with the Python-dialect path."""
+        if isinstance(input, list):
+            if not input:
+                raise ValueError("empty input")
+            input = kv_from_rows(self._spark, input)
+        if map_input_length <= 0:
+            raise ValueError("map_input_length must be positive")
+        total = input.count()
+        if total == 0:
+            raise ValueError("empty input")
+        num_map_jobs = max(1, math.ceil(total / map_input_length))
+        if num_partitions is None:
+            num_partitions = max(1, num_map_jobs // REDUCE_JOBS_DIVISOR)
+        result_df = submit_algorithm_native(
+            input,
+            pi_expr=pi_expr,
+            key_expr=key_expr,
+            value_expr=value_expr,
+            reduce_expr=reduce_expr,
+            num_partitions=num_partitions,
+        )
+        return self._launch(result_df, num_map_jobs, num_partitions, sink_path)
+
+    def _launch(
+        self,
+        result_df: DataFrame,
+        num_map_jobs: int,
+        num_partitions: int,
+        sink_path: str | None,
+    ) -> AlgorithmHandle:
         algorithm_id = str(uuid.uuid4())
         handle = AlgorithmHandle(
             algorithm_id=algorithm_id,
             num_map_jobs=num_map_jobs,
             num_partitions=num_partitions,
+            sink_path=sink_path,
         )
 
         def run() -> None:
             # one FAIR pool per algorithm = the reference's master-per-
-            # algorithm concurrency (server/views.go:30-36)
+            # algorithm concurrency (server/views.go:30-36); the job group
+            # makes the whole algorithm addressable for cancel()
             sc = self._spark.sparkContext
             sc.setLocalProperty("spark.scheduler.pool", algorithm_id)
+            sc.setJobGroup(algorithm_id, f"algorithm {algorithm_id}",
+                           interruptOnCancel=True)
             try:
-                handle._rows = result_df.collect()
+                if sink_path is not None:
+                    result_df.write.mode("overwrite").parquet(sink_path)
+                else:
+                    handle._rows = result_df.collect()
             except BaseException as exc:  # surfaced on wait(), like HTTP 500
-                handle._error = exc
+                if handle._cancelled:
+                    pass  # cancellation is reported as AlgorithmCancelled
+                else:
+                    handle._error = exc
             finally:
                 sc.setLocalProperty("spark.scheduler.pool", None)
                 with self._lock:
@@ -147,6 +232,20 @@ class AlgorithmService:
             self._pool[algorithm_id] = handle
         thread.start()
         return handle
+
+    def cancel(self, algorithm_id: str) -> bool:
+        """Cancel a running algorithm — the reference's mid-run master close
+        (master/master.go:198-208: cancel the assigned job, shut the worker
+        down). All Spark jobs tagged with the algorithm's job group are
+        cancelled; ``wait()`` then raises :class:`AlgorithmCancelled` and the
+        pool entry is GC'd. Returns False for unknown/already-done ids."""
+        with self._lock:
+            handle = self._pool.get(algorithm_id)
+        if handle is None or handle.done:
+            return False
+        handle._cancelled = True
+        self._spark.sparkContext.cancelJobGroup(algorithm_id)
+        return True
 
     def running(self) -> list[str]:
         """IDs of algorithms not yet complete (the live master pool)."""

@@ -5,11 +5,18 @@ parquet directory, compares row count, column-name set, and an
 order-insensitive value multiset (floats rounded to 6 significant decimals
 before comparison). Usage:
 
-    python tools/check_oracle.py [sf_dir] [query ...]
+    python tools/check_oracle.py [--json OUT.json] [sf_dir] [query ...]
+
+``--json`` additionally writes a driver-format correctness artifact (one
+entry per query: rows_match/schema_match/hash_match/spark_rows/oracle_rows/
+err) — the committed CORRECTNESS_local_r{N}.json files, which cover ALL
+registered queries where the driver's own file caps at its first 50
+alphabetically.
 """
 
 from __future__ import annotations
 
+import json
 import math
 import sys
 import time
@@ -46,17 +53,28 @@ def norm_rows(cols, rows):
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
-    only = set(sys.argv[2:])
+    argv = sys.argv[1:]
+    json_out = None
+    if argv and argv[0] == "--json":
+        json_out = argv[1]
+        argv = argv[2:]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.001"
+    only = set(argv[1:])
     spark = get_spark("oracle-check")
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 
     n_pass = n_fail = n_rows_only = 0
+    report: dict[str, dict] = {}
     for name, spec in sorted(REGISTRY.items()):
         if only and name not in only:
             continue
+        rec = {
+            "rows_match": None, "schema_match": None, "hash_match": None,
+            "spark_rows": None, "oracle_rows": None, "err": None,
+        }
+        report[name] = rec
         t0 = time.time()
         try:
             sdf = spec.fn(spark, sf_dir)
@@ -68,10 +86,13 @@ def main() -> int:
             srows = [tuple(r) for r in spdf.itertuples(index=False)]
         except Exception as e:  # noqa: BLE001
             print(f"FAIL  {name}: spark error: {e}")
+            rec["err"] = f"spark: {type(e).__name__}: {e}"[:300]
             n_fail += 1
             continue
+        rec["spark_rows"] = len(srows)
         if spec.oracle is None:
             print(f"rows  {name}: {len(srows)} rows, cols={scols} ({time.time()-t0:.1f}s)")
+            rec["err"] = "no_oracle"
             n_rows_only += 1
             continue
         try:
@@ -80,18 +101,25 @@ def main() -> int:
             drows = [tuple(r) for r in ddf.itertuples(index=False)]
         except Exception as e:  # noqa: BLE001
             print(f"FAIL  {name}: duckdb error: {e}")
+            rec["err"] = f"duckdb: {type(e).__name__}: {e}"[:300]
             n_fail += 1
             continue
+        rec["oracle_rows"] = len(drows)
+        rec["rows_match"] = len(srows) == len(drows)
+        rec["schema_match"] = sorted(scols) == sorted(dcols)
         problems = []
-        if len(srows) != len(drows):
+        if not rec["rows_match"]:
             problems.append(f"rowcount spark={len(srows)} duckdb={len(drows)}")
-        if sorted(scols) != sorted(dcols):
+        if not rec["schema_match"]:
             problems.append(f"cols spark={sorted(scols)} duckdb={sorted(dcols)}")
         if not problems:
             a, b = norm_rows(scols, srows), norm_rows(dcols, drows)
+            rec["hash_match"] = a == b
             if a != b:
                 diff = [(x, y) for x, y in zip(a, b) if x != y][:3]
                 problems.append(f"values differ, first diffs: {diff}")
+        else:
+            rec["hash_match"] = False
         if problems:
             print(f"FAIL  {name}: {'; '.join(problems)}")
             n_fail += 1
@@ -99,6 +127,12 @@ def main() -> int:
             print(f"ok    {name}: {len(srows)} rows ({time.time()-t0:.1f}s)")
             n_pass += 1
     print(f"\n{n_pass} ok, {n_rows_only} rows-only, {n_fail} FAIL")
+    if json_out:
+        with open(json_out, "w") as f:
+            json.dump({"sf_dir": sf_dir, "summary": {
+                "ok": n_pass, "rows_only": n_rows_only, "fail": n_fail,
+            }, "queries": report}, f, indent=1)
+        print(f"wrote {json_out}")
     return 1 if n_fail else 0
 
 
