@@ -45,21 +45,43 @@ KV_SCHEMA = T.StructType(
 )
 
 
+def normalize_events(df: DataFrame) -> DataFrame:
+    """Expose the events timestamp twice regardless of file encoding:
+    ``ts`` as a microsecond timestamp for calendar ops, ``ts_ns`` as an exact
+    int64 (epoch nanoseconds) for loss-free ordering.
+
+    Handles both generations of the driver's testdata: TIMESTAMP(NANOS)
+    files arrive as bigint via ``nanosAsLong`` (set in the session factory);
+    TIMESTAMP(MICROS) files arrive as a native timestamp and ``ts_ns`` is
+    derived (``unix_micros * 1000``). ``ts_ns div 1000`` equals DuckDB's
+    ``epoch_us(ts)`` under either encoding, which is what every oracle uses.
+    """
+    dt = dict(df.dtypes).get("ts")
+    if dt == "bigint":
+        df = df.withColumn("ts_ns", F.col("ts")).withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000"))
+        )
+    elif dt is not None and dt.startswith("timestamp"):
+        if dt == "timestamp_ntz":
+            # files may carry TIMESTAMP_NTZ; the session timezone is pinned to
+            # UTC (session.py) so this cast is exact, not a wall-clock guess.
+            # LTZ is also required for streaming watermarks on ``ts``.
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+        if "ts_ns" not in df.columns:
+            df = df.withColumn("ts_ns", F.unix_micros(F.col("ts")) * F.lit(1000))
+    return df
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Lazy parquet scan of one catalog table under ``sf_dir``.
 
-    ``events.ts`` is TIMESTAMP(NANOS) in the files — finer than Spark's
-    microsecond timestamps. It is read as a long (``nanosAsLong``, set in the
-    session factory) and exposed twice: ``ts`` as a microsecond timestamp for
-    calendar ops, ``ts_ns`` as the exact int64 for loss-free ordering.
+    ``events`` gains a derived ``ts_ns`` column — see ``normalize_events``.
     """
     if name not in TABLES:
         raise ValueError(f"unknown table {name!r}; expected one of {TABLES}")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        df = df.withColumn("ts_ns", F.col("ts")).withColumn(
-            "ts", F.timestamp_micros(F.expr("ts div 1000"))
-        )
+    if name == "events":
+        df = normalize_events(df)
     if name in BROADCAST_DIMS:
         # a broadcast hint on a scan is inert outside joins and guarantees
         # these fixed-size dimensions never put a shuffle on the fact side,

@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from go_web_mapreduce_spark.registry import query
+from go_web_mapreduce_spark.sources.tables import normalize_events
 from go_web_mapreduce_spark.session import scoped_shuffle_partitions
 
 _counter = itertools.count()
@@ -45,11 +46,7 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the file-stream source wants a directory/glob, not a bare file path —
     # a wildcard makes sf_dir the basePath and matches just the events file
     stream = spark.readStream.schema(batch.schema).parquet(f"{sf_dir}/events.parqu*")
-    if dict(batch.dtypes).get("ts") == "bigint":
-        stream = stream.withColumn("ts_ns", F.col("ts")).withColumn(
-            "ts", F.timestamp_micros(F.expr("ts div 1000"))
-        )
-    return stream
+    return normalize_events(stream)
 
 
 def hourly_rollup_stream(
