@@ -4,6 +4,7 @@ from go_web_mapreduce_spark.operators import (  # noqa: F401
     dedup,
     mapreduce_compat,
     multimodal,
+    pipeline_ops,
     relational,
     similarity,
     temporal,

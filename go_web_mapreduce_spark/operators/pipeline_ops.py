@@ -1,0 +1,525 @@
+"""Training-data pipeline operators: deterministic splits and samples, PII
+redaction, repetition filtering, document chunking, SCD2 change tracking, and
+Z-order clustering.
+
+These extend the engine beyond the reference's MapReduce surface (the
+reference expresses them only as user map/reduce UDFs — algorithm.go's
+open-coded slots); here each is a declarative DataFrame plan with an exact
+DuckDB oracle, so the whole family is hash-verified cross-engine.
+
+Cross-engine determinism strategy (same discipline as text_analysis.py):
+every decision is made on *integers* — md5-derived hash buckets, token
+counts, scaled-integer ratios (ppm), Morton bit arithmetic — and the SQL
+expression text for the hashing/bit-twiddling is *generated once* by the
+helpers below and embedded in both the Spark plan (``F.expr``) and the
+DuckDB oracle, so the two engines cannot drift. Only dialect-forced
+differences (STRING vs VARCHAR, ``div`` vs ``//``, regexp 'g' flag) go
+through tiny per-dialect shims.
+
+100 TB shape: the split / sample / redaction / repetition / chunking
+operators are single map-side passes over the documents or customer scan
+with aggregation only on small keys (source, lang, nation, split) — no
+shuffle of document bodies. SCD2 shuffles once on user_id (the natural
+partitioning of a change-history build). Reservoir sampling pre-filters
+map-side by hash threshold so the per-key window sort sees a tiny survivor
+set, not the corpus (the knob that keeps k-per-key sampling viable when one
+key holds billions of rows).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from go_web_mapreduce_spark.functions.text import tokens
+from go_web_mapreduce_spark.registry import query
+from go_web_mapreduce_spark.sources.tables import load_table
+
+# ---------------------------------------------------------------------------
+# portable expression generators
+# ---------------------------------------------------------------------------
+
+_HEX = "0123456789abcdef"
+
+
+def _cast_str(expr: str, dialect: str) -> str:
+    return f"CAST({expr} AS {'VARCHAR' if dialect == 'duck' else 'STRING'})"
+
+
+def _hex4_int(h: str) -> str:
+    """SQL computing an integer in [0, 65536) from the first 4 hex chars of
+    ``h`` (an md5 hex-string expression). Pure instr/substr arithmetic —
+    identical text works in Spark SQL and DuckDB."""
+    terms = [
+        f"(instr('{_HEX}', substr({h}, {i + 1}, 1)) - 1) * {16 ** (3 - i)}"
+        for i in range(4)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+def _hash_bucket(key_expr: str, mod: int, dialect: str) -> str:
+    """Deterministic bucket in [0, mod): md5 of the key's decimal string,
+    top 16 bits, modulo. Content-addressed (stable across engines, runs,
+    partitionings) — the property a reproducible train/test split needs."""
+    return f"({_hex4_int(f'md5({_cast_str(key_expr, dialect)})')} % {mod})"
+
+
+def _idiv(a: str, b: str, dialect: str) -> str:
+    """Integer (floor-toward-zero on non-negatives) division."""
+    return f"(({a}) // ({b}))" if dialect == "duck" else f"(({a}) div ({b}))"
+
+
+def _bit(v: str, i: int) -> str:
+    """Bit ``i`` of non-negative integer expression ``v`` without bitwise
+    operators (identical text in both engines)."""
+    return f"(CASE WHEN ({v}) % {2 ** (i + 1)} >= {2 ** i} THEN 1 ELSE 0 END)"
+
+
+def _morton16(x: str, y: str) -> str:
+    """16-bit Morton (Z-order) interleave of two 8-bit values: x in even bit
+    positions, y in odd. Standard space-filling-curve clustering key."""
+    terms = [f"{_bit(x, i)} * {4 ** i} + {_bit(y, i)} * {2 * 4 ** i}" for i in range(8)]
+    return "(" + " + ".join(terms) + ")"
+
+
+# ---------------------------------------------------------------------------
+# q_train_test_split
+# ---------------------------------------------------------------------------
+
+_SPLIT_CASE = "CASE WHEN {b} < 8 THEN 'train' WHEN {b} = 8 THEN 'valid' ELSE 'test' END"
+
+
+def _split_expr(dialect: str) -> str:
+    return _SPLIT_CASE.format(b=_hash_bucket("doc_id", 10, dialect))
+
+
+@query(
+    "q_train_test_split",
+    oracle=f"""
+    SELECT source, {_split_expr('duck')} AS split,
+           CAST(count(*) AS BIGINT) AS n
+    FROM documents GROUP BY 1, 2
+    """,
+    description="deterministic 80/10/10 train/valid/test assignment by "
+    "content-addressed md5 bucket of doc_id (extension mandate: pipeline ops)",
+)
+def q_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-split: every engine, run, and partitioning assigns each doc_id to
+    the same split — no RNG state, no global shuffle, a pure map-side
+    projection + small (source×3) aggregation. At 100 TB this is one scan."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("source", F.expr(_split_expr("spark")).alias("split"))
+        .groupBy("source", "split")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_stratified_sample
+# ---------------------------------------------------------------------------
+
+# per-language keep rates in percent — the data-mixture knob of a corpus
+# rebalancing pass (upsample scarce, downsample dominant)
+STRATA_PCT = {"en": 50, "de": 30, "es": 20, "fr": 10, "zh": 5}
+
+
+def _rate_case(dialect: str) -> str:
+    whens = " ".join(f"WHEN lang = '{lg}' THEN {p}" for lg, p in STRATA_PCT.items())
+    return f"(CASE {whens} ELSE 0 END)"
+
+
+@query(
+    "q_stratified_sample",
+    oracle=f"""
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_total,
+           CAST(sum(CASE WHEN {_hash_bucket('doc_id', 100, 'duck')}
+                         < {_rate_case('duck')} THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_sampled
+    FROM documents GROUP BY lang
+    """,
+    description="per-language stratified sampling at fixed rates via "
+    "deterministic hash buckets (extension mandate: pipeline ops)",
+)
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rate-per-stratum sampling with zero coordination: keep iff
+    md5-bucket(doc_id) < rate[lang]. Map-side decision, exact expected rates,
+    reproducible across engines — one scan + a 5-row aggregate at any SF."""
+    docs = load_table(spark, sf_dir, "documents")
+    keep = F.expr(
+        f"CASE WHEN {_hash_bucket('doc_id', 100, 'spark')}"
+        f" < {_rate_case('spark')} THEN 1 ELSE 0 END"
+    )
+    return docs.groupBy("lang").agg(
+        F.count("*").alias("n_total"),
+        F.sum(keep).alias("n_sampled"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_reservoir_per_key
+# ---------------------------------------------------------------------------
+
+RESERVOIR_K = 3
+# map-side survivor threshold: only rows whose 16-bit hash falls below this
+# reach the per-key sort. 8192/65536 = 12.5% — generous at test SF (≈12
+# survivors per lang for k=3); at 100 TB set it to ~(10k / rows-per-key) so
+# the window sees thousands of rows per key, never billions.
+RESERVOIR_GATE = 8192
+
+
+def _resv_hash(dialect: str) -> str:
+    return _hex4_int(f"md5({_cast_str('doc_id', dialect)})")
+
+
+@query(
+    "q_reservoir_per_key",
+    oracle=f"""
+    WITH gated AS (
+      SELECT lang, doc_id, {_resv_hash('duck')} AS h
+      FROM documents
+      WHERE {_resv_hash('duck')} < {RESERVOIR_GATE}
+    )
+    SELECT lang, doc_id, CAST(rk AS BIGINT) AS rk FROM (
+      SELECT lang, doc_id,
+             row_number() OVER (PARTITION BY lang ORDER BY h, doc_id) AS rk
+      FROM gated
+    ) WHERE rk <= {RESERVOIR_K}
+    """,
+    description=f"deterministic {RESERVOIR_K}-per-language document sample: "
+    "hash-gate map-side, then rank the tiny survivor set "
+    "(extension mandate: pipeline ops)",
+)
+def q_reservoir_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-per-key sampling that survives skew: the hash gate drops ~87.5% of
+    rows before any shuffle (at scale: a tunable 99.99%+), so the per-key
+    row_number sort runs on a bounded survivor set. Equivalent sample law to
+    'uniform k without replacement' because md5 order is independent of
+    content order."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    h = F.expr(_resv_hash("spark"))
+    gated = docs.select("lang", "doc_id", h.alias("h")).filter(
+        F.col("h") < RESERVOIR_GATE
+    )
+    w = Window.partitionBy("lang").orderBy("h", "doc_id")
+    return (
+        gated.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= RESERVOIR_K)
+        .select("lang", "doc_id", F.col("rk").cast("long").alias("rk"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_pii_redact
+# ---------------------------------------------------------------------------
+
+# regex subset valid in both Java regex (Spark) and RE2 (DuckDB): character
+# classes, +, bounded repeats — no lookaround, no \d shorthand (escaping
+# differs between SQL string literals)
+EMAIL_PAT = "[a-zA-Z0-9]+@[a-zA-Z0-9.]+"
+NUM_PAT = "[0-9]{3,}"
+
+# synthesized contact-card text per customer row: name + derived email +
+# account digits. The redaction machinery (match, replace, count, audit) is
+# the operator under test; the synthesis makes match counts non-trivial on
+# TPC-H-shaped data and stays engine-exact (concat/floor/cast only).
+_CONTACT = (
+    "concat(c_name, ' <c', {key}, '@example.com> acct ', {bal})"
+)
+
+
+def _contact_expr(dialect: str) -> str:
+    return _CONTACT.format(
+        key=_cast_str("c_custkey", dialect),
+        bal=_cast_str("CAST(floor(c_acctbal) AS BIGINT)", dialect),
+    )
+
+
+@query(
+    "q_pii_redact",
+    oracle=f"""
+    WITH cards AS (
+      SELECT c_nationkey, {_contact_expr('duck')} AS card FROM customer
+    ), red AS (
+      SELECT c_nationkey, card,
+             regexp_replace(regexp_replace(card, '{EMAIL_PAT}', '<EMAIL>', 'g'),
+                            '{NUM_PAT}', '<NUM>', 'g') AS clean,
+             len(regexp_extract_all(card, '{EMAIL_PAT}')) AS ne,
+             len(regexp_extract_all(card, '{NUM_PAT}')) AS nn
+      FROM cards
+    )
+    SELECT n_name,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           CAST(sum(ne) AS BIGINT) AS n_emails,
+           CAST(sum(nn) AS BIGINT) AS n_num_runs,
+           CAST(sum(length(card) - length(clean)) AS BIGINT) AS chars_removed
+    FROM red JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+    description="PII-style redaction audit: regex-mask emails and long digit "
+    "runs in synthesized contact text, per-nation counts "
+    "(extension mandate: pipeline ops)",
+)
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Masking is a pure Column projection (JVM regex, codegen) and the audit
+    aggregates integer counts on a tiny (nation) key with the dimension
+    broadcast — at 100 TB: one scan of the fact, no fact shuffle beyond the
+    25-key count-sum."""
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    card = F.expr(_contact_expr("spark"))
+    red = cust.select(
+        "c_nationkey",
+        card.alias("card"),
+        F.regexp_replace(
+            F.regexp_replace(card, EMAIL_PAT, "<EMAIL>"), NUM_PAT, "<NUM>"
+        ).alias("clean"),
+    ).select(
+        "c_nationkey",
+        F.expr(f"size(regexp_extract_all(card, '{EMAIL_PAT}', 0))").alias("ne"),
+        F.expr(f"size(regexp_extract_all(card, '{NUM_PAT}', 0))").alias("nn"),
+        (F.length("card") - F.length("clean")).alias("removed"),
+    )
+    return (
+        red.join(F.broadcast(nation), red.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.sum("ne").alias("n_emails"),
+            F.sum("nn").alias("n_num_runs"),
+            F.sum("removed").alias("chars_removed"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_repetition_filter
+# ---------------------------------------------------------------------------
+
+# Gopher-style repetition gates, expressed in scaled integers so the
+# cross-engine comparison is exact: duplicate-token fraction ≤ 60% and
+# top-token fraction ≤ 10% (thresholds as integer cross-multiplications)
+DUP_MAX_NUM, DUP_MAX_DEN = 6, 10  # (n - n_distinct) / n <= 6/10
+TOP_MAX_NUM, TOP_MAX_DEN = 1, 10  # max token count / n <= 1/10
+
+_TK = "list_filter(string_split(lower(text), ' '), t -> t <> '')"
+
+
+@query(
+    "q_repetition_filter",
+    oracle=f"""
+    WITH t AS (
+      SELECT source, {_TK} AS tk FROM documents
+    ), m AS (
+      SELECT source,
+             len(tk) AS n,
+             len(list_distinct(tk)) AS nd,
+             list_max(list_transform(list_distinct(tk),
+                                     x -> len(list_filter(tk, u -> u = x)))) AS tc
+      FROM t WHERE len(tk) > 0
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN (n - nd) * {DUP_MAX_DEN} <= {DUP_MAX_NUM} * n
+                          AND tc * {TOP_MAX_DEN} <= {TOP_MAX_NUM} * n
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(sum((n - nd) * 1000000 // n) AS BIGINT) AS sum_dup_ppm
+    FROM m GROUP BY source
+    """,
+    description="repetition-based quality gate: duplicate-token and "
+    "top-token fraction thresholds as exact integer tests "
+    "(extension mandate: text analysis / pipeline ops)",
+)
+def q_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All per-document ratios are integer cross-multiplications and the
+    duplicate fraction is reported in exact ppm (integer division), so sums
+    are order-independent — no float drift. Per-row cost is O(vocab·n) on a
+    bounded token array; corpus cost is one map pass + (source)-key agg."""
+    docs = load_table(spark, sf_dir, "documents")
+    tk = tokens("text")
+    m = docs.select(
+        "source",
+        F.size(tk).alias("n"),
+        F.size(F.array_distinct(tk)).alias("nd"),
+        F.array_max(
+            F.transform(
+                F.array_distinct(tk),
+                lambda x: F.size(F.filter(tk, lambda u: u == x)),
+            )
+        ).alias("tc"),
+    ).filter(F.col("n") > 0)
+    kept = (
+        ((F.col("n") - F.col("nd")) * DUP_MAX_DEN <= DUP_MAX_NUM * F.col("n"))
+        & (F.col("tc") * TOP_MAX_DEN <= TOP_MAX_NUM * F.col("n"))
+    ).cast("int")
+    dup_ppm = F.expr(_idiv("(n - nd) * 1000000", "n", "spark"))
+    return m.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(kept).alias("n_kept"),
+        F.sum(dup_ppm).alias("sum_dup_ppm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_chunk_documents
+# ---------------------------------------------------------------------------
+
+CHUNK_TOKENS = 32
+CHUNK_STRIDE = 24  # 8-token overlap between consecutive chunks
+
+
+@query(
+    "q_chunk_documents",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, {_TK} AS tk FROM documents
+    ), st AS (
+      SELECT doc_id, tk,
+             unnest(range(1, greatest(len(tk), 1) + 1, {CHUNK_STRIDE})) AS s
+      FROM t
+    )
+    SELECT doc_id,
+           CAST((s - 1) // {CHUNK_STRIDE} AS BIGINT) AS chunk_id,
+           CAST(len(list_slice(tk, s, s + {CHUNK_TOKENS - 1})) AS BIGINT)
+             AS n_tokens,
+           md5(array_to_string(list_slice(tk, s, s + {CHUNK_TOKENS - 1}), ' '))
+             AS chunk_md5
+    FROM st WHERE len(list_slice(tk, s, s + {CHUNK_TOKENS - 1})) > 0
+    """,
+    description=f"overlapping {CHUNK_TOKENS}-token training windows (stride "
+    f"{CHUNK_STRIDE}) per document, content-fingerprinted "
+    "(extension mandate: pipeline ops)",
+)
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking as a map-side explode: each document emits
+    ceil(n_tokens/stride) chunks with no shuffle at all — output volume is
+    input volume × (chunk/stride) and streams straight to the sink. The md5
+    fingerprint doubles as the join key for chunk-level dedup downstream."""
+    docs = load_table(spark, sf_dir, "documents")
+    tk = tokens("text")
+    starts = F.sequence(
+        F.lit(1), F.greatest(F.size(tk), F.lit(1)), F.lit(CHUNK_STRIDE)
+    )
+    exploded = docs.select(
+        "doc_id", tk.alias("tk"), F.explode(starts).alias("s")
+    )
+    chunk = F.slice(F.col("tk"), F.col("s"), CHUNK_TOKENS)
+    return (
+        exploded.select(
+            "doc_id",
+            ((F.col("s") - 1) / CHUNK_STRIDE).cast("long").alias("chunk_id"),
+            F.size(chunk).cast("long").alias("n_tokens"),
+            F.md5(F.array_join(chunk, " ")).alias("chunk_md5"),
+        )
+        .filter(F.col("n_tokens") > 0)
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_scd2
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_scd2",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type, epoch_us(ts) AS us, event_id,
+             lag(event_type) OVER w AS prev
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+    ), chg AS (
+      SELECT user_id, event_type, us, event_id FROM seq
+      WHERE prev IS NULL OR prev <> event_type
+    )
+    SELECT user_id, event_type,
+           us AS valid_from_us,
+           lead(us) OVER w2 AS valid_to_us,
+           CAST(CASE WHEN lead(us) OVER w2 IS NULL THEN 1 ELSE 0 END AS BIGINT)
+             AS is_current
+    FROM chg
+    WINDOW w2 AS (PARTITION BY user_id ORDER BY us, event_id)
+    """,
+    description="SCD type-2 history build: collapse the per-user event-type "
+    "stream to change intervals [valid_from, valid_to) with a current flag "
+    "(CDC/merge family)",
+)
+def q_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-capture compaction: one shuffle on user_id serves both
+    window passes (change detection, then interval close) — Catalyst reuses
+    the partitioning, so the 100 TB cost is a single exchange keyed on the
+    natural entity id, and output size is #changes, not #events."""
+    from pyspark.sql import Window
+
+    events = load_table(spark, sf_dir, "events")
+    us = F.expr("ts_ns div 1000")
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    seq = events.select(
+        "user_id", "event_type", us.alias("us"), "event_id"
+    ).withColumn("prev", F.lag("event_type").over(w))
+    chg = seq.filter(F.col("prev").isNull() | (F.col("prev") != F.col("event_type")))
+    w2 = Window.partitionBy("user_id").orderBy("us", "event_id")
+    nxt = F.lead("us").over(w2)
+    return chg.select(
+        "user_id",
+        "event_type",
+        F.col("us").alias("valid_from_us"),
+        nxt.alias("valid_to_us"),
+        F.when(nxt.isNull(), 1).otherwise(0).cast("long").alias("is_current"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_zorder_cluster
+# ---------------------------------------------------------------------------
+
+# 8-bit quantizations of the two clustering dimensions
+_ZX = "(o_custkey % 256)"
+_ZY = "(CASE WHEN CAST(floor(o_totalprice / 2500) AS INT) > 255 THEN 255 " \
+      "ELSE CAST(floor(o_totalprice / 2500) AS INT) END)"
+
+
+def _z_expr() -> str:
+    return _morton16(_ZX, _ZY)
+
+
+@query(
+    "q_zorder_cluster",
+    oracle=f"""
+    WITH z AS (
+      SELECT {_z_expr()} AS zval, o_totalprice FROM orders
+    )
+    SELECT CAST(zval // 1024 AS BIGINT) AS zcell,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(min(zval) AS BIGINT) AS z_min,
+           CAST(max(zval) AS BIGINT) AS z_max,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS total_price
+    FROM z GROUP BY 1
+    """,
+    description="Z-order (Morton) clustering key over (custkey, price "
+    "bucket): cell occupancy + value stats — the data-layout pass behind "
+    "multi-dimensional data skipping",
+)
+def q_zorder_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Morton interleave is pure integer arithmetic in whole-stage
+    codegen (no UDF, no bitwise-dialect hazards); writing the table sorted by
+    zval is what gives parquet min/max pruning on BOTH dimensions at once.
+    Here the query reports per-cell occupancy — the skew diagnostic you run
+    before committing to a layout. One scan + 64-key agg at any SF."""
+    orders = load_table(spark, sf_dir, "orders")
+    z = orders.select(F.expr(_z_expr()).alias("zval"), "o_totalprice")
+    return (
+        z.groupBy(F.expr(_idiv("zval", "1024", "spark")).cast("long").alias("zcell"))
+        .agg(
+            F.count("*").alias("n"),
+            F.min("zval").cast("long").alias("z_min"),
+            F.max("zval").cast("long").alias("z_max"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_price"),
+        )
+    )

@@ -1,0 +1,160 @@
+"""Semantic tests for the pipeline operators (operators/pipeline_ops.py):
+properties the DuckDB parity check can't see — determinism across runs,
+sampling-law invariants, interval chaining, Morton-code bit math, and the
+plan shapes (broadcast dims, single exchange) the 100 TB story relies on.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from go_web_mapreduce_spark import plans as P
+from go_web_mapreduce_spark.operators.pipeline_ops import (
+    CHUNK_STRIDE,
+    RESERVOIR_K,
+    STRATA_PCT,
+    _morton16,
+    q_chunk_documents,
+    q_pii_redact,
+    q_repetition_filter,
+    q_reservoir_per_key,
+    q_scd2,
+    q_stratified_sample,
+    q_train_test_split,
+    q_zorder_cluster,
+)
+from go_web_mapreduce_spark.sources.tables import load_table
+
+
+def test_split_is_total_and_deterministic(spark, sf_dir):
+    """Every document lands in exactly one split, and two independent runs
+    produce identical assignments (content-addressed, no RNG state)."""
+    a = {(r["source"], r["split"]): r["n"] for r in q_train_test_split(spark, sf_dir).collect()}
+    b = {(r["source"], r["split"]): r["n"] for r in q_train_test_split(spark, sf_dir).collect()}
+    assert a == b
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    assert sum(a.values()) == n_docs
+    by_split = {}
+    for (_, s), n in a.items():
+        by_split[s] = by_split.get(s, 0) + n
+    # 80/10/10 within loose binomial bounds at 500 docs
+    assert 0.6 < by_split["train"] / n_docs < 0.95
+    assert by_split.get("valid", 0) > 0 and by_split.get("test", 0) > 0
+
+
+def test_stratified_rates_track_targets(spark, sf_dir):
+    rows = {r["lang"]: r for r in q_stratified_sample(spark, sf_dir).collect()}
+    assert set(rows) == set(STRATA_PCT)
+    for lang, r in rows.items():
+        assert 0 <= r["n_sampled"] <= r["n_total"]
+        # binomial(n≈100, p) stays within ±4σ of the target rate
+        p = STRATA_PCT[lang] / 100
+        sigma = math.sqrt(p * (1 - p) / r["n_total"])
+        assert abs(r["n_sampled"] / r["n_total"] - p) < 4 * sigma + 1e-9
+
+
+def test_reservoir_k_per_key(spark, sf_dir):
+    rows = q_reservoir_per_key(spark, sf_dir).collect()
+    per_lang: dict[str, list[int]] = {}
+    for r in rows:
+        per_lang.setdefault(r["lang"], []).append(r["rk"])
+    for rks in per_lang.values():
+        assert sorted(rks) == list(range(1, len(rks) + 1))
+        assert len(rks) <= RESERVOIR_K
+    again = q_reservoir_per_key(spark, sf_dir).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_pii_redaction_counts(spark, sf_dir):
+    rows = q_pii_redact(spark, sf_dir).collect()
+    n_customers = sum(r["n_customers"] for r in rows)
+    assert n_customers == load_table(spark, sf_dir, "customer").count()
+    # each synthesized card carries exactly one email and ≥1 long digit run
+    assert sum(r["n_emails"] for r in rows) == n_customers
+    assert sum(r["n_num_runs"] for r in rows) >= n_customers
+    assert all(r["chars_removed"] > 0 for r in rows)
+
+
+def test_pii_redact_broadcasts_nation(spark, sf_dir):
+    plan = P.executed_plan(q_pii_redact(spark, sf_dir))
+    assert P.has_broadcast_join(plan)
+
+
+def test_repetition_filter_bounds(spark, sf_dir):
+    rows = q_repetition_filter(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["n_kept"] <= r["n_docs"]
+        assert 0 <= r["sum_dup_ppm"] <= 1_000_000 * r["n_docs"]
+
+
+def test_chunking_covers_every_document(spark, sf_dir):
+    chunks = q_chunk_documents(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    from go_web_mapreduce_spark.functions.text import token_count
+
+    want = {
+        r["doc_id"]: math.ceil(r["n"] / CHUNK_STRIDE)
+        for r in docs.select("doc_id", token_count("text").alias("n")).collect()
+        if r["n"] > 0
+    }
+    got: dict[int, int] = {}
+    for r in chunks.collect():
+        got[r["doc_id"]] = got.get(r["doc_id"], 0) + 1
+        assert 1 <= r["n_tokens"] <= 32
+    assert got == want
+
+
+def test_chunking_is_shuffle_free(spark, sf_dir):
+    plan = P.executed_plan(q_chunk_documents(spark, sf_dir))
+    assert P.count_exchanges(plan) == 0
+
+
+def test_scd2_intervals_chain(spark, sf_dir):
+    rows = q_scd2(spark, sf_dir).collect()
+    by_user: dict[int, list] = {}
+    for r in rows:
+        by_user.setdefault(r["user_id"], []).append(r)
+    for user, ivs in by_user.items():
+        ivs.sort(key=lambda r: r["valid_from_us"])
+        currents = [r for r in ivs if r["is_current"] == 1]
+        assert len(currents) == 1 and currents[0] is ivs[-1]
+        for a, b in zip(ivs, ivs[1:]):
+            assert a["valid_to_us"] == b["valid_from_us"]  # gap-free chain
+            assert a["event_type"] != b["event_type"]  # real changes only
+        assert ivs[-1]["valid_to_us"] is None
+
+
+def test_scd2_single_exchange(spark, sf_dir):
+    """Both window passes key on user_id — Catalyst must reuse one shuffle."""
+    plan = P.executed_plan(q_scd2(spark, sf_dir))
+    assert P.count_exchanges(plan, "hashpartitioning") == 1
+
+
+def test_morton_interleave_matches_reference_bits(spark):
+    """The generated SQL computes the textbook bit interleave."""
+
+    def py_morton(x: int, y: int) -> int:
+        z = 0
+        for i in range(8):
+            z |= ((x >> i) & 1) << (2 * i)
+            z |= ((y >> i) & 1) << (2 * i + 1)
+        return z
+
+    cases = [(0, 0), (255, 0), (0, 255), (255, 255), (3, 5), (170, 85), (200, 13)]
+    sql = ", ".join(
+        _morton16(str(x), str(y)) + f" AS z{i}" for i, (x, y) in enumerate(cases)
+    )
+    row = spark.sql(f"SELECT {sql}").collect()[0]
+    for i, (x, y) in enumerate(cases):
+        assert row[f"z{i}"] == py_morton(x, y)
+
+
+def test_zorder_cells_bounded(spark, sf_dir):
+    rows = q_zorder_cluster(spark, sf_dir).collect()
+    for r in rows:
+        assert 0 <= r["z_min"] <= r["z_max"] < 65536
+        assert r["zcell"] == r["z_min"] // 1024 == r["z_max"] // 1024
+        assert r["n"] > 0
