@@ -545,3 +545,162 @@ def q_svd_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
     return emb.sparkSession.createDataFrame(
         rows, "component bigint, loading double, singular_value double, explained_variance double"
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) — compressed-domain ANN (Jégou et al. 2011)
+# ---------------------------------------------------------------------------
+
+PQ_M = 8  # subspaces (64-dim → 8 sub-vectors of 8 dims)
+PQ_KSUB = 16  # centroids per subspace → 4-bit codes, 8 bytes per vector (32×)
+PQ_TRAIN_CAP = 2048  # driver-side training sample cap (rows)
+PQ_SHORTLIST = 100  # ADC shortlist size before exact rerank
+
+
+def _pq_lloyd(X, k: int, iters: int, rng):
+    """Tiny deterministic Lloyd k-means on a (n, dsub) numpy block — the
+    per-subspace codebook trainer. n ≤ PQ_TRAIN_CAP, k = 16, dsub = 8: the
+    whole training is microseconds of driver numpy; the corpus never
+    participates (the same coarse-quantizer discipline as ivf_assign)."""
+    import numpy as np
+
+    C = X[rng.choice(len(X), size=k, replace=False)].copy()
+    for _ in range(iters):
+        d = ((X[:, None, :] - C[None, :, :]) ** 2).sum(-1)
+        a = d.argmin(1)
+        for j in range(k):
+            pts = X[a == j]
+            if len(pts):
+                C[j] = pts.mean(0)
+    return C
+
+
+def _normalize_rows(X):
+    import numpy as np
+
+    n = np.linalg.norm(X, axis=1, keepdims=True)
+    n[n == 0] = 1.0
+    return X / n
+
+
+def pq_train(
+    corpus: DataFrame,
+    m: int = PQ_M,
+    ksub: int = PQ_KSUB,
+    sample_cap: int = PQ_TRAIN_CAP,
+    seed: int = 42,
+    iters: int = 15,
+):
+    """Train PQ codebooks on a seeded, capped sample: returns a numpy array
+    of shape (m, ksub, dim/m). Vectors are L2-normalized before splitting so
+    the ADC inner product approximates cosine. Driver memory is bounded by
+    ``sample_cap`` rows regardless of corpus size."""
+    import numpy as np
+
+    n = corpus.count()
+    samp = corpus.select("embedding")
+    if n > sample_cap:
+        samp = samp.sample(False, min(1.0, 1.1 * sample_cap / n), seed=seed).limit(
+            sample_cap
+        )
+    X = np.array([r["embedding"] for r in samp.collect()], dtype=np.float64)
+    X = _normalize_rows(X)
+    dsub = X.shape[1] // m
+    rng = np.random.default_rng(seed)
+    return np.stack(
+        [
+            _pq_lloyd(X[:, j * dsub : (j + 1) * dsub], ksub, iters, rng)
+            for j in range(m)
+        ]
+    )
+
+
+def pq_encode(corpus: DataFrame, codebooks, id_col: str = "vec_id") -> DataFrame:
+    """Map-side PQ encoding: each vector → ``m`` centroid indices
+    (array<int>). An Arrow-batched pandas UDF (vectorized argmin per
+    subspace); no shuffle — at 100 TB this is one scan writing 8-byte codes,
+    the 32× compression that lets the ADC scan live in memory."""
+    import numpy as np
+    import pandas as pd
+
+    m, ksub, dsub = codebooks.shape
+    cb = codebooks  # captured in the closure, broadcast with the task
+
+    @F.pandas_udf("array<int>")
+    def encode(col):
+        out = []
+        X = _normalize_rows(np.array(col.tolist(), dtype=np.float64))
+        codes = np.empty((len(X), m), dtype=np.int32)
+        for j in range(m):
+            sub = X[:, j * dsub : (j + 1) * dsub]
+            # (n, ksub) squared distances via the expansion trick
+            d = (
+                (sub * sub).sum(1)[:, None]
+                - 2.0 * sub @ cb[j].T
+                + (cb[j] * cb[j]).sum(1)[None, :]
+            )
+            codes[:, j] = d.argmin(1)
+        for row in codes:
+            out.append([int(c) for c in row])
+        return pd.Series(out)
+
+    return corpus.select(id_col, encode("embedding").alias("codes"))
+
+
+def pq_adc_score(codes_col, codebooks, probe_vec) -> "F.Column":
+    """Asymmetric-distance score as a pure Column expression: the probe is
+    pre-folded into an m×ksub lookup table of sub-dot-products (a 128-double
+    literal), and each vector's score is a codes-indexed gather-sum — no
+    Python per row, whole-stage codegen over the codes table."""
+    import numpy as np
+
+    m, ksub, dsub = codebooks.shape
+    pv = _normalize_rows(np.array([probe_vec], dtype=np.float64))[0]
+    lut = [
+        float(np.dot(pv[j * dsub : (j + 1) * dsub], codebooks[j][c]))
+        for j in range(m)
+        for c in range(ksub)
+    ]
+    lut_arr = F.array(*[F.lit(v) for v in lut])
+    gathered = F.transform(
+        codes_col, lambda c, i: F.element_at(lut_arr, (i * ksub + c + 1).cast("int"))
+    )
+    return F.aggregate(gathered, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def pq_topk(
+    corpus: DataFrame,
+    probe: DataFrame,
+    k: int = TOP_K,
+    shortlist: int = PQ_SHORTLIST,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Two-stage compressed-domain ANN: ADC over PQ codes shortlists
+    ``shortlist`` candidates (TakeOrdered — per-partition heap on 8-byte
+    codes), then an exact cosine rerank touches only the shortlist's full
+    vectors (broadcast semi-join). The corpus's full vectors are read once
+    for encoding and once for ``shortlist`` rows — never shuffled."""
+    cb = pq_train(corpus)
+    codes = pq_encode(corpus, cb, id_col)
+    pv = [float(x) for x in probe.select("embedding").first()["embedding"]]
+    short = (
+        codes.select(id_col, pq_adc_score(F.col("codes"), cb, pv).alias("adc"))
+        .orderBy(F.col("adc").desc(), F.col(id_col))
+        .limit(shortlist)
+    )
+    cands = corpus.join(F.broadcast(short.select(id_col)), id_col)
+    return cosine_topk(cands.select(id_col, "embedding"), probe, k, id_col)
+
+
+@query(
+    "q_similarity_pq",
+    oracle=None,  # approximate by construction — recall vs exact measured
+    # in tests/test_ann.py
+    description="ANN top-20 via product quantization: sample-trained "
+    "per-subspace codebooks, map-side 4-bit encoding (32× compression), "
+    "codegen ADC gather-sum shortlist, exact rerank of the shortlist only — "
+    "the compressed-domain 100 TB similarity path",
+)
+def q_similarity_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return pq_topk(emb, emb.filter(F.col("vec_id") == 0))
