@@ -1,6 +1,7 @@
 """Operator modules. Importing this package populates the query registry."""
 
 from go_web_mapreduce_spark.operators import (  # noqa: F401
+    analytics,
     dedup,
     mapreduce_compat,
     multimodal,

@@ -1,0 +1,212 @@
+"""Composite analytics operators: incremental view maintenance, a classic
+multi-way join + aggregate + top-k report, and a window-formulated skyline
+(Pareto frontier).
+
+These round out the relational surface with the *composition* patterns a
+user of the reference would hand-code as map/reduce chains (reference:
+algorithm/algorithm.go's open slots): each is one declarative Catalyst plan
+here, with an exact DuckDB oracle.
+
+100 TB notes per operator live in the docstrings; the common theme is that
+every plan is either a standard broadcast-dim star shape or replaces a
+quadratic formulation (skyline's NOT EXISTS, IVM's full recompute) with a
+one-pass window / algebraic-merge equivalent.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from go_web_mapreduce_spark.registry import query
+from go_web_mapreduce_spark.sources.tables import load_table
+
+# ---------------------------------------------------------------------------
+# q_ivm_merge — incremental (algebraic) view maintenance
+# ---------------------------------------------------------------------------
+
+# the delta cutoff: events on/after this instant are "the new batch"
+IVM_CUTOFF = "2024-01-25 00:00:00"
+
+
+@query(
+    "q_ivm_merge",
+    oracle=f"""
+    WITH base AS (
+      SELECT event_type, date_trunc('day', ts) AS day,
+             count(*) AS n, sum(CAST(value AS DECIMAL(18,4))) AS s
+      FROM events WHERE ts < TIMESTAMP '{IVM_CUTOFF}'
+      GROUP BY 1, 2
+    ), delta AS (
+      SELECT event_type, date_trunc('day', ts) AS day,
+             count(*) AS n, sum(CAST(value AS DECIMAL(18,4))) AS s
+      FROM events WHERE ts >= TIMESTAMP '{IVM_CUTOFF}'
+      GROUP BY 1, 2
+    ), merged AS (
+      SELECT event_type, day, sum(n) AS n, sum(s) AS s
+      FROM (SELECT * FROM base UNION ALL SELECT * FROM delta)
+      GROUP BY 1, 2
+    )
+    SELECT event_type, strftime(day, '%Y-%m-%d') AS day,
+           CAST(n AS BIGINT) AS n,
+           CAST(s AS DOUBLE) AS total_value,
+           CAST(s AS DOUBLE) / n AS avg_value
+    FROM merged
+    """,
+    description="incremental view maintenance: merge a delta batch's partial "
+    "aggregates into the base summary algebraically (count/sum states), "
+    "derive avg at read time — no recompute of the base",
+)
+def q_ivm_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The algebraic-merge property that makes a 100 TB rollup maintainable:
+    (count, sum) states combine associatively, so refreshing the view costs
+    O(delta) + O(|groups|), never O(base). Here both sides derive from one
+    scan (Catalyst splits the filter); in production the base summary is the
+    persisted view and only the delta is read. ``avg`` is deliberately
+    derived from the merged states — averages don't merge, their states do.
+    The decimal accumulators keep the merge bit-identical to a full
+    recompute (asserted in tests)."""
+    events = load_table(spark, sf_dir, "events")
+    cutoff = F.lit(IVM_CUTOFF).cast("timestamp")
+
+    def summarize(df: DataFrame) -> DataFrame:
+        return df.groupBy(
+            "event_type", F.date_trunc("day", "ts").alias("day")
+        ).agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,4)")).alias("s"),
+        )
+
+    base = summarize(events.filter(F.col("ts") < cutoff))
+    delta = summarize(events.filter(F.col("ts") >= cutoff))
+    merged = (
+        base.unionAll(delta)
+        .groupBy("event_type", "day")
+        .agg(F.sum("n").alias("n"), F.sum("s").alias("s"))
+    )
+    return merged.select(
+        "event_type",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.col("n").cast("long").alias("n"),
+        F.col("s").cast("double").alias("total_value"),
+        # divide as doubles: decimal division result scale differs across
+        # engines (Spark rounds at scale 6 here, DuckDB at 7); double-on-
+        # double division of the exact decimal states is bit-identical
+        (F.col("s").cast("double") / F.col("n")).alias("avg_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_top_revenue — the classic shipping-priority report (TPC-H Q3 shape)
+# ---------------------------------------------------------------------------
+
+SEGMENT = "BUILDING"
+Q3_DATE = "1998-01-01"
+Q3_TOPN = 10
+
+
+@query(
+    "q_top_revenue",
+    oracle=f"""
+    SELECT l_orderkey,
+           CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4)))
+                AS DOUBLE) AS revenue,
+           strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+           o_orderpriority
+    FROM customer JOIN orders ON c_custkey = o_custkey
+                  JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = '{SEGMENT}'
+      AND o_orderdate < DATE '{Q3_DATE}'
+      AND l_shipdate > DATE '{Q3_DATE}'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT {Q3_TOPN}
+    """,
+    description="shipping-priority report (TPC-H Q3 shape): segment-filtered "
+    "customer⋈orders⋈lineitem, revenue per order, top-10 — the composite "
+    "join+agg+topk pattern in one Catalyst plan",
+)
+def q_top_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Plan shape at scale: the segment filter prunes customers map-side
+    (pushed to the scan), the filtered customer side broadcasts or
+    shuffle-joins per AQE's size estimate, lineitem's date filter is pushed
+    down, revenue aggregates partial-then-final on l_orderkey, and the
+    top-10 compiles to TakeOrderedAndProject — no global sort of the
+    aggregate. Exactly the plan you'd want for the same report on 100 TB."""
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == SEGMENT
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit(Q3_DATE).cast("timestamp")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit(Q3_DATE).cast("timestamp")
+    )
+    revenue = F.sum(
+        (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))).cast(
+            "decimal(18,4)"
+        )
+    ).cast("double")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(revenue.alias("revenue"))
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            "o_orderpriority",
+        )
+        .orderBy(F.col("revenue").desc(), "l_orderkey")
+        .limit(Q3_TOPN)
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_skyline — 2-D Pareto frontier via a window, not a quadratic anti-join
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_skyline",
+    oracle="""
+    SELECT p.p_partkey, p.p_size, p.p_retailprice
+    FROM part p
+    WHERE NOT EXISTS (
+      SELECT 1 FROM part q
+      WHERE q.p_size >= p.p_size AND q.p_retailprice >= p.p_retailprice
+        AND (q.p_size > p.p_size OR q.p_retailprice > p.p_retailprice)
+    )
+    """,
+    description="2-D skyline (Pareto frontier maximizing size and price): "
+    "the quadratic NOT-EXISTS semantics computed as one sort + running max "
+    "— the data-curation frontier pattern (quality vs length)",
+)
+def q_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The oracle states the O(n²) dominance definition; the plan computes
+    it in O(n log n): per-size max price, then a size-descending running max
+    — a size survives iff its best price strictly beats every larger size's
+    best, and the surviving (size, max-price) pairs select the frontier rows
+    (ties kept, like the NOT EXISTS). At 100 TB: one shuffle on p_size for
+    the group-by, a 50-row window, and a broadcast semi-join back — the
+    quadratic formulation never materializes."""
+    part = load_table(spark, sf_dir, "part")
+    per_size = part.groupBy("p_size").agg(F.max("p_retailprice").alias("mp"))
+    w = (
+        Window.orderBy(F.col("p_size").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    frontier = (
+        per_size.withColumn("runmax", F.max("mp").over(w))
+        .filter(F.col("runmax").isNull() | (F.col("mp") > F.col("runmax")))
+        .select("p_size", "mp")
+    )
+    return (
+        part.join(
+            F.broadcast(frontier),
+            (part.p_size == frontier.p_size) & (part.p_retailprice == frontier.mp),
+            "left_semi",
+        )
+        .select("p_partkey", "p_size", "p_retailprice")
+    )

@@ -87,3 +87,33 @@ def write_orc(
 def read_orc(spark, path: str):
     """ORC source; schema comes from the file footers like parquet."""
     return spark.read.orc(path)
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    x_expr: str,
+    y_expr: str,
+    mode: str = "error",
+    partitions: int | None = None,
+) -> None:
+    """Z-order-clustered parquet: rows range-partitioned and sorted by the
+    16-bit Morton interleave of two 8-bit dimension expressions (each must
+    evaluate to an integer in [0, 256)).
+
+    Range partitioning by zval puts nearby curve positions in the same
+    files; the within-file sort orders row groups along the curve — so
+    parquet min/max stats prune on BOTH dimensions for any later reader,
+    without the reader knowing about the layout. This is the write-side
+    companion of ``q_zorder_cluster`` (the pre-layout skew diagnostic).
+    """
+    from pyspark.sql import functions as F
+
+    from go_web_mapreduce_spark.operators.pipeline_ops import _morton16
+
+    z = df.withColumn("__z", F.expr(_morton16(f"({x_expr})", f"({y_expr})")))
+    if partitions:
+        z = z.repartitionByRange(partitions, "__z")
+    else:
+        z = z.repartitionByRange("__z")
+    z.sortWithinPartitions("__z").drop("__z").write.mode(mode).parquet(path)

@@ -1,0 +1,87 @@
+"""Semantic tests for the composite analytics operators
+(operators/analytics.py): the IVM algebraic-merge identity, the skyline's
+equivalence to brute-force dominance, and the Q3-shape plan properties."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from go_web_mapreduce_spark import plans as P
+from go_web_mapreduce_spark.operators.analytics import (
+    Q3_TOPN,
+    q_ivm_merge,
+    q_skyline,
+    q_top_revenue,
+)
+from go_web_mapreduce_spark.sources.tables import load_table
+
+
+def test_ivm_merge_equals_full_recompute(spark, sf_dir):
+    """The whole point of algebraic IVM: base ⊕ delta == recompute-from-
+    scratch, bit-identically (decimal states)."""
+    events = load_table(spark, sf_dir, "events")
+    full = (
+        events.groupBy("event_type", F.date_trunc("day", "ts").alias("day"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,4)")).alias("s"),
+        )
+        .select(
+            "event_type",
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            F.col("n").cast("long").alias("n"),
+            F.col("s").cast("double").alias("total_value"),
+            (F.col("s").cast("double") / F.col("n")).alias("avg_value"),
+        )
+    )
+    got = sorted(map(tuple, q_ivm_merge(spark, sf_dir).collect()))
+    want = sorted(map(tuple, full.collect()))
+    assert got == want and len(got) > 0
+
+
+def test_skyline_matches_bruteforce(spark, sf_dir):
+    parts = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_size", "p_retailprice"
+    ).collect()
+    pts = [(r["p_partkey"], r["p_size"], r["p_retailprice"]) for r in parts]
+
+    def dominated(p):
+        return any(
+            q[1] >= p[1] and q[2] >= p[2] and (q[1] > p[1] or q[2] > p[2])
+            for q in pts
+        )
+
+    want = sorted(k for k, *_ in [p for p in pts if not dominated(p)])
+    got = sorted(r["p_partkey"] for r in q_skyline(spark, sf_dir).collect())
+    assert got == want and len(got) > 0
+
+
+def test_skyline_members_incomparable(spark, sf_dir):
+    rows = q_skyline(spark, sf_dir).collect()
+    for a in rows:
+        for b in rows:
+            if a["p_partkey"] == b["p_partkey"]:
+                continue
+            # no frontier member strictly dominates another
+            assert not (
+                a["p_size"] >= b["p_size"]
+                and a["p_retailprice"] >= b["p_retailprice"]
+                and (
+                    a["p_size"] > b["p_size"]
+                    or a["p_retailprice"] > b["p_retailprice"]
+                )
+            )
+
+
+def test_top_revenue_shape_and_order(spark, sf_dir):
+    rows = q_top_revenue(spark, sf_dir).collect()
+    assert 0 < len(rows) <= Q3_TOPN
+    revs = [r["revenue"] for r in rows]
+    assert revs == sorted(revs, reverse=True)
+
+
+def test_top_revenue_plan_is_topk_with_pushdown(spark, sf_dir):
+    plan = P.executed_plan(q_top_revenue(spark, sf_dir))
+    assert P.is_take_ordered(plan)  # no global sort for the top-10
+    assert any("l_shipdate" in f for f in P.pushed_filters(plan))
+    assert P.has_partial_aggregation(plan)
