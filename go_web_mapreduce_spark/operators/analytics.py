@@ -210,3 +210,45 @@ def q_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("p_partkey", "p_size", "p_retailprice")
     )
+
+
+# ---------------------------------------------------------------------------
+# q_sketch_merge — mergeable HLL sketch states (incremental distinct counts)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_sketch_merge",
+    oracle=None,  # sketch estimates are approximate by construction; the
+    # merge identity (union of daily sketches == one-shot sketch) and the
+    # error bound vs exact are asserted in tests/test_analytics.py
+    description="mergeable distinct-count sketches: per-day HLL states of "
+    "user_id rolled up per event type via hll_union_agg — the incremental "
+    "distinct-counting pattern (persist daily states, merge at read; no "
+    "rescan of history)",
+)
+def q_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The scale story IS the mergeability: a 100 TB history keeps one tiny
+    (2^12 bucket) sketch per (event_type, day) partition; any rollup —
+    per type, per week, global — is a union of states, never a rescan.
+    The estimates are deterministic (DataSketches HLL with fixed lgK), so
+    the merge identity holds exactly: union of the daily states equals the
+    one-shot sketch over the raw rows (asserted). Exact distinct is
+    included for the error-vs-exact comparison at this SF."""
+    events = load_table(spark, sf_dir, "events")
+    daily = events.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.expr("hll_sketch_agg(user_id)").alias("sk"))
+    return (
+        daily.groupBy("event_type")
+        .agg(
+            F.expr("hll_sketch_estimate(hll_union_agg(sk))").alias("approx_users"),
+            F.count("*").alias("n_days"),
+        )
+        .join(
+            load_table(spark, sf_dir, "events")
+            .groupBy("event_type")
+            .agg(F.countDistinct("user_id").alias("exact_users")),
+            "event_type",
+        )
+    )

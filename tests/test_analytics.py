@@ -85,3 +85,24 @@ def test_top_revenue_plan_is_topk_with_pushdown(spark, sf_dir):
     assert P.is_take_ordered(plan)  # no global sort for the top-10
     assert any("l_shipdate" in f for f in P.pushed_filters(plan))
     assert P.has_partial_aggregation(plan)
+
+
+def test_sketch_merge_identity_and_error(spark, sf_dir):
+    """Union-of-daily-states must equal the one-shot sketch (DataSketches
+    HLL is deterministic for fixed lgK), and the estimate must track exact
+    distinct within HLL's expected error at lgK=12 (~1.6%, assert 5%)."""
+    from go_web_mapreduce_spark.operators.analytics import q_sketch_merge
+
+    events = load_table(spark, sf_dir, "events")
+    rows = {r["event_type"]: r for r in q_sketch_merge(spark, sf_dir).collect()}
+    oneshot = {
+        r["event_type"]: r["est"]
+        for r in events.groupBy("event_type")
+        .agg(F.expr("hll_sketch_estimate(hll_sketch_agg(user_id))").alias("est"))
+        .collect()
+    }
+    assert rows
+    for et, r in rows.items():
+        assert r["approx_users"] == oneshot[et]  # merge identity, exact
+        assert abs(r["approx_users"] - r["exact_users"]) <= 0.05 * r["exact_users"]
+        assert r["n_days"] > 0

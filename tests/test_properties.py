@@ -335,3 +335,61 @@ def test_mixture_keep_partitioning_invariant(spark, ids):
         if r["k"] == 1
     }
     assert keep(a) == keep(b)
+
+
+@given(
+    xs=st.lists(st.integers(min_value=0, max_value=255), min_size=1, max_size=6),
+    ys=st.lists(st.integers(min_value=0, max_value=255), min_size=1, max_size=6),
+)
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+def test_morton_is_bijective_and_monotone_per_axis(spark, xs, ys):
+    """The portable Morton SQL must be a bijection of (x, y) — decodable by
+    de-interleaving — and monotone along each axis with the other fixed."""
+    from go_web_mapreduce_spark.operators.pipeline_ops import _morton16
+
+    pairs = list({(x, y) for x in xs for y in ys})
+    sql = ", ".join(
+        _morton16(str(x), str(y)) + f" AS z{i}" for i, (x, y) in enumerate(pairs)
+    )
+    row = spark.sql(f"SELECT {sql}").collect()[0]
+
+    def decode(z: int) -> tuple[int, int]:
+        x = y = 0
+        for i in range(8):
+            x |= ((z >> (2 * i)) & 1) << i
+            y |= ((z >> (2 * i + 1)) & 1) << i
+        return x, y
+
+    for i, (x, y) in enumerate(pairs):
+        assert decode(row[f"z{i}"]) == (x, y)
+
+
+@given(seed=st.integers(min_value=0, max_value=10_000))
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+def test_hash_bucket_matches_md5_reference(spark, seed):
+    """The generated hash-bucket SQL must equal a direct md5-based Python
+    computation — pins the instr/substr arithmetic against both engines'
+    md5 (which are RFC-identical)."""
+    import hashlib
+
+    import duckdb
+
+    from go_web_mapreduce_spark.operators.pipeline_ops import _hash_bucket
+
+    keys = [seed + i for i in range(5)]
+
+    def py_bucket(k: int, mod: int) -> int:
+        return int(hashlib.md5(str(k).encode()).hexdigest()[:4], 16) % mod
+
+    s_sql = ", ".join(
+        _hash_bucket(str(k), 100, "spark") + f" AS b{i}" for i, k in enumerate(keys)
+    )
+    srow = spark.sql(f"SELECT {s_sql}").collect()[0]
+    d_sql = ", ".join(
+        _hash_bucket(str(k), 100, "duck") + f" AS b{i}" for i, k in enumerate(keys)
+    )
+    drow = duckdb.sql(f"SELECT {d_sql}").fetchone()
+    for i, k in enumerate(keys):
+        want = py_bucket(k, 100)
+        assert srow[f"b{i}"] == want
+        assert drow[i] == want
