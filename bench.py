@@ -48,6 +48,15 @@ def main() -> None:
     # warm the JVM + parquet footers once so per-query numbers measure the
     # queries, not session start-up
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+    # ...and the Python/Arrow worker pool: the first pandas_udf in a session
+    # pays worker spawn + Arrow init (~1-2s) that would otherwise land on
+    # whichever Python-backed query happens to sort first
+    from pyspark.sql import functions as F
+
+    _warm = F.pandas_udf("long")(lambda s: s)
+    spark.range(1000).select(_warm("id")).write.mode("overwrite").format(
+        "noop"
+    ).save()
 
     per_query: dict[str, float] = {}
     total = 0.0
