@@ -252,3 +252,113 @@ def q_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_type",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q_funnel — ordered multi-step conversion funnel
+# ---------------------------------------------------------------------------
+
+FUNNEL_STEPS = ("view", "click", "purchase")
+
+
+@query(
+    "q_funnel",
+    oracle="""
+    WITH s1 AS (
+      SELECT user_id, min(epoch_us(ts)) AS t1 FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ), s2 AS (
+      SELECT e.user_id, min(epoch_us(ts)) AS t2
+      FROM events e JOIN s1 ON e.user_id = s1.user_id
+      WHERE e.event_type = 'click' AND epoch_us(ts) > t1
+      GROUP BY e.user_id
+    ), s3 AS (
+      SELECT e.user_id, min(epoch_us(ts)) AS t3
+      FROM events e JOIN s2 ON e.user_id = s2.user_id
+      WHERE e.event_type = 'purchase' AND epoch_us(ts) > t2
+      GROUP BY e.user_id
+    )
+    SELECT 'view' AS stage, CAST((SELECT count(*) FROM s1) AS BIGINT) AS n_users
+    UNION ALL
+    SELECT 'view>click', CAST((SELECT count(*) FROM s2) AS BIGINT)
+    UNION ALL
+    SELECT 'view>click>purchase', CAST((SELECT count(*) FROM s3) AS BIGINT)
+    """,
+    description="ordered conversion funnel (view → click → purchase, strict "
+    "temporal order per user): per-stage reached-user counts — the event-"
+    "analytics sequence-match pattern",
+)
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each stage is a per-user min over a filtered scan joined to the
+    previous stage's frontier — all three aggregations and both joins key
+    on user_id, so Catalyst reuses ONE exchange for the whole cascade and
+    the per-stage frontier shrinks monotonically. At 100 TB: funnel depth
+    adds joins on an already-partitioned key, never new fact shuffles."""
+    events = load_table(spark, sf_dir, "events")
+    us = F.expr("ts_ns div 1000")
+
+    def stage(event_type: str, prev: DataFrame | None, prev_t: str, t: str):
+        e = events.filter(F.col("event_type") == event_type).select(
+            "user_id", us.alias("_us")
+        )
+        if prev is not None:
+            e = e.join(prev, "user_id").filter(F.col("_us") > F.col(prev_t))
+        return e.groupBy("user_id").agg(F.min("_us").alias(t))
+
+    s1 = stage(FUNNEL_STEPS[0], None, "", "t1")
+    s2 = stage(FUNNEL_STEPS[1], s1, "t1", "t2")
+    s3 = stage(FUNNEL_STEPS[2], s2, "t2", "t3")
+    rows = [
+        ("view", s1),
+        ("view>click", s2),
+        ("view>click>purchase", s3),
+    ]
+    out = None
+    for label, df in rows:
+        one = df.agg(F.count("*").alias("n_users")).select(
+            F.lit(label).alias("stage"), F.col("n_users").cast("long")
+        )
+        out = one if out is None else out.unionAll(one)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# q_retention — cohort retention matrix
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_retention",
+    oracle="""
+    WITH cohort AS (
+      SELECT user_id, min(date_trunc('day', ts)) AS c FROM events GROUP BY user_id
+    ), active AS (
+      SELECT DISTINCT user_id, date_trunc('day', ts) AS d FROM events
+    )
+    SELECT strftime(c, '%Y-%m-%d') AS cohort_day,
+           CAST(date_diff('day', c, d) AS BIGINT) AS day_offset,
+           CAST(count(*) AS BIGINT) AS n_users
+    FROM active JOIN cohort USING (user_id)
+    GROUP BY 1, 2
+    """,
+    description="cohort retention matrix: users grouped by first-seen day, "
+    "distinct-active counts per (cohort, day offset) — the standard "
+    "engagement analysis",
+)
+def q_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort assignment and the activity set both aggregate on user_id
+    (one exchange, reused), and the final matrix groups on the tiny
+    (cohort, offset) key. The distinct-activity step is the only
+    event-volume shuffle and carries (user_id, day) pairs only."""
+    events = load_table(spark, sf_dir, "events")
+    day = F.date_trunc("day", "ts")
+    cohort = events.groupBy("user_id").agg(F.min(day).alias("c"))
+    active = events.select("user_id", day.alias("d")).distinct()
+    return (
+        active.join(cohort, "user_id")
+        .groupBy(
+            F.date_format("c", "yyyy-MM-dd").alias("cohort_day"),
+            F.datediff("d", "c").cast("long").alias("day_offset"),
+        )
+        .agg(F.count("*").alias("n_users"))
+    )

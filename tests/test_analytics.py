@@ -106,3 +106,34 @@ def test_sketch_merge_identity_and_error(spark, sf_dir):
         assert r["approx_users"] == oneshot[et]  # merge identity, exact
         assert abs(r["approx_users"] - r["exact_users"]) <= 0.05 * r["exact_users"]
         assert r["n_days"] > 0
+
+
+def test_funnel_is_monotone(spark, sf_dir):
+    from go_web_mapreduce_spark.operators.analytics import q_funnel
+
+    rows = {r["stage"]: r["n_users"] for r in q_funnel(spark, sf_dir).collect()}
+    assert set(rows) == {"view", "view>click", "view>click>purchase"}
+    assert rows["view"] >= rows["view>click"] >= rows["view>click>purchase"]
+    assert rows["view"] > 0
+
+
+def test_retention_day_zero_covers_every_user(spark, sf_dir):
+    """Offset 0 of each cohort must count exactly that cohort's users
+    (everyone is active on their own first day)."""
+    from go_web_mapreduce_spark.operators.analytics import q_retention
+
+    events = load_table(spark, sf_dir, "events")
+    cohort_sizes = {
+        r["cohort_day"]: r["n"]
+        for r in events.groupBy("user_id")
+        .agg(F.date_format(F.min(F.date_trunc("day", "ts")), "yyyy-MM-dd").alias("cohort_day"))
+        .groupBy("cohort_day")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    rows = q_retention(spark, sf_dir).collect()
+    zero = {r["cohort_day"]: r["n_users"] for r in rows if r["day_offset"] == 0}
+    assert zero == cohort_sizes
+    for r in rows:
+        assert r["day_offset"] >= 0
+        assert r["n_users"] <= cohort_sizes[r["cohort_day"]]
