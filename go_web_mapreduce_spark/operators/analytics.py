@@ -290,10 +290,12 @@ FUNNEL_STEPS = ("view", "click", "purchase")
 )
 def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Each stage is a per-user min over a filtered scan joined to the
-    previous stage's frontier — all three aggregations and both joins key
-    on user_id, so Catalyst reuses ONE exchange for the whole cascade and
-    the per-stage frontier shrinks monotonically. At 100 TB: funnel depth
-    adds joins on an already-partitioned key, never new fact shuffles."""
+    previous stage's frontier. Every exchange in the plan keys on user_id
+    (asserted in tests) and carries only that stage's *filtered slice* —
+    the event-type filter is pushed to each scan, so at 100 TB each funnel
+    step shuffles its own step's events once (a fraction of the table) and
+    the frontier side of each join shrinks monotonically. Deeper funnels
+    add per-slice shuffles, never a full-table re-shuffle."""
     events = load_table(spark, sf_dir, "events")
     us = F.expr("ts_ns div 1000")
 

@@ -137,3 +137,17 @@ def test_retention_day_zero_covers_every_user(spark, sf_dir):
     for r in rows:
         assert r["day_offset"] >= 0
         assert r["n_users"] <= cohort_sizes[r["cohort_day"]]
+
+
+def test_funnel_exchanges_all_key_on_user_id(spark, sf_dir):
+    """Every hash exchange in the funnel must key on user_id (per-slice
+    shuffles of pushed-down filtered scans — no full-table re-shuffle and
+    no stray grouping key)."""
+    import re
+
+    from go_web_mapreduce_spark.operators.analytics import q_funnel
+
+    plan = P.executed_plan(q_funnel(spark, sf_dir))
+    keys = set(re.findall(r"hashpartitioning\((\w+)", plan))
+    assert keys == {"user_id"}
+    assert any("event_type" in f for f in P.pushed_filters(plan))
