@@ -197,15 +197,20 @@ def q_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
         Window.orderBy(F.col("p_size").desc())
         .rowsBetween(Window.unboundedPreceding, -1)
     )
+    # alias the frontier columns: it derives from `part`, and reusing the
+    # parent's column names in a self-join condition relies on the analyzer's
+    # lineage disambiguation (it resolves correctly — asserted by the oracle —
+    # but warns); distinct names make the join keys unambiguous by name
     frontier = (
         per_size.withColumn("runmax", F.max("mp").over(w))
         .filter(F.col("runmax").isNull() | (F.col("mp") > F.col("runmax")))
-        .select("p_size", "mp")
+        .select(F.col("p_size").alias("sk_size"), "mp")
     )
     return (
         part.join(
             F.broadcast(frontier),
-            (part.p_size == frontier.p_size) & (part.p_retailprice == frontier.mp),
+            (part.p_size == frontier.sk_size)
+            & (part.p_retailprice == frontier.mp),
             "left_semi",
         )
         .select("p_partkey", "p_size", "p_retailprice")
