@@ -668,6 +668,67 @@ def pq_adc_score(codes_col, codebooks, probe_vec) -> "F.Column":
     return F.aggregate(gathered, F.lit(0.0), lambda acc, x: acc + x)
 
 
+def pq_persist(
+    codes: DataFrame, codebooks, path: str, corpus: DataFrame | None = None
+) -> None:
+    """Write the PQ index: the codes table as parquet (8 bytes/vector — the
+    compressed-domain scan target) plus the codebook tensor as a tiny JSON
+    sidecar. Optionally co-persist the full vectors for rerank locality.
+    Encode ONCE at ingest; every later probe reads only codes + sidecar."""
+    codes.write.mode("overwrite").parquet(f"{path}/codes")
+    spark = codes.sparkSession
+    m, ksub, dsub = codebooks.shape
+    rows = [
+        (j, c, [float(x) for x in codebooks[j][c]])
+        for j in range(m)
+        for c in range(ksub)
+    ]
+    spark.createDataFrame(
+        rows, "j int, c int, centroid array<double>"
+    ).coalesce(1).write.mode("overwrite").json(f"{path}/codebooks")
+    if corpus is not None:
+        corpus.write.mode("overwrite").parquet(f"{path}/vectors")
+
+
+def pq_load(spark: SparkSession, path: str):
+    """Load a persisted PQ index → ``(codes_df, codebooks)``."""
+    import numpy as np
+
+    codes = spark.read.parquet(f"{path}/codes")
+    rows = spark.read.json(f"{path}/codebooks").collect()
+    m = 1 + max(int(r["j"]) for r in rows)
+    ksub = 1 + max(int(r["c"]) for r in rows)
+    dsub = len(rows[0]["centroid"])
+    cb = np.zeros((m, ksub, dsub))
+    for r in rows:
+        cb[int(r["j"]), int(r["c"])] = [float(x) for x in r["centroid"]]
+    return codes, cb
+
+
+def pq_topk_persisted(
+    spark: SparkSession,
+    path: str,
+    probe: DataFrame,
+    corpus: DataFrame,
+    k: int = TOP_K,
+    shortlist: int = PQ_SHORTLIST,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Search a persisted PQ index: the ADC shortlist scans ONLY the codes
+    parquet (32× smaller than the vectors); the exact rerank joins the
+    shortlist ids back onto the full-vector table. No re-training, no
+    re-encoding per probe — the production read path."""
+    codes, cb = pq_load(spark, path)
+    pv = [float(x) for x in probe.select("embedding").first()["embedding"]]
+    short = (
+        codes.select(id_col, pq_adc_score(F.col("codes"), cb, pv).alias("adc"))
+        .orderBy(F.col("adc").desc(), F.col(id_col))
+        .limit(shortlist)
+    )
+    cands = corpus.join(F.broadcast(short.select(id_col)), id_col)
+    return cosine_topk(cands.select(id_col, "embedding"), probe, k, id_col)
+
+
 def pq_topk(
     corpus: DataFrame,
     probe: DataFrame,
@@ -699,7 +760,9 @@ def pq_topk(
     description="ANN top-20 via product quantization: sample-trained "
     "per-subspace codebooks, map-side 4-bit encoding (32× compression), "
     "codegen ADC gather-sum shortlist, exact rerank of the shortlist only — "
-    "the compressed-domain 100 TB similarity path",
+    "the compressed-domain 100 TB similarity path; pq_persist/pq_load/"
+    "pq_topk_persisted give the encode-once-query-many read path (codes "
+    "parquet + codebook sidecar), persisted search byte-equal to inline",
 )
 def q_similarity_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")

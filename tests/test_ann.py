@@ -158,3 +158,27 @@ def test_pq_adc_matches_numpy_lut(spark, sf_dir):
     for vid, cs in codes.items():
         want = float(sum(lut[j][c] for j, c in enumerate(cs)))
         assert abs(got[vid] - want) < 1e-9
+
+
+def test_pq_persisted_search_equals_inline(spark, sf_dir, tmp_path):
+    """Persist-then-search must return exactly the inline pq_topk result:
+    encode-once-query-many cannot change answers."""
+    from go_web_mapreduce_spark.operators.similarity import (
+        pq_encode,
+        pq_persist,
+        pq_topk,
+        pq_topk_persisted,
+        pq_train,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    probe = emb.filter(F.col("vec_id") == 0)
+    cb = pq_train(emb)
+    path = str(tmp_path / "pq_index")
+    pq_persist(pq_encode(emb, cb), cb, path)
+    inline = [(r["vec_id"], r["score"]) for r in pq_topk(emb, probe, K).collect()]
+    persisted = [
+        (r["vec_id"], r["score"])
+        for r in pq_topk_persisted(spark, path, probe, emb, K).collect()
+    ]
+    assert persisted == inline
