@@ -1,5 +1,6 @@
 """Multimodal plumbing tests: schemas, batch shapes, 1→1 and 1→N fan-out,
-determinism, and the decode stub contract."""
+determinism, real BMP/WAV decode round trips, and the compressed-codec
+stub contract."""
 
 from __future__ import annotations
 
@@ -8,7 +9,10 @@ import pytest
 from go_web_mapreduce_spark.operators.multimodal import (
     FRAME_SIZE,
     as_media_table,
-    decode_media,
+    decode_bmp,
+    decode_payload,
+    decode_wav,
+    encode_bmp,
     extract_features,
     resize_media,
     sample_frames,
@@ -21,9 +25,41 @@ def media(spark, sf_dir):
     return as_media_table(load_table(spark, sf_dir, "documents"))
 
 
-def test_decode_is_an_explicit_stub(media):
+def test_compressed_decode_is_an_explicit_stub():
     with pytest.raises(NotImplementedError, match="codec"):
-        decode_media(media)
+        decode_payload("image/jpeg", b"\xff\xd8\xff")
+
+
+def test_bmp_round_trip_exact():
+    """encode→decode must return the original pixel array bit-for-bit,
+    including odd widths that force row padding."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    for w, h in ((16, 16), (5, 3), (1, 1), (7, 2)):
+        px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        back = decode_bmp(encode_bmp(px))
+        assert back.shape == (h, w, 3)
+        assert (back == px).all()
+
+
+def test_wav_round_trip_exact(tmp_path):
+    import io
+    import wave
+
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    samples = rng.integers(-32768, 32767, size=(441, 2), dtype=np.int16)
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(2)
+        wf.setsampwidth(2)
+        wf.setframerate(44100)
+        wf.writeframes(samples.tobytes())
+    back = decode_payload("audio/wav", buf.getvalue())
+    assert back.shape == (441, 2)
+    assert (back == samples).all()
 
 
 def test_resize_is_one_to_one_fixed_size(media):
