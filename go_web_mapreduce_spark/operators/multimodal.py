@@ -6,17 +6,20 @@ feature-extract / resize / frame-sample run as Arrow-batched Pandas
 iterators (``mapInPandas``) so bytes move in columnar batches and never
 row-at-a-time.
 
-Decode is REAL for uncompressed formats: ``decode_bmp`` (24-bit BMP,
-pure struct/numpy header parse + de-pad + BGR flip) and ``decode_wav``
+Decode is REAL for every format the standard library can express:
+``decode_bmp`` (24-bit BMP, pure struct/numpy header parse + de-pad + BGR
+flip), ``decode_png`` (non-interlaced 8-bit RGB/RGBA: zlib inflate +
+per-scanline unfilter of all five PNG filter types), and ``decode_wav``
 (PCM via stdlib ``wave``) — exercised end-to-end by ``q_multimodal_decode``
-and ``q_multimodal_audio``, which synthesize genuine BMP/WAV files and
+and ``q_multimodal_audio``, which synthesize genuine BMP/PNG/WAV files and
 hash-verify the decoded pixel/sample sums against first-principles
-oracles. Only *compressed* codecs
-(JPEG/PNG/MP3/MP4) remain stubbed, because the container genuinely has no
-PIL/libjpeg/ffmpeg: ``decode_payload`` raises NotImplementedError for
-those mimes rather than faking it, and ``extract_features`` uses a
-deterministic md5-derived stand-in "embedding" where a learned encoder
-would go. Swapping in PIL/librosa is a one-entry change to ``DECODERS``.
+oracles. Only codecs that genuinely require external libraries
+(JPEG/MP3/MP4 — no PIL/libjpeg/ffmpeg in the container) remain stubbed:
+``decode_payload`` raises NotImplementedError for those mimes rather than
+faking it. ``extract_features`` computes REAL pixel/sample statistics for
+every decodable mime and falls back to a deterministic md5-derived
+stand-in only for undecodable payloads. Swapping in PIL/librosa is a
+one-entry change to ``DECODERS``.
 """
 
 from __future__ import annotations
@@ -120,20 +123,157 @@ def decode_wav(data: bytes):
         return np.frombuffer(frames, np.int16).reshape(-1, wf.getnchannels())
 
 
-# mime → pure-python/numpy decoder; compressed codecs stay stubbed because
-# the container genuinely has no PIL/libjpeg/libpng/ffmpeg
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _paeth(a, b, c):
+    """Vectorized Paeth predictor (PNG filter type 4): per element pick the
+    neighbor (left, up, upper-left) closest to left + up - upper_left."""
+    import numpy as np
+
+    p = a + b - c
+    pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+    return np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c))
+
+
+def encode_png(pixels, vary_filters: bool = True) -> bytes:
+    """Encode an (h, w, 3|4) uint8 array as a standard non-interlaced 8-bit
+    PNG using only stdlib ``zlib`` + numpy: IHDR/IDAT/IEND chunks with
+    CRC-32, per-scanline filtering. With ``vary_filters`` the filter type
+    cycles 0→4 by row so a decoder must implement every filter (None, Sub,
+    Up, Average, Paeth) to round-trip — that is deliberate: the synthetic
+    corpus then exercises the whole unfilter matrix, not just type 0."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    px = np.asarray(pixels, dtype=np.uint8)
+    h, w, ch = px.shape
+    color_type = {3: 2, 4: 6}[ch]
+
+    def chunk(ctype: bytes, payload: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(payload))
+            + ctype
+            + payload
+            + struct.pack(">I", zlib.crc32(ctype + payload) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    flat = px.reshape(h, w * ch).astype(np.int32)
+    zeros = np.zeros(ch, dtype=np.int32)
+    prev = np.zeros(w * ch, dtype=np.int32)
+    raw = bytearray()
+    for r in range(h):
+        cur = flat[r]
+        ftype = r % 5 if vary_filters else 0
+        left = np.concatenate([zeros, cur[:-ch]]) if w * ch > ch else zeros[: w * ch]
+        ul = np.concatenate([zeros, prev[:-ch]]) if w * ch > ch else zeros[: w * ch]
+        if ftype == 0:
+            filtered = cur
+        elif ftype == 1:  # Sub
+            filtered = cur - left
+        elif ftype == 2:  # Up
+            filtered = cur - prev
+        elif ftype == 3:  # Average
+            filtered = cur - (left + prev) // 2
+        else:  # Paeth
+            filtered = cur - _paeth(left, prev, ul)
+        raw += bytes([ftype]) + (filtered % 256).astype(np.uint8).tobytes()
+        prev = cur
+    idat = zlib.compress(bytes(raw), 6)
+    return _PNG_SIG + chunk(b"IHDR", ihdr) + chunk(b"IDAT", idat) + chunk(b"IEND", b"")
+
+
+def decode_png(data: bytes):
+    """Decode a non-interlaced 8-bit RGB/RGBA PNG into an (h, w, ch) uint8
+    array with only stdlib ``zlib`` + numpy: chunk walk, IDAT concat +
+    inflate, then per-scanline unfiltering of all five filter types (0–4).
+    Sub/Average/Paeth carry a left-neighbor dependence, so those lines
+    unfilter pixel-sequentially; Up is a vectorized add. Raises ValueError
+    on interlaced, paletted, or non-8-bit images."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if data[: len(_PNG_SIG)] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos = len(_PNG_SIG)
+    ihdr = None
+    idat = bytearray()
+    while pos + 8 <= len(data):
+        (length,), ctype = struct.unpack_from(">I", data, pos), data[pos + 4 : pos + 8]
+        body = data[pos + 8 : pos + 8 + length]
+        pos += 12 + length
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", body)
+        elif ctype == b"IDAT":
+            idat += body
+        elif ctype == b"IEND":
+            break
+    if ihdr is None:
+        raise ValueError("PNG missing IHDR")
+    w, h, bit_depth, color_type, _comp, _filt, interlace = ihdr
+    if bit_depth != 8 or color_type not in (2, 6) or interlace != 0:
+        raise ValueError(
+            "only non-interlaced 8-bit RGB/RGBA PNG supported "
+            f"(bit_depth={bit_depth}, color_type={color_type}, interlace={interlace})"
+        )
+    ch = 3 if color_type == 2 else 4
+    stride = w * ch
+    raw = zlib.decompress(bytes(idat))
+    if len(raw) != (stride + 1) * h:
+        raise ValueError("PNG scanline data has unexpected length")
+    out = np.empty((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int32)
+    for r in range(h):
+        off = r * (stride + 1)
+        ftype = raw[off]
+        line = np.frombuffer(raw, np.uint8, stride, off + 1).astype(np.int32)
+        if ftype == 0:
+            cur = line
+        elif ftype == 2:  # Up
+            cur = (line + prev) % 256
+        elif ftype in (1, 3, 4):  # Sub / Average / Paeth: left-sequential
+            cur = line.copy()
+            for i in range(stride):
+                left = cur[i - ch] if i >= ch else 0
+                if ftype == 1:
+                    cur[i] = (cur[i] + left) % 256
+                elif ftype == 3:
+                    cur[i] = (cur[i] + (left + prev[i]) // 2) % 256
+                else:
+                    up = prev[i]
+                    ul = prev[i - ch] if i >= ch else 0
+                    p = left + up - ul
+                    pa, pb, pc = abs(p - left), abs(p - up), abs(p - ul)
+                    pred = left if pa <= pb and pa <= pc else (up if pb <= pc else ul)
+                    cur[i] = (cur[i] + pred) % 256
+        else:
+            raise ValueError(f"unknown PNG filter type {ftype}")
+        out[r] = cur.astype(np.uint8)
+        prev = cur
+    return out.reshape(h, w, ch)
+
+
+# mime → pure-python/numpy decoder; the remaining compressed codecs stay
+# stubbed because the container genuinely has no PIL/libjpeg/ffmpeg — but
+# PNG needs only stdlib zlib, so it decodes for real
 DECODERS = {
     "image/bmp": decode_bmp,
+    "image/png": decode_png,
     "audio/wav": decode_wav,
     "audio/x-wav": decode_wav,
 }
 
 
 def decode_payload(mime: str, payload: bytes):
-    """Decode one payload into a pixel/sample array. Uncompressed formats
-    (BMP, PCM WAV) decode for real; compressed codecs raise — the container
-    has no PIL/librosa/ffmpeg, and silently faking a JPEG decode would be
-    worse than refusing."""
+    """Decode one payload into a pixel/sample array. BMP, PNG, and PCM WAV
+    decode for real (stdlib + numpy only); the remaining compressed codecs
+    raise — the container has no PIL/librosa/ffmpeg, and silently faking a
+    JPEG decode would be worse than refusing."""
     dec = DECODERS.get(mime)
     if dec is None:
         raise NotImplementedError(
@@ -144,30 +284,61 @@ def decode_payload(mime: str, payload: bytes):
     return dec(payload)
 
 
-def extract_features(media: DataFrame, dim: int = FEATURE_DIM) -> DataFrame:
+def media_features(arr) -> list[float]:
+    """Real per-payload feature vector (FEATURE_DIM floats) from a decoded
+    pixel/sample array: [mean, std, min, max, p25, p50, p75, n_values].
+    Deterministic float64 order statistics — the fixed-width summary a
+    learned encoder would replace."""
+    import numpy as np
+
+    v = np.asarray(arr, dtype=np.float64).ravel()
+    return [
+        float(v.mean()),
+        float(v.std()),
+        float(v.min()),
+        float(v.max()),
+        float(np.percentile(v, 25)),
+        float(np.percentile(v, 50)),
+        float(np.percentile(v, 75)),
+        float(v.size),
+    ]
+
+
+def extract_features(
+    media: DataFrame, dim: int = FEATURE_DIM, double: bool = False
+) -> DataFrame:
     """Per-payload feature vector via Arrow-batched mapInPandas.
 
-    The feature computation is a deterministic stand-in (md5-derived floats);
-    the distributed shape — binary batches in, fixed-width float vectors
-    out — is exactly what a real encoder plugs into.
+    For decodable mimes (BMP/PNG/WAV — see DECODERS) the features are REAL
+    content statistics of the decoded pixel/sample array
+    (:func:`media_features`); undecodable payloads fall back to the
+    deterministic md5-derived stand-in so the pipeline never fakes a
+    decode. ``double=True`` widens the feature column to ``array<double>``
+    so exact-integer components (min/max/count) survive for hash-checked
+    oracles; the default float32 matches the embeddings-table convention.
     """
+    schema = FEATURE_SCHEMA.replace("array<float>", "array<double>") if double else FEATURE_SCHEMA
 
     def run(batches: Iterator) -> Iterator:
         import pandas as pd
 
         for pdf in batches:
             feats, digests, sizes = [], [], []
-            for payload in pdf["payload"]:
+            for mime, payload in zip(pdf["mime"], pdf["payload"]):
                 raw = bytes(payload)
                 digest = hashlib.md5(raw).hexdigest()
                 digests.append(digest)
                 sizes.append(len(raw))
-                feats.append(
-                    [
-                        int(digest[4 * i : 4 * i + 4], 16) / 65535.0
-                        for i in range(dim)
-                    ]
-                )
+                dec = DECODERS.get(mime)
+                if dec is not None:
+                    feats.append(media_features(dec(raw))[:dim])
+                else:
+                    feats.append(
+                        [
+                            int(digest[4 * i : 4 * i + 4], 16) / 65535.0
+                            for i in range(dim)
+                        ]
+                    )
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
@@ -178,8 +349,8 @@ def extract_features(media: DataFrame, dim: int = FEATURE_DIM) -> DataFrame:
                 }
             )
 
-    return media.select("doc_id", "payload", "source").mapInPandas(
-        run, FEATURE_SCHEMA
+    return media.select("doc_id", "mime", "payload", "source").mapInPandas(
+        run, schema
     )
 
 
@@ -219,9 +390,10 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
                          AS DECIMAL(18,8))) AS DOUBLE) AS sum_f0
     FROM documents GROUP BY source
     """,
-    description="mapInPandas feature extraction over binary payloads "
-    "(decode stubbed; Arrow batch plumbing real; the md5-derived stand-in "
-    "features make even this pipeline hash-verifiable)",
+    description="mapInPandas feature extraction over undecodable binary "
+    "payloads (text/plain → md5-derived stand-in features, themselves "
+    "hash-verifiable; decodable mimes get REAL content statistics — see "
+    "q_multimodal_features_real)",
 )
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = as_media_table(load_table(spark, sf_dir, "documents"))
@@ -360,11 +532,31 @@ def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
 IMG_W = IMG_H = 16  # synthesized image dimensions (768 pixel bytes)
 
 
-def synthesize_bmp_table(docs: DataFrame) -> DataFrame:
-    """Build a genuine media table: each document's utf-8 bytes tiled into a
-    16×16 RGB pixel block and encoded as a REAL 24-bit BMP file (headers,
-    padding, bottom-up rows). Arrow-batched; the payloads are valid files
-    any BMP reader opens."""
+def ascii_documents(docs: DataFrame) -> DataFrame:
+    """Non-empty all-ASCII documents — the invariant the synthesis oracles
+    rely on (per-character ``ascii(substr(...))`` == the utf-8 byte), now
+    ENFORCED in the plan rather than assumed of the corpus: char length ==
+    byte length ⟺ every char is single-byte ASCII. The DuckDB oracles carry
+    the identical predicate (see _ASCII_DOCS_SQL)."""
+    return docs.filter(
+        (F.length("text") > 0) & (F.octet_length("text") == F.length("text"))
+    )
+
+
+# oracle-side twin of ascii_documents — keep the predicates in lockstep
+_ASCII_DOCS_SQL = (
+    "length(text) > 0 AND octet_length(encode(text)) = length(text)"
+)
+
+
+def synthesize_image_table(docs: DataFrame) -> DataFrame:
+    """Build a genuine mixed-format media table: each document's utf-8 bytes
+    tiled into a 16×16 RGB pixel block and encoded as a REAL image file —
+    24-bit BMP (headers, padding, bottom-up rows) for even doc_ids, PNG
+    (zlib IDAT, cycling scanline filters 0–4) for odd doc_ids. Arrow-
+    batched; every payload is a valid file any image reader opens, and the
+    two formats decode to the identical pixel array, so one first-principles
+    oracle covers both."""
 
     def run(batches: Iterator) -> Iterator:
         import numpy as np
@@ -372,24 +564,29 @@ def synthesize_bmp_table(docs: DataFrame) -> DataFrame:
 
         n_px = IMG_W * IMG_H * 3
         for pdf in batches:
-            payloads = []
-            for text in pdf["text"]:
+            payloads, mimes = [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
                 raw = text.encode("utf-8")
                 reps = -(-n_px // len(raw))
                 px = np.frombuffer((raw * reps)[:n_px], np.uint8).reshape(
                     IMG_H, IMG_W, 3
                 )
-                payloads.append(encode_bmp(px))
+                if doc_id % 2 == 0:
+                    payloads.append(encode_bmp(px))
+                    mimes.append("image/bmp")
+                else:
+                    payloads.append(encode_png(px))
+                    mimes.append("image/png")
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
                     "payload": payloads,
-                    "mime": "image/bmp",
+                    "mime": mimes,
                     "source": pdf["source"],
                 }
             )
 
-    return docs.select("doc_id", "text", "source").mapInPandas(
+    return ascii_documents(docs).select("doc_id", "text", "source").mapInPandas(
         run, "doc_id bigint, payload binary, mime string, source string"
     )
 
@@ -398,7 +595,8 @@ def synthesize_bmp_table(docs: DataFrame) -> DataFrame:
     "q_multimodal_decode",
     # the decoded pixels are the document's utf-8 bytes tiled to 768, so the
     # exact pixel sum is expressible over text: full_tiles * byte_sum +
-    # prefix_sum(remainder). ASCII-only corpus → ascii() == the utf-8 byte.
+    # prefix_sum(remainder). The ASCII invariant (ascii() == the utf-8 byte)
+    # is ENFORCED by the same predicate in both engines, not assumed.
     oracle=f"""
     WITH b AS (
       SELECT source,
@@ -408,6 +606,7 @@ def synthesize_bmp_table(docs: DataFrame) -> DataFrame:
              list_sum(list_transform(range(1, ({IMG_W * IMG_H * 3} % octet_length(encode(text))) + 1),
                                      i -> ascii(substr(text, i, 1)))) AS s_prefix
       FROM documents
+      WHERE {_ASCII_DOCS_SQL}
     )
     SELECT source,
            CAST(count(*) AS BIGINT) AS n_images,
@@ -416,19 +615,22 @@ def synthesize_bmp_table(docs: DataFrame) -> DataFrame:
                     + coalesce(s_prefix, 0)) AS BIGINT) AS pixel_sum
     FROM b GROUP BY source
     """,
-    description="REAL media decode: documents rendered as valid 24-bit BMP "
-    "files (headers, padding, BGR, bottom-up rows) then decoded back with "
-    "the pure-numpy BMP parser; per-source exact pixel sums prove the "
-    "round trip bit-for-bit (compressed codecs remain stubbed — no "
+    description="REAL media decode over a mixed-format corpus: documents "
+    "rendered as valid 24-bit BMP files (headers, padding, BGR, bottom-up "
+    "rows) AND real PNGs (zlib IDAT, scanline filters 0-4) then decoded "
+    "back with the pure-stdlib parsers; per-source exact pixel sums prove "
+    "both round trips bit-for-bit (JPEG/MP3/MP4 remain stubbed — no "
     "PIL/ffmpeg in the container)",
 )
 def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Decode is no longer a stub for uncompressed formats: the query
-    synthesizes genuine BMP files and runs them through the real parser
-    inside an Arrow-batched mapInPandas — bytes in, pixel arrays out, exact
-    integer statistics aggregated per source. The oracle recomputes the
-    pixel sums from first principles (tiled utf-8 bytes), so a single
-    header-offset or padding bug would hash-mismatch."""
+    """Decode is no longer a stub for stdlib-expressible formats: the query
+    synthesizes genuine BMP files (even doc_ids) and PNG files (odd
+    doc_ids, cycling all five scanline filter types) and runs them through
+    the real parsers inside an Arrow-batched mapInPandas — bytes in, pixel
+    arrays out, exact integer statistics aggregated per source. The oracle
+    recomputes the pixel sums from first principles (tiled utf-8 bytes), so
+    a single header-offset, padding, or unfilter bug in either codec would
+    hash-mismatch."""
 
     def run(batches: Iterator) -> Iterator:
         import pandas as pd
@@ -447,7 +649,7 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    media = synthesize_bmp_table(load_table(spark, sf_dir, "documents"))
+    media = synthesize_image_table(load_table(spark, sf_dir, "documents"))
     decoded = media.select("source", "mime", "payload").mapInPandas(
         run, "source string, n_px bigint, px_sum bigint"
     )
@@ -455,6 +657,56 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_images"),
         F.sum("n_px").alias("n_pixels"),
         F.sum("px_sum").alias("pixel_sum"),
+    )
+
+
+@query(
+    "q_multimodal_features_real",
+    # features come from REAL decoded pixels, so they are recomputable over
+    # text from first principles: mean = pixel_sum/768 (the decode oracle's
+    # sum), min/max = order statistics over the bytes that appear in the
+    # tile (the first min(len, 768) characters — at least one full copy of
+    # the text lands in the tile whenever len <= 768). min/max/count are
+    # exact integers; the mean goes through the same DECIMAL(18,8) rounding
+    # both engines apply identically to the same float64.
+    oracle=f"""
+    WITH b AS (
+      SELECT source,
+             octet_length(encode(text)) AS len,
+             list_sum(list_transform(range(1, octet_length(encode(text)) + 1),
+                                     i -> ascii(substr(text, i, 1)))) AS s_all,
+             list_sum(list_transform(range(1, ({IMG_W * IMG_H * 3} % octet_length(encode(text))) + 1),
+                                     i -> ascii(substr(text, i, 1)))) AS s_prefix,
+             list_min(list_transform(range(1, least(octet_length(encode(text)), {IMG_W * IMG_H * 3}) + 1),
+                                     i -> ascii(substr(text, i, 1)))) AS mn,
+             list_max(list_transform(range(1, least(octet_length(encode(text)), {IMG_W * IMG_H * 3}) + 1),
+                                     i -> ascii(substr(text, i, 1)))) AS mx
+      FROM documents
+      WHERE {_ASCII_DOCS_SQL}
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(mn) AS BIGINT) AS sum_min,
+           CAST(sum(mx) AS BIGINT) AS sum_max,
+           CAST(sum(CAST(
+             (({IMG_W * IMG_H * 3} // len) * s_all + coalesce(s_prefix, 0))
+             / {IMG_W * IMG_H * 3}.0 AS DECIMAL(18,8))) AS DOUBLE) AS sum_mean
+    FROM b GROUP BY source
+    """,
+    description="REAL feature extraction: the mixed BMP/PNG corpus decoded "
+    "to pixels and summarized as content statistics (mean/std/min/max/"
+    "quartiles/count) via Arrow-batched mapInPandas — the features path no "
+    "longer consumes an md5 stand-in for decodable formats; per-source "
+    "sums of mean/min/max hash-verified against a first-principles oracle",
+)
+def q_multimodal_features_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = synthesize_image_table(load_table(spark, sf_dir, "documents"))
+    feats = extract_features(media, double=True)
+    return feats.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.col("features")[2].cast("bigint")).alias("sum_min"),
+        F.sum(F.col("features")[3].cast("bigint")).alias("sum_max"),
+        dsum(F.col("features")[0], scale=8).alias("sum_mean"),
     )
 
 
@@ -498,7 +750,7 @@ def synthesize_wav_table(docs: DataFrame) -> DataFrame:
                 }
             )
 
-    return docs.select("doc_id", "text", "source").mapInPandas(
+    return ascii_documents(docs).select("doc_id", "text", "source").mapInPandas(
         run, "doc_id bigint, payload binary, mime string, source string"
     )
 
@@ -507,8 +759,9 @@ def synthesize_wav_table(docs: DataFrame) -> DataFrame:
     "q_multimodal_audio",
     # decoded samples are little-endian int16 views of the tiled utf-8
     # bytes: sample_i = b(2i) + 256*b(2i+1), minus 65536 when >= 32768.
-    # ASCII corpus → every byte < 128, so no sample wraps negative and the
-    # oracle recomputes the exact sum from character codes
+    # The ASCII filter (enforced identically in both engines) guarantees
+    # every byte < 128, so no sample wraps negative and the oracle
+    # recomputes the exact sum from character codes
     oracle=f"""
     WITH t AS (
       SELECT source,
@@ -517,6 +770,7 @@ def synthesize_wav_table(docs: DataFrame) -> DataFrame:
                                               ((i - 1) % octet_length(encode(text))) + 1,
                                               1))) AS b
       FROM documents
+      WHERE {_ASCII_DOCS_SQL}
     )
     SELECT source,
            CAST(count(*) AS BIGINT) AS n_clips,
