@@ -4,6 +4,7 @@ from go_web_mapreduce_spark.operators import (  # noqa: F401
     analytics,
     dedup,
     mapreduce_compat,
+    ml,
     multimodal,
     pipeline_ops,
     relational,

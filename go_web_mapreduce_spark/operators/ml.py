@@ -1,0 +1,153 @@
+"""The reference's named "ML" workload: iterative optimization as MapReduce.
+
+The reference authors list ML among the model's intended workloads
+(reference: presentation.pptx, "What is MapReduce?" slide), alongside
+sort/graph/SVD/inverted-index which each already have a query. This module
+implements the canonical distributed-ML kernel — L2-regularized logistic
+regression fit by Newton's method — in the same scale shape as the
+tall-skinny Gram trick (operators/similarity.py::gram_matrix):
+
+- each Arrow batch contributes a (dim+1)-sized partial gradient and a
+  (dim+1)²-sized partial Hessian (numpy on the batch, ``mapInPandas``);
+- the driver sums per-batch partials (a few KB each — never the corpus)
+  and solves one tiny dense system per iteration;
+- iteration count is FIXED and init is deterministic (w₀ = 0); the driver
+  accumulates partials in sorted order, so a given partition layout yields
+  bit-identical weights run-over-run (across different layouts the batch
+  boundaries move and results agree to float64 rounding, ~1e-12 — asserted
+  in tests/test_ml.py).
+
+At 100 TB: the per-iteration cost is one corpus scan (cache/persist the
+feature DataFrame across iterations on a real cluster); driver memory is
+O(dim²) regardless of rows — dim ≲ 10⁴ is the bound, same as the SVD path.
+
+Labels are synthesized deterministically from a fixed md5-derived "true"
+hyperplane (the q_similarity_ann_lsh discipline), so the fit provably
+recovers a known direction — asserted against a local numpy solve of the
+identical objective in tests/test_ml.py.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from go_web_mapreduce_spark.registry import query
+from go_web_mapreduce_spark.sources.tables import load_table
+
+ML_DIM = 64  # embeddings table dimension
+ML_ITERS = 8  # fixed Newton iterations — deterministic, no convergence races
+ML_L2 = 1e-2  # ridge term: keeps the separable-label objective well-posed
+
+
+def true_plane(dim: int = ML_DIM) -> list[float]:
+    """Deterministic md5-derived ground-truth hyperplane (component i from
+    md5(f"ml:{i}")) — reproducible everywhere, no RNG state."""
+    out = []
+    for i in range(dim):
+        h = int(hashlib.md5(f"ml:{i}".encode()).hexdigest()[:8], 16)
+        out.append((h % 2001) / 1000.0 - 1.0)  # in [-1, 1]
+    return out
+
+
+def labeled_embeddings(corpus: DataFrame, dim: int = ML_DIM) -> DataFrame:
+    """Attach the synthetic binary label: y = 1 iff x · w* > 0, computed
+    JVM-side as a zip_with/aggregate fold against the literal plane."""
+    plane = F.array(*[F.lit(v) for v in true_plane(dim)])
+    dot = F.aggregate(
+        F.zip_with(F.col("embedding"), plane, lambda x, y: x.cast("double") * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    return corpus.select(
+        "vec_id", "embedding", (dot > 0).cast("double").alias("label")
+    )
+
+
+def logreg_fit(
+    df: DataFrame,
+    dim: int = ML_DIM,
+    iters: int = ML_ITERS,
+    l2: float = ML_L2,
+    feat_col: str = "embedding",
+    label_col: str = "label",
+):
+    """Fit L2-regularized logistic regression by distributed Newton.
+
+    Per iteration, one ``mapInPandas`` pass yields each batch's exact
+    partial gradient g_b = X_bᵀ(σ(X_b w) − y_b) and partial Hessian
+    H_b = X_bᵀ diag(p(1−p)) X_b over bias-augmented features; the driver
+    sums the partials in a sorted, fixed order (bit-reproducible across
+    partition layouts) and takes the Newton step
+    w ← w − (H + λI)⁻¹ (g + λw′), with the bias unpenalized.
+
+    Returns the (dim+1) weight vector (last entry = bias) as a plain list.
+    No full-corpus collect anywhere: driver traffic per iteration is
+    #batches × O(dim²) partials.
+    """
+    import numpy as np
+
+    w = np.zeros(dim + 1)
+    for _ in range(iters):
+        bw = w.copy()
+
+        def partials(batches, bw=bw):
+            import pandas as pd
+
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                X = np.array(list(pdf[feat_col]), dtype=np.float64)
+                Xa = np.hstack([X, np.ones((len(X), 1))])
+                y = pdf[label_col].to_numpy(dtype=np.float64)
+                z = Xa @ bw
+                # overflow-stable sigmoid: exp only ever sees -|z|
+                p = np.where(
+                    z >= 0,
+                    1.0 / (1.0 + np.exp(-np.abs(z))),
+                    np.exp(-np.abs(z)) / (1.0 + np.exp(-np.abs(z))),
+                )
+                g = Xa.T @ (p - y)
+                H = (Xa * (p * (1.0 - p))[:, None]).T @ Xa
+                yield pd.DataFrame(
+                    {"g": [g.tolist()], "h": [H.reshape(-1).tolist()]}
+                )
+
+        parts = df.select(feat_col, label_col).mapInPandas(
+            partials, "g array<double>, h array<double>"
+        ).collect()
+        G = np.zeros(dim + 1)
+        H = np.zeros((dim + 1, dim + 1))
+        # sorted, fixed accumulation order → identical float64 rounding no
+        # matter which executor finished first
+        for r in sorted(parts, key=lambda r: (r["g"], r["h"])):
+            G += np.array(r["g"], dtype=np.float64)
+            H += np.array(r["h"], dtype=np.float64).reshape(dim + 1, dim + 1)
+        reg = np.full(dim + 1, l2)
+        reg[-1] = 0.0  # bias unpenalized
+        G += reg * w
+        H += np.diag(reg)
+        w = w - np.linalg.solve(H, G)
+    return [float(x) for x in w]
+
+
+@query(
+    "q_ml_logreg",
+    oracle=None,  # iterative optimization — not SQL-expressible; parity
+    # with a local numpy solve of the identical objective is asserted in
+    # tests/test_ml.py (plus direction recovery of the generating plane)
+    description="the reference's named 'ML' workload: L2-regularized "
+    "logistic regression fit by distributed Newton — per-batch partial "
+    "gradient/Hessian via mapInPandas (the Gram-partials shape), driver "
+    "solves a (dim+1)² system per fixed iteration; deterministic init, "
+    "md5-derived labels, and sorted partial accumulation make the weights "
+    "reproducible; no full-corpus collect",
+)
+def q_ml_logreg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    data = labeled_embeddings(emb)
+    w = logreg_fit(data)
+    rows = [(i, w[i]) for i in range(len(w))]
+    return spark.createDataFrame(rows, "component bigint, weight double")

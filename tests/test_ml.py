@@ -1,0 +1,94 @@
+"""The named 'ML' workload: distributed Newton logistic regression must
+match a local numpy solve of the identical objective, recover the
+generating hyperplane's direction, and be reproducible."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from go_web_mapreduce_spark.operators.ml import (
+    ML_DIM,
+    ML_ITERS,
+    ML_L2,
+    labeled_embeddings,
+    logreg_fit,
+    true_plane,
+)
+from go_web_mapreduce_spark.sources.tables import load_table
+
+from conftest import SF_DIR
+
+
+def _local_newton(X, y, iters=ML_ITERS, l2=ML_L2):
+    """The identical objective solved in one process: the ground truth the
+    distributed fit must reproduce."""
+    Xa = np.hstack([X, np.ones((len(X), 1))])
+    w = np.zeros(Xa.shape[1])
+    for _ in range(iters):
+        z = Xa @ w
+        p = np.where(
+            z >= 0,
+            1.0 / (1.0 + np.exp(-np.abs(z))),
+            np.exp(-np.abs(z)) / (1.0 + np.exp(-np.abs(z))),
+        )
+        g = Xa.T @ (p - y)
+        H = (Xa * (p * (1.0 - p))[:, None]).T @ Xa
+        reg = np.full(len(w), l2)
+        reg[-1] = 0.0
+        g = g + reg * w
+        H = H + np.diag(reg)
+        w = w - np.linalg.solve(H, g)
+    return w
+
+
+@pytest.fixture(scope="module")
+def data(spark):
+    return labeled_embeddings(load_table(spark, SF_DIR, "embeddings"))
+
+
+@pytest.fixture(scope="module")
+def fitted(data):
+    return np.array(logreg_fit(data))
+
+
+def test_matches_local_numpy_solve(data, fitted):
+    rows = data.select("embedding", "label").collect()
+    X = np.array([list(r["embedding"]) for r in rows], dtype=np.float64)
+    y = np.array([r["label"] for r in rows], dtype=np.float64)
+    want = _local_newton(X, y)
+    # same objective, same iterations; only float summation order differs
+    assert np.allclose(fitted, want, rtol=1e-6, atol=1e-8)
+
+
+def test_recovers_generating_plane_direction(fitted):
+    w = fitted[:-1]  # drop bias
+    p = np.array(true_plane(ML_DIM))
+    # 500 samples in 64 dims bounds how sharply the direction resolves;
+    # 0.95 is far above chance (random 64-dim cosines concentrate near 0)
+    cos = w @ p / (np.linalg.norm(w) * np.linalg.norm(p))
+    assert cos > 0.95
+
+
+def test_separates_training_data(data, fitted):
+    rows = data.select("embedding", "label").collect()
+    X = np.array([list(r["embedding"]) for r in rows], dtype=np.float64)
+    y = np.array([r["label"] for r in rows], dtype=np.float64)
+    pred = (np.hstack([X, np.ones((len(X), 1))]) @ fitted > 0).astype(float)
+    assert (pred == y).mean() > 0.99
+
+
+def test_reproducible_and_layout_insensitive(data, fitted):
+    again = np.array(logreg_fit(data))
+    assert (again == fitted).all()  # same layout → bit-identical
+    relaid = np.array(logreg_fit(data.repartition(7)))
+    assert np.allclose(relaid, fitted, rtol=1e-9, atol=1e-12)
+
+
+def test_query_shape(spark):
+    from go_web_mapreduce_spark.queries import REGISTRY
+
+    df = REGISTRY["q_ml_logreg"].fn(spark, SF_DIR)
+    rows = df.collect()
+    assert len(rows) == ML_DIM + 1
+    assert df.columns == ["component", "weight"]
