@@ -314,14 +314,57 @@ def ann_topk_lsh(
     )
 
 
+def _ann_lsh_oracle() -> str:
+    """Full DuckDB oracle for the ANN-LSH pipeline. The hyperplanes are
+    md5-derived constants, so the entire candidate generation (sign buckets,
+    hamming-1 multi-probe) and scoring replicate exactly in SQL: both
+    engines compute the identical left-fold dot products over the identical
+    literal planes, so bucket assignments and scores are bit-identical —
+    'approximate' here means approximate vs exact top-k, not
+    nondeterministic."""
+    planes = _hyperplanes()
+
+    def dot(e: str, plane: list[float]) -> str:
+        arr = "[" + ", ".join(repr(v) for v in plane) + "]"
+        return (
+            f"list_reduce(list_transform(range(len({e})), "
+            f"i -> {e}[i+1]::DOUBLE * {arr}[i+1]), (x, y) -> x + y)"
+        )
+
+    bucket_expr = " + ".join(
+        f"(CASE WHEN {dot('embedding', p)} >= 0 THEN {1 << j} ELSE 0 END)"
+        for j, p in enumerate(planes)
+    )
+    probe_buckets = ", ".join(
+        ["pb"] + [f"xor(pb, {1 << j})" for j in range(len(planes))]
+    )
+    return f"""
+    WITH bucketed AS (
+      SELECT vec_id, embedding, ({bucket_expr}) AS bucket FROM embeddings
+    ), probe AS (
+      SELECT embedding AS pv, bucket AS pb FROM bucketed WHERE vec_id = 0
+    ), cands AS (
+      SELECT b.vec_id, b.embedding, p.pv
+      FROM bucketed b, probe p
+      WHERE b.bucket IN ({probe_buckets})
+    )
+    SELECT vec_id, {_cos_sql("embedding", "pv")} AS score
+    FROM cands
+    ORDER BY score DESC, vec_id LIMIT {TOP_K}
+    """
+
+
 @query(
     "q_similarity_ann_lsh",
-    oracle=None,  # approximate by construction — driver records rows+schema
-    description="ANN top-20 via multi-probe random-hyperplane LSH. Candidate "
-    "fraction is corpus-size-independent, but recall is bounded by how "
-    "separated true neighbors are from the bulk — on weakly-separated "
-    "embeddings prefer the IVF path (q_similarity_ivf); both measured in "
-    "tests/test_ann.py",
+    oracle=_ann_lsh_oracle(),  # deterministic md5-derived hyperplanes →
+    # the full candidate→score pipeline replicates in SQL (hash-verified);
+    # recall vs exact top-k is measured separately in tests/test_ann.py
+    description="ANN top-20 via multi-probe random-hyperplane LSH, with a "
+    "full SQL oracle (deterministic hyperplanes make buckets and scores "
+    "bit-replicable in DuckDB). Candidate fraction is corpus-size-"
+    "independent, but recall is bounded by how separated true neighbors "
+    "are from the bulk — on weakly-separated embeddings prefer the IVF "
+    "path (q_similarity_ivf); both measured in tests/test_ann.py",
 )
 def q_similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
