@@ -38,6 +38,13 @@ from go_web_mapreduce_spark.sources.tables import kv_from_rows
 # (reference: server/views.go:107-108)
 REDUCE_JOBS_DIVISOR = 10
 
+# default ceiling on rows the collect() result path will materialize on the
+# driver. The reference accumulates all results in master memory
+# (algorithm/algorithm.go:337-343) — faithful, but a scalability cliff; the
+# guard keeps the *default* path driver-safe and points oversized results at
+# the distributed sink_path= mode instead of OOM-ing the driver.
+DEFAULT_MAX_COLLECT_ROWS = 1_000_000
+
 
 @dataclass
 class AlgorithmHandle:
@@ -91,6 +98,22 @@ class AlgorithmCancelled(RuntimeError):
         self.algorithm_id = algorithm_id
 
 
+class ResultTooLarge(RuntimeError):
+    """Raised by ``wait()`` when an algorithm's result exceeds the service's
+    ``max_collect_rows`` cap on the default driver-collect path. Resubmit
+    with ``sink_path=`` to stream results to distributed parquet instead."""
+
+    def __init__(self, algorithm_id: str, cap: int):
+        super().__init__(
+            f"algorithm {algorithm_id} produced more than {cap} result rows; "
+            "the driver-collect default is refused above the cap — resubmit "
+            "with sink_path= to write results as distributed parquet, or "
+            "raise max_collect_rows on the service"
+        )
+        self.algorithm_id = algorithm_id
+        self.cap = cap
+
+
 class AlgorithmService:
     """Multi-algorithm submission pool over one SparkSession.
 
@@ -100,8 +123,13 @@ class AlgorithmService:
     Spark job in its own FAIR scheduler pool.
     """
 
-    def __init__(self, spark: SparkSession):
+    def __init__(
+        self, spark: SparkSession, max_collect_rows: int = DEFAULT_MAX_COLLECT_ROWS
+    ):
+        if max_collect_rows <= 0:
+            raise ValueError("max_collect_rows must be positive")
         self._spark = spark
+        self._max_collect_rows = max_collect_rows
         self._pool: dict[str, AlgorithmHandle] = {}
         self._lock = threading.Lock()
 
@@ -124,7 +152,10 @@ class AlgorithmService:
         ``sink_path`` switches result delivery from driver ``collect()`` (the
         reference's master-side accumulation, algorithm/algorithm.go:337-343)
         to a distributed parquet write at that path — the mode to use when
-        results don't fit a driver; ``wait()`` then returns the path.
+        results don't fit a driver; ``wait()`` then returns the path. The
+        default collect path is guarded by the service's ``max_collect_rows``
+        cap: above it, ``wait()`` raises :class:`ResultTooLarge` instead of
+        materializing an unbounded result on the driver.
         """
         if isinstance(input, list):
             if not input:
@@ -214,7 +245,15 @@ class AlgorithmService:
                 if sink_path is not None:
                     result_df.write.mode("overwrite").parquet(sink_path)
                 else:
-                    handle._rows = result_df.collect()
+                    # driver-safety guard, costing no extra job: fetch at
+                    # most cap+1 rows in the same action — a full cap+1
+                    # means the result overflows the cap, so refuse and
+                    # point at the distributed sink instead of OOM-ing
+                    cap = self._max_collect_rows
+                    rows = result_df.limit(cap + 1).collect()
+                    if len(rows) > cap:
+                        raise ResultTooLarge(algorithm_id, cap)
+                    handle._rows = rows
             except BaseException as exc:  # surfaced on wait(), like HTTP 500
                 if handle._cancelled:
                     pass  # cancellation is reported as AlgorithmCancelled

@@ -76,6 +76,38 @@ def test_bad_map_input_length_rejected(service):
         service.submit(map_fn, reduce_fn, [("", "w")], 0)
 
 
+def test_oversized_result_refused_with_sink_hint(spark, tmp_path):
+    """The default driver-collect path must refuse results above the
+    service's max_collect_rows cap (pointing at sink_path=), while the same
+    submission with sink_path succeeds — the reference's unbounded
+    master-side accumulation (algorithm/algorithm.go:337-343) made
+    driver-safe by default."""
+    from go_web_mapreduce_spark.service import ResultTooLarge
+
+    small = AlgorithmService(spark, max_collect_rows=5)
+    map_fn, reduce_fn = wordcount_fns()
+    inp = [("", f"word{i}") for i in range(12)]  # 12 distinct keys > cap 5
+
+    h = small.submit(map_fn, reduce_fn, inp, 3)
+    with pytest.raises(ResultTooLarge, match="sink_path"):
+        h.wait(timeout=120)
+
+    sink = str(tmp_path / "results")
+    h2 = small.submit(map_fn, reduce_fn, inp, 3, sink_path=sink)
+    assert h2.wait(timeout=120) == sink
+    got = {r["key"] for r in spark.read.parquet(sink).collect()}
+    assert got == {f"word{i}" for i in range(12)}
+
+    # results at or under the cap still arrive on the default path
+    ok = small.submit(map_fn, reduce_fn, [("", "a"), ("", "a"), ("", "b")], 2)
+    assert {r["key"] for r in ok.wait(timeout=120)} == {"a", "b"}
+
+
+def test_bad_max_collect_rows_rejected(spark):
+    with pytest.raises(ValueError, match="max_collect_rows"):
+        AlgorithmService(spark, max_collect_rows=0)
+
+
 def test_bench_helpers_importable():
     """bench.py is driver-facing; its helpers must import and behave without
     a full run (the full CLI is exercised by the verify recipe)."""
