@@ -607,6 +607,12 @@ def _pq_lloyd(X, k: int, iters: int, rng):
     participates (the same coarse-quantizer discipline as ivf_assign)."""
     import numpy as np
 
+    if len(X) < k:
+        raise ValueError(
+            f"PQ codebook training needs at least ksub={k} sample vectors "
+            f"per subspace but got {len(X)}; grow the corpus/sample_cap or "
+            "lower ksub"
+        )
     C = X[rng.choice(len(X), size=k, replace=False)].copy()
     for _ in range(iters):
         d = ((X[:, None, :] - C[None, :, :]) ** 2).sum(-1)
@@ -633,19 +639,26 @@ def pq_train(
     sample_cap: int = PQ_TRAIN_CAP,
     seed: int = 42,
     iters: int = 15,
+    id_col: str = "vec_id",
 ):
-    """Train PQ codebooks on a seeded, capped sample: returns a numpy array
-    of shape (m, ksub, dim/m). Vectors are L2-normalized before splitting so
-    the ADC inner product approximates cosine. Driver memory is bounded by
-    ``sample_cap`` rows regardless of corpus size."""
+    """Train PQ codebooks on a content-deterministic capped sample: returns
+    a numpy array of shape (m, ksub, dim/m). Vectors are L2-normalized
+    before splitting so the ADC inner product approximates cosine. Driver
+    memory is bounded by ``sample_cap`` rows regardless of corpus size.
+
+    Sample selection is by id-hash order (``orderBy(xxhash64(id))`` +
+    limit → TakeOrdered), so the training set — and therefore codebooks,
+    codes, and search results — depends only on the data's CONTENT, never
+    on partition layout or cluster size (a seeded ``sample().limit()``
+    would take whichever rows arrived first)."""
     import numpy as np
 
     n = corpus.count()
-    samp = corpus.select("embedding")
+    samp = corpus.select(
+        "embedding", F.xxhash64(F.col(id_col)).alias("__hk")
+    ).orderBy("__hk")
     if n > sample_cap:
-        samp = samp.sample(False, min(1.0, 1.1 * sample_cap / n), seed=seed).limit(
-            sample_cap
-        )
+        samp = samp.limit(sample_cap)
     X = np.array([r["embedding"] for r in samp.collect()], dtype=np.float64)
     X = _normalize_rows(X)
     dsub = X.shape[1] // m

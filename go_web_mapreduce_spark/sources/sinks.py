@@ -98,8 +98,14 @@ def write_zordered(
     partitions: int | None = None,
 ) -> None:
     """Z-order-clustered parquet: rows range-partitioned and sorted by the
-    16-bit Morton interleave of two 8-bit dimension expressions (each must
-    evaluate to an integer in [0, 256)).
+    16-bit Morton interleave of two 8-bit dimension expressions (integers
+    in [0, 256)).
+
+    Each dimension is CLAMPED to [0, 255] before interleaving (the same
+    ``least``/``greatest`` discipline as ``q_zorder_cluster``'s bucket
+    expressions): an out-of-range or negative input degrades to the curve
+    boundary — weaker clustering for those rows, never a corrupted Morton
+    key from the %-based bit arithmetic.
 
     Range partitioning by zval puts nearby curve positions in the same
     files; the within-file sort orders row groups along the curve — so
@@ -111,7 +117,9 @@ def write_zordered(
 
     from go_web_mapreduce_spark.operators.pipeline_ops import _morton16
 
-    z = df.withColumn("__z", F.expr(_morton16(f"({x_expr})", f"({y_expr})")))
+    cx = f"least(greatest(CAST(({x_expr}) AS BIGINT), 0), 255)"
+    cy = f"least(greatest(CAST(({y_expr}) AS BIGINT), 0), 255)"
+    z = df.withColumn("__z", F.expr(_morton16(cx, cy)))
     if partitions:
         z = z.repartitionByRange(partitions, "__z")
     else:

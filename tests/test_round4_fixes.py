@@ -68,6 +68,53 @@ def test_star_cc_empty_and_single_edge(spark):
     assert _labels(connected_components_star(one)) == {5: 5, 9: 5}
 
 
+def test_pq_train_is_layout_insensitive(spark, sf_dir):
+    """ADVICE r3 #2: the PQ training sample is selected by id-hash order,
+    so codebooks must be identical across partition layouts (sample().limit
+    took whichever rows arrived first)."""
+    import numpy as np
+
+    from go_web_mapreduce_spark.operators.similarity import pq_train
+    from go_web_mapreduce_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = pq_train(emb, sample_cap=100)
+    b = pq_train(emb.repartition(13), sample_cap=100)
+    assert np.array_equal(a, b)
+
+
+def test_pq_train_tiny_sample_fails_descriptively(spark):
+    """ADVICE r3 #3: fewer sample rows than ksub must raise a named error,
+    not an opaque numpy ValueError from rng.choice."""
+    from go_web_mapreduce_spark.operators.similarity import pq_train
+
+    tiny = spark.createDataFrame(
+        [(i, [float(i)] * 64) for i in range(4)],
+        "vec_id long, embedding array<float>",
+    )
+    with pytest.raises(ValueError, match="ksub"):
+        pq_train(tiny)
+
+
+def test_zorder_sink_clamps_out_of_range_dims(spark, tmp_path):
+    """ADVICE r3 #4: negative/overflowing dimension expressions must clamp
+    to the curve boundary, not silently wrap into wrong Morton keys — the
+    write must succeed and keep every row."""
+    from go_web_mapreduce_spark.sources.sinks import write_zordered
+
+    df = spark.createDataFrame(
+        [(-50, 10), (0, 0), (255, 255), (300, 900), (12, -3)],
+        "x long, y long",
+    )
+    path = str(tmp_path / "zs")
+    write_zordered(df, path, "x", "y", mode="overwrite", partitions=2)
+    back = spark.read.parquet(path)
+    assert back.count() == 5
+    assert {tuple(r) for r in back.collect()} == {
+        (-50, 10), (0, 0), (255, 255), (300, 900), (12, -3)
+    }
+
+
 @pytest.mark.parametrize("seed", [0, 1, 2])
 def test_star_cc_random_graphs_match_networkx_free_oracle(spark, seed):
     """Random sparse graphs vs a pure-Python union-find oracle."""
