@@ -3,6 +3,7 @@
 from go_web_mapreduce_spark.operators import (  # noqa: F401
     analytics,
     dedup,
+    graph,
     mapreduce_compat,
     ml,
     multimodal,

@@ -1,0 +1,242 @@
+"""The reference's named "sort" and "graph" workloads, Spark-first.
+
+The reference authors list sort and graph processing among MapReduce's
+intended workloads (reference: presentation.pptx, "What is MapReduce?"
+slide), alongside SVD / inverted-index / ML which already have queries
+(operators/similarity.py, relational.py, ml.py). This module supplies the
+remaining two as first-class, oracle-verified queries:
+
+- ``q_global_sort`` — distributed total-order sort with a materialized
+  global position, the TeraSort shape: one range shuffle
+  (``repartitionByRange`` samples split points), a per-partition sort, and
+  a per-partition-count prefix sum (≤ n_partitions rows — KBs on the
+  driver side of the plan, never the corpus) that turns local indices into
+  global ones. No single-partition window anywhere: a naive
+  ``row_number() OVER (ORDER BY ...)`` collapses the whole corpus onto one
+  task, which is exactly the plan this module exists to avoid.
+
+- ``q_pagerank`` — weighted PageRank over the part co-purchase graph
+  (parts are linked when they appear in the same order), a fixed,
+  deterministic 3 iterations so the DuckDB oracle can unroll them as
+  chained CTEs and hash-verify every rank. Each iteration is one
+  contributions join + one groupBy(dst) shuffle; rank state is
+  O(|nodes|) and never touches the driver.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from go_web_mapreduce_spark.registry import query
+from go_web_mapreduce_spark.sources.tables import load_table
+
+SORT_PARTITIONS = 32  # range-shuffle width; at 100 TB size so each ≲ executor memory
+PR_DAMPING = 0.85
+# NOT computed as 1-PR_DAMPING: float(1-0.85) = 0.15000000000000002, a
+# different double than the SQL literal 0.15 — both sides must state 0.15
+PR_TELEPORT = 0.15
+PR_ITERS = 3  # fixed — keeps the SQL oracle an exact unrolled twin
+
+
+# ---------------------------------------------------------------------------
+# distributed total-order sort (TeraSort shape)
+# ---------------------------------------------------------------------------
+
+def global_sort_index(df: DataFrame, *keys: str,
+                      num_partitions: int = SORT_PARTITIONS) -> DataFrame:
+    """Total order over ``keys`` with a 1-based ``global_pos`` column.
+
+    Plan: range-shuffle on the keys (split points from Spark's reservoir
+    sample), sort within each partition, assign a local index per partition
+    in one Arrow pass, then add each partition's start offset — computed as
+    a prefix sum over the per-partition counts (a ≤ ``num_partitions``-row
+    aggregate, broadcast back). The result is layout-independent as long as
+    the key tuple is unique: positions come from the total order itself,
+    not from where the sampler happened to place split points.
+
+    At 100 TB: the ranged/sorted subtree feeds both the count aggregate and
+    the output, so on a real cluster persist it (or checkpoint past the
+    range shuffle) to scan the corpus once, not twice; the shuffle files
+    themselves make the second traversal cheap under AQE reuse.
+    """
+    ranged = (
+        df.repartitionByRange(num_partitions, *keys)
+        .sortWithinPartitions(*keys)
+        .withColumn("pid", F.spark_partition_id())
+    )
+
+    out_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in ranged.schema.fields
+    ) + ", local_idx long"
+
+    def add_local_idx(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # one call per partition; batches arrive in the partition's sort
+        # order, so a running counter is the local rank
+        seen = 0
+        for pdf in batches:
+            pdf = pdf.assign(local_idx=range(seen, seen + len(pdf)))
+            seen += len(pdf)
+            yield pdf
+
+    indexed = ranged.mapInPandas(add_local_idx, schema=out_schema)
+
+    # ≤ num_partitions rows: a single-partition window here is bounded by
+    # construction, unlike one over the corpus
+    counts = ranged.groupBy("pid").agg(F.count(F.lit(1)).alias("n"))
+    off_w = W.orderBy("pid").rowsBetween(W.unboundedPreceding, -1)
+    offsets = counts.select(
+        "pid", F.coalesce(F.sum("n").over(off_w), F.lit(0)).alias("offset")
+    )
+
+    return (
+        indexed.join(F.broadcast(offsets), "pid")
+        .withColumn("global_pos", F.col("offset") + F.col("local_idx") + 1)
+        .drop("pid", "local_idx", "offset")
+    )
+
+
+@query(
+    "q_global_sort",
+    oracle="""
+    SELECT row_number() OVER (ORDER BY l_shipdate, l_orderkey, l_linenumber)
+             AS global_pos,
+           strftime(l_shipdate, '%Y-%m-%d') AS ship_date,
+           l_orderkey, l_linenumber
+    FROM lineitem
+    """,
+    description="named 'sort' workload (reference presentation.pptx): "
+    "TeraSort-shape distributed total order with verified global positions "
+    "— range shuffle + local sort + count prefix sum, no global window",
+)
+def q_global_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.date_format("l_shipdate", "yyyy-MM-dd").alias("ship_date"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    return global_sort_index(li, "ship_date", "l_orderkey", "l_linenumber")
+
+
+# ---------------------------------------------------------------------------
+# PageRank over the part co-purchase graph
+# ---------------------------------------------------------------------------
+
+def copurchase_edges(lineitem: DataFrame) -> DataFrame:
+    """Directed weighted edges between parts that share an order: weight =
+    number of distinct orders the pair co-occurs in. Self-join on
+    l_orderkey — bounded fan-out (TPC-H orders hold ≤ 7 lines), so the
+    pair blow-up is a small constant factor, never corpus²."""
+    a = lineitem.select("l_orderkey", F.col("l_partkey").alias("src"))
+    b = lineitem.select("l_orderkey", F.col("l_partkey").alias("dst"))
+    pairs = (
+        a.join(b, "l_orderkey")
+        .where(F.col("src") != F.col("dst"))
+        .select("l_orderkey", "src", "dst")
+        .distinct()  # a part repeated within one order contributes once
+    )
+    return pairs.groupBy("src", "dst").agg(
+        F.count(F.lit(1)).cast("double").alias("w")
+    )
+
+
+def pagerank(nodes: DataFrame, edges: DataFrame, iters: int = PR_ITERS,
+             damping: float = PR_DAMPING) -> DataFrame:
+    """Fixed-iteration weighted PageRank (no dangling-mass redistribution:
+    rank = (1-d) + d * Σ_in r(src)·w/wout(src), the variant both the Spark
+    plan and the unrolled SQL oracle state identically).
+
+    Each iteration: join ranks to out-normalized edges (shuffle on src),
+    then groupBy(dst) (shuffle on dst) — rank state stays distributed,
+    O(|nodes|). At 100 TB graph scale, persist ``frac`` (it is static
+    across iterations) and checkpoint ranks every few rounds to cut
+    lineage; with only 3 fixed rounds the recompute is cheaper than a
+    cache write at bench scale, so this function stays side-effect-free.
+
+    Cross-engine determinism (functions/numeric.py discipline): the
+    per-node contribution sum runs over ``decimal(28,12)``-cast terms, so
+    it is exact and partial-aggregation-order-independent; every other step
+    (w/wout, r·frac, teleport+damping) is an identical IEEE expression on
+    identical doubles in Spark and the unrolled DuckDB oracle, so the final
+    ranks are bit-identical — no output rounding anywhere.
+    """
+    wout = edges.groupBy("src").agg(F.sum("w").alias("wout"))
+    frac = edges.join(wout, "src").select(
+        "src", "dst", (F.col("w") / F.col("wout")).alias("frac")
+    )
+    ranks = nodes.select("node", F.lit(1.0).alias("r"))
+    for _ in range(iters):
+        contrib = (
+            frac.join(ranks, frac.src == ranks.node)
+            .groupBy("dst")
+            .agg(
+                F.sum((F.col("r") * F.col("frac")).cast("decimal(28,12)"))
+                .cast("double")
+                .alias("c")
+            )
+        )
+        ranks = nodes.join(
+            contrib, nodes.node == contrib.dst, "left"
+        ).select(
+            "node",
+            (F.lit(PR_TELEPORT)
+             + F.lit(damping) * F.coalesce("c", F.lit(0.0))).alias("r"),
+        )
+    return ranks
+
+
+_PR_ITER_SQL = """
+    r{next} AS (
+        SELECT n.node,
+               0.15 + 0.85 * coalesce(
+                   CAST(sum(CAST(p.r * f.frac AS DECIMAL(28,12))) AS DOUBLE),
+                   0.0) AS r
+        FROM nodes n
+        LEFT JOIN frac f ON f.dst = n.node
+        LEFT JOIN r{cur} p ON p.node = f.src
+        GROUP BY n.node
+    )"""
+
+
+def _pagerank_oracle() -> str:
+    iter_ctes = ",".join(
+        _PR_ITER_SQL.format(cur=i, next=i + 1) for i in range(PR_ITERS)
+    )
+    return f"""
+    WITH pairs AS (
+        SELECT DISTINCT a.l_orderkey, a.l_partkey AS src, b.l_partkey AS dst
+        FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+        WHERE a.l_partkey <> b.l_partkey
+    ),
+    edges AS (
+        SELECT src, dst, CAST(count(*) AS DOUBLE) AS w
+        FROM pairs GROUP BY src, dst
+    ),
+    wout AS (SELECT src, sum(w) AS wout FROM edges GROUP BY src),
+    frac AS (
+        SELECT e.src, e.dst, e.w / o.wout AS frac
+        FROM edges e JOIN wout o ON o.src = e.src
+    ),
+    nodes AS (SELECT DISTINCT l_partkey AS node FROM lineitem),
+    r0 AS (SELECT node, 1.0 AS r FROM nodes),{iter_ctes}
+    SELECT node AS part_id, r AS pr FROM r{PR_ITERS}
+    """
+
+
+@query(
+    "q_pagerank",
+    oracle=_pagerank_oracle(),
+    description="named 'graph' workload (reference presentation.pptx): "
+    f"weighted PageRank over the part co-purchase graph, fixed {PR_ITERS} "
+    "iterations unrolled as chained CTEs in the oracle — every rank "
+    "hash-verified bit-for-bit (decimal-cast contribution sums)",
+)
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    nodes = li.select(F.col("l_partkey").alias("node")).distinct()
+    ranks = pagerank(nodes, copurchase_edges(li))
+    return ranks.select(F.col("node").alias("part_id"), F.col("r").alias("pr"))

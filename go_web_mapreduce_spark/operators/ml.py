@@ -34,6 +34,7 @@ import hashlib
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from go_web_mapreduce_spark.functions.numeric import dsum
 from go_web_mapreduce_spark.registry import query
 from go_web_mapreduce_spark.sources.tables import load_table
 
@@ -131,6 +132,66 @@ def logreg_fit(
         H += np.diag(reg)
         w = w - np.linalg.solve(H, G)
     return [float(x) for x in w]
+
+
+@query(
+    "q_ml_linreg",
+    oracle="""
+    WITH m AS (
+        SELECT l_returnflag, l_linestatus,
+               CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sx,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sy,
+               CAST(sum(CAST(l_quantity * l_extendedprice AS DECIMAL(18,4)))
+                    AS DOUBLE) AS sxy,
+               CAST(sum(CAST(l_quantity * l_quantity AS DECIMAL(18,4)))
+                    AS DOUBLE) AS sxx,
+               CAST(count(*) AS BIGINT) AS n
+        FROM lineitem GROUP BY l_returnflag, l_linestatus
+    ),
+    s AS (
+        SELECT *, (sxy / n - (sx / n) * (sy / n))
+                  / (sxx / n - (sx / n) * (sx / n)) AS slope
+        FROM m
+    )
+    SELECT l_returnflag, l_linestatus, slope,
+           sy / n - slope * (sx / n) AS intercept, n
+    FROM s
+    """,
+    description="closed-form ML: per-group least-squares fit of price on "
+    "quantity — the normal equations' 1-D case from exact decimal-cast "
+    "moment sums (functions/numeric.py discipline: order-independent, "
+    "bit-identical across engines; partial map-side merge, one shuffle, "
+    "zero UDFs, no output rounding); the multi-dim generalization is the "
+    "q_ml_logreg / gram_matrix partials path",
+)
+def q_ml_linreg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        "l_linestatus",
+        F.col("l_quantity").cast("double").alias("x"),
+        F.col("l_extendedprice").cast("double").alias("y"),
+    )
+    m = li.groupBy("l_returnflag", "l_linestatus").agg(
+        dsum("x").alias("sx"),
+        dsum("y").alias("sy"),
+        dsum(F.col("x") * F.col("y")).alias("sxy"),
+        dsum(F.col("x") * F.col("x")).alias("sxx"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    # divided-moment form: operands stay O(E[xy]), avoiding the n·Σxy
+    # cancellation blow-up past 2^53; identical IEEE expression in the oracle
+    s = m.withColumn(
+        "slope",
+        (F.col("sxy") / F.col("n") - (F.col("sx") / F.col("n")) * (F.col("sy") / F.col("n")))
+        / (F.col("sxx") / F.col("n") - (F.col("sx") / F.col("n")) * (F.col("sx") / F.col("n"))),
+    )
+    return s.select(
+        "l_returnflag",
+        "l_linestatus",
+        "slope",
+        (F.col("sy") / F.col("n") - F.col("slope") * (F.col("sx") / F.col("n"))).alias("intercept"),
+        "n",
+    )
 
 
 @query(
