@@ -1,0 +1,83 @@
+"""Tests for the pure-numpy baseline JPEG codec (functions/jpeg.py)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from go_web_mapreduce_spark.functions.jpeg import (
+    _M,
+    _Z,
+    decode_jpeg_gray,
+    encode_jpeg_gray,
+)
+
+
+def _reference_pipeline(px: np.ndarray, quant: int) -> np.ndarray:
+    """Independent model of what a correct baseline codec must produce:
+    round(idct(dequant(quant(fdct(x−128)))))+128 per 8×8 block. Exercises
+    none of the entropy layer, so agreement with decode(encode(x)) pins the
+    Huffman/bitstream/zigzag/stuffing code exactly."""
+    out = np.empty_like(px)
+    h, w = px.shape
+    for by in range(0, h, 8):
+        for bx in range(0, w, 8):
+            b = px[by : by + 8, bx : bx + 8].astype(np.float64) - 128.0
+            coef = _M @ b @ _M.T
+            zz = np.round(coef.reshape(64)[_Z] / quant)
+            flat = np.zeros(64)
+            flat[_Z] = zz * quant
+            rec = _M.T @ flat.reshape(8, 8) @ _M
+            out[by : by + 8, bx : bx + 8] = np.clip(
+                np.round(rec + 128.0), 0, 255
+            ).astype(np.uint8)
+    return out
+
+
+def test_block_constant_round_trip_is_exact():
+    rng = np.random.default_rng(7)
+    vals = rng.integers(0, 256, size=(3, 4))
+    px = np.kron(vals, np.ones((8, 8), dtype=int)).astype(np.uint8)
+    data = encode_jpeg_gray(px)
+    assert data[:2] == b"\xff\xd8" and data[-2:] == b"\xff\xd9"
+    assert np.array_equal(decode_jpeg_gray(data), px)
+
+
+@pytest.mark.parametrize("quant", [1, 2, 8])
+def test_arbitrary_content_matches_reference_pipeline(quant):
+    rng = np.random.default_rng(13)
+    px = rng.integers(0, 256, size=(24, 16)).astype(np.uint8)
+    got = decode_jpeg_gray(encode_jpeg_gray(px, quant=quant))
+    assert np.array_equal(got, _reference_pipeline(px, quant))
+
+
+def test_gradient_exercises_ac_run_lengths():
+    # horizontal ramp: long zero runs between AC coefficients → ZRL/EOB paths
+    px = np.tile(np.arange(64, dtype=np.uint8) * 4, (16, 1))
+    got = decode_jpeg_gray(encode_jpeg_gray(px, quant=2))
+    assert np.array_equal(got, _reference_pipeline(px, 2))
+
+
+def test_byte_stuffing_round_trips():
+    # all-white blocks drive DC diffs that emit 0xFF bytes in the stream;
+    # a stuffing bug would corrupt every following block
+    px = np.full((16, 16), 255, dtype=np.uint8)
+    assert np.array_equal(decode_jpeg_gray(encode_jpeg_gray(px)), px)
+
+
+def test_decoder_rejects_garbage_and_wrong_shapes():
+    with pytest.raises(ValueError):
+        decode_jpeg_gray(b"\x89PNG\r\n\x1a\nnot a jpeg")
+    with pytest.raises(ValueError):
+        encode_jpeg_gray(np.zeros((10, 16), dtype=np.uint8))  # not /8
+
+
+def test_decoder_is_general_over_quant_tables():
+    # same content, two quant tables → different streams, both decode to
+    # their own reference output (decoder parses DQT, does not assume 1s)
+    rng = np.random.default_rng(3)
+    px = rng.integers(0, 256, size=(8, 8)).astype(np.uint8)
+    d1 = decode_jpeg_gray(encode_jpeg_gray(px, quant=1))
+    d4 = decode_jpeg_gray(encode_jpeg_gray(px, quant=4))
+    assert np.array_equal(d1, _reference_pipeline(px, 1))
+    assert np.array_equal(d4, _reference_pipeline(px, 4))

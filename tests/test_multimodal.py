@@ -31,8 +31,12 @@ def media(spark, sf_dir):
 
 
 def test_compressed_decode_is_an_explicit_stub():
+    # JPEG decodes for real since round 4 (functions/jpeg.py); MP3/MP4
+    # genuinely need ffmpeg-class libraries and must refuse loudly
     with pytest.raises(NotImplementedError, match="codec"):
-        decode_payload("image/jpeg", b"\xff\xd8\xff")
+        decode_payload("audio/mpeg", b"\xff\xfb\x90")
+    with pytest.raises(NotImplementedError, match="codec"):
+        decode_payload("video/mp4", b"\x00\x00\x00\x18ftyp")
 
 
 def test_bmp_round_trip_exact():
@@ -95,7 +99,7 @@ def test_png_rejects_unsupported():
     with pytest.raises(ValueError, match="not a PNG"):
         decode_png(b"nope")
     with pytest.raises(NotImplementedError, match="codec"):
-        decode_payload("image/jpeg", b"\xff\xd8\xff")
+        decode_payload("video/mp4", b"\x00\x00\x00\x18ftyp")
 
 
 def test_media_features_are_real_statistics():
