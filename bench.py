@@ -57,6 +57,17 @@ def main() -> None:
     spark.range(1000).select(_warm("id")).write.mode("overwrite").format(
         "noop"
     ).save()
+    # ...and the codegen/janino path for higher-order functions: the first
+    # HOF-heavy query otherwise absorbs the compiler cold start (observed on
+    # q_array_fns, alphabetically early — 1.8 s warm vs 3-30 s cold under
+    # neighbor load)
+    spark.range(1000).select(
+        F.aggregate(
+            F.transform(F.array_repeat("id", 4), lambda x: x + 1),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        ).alias("s")
+    ).write.mode("overwrite").format("noop").save()
 
     per_query: dict[str, float] = {}
     total = 0.0

