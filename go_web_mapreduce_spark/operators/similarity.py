@@ -255,6 +255,140 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_near_dup_pairs(emb)
 
 
+def knn_graph(
+    corpus: DataFrame,
+    k: int = KNN_K,
+    id_col: str = "vec_id",
+    num_blocks: int = 16,
+) -> DataFrame:
+    """Exact k-nearest-neighbor GRAPH: every vector's top-k cosine
+    neighbors over the whole corpus — the semantic-dedup / clustering
+    primitive (each doc's nearest neighbors feed near-dup grouping and
+    diversity sampling).
+
+    Same distributed block grid as :func:`embedding_near_dup_pairs`, but
+    instead of thresholded pairs each (block_i, block_j) kernel emits only
+    each vector's LOCAL top-k against the partner block, in both
+    orientations. Shuffle volume is n·B·k candidate rows (20k vectors ×
+    16 blocks × 3 = ~1M at sf0.1) instead of the n²/2 a materialize-
+    then-rank plan would carry; the final window rank per vector runs on
+    that bounded candidate set. Exactness: local selection uses the same
+    total order as the global rank (score desc, id asc), so every global
+    top-k element survives its local cut — the standard top-k union
+    argument, tie-safe.
+
+    Bit-parity: per-dimension sequential accumulation (the
+    embedding_near_dup_pairs discipline), so scores hash-match the DuckDB
+    list_reduce fold.
+    """
+    import numpy as np
+
+    packed = (
+        corpus.select(
+            F.pmod(F.hash(F.col(id_col)), F.lit(num_blocks)).alias("blk"),
+            F.struct(
+                F.col(id_col).alias("id"), F.col("embedding").alias("emb")
+            ).alias("s"),
+        )
+        .groupBy("blk")
+        .agg(F.collect_list("s").alias("rows"))
+    )
+    left = packed.select(
+        F.col("blk").alias("blk_a"),
+        F.col("rows").alias("rows_a"),
+        F.explode(F.sequence(F.col("blk"), F.lit(num_blocks - 1))).alias("blk_b"),
+    )
+    right = packed.select(F.col("blk").alias("blk_b"), F.col("rows").alias("rows_b"))
+    joined = left.join(right, "blk_b").select("blk_a", "blk_b", "rows_a", "rows_b")
+
+    def unpack_sorted(rows):
+        ids = np.array([r["id"] for r in rows], dtype=np.int64)
+        mat = np.array([list(r["emb"]) for r in rows], dtype=np.float64)
+        order = np.argsort(ids)  # id-ascending → stable sort keeps tie order
+        return ids[order], mat[order]
+
+    def norms_seq(m: "np.ndarray") -> "np.ndarray":
+        acc = np.zeros(m.shape[0])
+        for i in range(m.shape[1]):
+            acc = acc + m[:, i] * m[:, i]
+        return np.sqrt(acc)
+
+    def local_topk(ids_q, ids_c, score, self_mask):
+        """Per row of ``score``: top-k columns by (score desc, id asc) —
+        columns are pre-sorted by id, so a STABLE sort on -score breaks
+        ties id-ascending, matching the window/oracle order exactly."""
+        if self_mask is not None:
+            score = score.copy()
+            score[self_mask] = -np.inf
+        kk = min(k, score.shape[1])
+        order = np.argsort(-score, axis=1, kind="stable")[:, :kk]
+        q = np.repeat(ids_q, kk)
+        c = ids_c[order].reshape(-1)
+        s = np.take_along_axis(score, order, axis=1).reshape(-1)
+        finite = np.isfinite(s)  # drops self slots when block size ≤ k
+        return q[finite], c[finite], s[finite]
+
+    def score_block(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            for rows_a, rows_b, ba, bb in zip(
+                pdf["rows_a"], pdf["rows_b"], pdf["blk_a"], pdf["blk_b"]
+            ):
+                ids_a, mat_a = unpack_sorted(rows_a)
+                ids_b, mat_b = unpack_sorted(rows_b)
+                na, nb = norms_seq(mat_a), norms_seq(mat_b)
+                dots = np.zeros((len(ids_a), len(ids_b)))
+                for i in range(mat_a.shape[1]):
+                    dots = dots + np.outer(mat_a[:, i], mat_b[:, i])
+                denom = np.outer(na, nb)
+                score = np.divide(
+                    dots, denom, out=np.zeros_like(dots), where=denom != 0.0
+                )
+                outs = []
+                if ba == bb:
+                    self_mask = ids_a[:, None] == ids_b[None, :]
+                    outs.append(local_topk(ids_a, ids_b, score, self_mask))
+                else:
+                    outs.append(local_topk(ids_a, ids_b, score, None))
+                    outs.append(local_topk(ids_b, ids_a, score.T, None))
+                for q, c, s in outs:
+                    yield pd.DataFrame({"vec_id": q, "nbr": c, "score": s})
+
+    cands = joined.mapInPandas(
+        score_block, "vec_id bigint, nbr bigint, score double"
+    )
+    w = W.partitionBy("vec_id").orderBy(F.col("score").desc(), F.col("nbr"))
+    return (
+        cands.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("vec_id", "nbr", "score", "rnk")
+    )
+
+
+@query(
+    "q_knn_graph",
+    oracle=f"""
+    WITH scored AS (
+      SELECT a.vec_id AS vec_id, b.vec_id AS nbr,
+             {_cos_sql("a.embedding", "b.embedding")} AS score
+      FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+    )
+    SELECT vec_id, nbr, score,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY score DESC, nbr) AS rnk
+    FROM scored
+    QUALIFY rnk <= {KNN_K}
+    """,
+    description="exact k-NN graph: every vector's top-3 cosine neighbors "
+    "over the full corpus — blocked all-pairs with per-block-pair local "
+    "top-k (shuffle carries n·B·k candidates, never n²/2 pairs), "
+    "tie-safe by (score desc, id asc) in kernel, window, and oracle alike",
+)
+def q_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return knn_graph(load_table(spark, sf_dir, "embeddings"))
+
+
 # ---------------------------------------------------------------------------
 # ANN: random-hyperplane LSH buckets (the scale path)
 # ---------------------------------------------------------------------------

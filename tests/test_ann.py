@@ -182,3 +182,33 @@ def test_pq_persisted_search_equals_inline(spark, sf_dir, tmp_path):
         for r in pq_topk_persisted(spark, path, probe, emb, K).collect()
     ]
     assert persisted == inline
+
+
+def test_knn_graph_matches_bruteforce_and_block_count(spark, sf_dir):
+    """The blocked local-top-k kNN graph must equal a driver-side exact
+    solve, for any block count (exactness must not depend on layout)."""
+    import numpy as np
+
+    from go_web_mapreduce_spark.operators.similarity import knn_graph
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    rows = emb.collect()
+    ids = np.array([r["vec_id"] for r in rows])
+    mat = np.array([list(r["embedding"]) for r in rows], dtype=np.float64)
+    norms = np.linalg.norm(mat, axis=1)
+    score = (mat @ mat.T) / np.outer(norms, norms)
+    order = np.argsort(ids)
+    ids, score = ids[order], score[np.ix_(order, order)]
+    np.fill_diagonal(score, -np.inf)
+
+    expected = {}
+    for i, vid in enumerate(ids):
+        top = sorted(zip(-score[i], ids))[:3]  # (score desc, id asc)
+        expected[vid] = [int(n) for _, n in top]
+
+    for blocks in (1, 4, 16):
+        got = {}
+        out = knn_graph(emb, k=3, num_blocks=blocks).collect()
+        for r in sorted(out, key=lambda r: (r["vec_id"], r["rnk"])):
+            got.setdefault(r["vec_id"], []).append(r["nbr"])
+        assert got == expected, f"num_blocks={blocks}"
