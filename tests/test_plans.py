@@ -139,3 +139,40 @@ def test_plan_utils_agree_with_direct_assertions(spark, sf_dir):
 
     wf = P.executed_plan(REGISTRY["q_window_frames"].fn(spark, sf_dir))
     assert P.count_exchanges(wf, "hashpartitioning(user_id") <= 1
+
+
+def test_global_sort_is_range_partitioned_not_single_window(spark, sf_dir):
+    """TeraSort shape: a range exchange + per-partition sorts; no global
+    (single-partition) Sort and no corpus-wide Window."""
+    plan = executed_plan(spark, sf_dir, "q_global_sort")
+    assert "rangepartitioning(ship_date" in plan
+    # every Sort node is non-global (the 'false' flag after the ordering)
+    for line in plan.splitlines():
+        if "+- Sort [" in line:
+            assert "], false, 0" in line, line
+    # the only Window runs over the <=32-row per-partition counts, keyed pid
+    assert "windowspecdefinition(pid" in plan
+    assert "windowspecdefinition(ship_date" not in plan
+
+
+def test_ml_linreg_is_one_partial_aggregated_shuffle(spark, sf_dir):
+    plan = executed_plan(spark, sf_dir, "q_ml_linreg")
+    assert "partial_sum" in plan
+    assert plan.count("Exchange ") == 1
+
+
+def test_knn_graph_rank_is_group_limited(spark, sf_dir):
+    """The candidate rank must pre-prune with WindowGroupLimit (per-map-side
+    top-k) so the exchange carries <=k rows per (vector, input partition)."""
+    plan = executed_plan(spark, sf_dir, "q_knn_graph")
+    assert "WindowGroupLimit" in plan
+    assert "row_number()" in plan
+
+
+def test_pagerank_aggregates_partially_and_reuses_checkpoints(spark, sf_dir):
+    plan = executed_plan(spark, sf_dir, "q_pagerank")
+    assert "partial_sum" in plan
+    # the static edge-fraction and node inputs enter as checkpointed RDD
+    # scans, not as re-derived join subtrees repeated once per iteration
+    assert "Scan ExistingRDD" in plan
+    assert plan.count("FileScan parquet") == 0
