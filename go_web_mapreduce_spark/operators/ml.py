@@ -199,6 +199,72 @@ def q_ml_linreg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_COV_COLS = [("q", "l_quantity"), ("p", "l_extendedprice"), ("d", "l_discount")]
+
+
+def _cov_oracle() -> str:
+    moments = ",\n               ".join(
+        f"CAST(sum(CAST({ca} * {cb} AS DECIMAL(18,4))) AS DOUBLE) AS s_{na}{nb}"
+        for i, (na, ca) in enumerate(_COV_COLS)
+        for nb, cb in _COV_COLS[i:]
+    )
+    firsts = ",\n               ".join(
+        f"CAST(sum(CAST({c} AS DECIMAL(18,4))) AS DOUBLE) AS s_{n}"
+        for n, c in _COV_COLS
+    )
+    covs = ",\n           ".join(
+        f"s_{na}{nb} / n - (s_{na} / n) * (s_{nb} / n) AS cov_{na}{nb}"
+        for i, (na, _) in enumerate(_COV_COLS)
+        for nb, _c in _COV_COLS[i:]
+    )
+    return f"""
+    WITH m AS (
+        SELECT l_returnflag,
+               {firsts},
+               {moments},
+               CAST(count(*) AS BIGINT) AS n
+        FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag,
+           {covs},
+           n
+    FROM m
+    """
+
+
+@query(
+    "q_ml_covariance",
+    oracle=_cov_oracle(),
+    description="full covariance matrix of (quantity, price, discount) per "
+    "return flag from exact decimal second moments — the dim²-moments "
+    "pattern the tall-skinny Gram path (similarity.py::gram_matrix) "
+    "distributes when dim is large; here dim=3 stays a single "
+    "partial-aggregated shuffle with every entry hash-verified "
+    "bit-for-bit (cov(x,y) = E[xy] − E[x]E[y] over identical doubles)",
+)
+def q_ml_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        *[F.col(c).cast("double").alias(n) for n, c in _COV_COLS],
+    )
+    aggs = [dsum(n).alias(f"s_{n}") for n, _ in _COV_COLS]
+    aggs += [
+        dsum(F.col(na) * F.col(nb)).alias(f"s_{na}{nb}")
+        for i, (na, _) in enumerate(_COV_COLS)
+        for nb, _c in _COV_COLS[i:]
+    ]
+    m = li.groupBy("l_returnflag").agg(*aggs, F.count(F.lit(1)).alias("n"))
+    covs = [
+        (
+            F.col(f"s_{na}{nb}") / F.col("n")
+            - (F.col(f"s_{na}") / F.col("n")) * (F.col(f"s_{nb}") / F.col("n"))
+        ).alias(f"cov_{na}{nb}")
+        for i, (na, _) in enumerate(_COV_COLS)
+        for nb, _c in _COV_COLS[i:]
+    ]
+    return m.select("l_returnflag", *covs, "n")
+
+
 @query(
     "q_ml_logreg",
     oracle=None,  # iterative optimization — not SQL-expressible; parity

@@ -92,3 +92,32 @@ def test_query_shape(spark):
     rows = df.collect()
     assert len(rows) == ML_DIM + 1
     assert df.columns == ["component", "weight"]
+
+
+def test_covariance_matches_numpy(spark, sf_dir):
+    import numpy as np
+
+    from go_web_mapreduce_spark.queries import REGISTRY
+
+    out = {r["l_returnflag"]: r for r in
+           REGISTRY["q_ml_covariance"].fn(spark, sf_dir).collect()}
+    rows = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_returnflag", "l_quantity", "l_extendedprice", "l_discount"
+    ).collect()
+    groups: dict = {}
+    for r in rows:
+        groups.setdefault(r["l_returnflag"], []).append(
+            (r["l_quantity"], r["l_extendedprice"], r["l_discount"])
+        )
+    assert set(out) == set(groups)
+    for flag, pts in groups.items():
+        X = np.array(pts, dtype=np.float64)
+        C = np.cov(X.T, bias=True)  # population covariance, as E[xy]-E[x]E[y]
+        got = out[flag]
+        names = ["q", "p", "d"]
+        for i in range(3):
+            for j in range(i, 3):
+                key = f"cov_{names[i]}{names[j]}"
+                scale = max(1.0, abs(C[i, j]))
+                assert abs(got[key] - C[i, j]) / scale < 1e-6, (flag, key)
+        assert got["n"] == len(pts)
