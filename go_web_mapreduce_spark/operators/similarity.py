@@ -366,6 +366,64 @@ def knn_graph(
     )
 
 
+SEMANTIC_COS = 0.35  # looser than NEAR_DUP_COS: the synthetic embeddings
+# are weakly correlated, and a dedup-groups demonstration needs real
+# multi-member components (271 pairs at sf0.01 vs 1 at 0.5)
+
+
+@query(
+    "q_semantic_dedup",
+    oracle=f"""
+    WITH RECURSIVE pairs AS (
+      SELECT a.vec_id AS pa, b.vec_id AS pb
+      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      WHERE {_cos_sql("a.embedding", "b.embedding")} >= {SEMANTIC_COS}
+    ),
+    und AS (
+      SELECT pa AS a, pb AS b FROM pairs
+      UNION
+      SELECT pb, pa FROM pairs
+    ),
+    reach(x, r) AS (
+      SELECT a, a FROM und
+      UNION
+      SELECT u.b, reach.r FROM reach JOIN und u ON u.a = reach.x
+    ),
+    cc AS (SELECT x AS vec_id, min(r) AS root FROM reach GROUP BY x),
+    sz AS (
+      SELECT root, CAST(count(*) AS BIGINT) AS group_size
+      FROM cc GROUP BY root
+    )
+    SELECT cc.vec_id, cc.root, sz.group_size,
+           CAST(cc.vec_id = cc.root AS BIGINT) AS keep
+    FROM cc JOIN sz ON sz.root = cc.root
+    """,
+    description="end-to-end SEMANTIC dedup: exact cosine near-dup pairs "
+    "(distributed block grid) → connected components (min-label "
+    "propagation with star fallback) → per-group canonical-keeper "
+    "assignment and group sizes — the composition a production corpus "
+    "dedup actually runs; the oracle replays the whole chain (cosine "
+    "pairs + recursive-CTE components), hash-verified",
+)
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from go_web_mapreduce_spark.operators.dedup import connected_components
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    edges = embedding_near_dup_pairs(emb, threshold=SEMANTIC_COS).select(
+        F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b")
+    )
+    cc = connected_components(edges).select(
+        F.col("doc_id").alias("vec_id"), "root"
+    )
+    sizes = cc.groupBy("root").agg(F.count(F.lit(1)).alias("group_size"))
+    return cc.join(sizes, "root").select(
+        "vec_id",
+        "root",
+        "group_size",
+        (F.col("vec_id") == F.col("root")).cast("bigint").alias("keep"),
+    )
+
+
 @query(
     "q_knn_graph",
     oracle=f"""
