@@ -81,3 +81,24 @@ def test_decoder_is_general_over_quant_tables():
     d4 = decode_jpeg_gray(encode_jpeg_gray(px, quant=4))
     assert np.array_equal(d1, _reference_pipeline(px, 1))
     assert np.array_equal(d4, _reference_pipeline(px, 4))
+
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        bh=st.integers(1, 3),
+        bw=st.integers(1, 3),
+        quant=st.integers(1, 16),
+        seed=st.integers(0, 2**31 - 1),
+    )
+    def test_property_round_trip_matches_reference(bh, bw, quant, seed):
+        rng = np.random.default_rng(seed)
+        px = rng.integers(0, 256, size=(bh * 8, bw * 8)).astype(np.uint8)
+        got = decode_jpeg_gray(encode_jpeg_gray(px, quant=quant))
+        assert np.array_equal(got, _reference_pipeline(px, quant))
+
+except ImportError:  # pragma: no cover — hypothesis is expected present
+    pass
