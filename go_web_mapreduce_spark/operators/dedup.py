@@ -359,11 +359,12 @@ def jaccard_pairs_prefix(
     bottleneck. Same output, same oracle, hash-verified.
     """
     exploded = shingled.select(id_col, F.explode("shingles").alias("s"))
+    # no checkpoint here: perdoc is posting's only consumer, so a
+    # materialized copy would be pure overhead (perdoc itself IS pinned)
     posting = (
         exploded.groupBy("s")
         .agg(F.collect_list(F.col(id_col)).alias("docs"))
         .filter(F.size("docs") <= max_df)
-        .localCheckpoint(eager=False)
     )
     # one re-group by doc yields everything the filter and the verifier
     # need: the full capped set in canonical (df, s) order, its size, and
