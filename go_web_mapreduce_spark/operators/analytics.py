@@ -369,3 +369,86 @@ def q_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count("*").alias("n_users"))
     )
+
+
+# ---------------------------------------------------------------------------
+# q_quantile_rollup — mergeable quantile sketches (equi-width histograms)
+# ---------------------------------------------------------------------------
+
+QH_LO, QH_WIDTH, QH_BUCKETS = 0.0, 2.0, 256  # covers events.value ∈ [0, 512)
+QH_QUANTILES = (0.5, 0.95, 0.99)
+
+
+@query(
+    "q_quantile_rollup",
+    oracle=f"""
+    WITH daily AS (
+        SELECT date_trunc('day', ts) AS d,
+               CAST(least(greatest(floor(value / {QH_WIDTH}), 0),
+                          {QH_BUCKETS - 1}) AS BIGINT) AS b,
+               count(*) AS c
+        FROM events GROUP BY 1, 2
+    ),
+    merged AS (SELECT b, CAST(sum(c) AS BIGINT) AS n FROM daily GROUP BY b),
+    cum AS (
+        SELECT b, n,
+               sum(n) OVER (ORDER BY b) AS cum,
+               sum(n) OVER () AS total
+        FROM merged
+    ),
+    qs AS (SELECT unnest([{", ".join(str(q) for q in QH_QUANTILES)}]) AS q)
+    SELECT q,
+           min(b) AS bucket,
+           {QH_WIDTH} * (min(b) + 1) AS upper_edge,
+           CAST(max(total) AS BIGINT) AS n_total
+    FROM qs JOIN cum ON cum.cum >= ceil(q * cum.total)
+    GROUP BY q
+    """,
+    description="mergeable QUANTILE sketch rollup: per-day equi-width "
+    "histograms (the bounded, exactly-mergeable counterpart of the HLL "
+    "rollup in q_sketch_merge) merged by integer count addition, then "
+    "q50/q95/q99 read off the cumulative histogram — all exact integer "
+    "arithmetic plus one identical IEEE bucket expression, hash-verified; "
+    "merge identity (daily sketches summed == one-shot histogram) is "
+    "associativity of + and asserted in tests",
+)
+def q_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental quantile monitoring for a training-data pipeline: each
+    ingest day keeps a (bucket → count) histogram sketch; history never
+    rescans — merging is a per-bucket sum, and any quantile is the first
+    bucket whose cumulative count reaches ⌈q·n⌉, with error bounded by the
+    bucket width. At 100 TB the daily sketch aggregation is the only
+    corpus-sized shuffle; the merge and quantile extraction run on ≤256
+    rows per sketch regardless of corpus size (the bounded single-
+    partition windows here are over the 256-bucket histogram, never data).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    bucket = F.least(
+        F.greatest(F.floor(F.col("value") / QH_WIDTH), F.lit(0)),
+        F.lit(QH_BUCKETS - 1),
+    ).cast("bigint")
+    daily = ev.groupBy(
+        F.date_trunc("day", "ts").alias("d"), bucket.alias("b")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    merged = daily.groupBy("b").agg(F.sum("c").alias("n"))
+    w_cum = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, 0)
+    w_all = Window.orderBy("b").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = merged.select(
+        "b", "n",
+        F.sum("n").over(w_cum).alias("cum"),
+        F.sum("n").over(w_all).alias("total"),
+    )
+    qs = spark.createDataFrame([(q,) for q in QH_QUANTILES], "q double")
+    return (
+        qs.join(cum, F.col("cum") >= F.ceil(F.col("q") * F.col("total")))
+        .groupBy("q")
+        .agg(F.min("b").alias("bucket"), F.max("total").alias("n_total"))
+        .select(
+            "q",
+            "bucket",
+            (F.lit(QH_WIDTH) * (F.col("bucket") + 1)).alias("upper_edge"),
+            "n_total",
+        )
+    )

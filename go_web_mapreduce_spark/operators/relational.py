@@ -473,6 +473,38 @@ def q_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     return orders.subtract(events)
 
 
+@query(
+    "q_set_ops_all",
+    oracle="""
+    SELECT 'intersect_all' AS op, l_partkey FROM (
+        SELECT l_partkey FROM lineitem WHERE l_returnflag = 'R'
+        INTERSECT ALL
+        SELECT l_partkey FROM lineitem WHERE l_linestatus = 'F'
+    )
+    UNION ALL
+    SELECT 'except_all' AS op, l_partkey FROM (
+        SELECT l_partkey FROM lineitem WHERE l_returnflag = 'R'
+        EXCEPT ALL
+        SELECT l_partkey FROM lineitem WHERE l_linestatus = 'F'
+    )
+    """,
+    description="multiset (bag) set ops — INTERSECT ALL and EXCEPT ALL "
+    "preserve duplicate multiplicities (min / saturating difference of "
+    "per-value counts), unlike the DISTINCT forms in q_intersect/q_except; "
+    "the order-insensitive multiset hash makes duplicate counts part of "
+    "what the oracle verifies",
+)
+def q_set_ops_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    a = li.filter(F.col("l_returnflag") == "R").select("l_partkey")
+    b = li.filter(F.col("l_linestatus") == "F").select("l_partkey")
+    return a.intersectAll(b).select(
+        F.lit("intersect_all").alias("op"), "l_partkey"
+    ).unionAll(
+        a.exceptAll(b).select(F.lit("except_all").alias("op"), "l_partkey")
+    )
+
+
 # ---------------------------------------------------------------------------
 # grouping sets / rollup / pivot
 # ---------------------------------------------------------------------------

@@ -151,3 +151,47 @@ def test_funnel_exchanges_all_key_on_user_id(spark, sf_dir):
     keys = set(re.findall(r"hashpartitioning\((\w+)", plan))
     assert keys == {"user_id"}
     assert any("event_type" in f for f in P.pushed_filters(plan))
+
+
+def test_quantile_rollup_merge_identity_and_accuracy(spark, sf_dir):
+    """Summed daily sketches must equal the one-shot histogram exactly, and
+    the bucket-quantile must bracket the true quantile within one bucket."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from go_web_mapreduce_spark.operators.analytics import (
+        QH_BUCKETS,
+        QH_WIDTH,
+    )
+    from go_web_mapreduce_spark.queries import REGISTRY
+    from go_web_mapreduce_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    bucket = F.least(
+        F.greatest(F.floor(F.col("value") / QH_WIDTH), F.lit(0)),
+        F.lit(QH_BUCKETS - 1),
+    ).cast("bigint")
+    one_shot = {
+        r["b"]: r["n"]
+        for r in ev.groupBy(bucket.alias("b"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    merged = {
+        r["b"]: r["n"]
+        for r in ev.groupBy(F.date_trunc("day", "ts").alias("d"), bucket.alias("b"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("b")
+        .agg(F.sum("c").alias("n"))
+        .collect()
+    }
+    assert merged == one_shot  # merge identity: + is associative
+
+    values = sorted(r["value"] for r in ev.select("value").collect())
+    out = {r["q"]: r for r in REGISTRY["q_quantile_rollup"].fn(spark, sf_dir).collect()}
+    for q, row in out.items():
+        true_q = values[math.ceil(q * len(values)) - 1]
+        # the true quantile must land inside the reported bucket
+        assert row["upper_edge"] - QH_WIDTH <= true_q <= row["upper_edge"]
+        assert row["n_total"] == len(values)
