@@ -233,3 +233,72 @@ def q_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("user_id", "start_us", "n_events", "span_us")
     )
+
+
+# ---------------------------------------------------------------------------
+# q_gap_fill — dense hourly spine + last-observation-carried-forward
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_gap_fill",
+    oracle="""
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS h,
+             CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS v
+      FROM events GROUP BY 1, 2
+    ),
+    bounds AS (SELECT min(h) AS mn, max(h) AS mx FROM hourly),
+    spine AS (
+      SELECT t.event_type,
+             unnest(generate_series(b.mn, b.mx, INTERVAL 1 HOUR)) AS h
+      FROM (SELECT DISTINCT event_type FROM events) t, bounds b
+    ),
+    j AS (
+      SELECT s.event_type, s.h, hourly.v
+      FROM spine s LEFT JOIN hourly
+        ON hourly.event_type = s.event_type AND hourly.h = s.h
+    )
+    SELECT event_type,
+           strftime(h, '%Y-%m-%d %H:%M:%S') AS hour,
+           last_value(v IGNORE NULLS) OVER (
+             PARTITION BY event_type ORDER BY h
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_value,
+           CAST(v IS NULL AS BIGINT) AS is_gap
+    FROM j
+    """,
+    description="hypertable gap-fill: a dense hourly spine per event type "
+    "(bounds from the data, sequence + explode) left-joined to the hourly "
+    "rollup, missing hours filled by last-observation-carried-forward "
+    "(ignore-nulls last over an ordered window) with a gap flag — the "
+    "TimescaleDB time_bucket_gapfill + locf pattern; decimal-exact sums "
+    "keep the carried values hash-verifiable",
+)
+def q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale note: the spine is (hours-in-range × event types) rows — bounded
+    by calendar span, not corpus size (a decade is <90k hours), so the
+    explode and the per-type LOCF window are small regardless of how many
+    events fed the hourly rollup; the only corpus-sized work is the rollup's
+    own partial-aggregated shuffle."""
+    events = load_table(spark, sf_dir, "events")
+    hourly = events.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("h")
+    ).agg(dsum("value").alias("v"))
+    bounds = hourly.agg(F.min("h").alias("mn"), F.max("h").alias("mx"))
+    types = events.select("event_type").distinct()
+    spine = types.crossJoin(F.broadcast(bounds)).select(
+        "event_type",
+        F.explode(
+            F.sequence("mn", "mx", F.expr("interval 1 hour"))
+        ).alias("h"),
+    )
+    j = spine.join(hourly, ["event_type", "h"], "left")
+    w = W.partitionBy("event_type").orderBy("h").rowsBetween(
+        W.unboundedPreceding, 0
+    )
+    return j.select(
+        "event_type",
+        F.date_format("h", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+        F.last("v", ignorenulls=True).over(w).alias("filled_value"),
+        F.isnull("v").cast("bigint").alias("is_gap"),
+    )
