@@ -12,9 +12,18 @@ binary value) at ``.xx5`` boundaries. The fix used throughout the engine:
 - never round row-level arithmetic: identical IEEE expressions produce
   identical doubles already.
 
-DuckDB oracle equivalents:
-  dsum(x, s)  →  CAST(sum(CAST(x AS DECIMAL(18, s))) AS DOUBLE)
-  davg(x, s)  →  CAST(sum(CAST(x AS DECIMAL(18, s))) AS DOUBLE) / count(x)
+DuckDB oracle equivalents (note the string round-trip):
+  dsum(x, s)  →  CAST(CAST(sum(CAST(x AS DECIMAL(18, s))) AS STRING) AS DOUBLE)
+  davg(x, s)  →  dsum-equivalent / count(x)
+
+Why the string hop (spelled STRING — both engines parse it; Spark rejects bare VARCHAR): DuckDB's direct DECIMAL→DOUBLE cast computes
+``(double)unscaled / 10^scale`` — TWO roundings, off by one ulp from the
+correctly-rounded value once the unscaled integer exceeds 2^53 (observed on
+sum(l_extendedprice²) at sf0.001: unscaled ≈ 7.1e16). Spark (Java
+BigDecimal.doubleValue) and Python are correctly rounded, so large exact
+sums hash-mismatched in the last ulp. DECIMAL→STRING is exact and
+STRING→DOUBLE is correctly-rounded strtod, so the round-trip always yields
+the same double as Spark — a no-op below 2^53 and a fix above it.
 """
 
 from __future__ import annotations

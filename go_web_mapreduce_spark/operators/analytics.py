@@ -109,8 +109,7 @@ Q3_TOPN = 10
     "q_top_revenue",
     oracle=f"""
     SELECT l_orderkey,
-           CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4)))
-                AS DOUBLE) AS revenue,
+           CAST(CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS STRING) AS DOUBLE) AS revenue,
            strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
            o_orderpriority
     FROM customer JOIN orders ON c_custkey = o_custkey
@@ -396,10 +395,11 @@ QH_QUANTILES = (0.5, 0.95, 0.99)
                sum(n) OVER () AS total
         FROM merged
     ),
-    qs AS (SELECT unnest([{", ".join(str(q) for q in QH_QUANTILES)}]) AS q)
+    qs AS (SELECT CAST(unnest([{", ".join(str(q) for q in QH_QUANTILES)}])
+                       AS DOUBLE) AS q)
     SELECT q,
            min(b) AS bucket,
-           {QH_WIDTH} * (min(b) + 1) AS upper_edge,
+           CAST({QH_WIDTH} AS DOUBLE) * (min(b) + 1) AS upper_edge,
            CAST(max(total) AS BIGINT) AS n_total
     FROM qs JOIN cum ON cum.cum >= ceil(q * cum.total)
     GROUP BY q

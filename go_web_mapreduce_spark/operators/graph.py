@@ -204,7 +204,7 @@ _PR_ITER_SQL = """
     r{next} AS (
         SELECT n.node,
                0.15 + 0.85 * coalesce(
-                   CAST(sum(CAST(p.r * f.frac AS DECIMAL(28,12))) AS DOUBLE),
+                   CAST(CAST(sum(CAST(p.r * f.frac AS DECIMAL(28,12))) AS STRING) AS DOUBLE),
                    0.0) AS r
         FROM nodes n
         LEFT JOIN frac f ON f.dst = n.node

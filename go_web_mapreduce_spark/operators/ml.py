@@ -144,12 +144,10 @@ def logreg_fit(
     oracle="""
     WITH m AS (
         SELECT l_returnflag, l_linestatus,
-               CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sx,
-               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sy,
-               CAST(sum(CAST(l_quantity * l_extendedprice AS DECIMAL(18,4)))
-                    AS DOUBLE) AS sxy,
-               CAST(sum(CAST(l_quantity * l_quantity AS DECIMAL(18,4)))
-                    AS DOUBLE) AS sxx,
+               CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS STRING) AS DOUBLE) AS sx,
+               CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS STRING) AS DOUBLE) AS sy,
+               CAST(CAST(sum(CAST(l_quantity * l_extendedprice AS DECIMAL(18,4))) AS STRING) AS DOUBLE) AS sxy,
+               CAST(CAST(sum(CAST(l_quantity * l_quantity AS DECIMAL(18,4))) AS STRING) AS DOUBLE) AS sxx,
                CAST(count(*) AS BIGINT) AS n
         FROM lineitem GROUP BY l_returnflag, l_linestatus
     ),
@@ -204,12 +202,12 @@ _COV_COLS = [("q", "l_quantity"), ("p", "l_extendedprice"), ("d", "l_discount")]
 
 def _cov_oracle() -> str:
     moments = ",\n               ".join(
-        f"CAST(sum(CAST({ca} * {cb} AS DECIMAL(18,4))) AS DOUBLE) AS s_{na}{nb}"
+        f"CAST(CAST(sum(CAST({ca} * {cb} AS DECIMAL(18,4))) AS STRING) AS DOUBLE) AS s_{na}{nb}"
         for i, (na, ca) in enumerate(_COV_COLS)
         for nb, cb in _COV_COLS[i:]
     )
     firsts = ",\n               ".join(
-        f"CAST(sum(CAST({c} AS DECIMAL(18,4))) AS DOUBLE) AS s_{n}"
+        f"CAST(CAST(sum(CAST({c} AS DECIMAL(18,4))) AS STRING) AS DOUBLE) AS s_{n}"
         for n, c in _COV_COLS
     )
     covs = ",\n           ".join(

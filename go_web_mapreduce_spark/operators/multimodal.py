@@ -398,8 +398,8 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT source, count(*) AS n_docs,
            count(DISTINCT md5(text)) AS n_unique,
-           CAST(sum(CAST(('0x' || substr(md5(text), 1, 4))::BIGINT / 65535.0
-                         AS DECIMAL(18,8))) AS DOUBLE) AS sum_f0
+           CAST(CAST(sum(CAST(('0x' || substr(md5(text), 1, 4))::BIGINT / 65535.0
+                         AS DECIMAL(18,8))) AS STRING) AS DOUBLE) AS sum_f0
     FROM documents GROUP BY source
     """,
     description="mapInPandas feature extraction over undecodable binary "
@@ -700,9 +700,9 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(count(*) AS BIGINT) AS n_docs,
            CAST(sum(mn) AS BIGINT) AS sum_min,
            CAST(sum(mx) AS BIGINT) AS sum_max,
-           CAST(sum(CAST(
+           CAST(CAST(sum(CAST(
              (({IMG_W * IMG_H * 3} // len) * s_all + coalesce(s_prefix, 0))
-             / {IMG_W * IMG_H * 3}.0 AS DECIMAL(18,8))) AS DOUBLE) AS sum_mean
+             / {IMG_W * IMG_H * 3}.0 AS DECIMAL(18,8))) AS STRING) AS DOUBLE) AS sum_mean
     FROM b GROUP BY source
     """,
     description="REAL feature extraction: the mixed BMP/PNG corpus decoded "

@@ -496,7 +496,7 @@ def _z_expr() -> str:
            CAST(count(*) AS BIGINT) AS n,
            CAST(min(zval) AS BIGINT) AS z_min,
            CAST(max(zval) AS BIGINT) AS z_max,
-           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+           CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS STRING) AS DOUBLE)
              AS total_price
     FROM z GROUP BY 1
     """,

@@ -145,16 +145,16 @@ def q_shuffle_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_group_agg",
     oracle="""
     SELECT l_returnflag, l_linestatus,
-           CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
-           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
-           CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE)
+           CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS STRING) AS DOUBLE) AS sum_qty,
+           CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS STRING) AS DOUBLE) AS sum_base_price,
+           CAST(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS STRING) AS DOUBLE)
              AS sum_disc_price,
-           CAST(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))) AS DOUBLE)
+           CAST(CAST(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))) AS STRING) AS DOUBLE)
              AS sum_charge,
-           CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / count(l_quantity) AS avg_qty,
-           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / count(l_extendedprice)
+           CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS STRING) AS DOUBLE) / count(l_quantity) AS avg_qty,
+           CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS STRING) AS DOUBLE) / count(l_extendedprice)
              AS avg_price,
-           CAST(sum(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) / count(l_discount) AS avg_disc,
+           CAST(CAST(sum(CAST(l_discount AS DECIMAL(18,4))) AS STRING) AS DOUBLE) / count(l_discount) AS avg_disc,
            count(*) AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -243,7 +243,7 @@ def q_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_repartition_join",
     oracle="""
-    SELECT c_mktsegment, count(*) AS n_orders, CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+    SELECT c_mktsegment, count(*) AS n_orders, CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS STRING) AS DOUBLE) AS total
     FROM customer JOIN orders ON c_custkey = o_custkey
     GROUP BY c_mktsegment
     """,
@@ -264,7 +264,7 @@ def q_repartition_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_multi_join",
     oracle="""
-    SELECT r_name, count(*) AS n_orders, CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+    SELECT r_name, count(*) AS n_orders, CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS STRING) AS DOUBLE) AS revenue
     FROM region
     JOIN nation   ON n_regionkey = r_regionkey
     JOIN customer ON c_nationkey = n_nationkey
@@ -345,7 +345,7 @@ def q_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_topk",
     oracle="""
-    SELECT user_id, CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total
+    SELECT user_id, CAST(CAST(sum(CAST(value AS DECIMAL(18,4))) AS STRING) AS DOUBLE) AS total
     FROM events GROUP BY user_id
     ORDER BY sum(CAST(value AS DECIMAL(18,4))) DESC, user_id LIMIT 10
     """,
@@ -391,9 +391,9 @@ def q_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_window_running",
     oracle="""
     SELECT user_id, event_id,
-           CAST(sum(CAST(value AS DECIMAL(18,4))) OVER (PARTITION BY user_id
+           CAST(CAST(sum(CAST(value AS DECIMAL(18,4))) OVER (PARTITION BY user_id
                                   ORDER BY ts, event_id
-                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS STRING) AS DOUBLE)
              AS running_total,
            count(*) OVER (PARTITION BY user_id
                           ORDER BY ts, event_id
@@ -515,7 +515,7 @@ def q_set_ops_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
            coalesce(l_linestatus, 'ALL') AS linestatus,
-           count(*) AS n, CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+           count(*) AS n, CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS STRING) AS DOUBLE) AS sum_qty
     FROM lineitem
     GROUP BY ROLLUP (l_returnflag, l_linestatus)
     """,
@@ -540,7 +540,7 @@ def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT coalesce(event_type, 'ALL') AS event_type,
            coalesce(CAST(user_id AS varchar), 'ALL') AS user_id,
-           count(*) AS n, CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total
+           count(*) AS n, CAST(CAST(sum(CAST(value AS DECIMAL(18,4))) AS STRING) AS DOUBLE) AS total
     FROM events
     GROUP BY CUBE (event_type, user_id)
     """,
@@ -598,7 +598,7 @@ def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
            month(o_orderdate) AS order_month,
            upper(o_orderpriority) AS priority,
            count(*) AS n,
-           CAST(sum(CAST(sqrt(abs(o_totalprice)) AS DECIMAL(18,6))) AS DOUBLE) AS sum_sqrt_price,
+           CAST(CAST(sum(CAST(sqrt(abs(o_totalprice)) AS DECIMAL(18,6))) AS STRING) AS DOUBLE) AS sum_sqrt_price,
            max(o_totalprice % 1000) AS max_mod,
            min(length(o_orderstatus)) AS min_status_len
     FROM orders
@@ -691,7 +691,7 @@ PRICE_BANDS = [
              ('premium', 1600.0, 2500.0)
     )
     SELECT band, count(*) AS n_parts,
-           CAST(sum(CAST(p_retailprice AS DECIMAL(18,4))) AS DOUBLE) AS total_price
+           CAST(CAST(sum(CAST(p_retailprice AS DECIMAL(18,4))) AS STRING) AS DOUBLE) AS total_price
     FROM part JOIN bands ON p_retailprice >= lo AND p_retailprice < hi
     GROUP BY band
     """,
@@ -724,7 +724,7 @@ def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
            coalesce(l_linestatus, 'ALL') AS linestatus,
            count(*) AS n,
-           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+           CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS STRING) AS DOUBLE) AS revenue
     FROM lineitem
     GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
     """,
@@ -739,7 +739,7 @@ def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
                coalesce(l_linestatus, 'ALL') AS linestatus,
                count(*) AS n,
-               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+               CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS STRING) AS DOUBLE) AS revenue
         FROM lineitem_gs
         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
         """
@@ -868,15 +868,15 @@ TRAILING_WINDOW_US = 30 * 60 * 1_000_000  # 30-minute trailing range frame
     "q_window_frames",
     oracle=f"""
     SELECT user_id, event_id,
-           CAST(sum(CAST(value AS DECIMAL(18,4))) OVER (
+           CAST(CAST(sum(CAST(value AS DECIMAL(18,4))) OVER (
                   PARTITION BY user_id ORDER BY epoch_us(ts), event_id
-                  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE)
+                  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS STRING) AS DOUBLE)
              / count(*) OVER (
                   PARTITION BY user_id ORDER BY epoch_us(ts), event_id
                   ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS ma3,
-           CAST(sum(CAST(value AS DECIMAL(18,4))) OVER (
+           CAST(CAST(sum(CAST(value AS DECIMAL(18,4))) OVER (
                   PARTITION BY user_id ORDER BY epoch_us(ts)
-                  RANGE BETWEEN {TRAILING_WINDOW_US} PRECEDING AND CURRENT ROW) AS DOUBLE)
+                  RANGE BETWEEN {TRAILING_WINDOW_US} PRECEDING AND CURRENT ROW) AS STRING) AS DOUBLE)
              AS trailing_30m
     FROM events
     """,
@@ -951,7 +951,7 @@ def q_lead_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_salted_join",
     oracle="""
     SELECT c_mktsegment, count(*) AS n,
-           CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+           CAST(CAST(sum(CAST(value AS DECIMAL(18,4))) AS STRING) AS DOUBLE) AS total_value
     FROM events JOIN customer ON user_id = c_custkey
     GROUP BY c_mktsegment
     """,
@@ -1016,7 +1016,7 @@ def apply_upserts(
       FROM unioned
     )
     SELECT count(*) AS n_rows,
-           CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total,
+           CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS STRING) AS DOUBLE) AS total,
            CAST(sum(CASE WHEN version = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_updated
     FROM latest WHERE rn = 1
     """,
@@ -1093,7 +1093,7 @@ def q_map_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
            WHEN user_id  IS NULL THEN 'customer_only'
            ELSE 'both' END AS side,
       count(*) AS n,
-      CAST(sum(CAST(coalesce(value, 0.0) AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+      CAST(CAST(sum(CAST(coalesce(value, 0.0) AS DECIMAL(18,4))) AS STRING) AS DOUBLE) AS total_value
     FROM (SELECT DISTINCT c_custkey FROM customer) c
     FULL OUTER JOIN events e ON c.c_custkey = e.user_id
     GROUP BY 1

@@ -42,7 +42,7 @@ def hourly_rollup(events: DataFrame) -> DataFrame:
     oracle="""
     SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
            event_type, count(*) AS n,
-           CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+           CAST(CAST(sum(CAST(value AS DECIMAL(18,4))) AS STRING) AS DOUBLE) AS total_value
     FROM events GROUP BY 1, 2
     """,
     description="time bucketing of the stream table (SURVEY §2.3 "
@@ -245,7 +245,7 @@ def q_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH hourly AS (
       SELECT event_type, date_trunc('hour', ts) AS h,
-             CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS v
+             CAST(CAST(sum(CAST(value AS DECIMAL(18,4))) AS STRING) AS DOUBLE) AS v
       FROM events GROUP BY 1, 2
     ),
     bounds AS (SELECT min(h) AS mn, max(h) AS mx FROM hourly),

@@ -167,7 +167,7 @@ def _quality_sql() -> str:
     scored AS (SELECT lang, {_quality_sql()} AS q FROM toks)
     SELECT lang, count(*) AS n_docs,
            min(q) AS min_quality, max(q) AS max_quality,
-           CAST(sum(CAST(q AS DECIMAL(18,8))) AS DOUBLE) / count(*) AS avg_quality
+           CAST(CAST(sum(CAST(q AS DECIMAL(18,8))) AS STRING) AS DOUBLE) / count(*) AS avg_quality
     FROM scored GROUP BY lang
     """,
     description="document quality scoring: length/diversity/stopword composite "

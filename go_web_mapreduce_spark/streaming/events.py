@@ -96,7 +96,7 @@ def hourly_rollup_stream(
     oracle="""
     SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
            event_type, count(*) AS n,
-           CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+           CAST(CAST(sum(CAST(value AS DECIMAL(18,4))) AS STRING) AS DOUBLE) AS total_value
     FROM events GROUP BY 1, 2
     """,
     description="hourly rollup through Structured Streaming (file source → "
@@ -159,7 +159,7 @@ def categorized_counts_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
              ('error','ops')
     )
     SELECT category, count(*) AS n,
-           CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+           CAST(CAST(sum(CAST(value AS DECIMAL(18,4))) AS STRING) AS DOUBLE) AS total_value
     FROM events JOIN dim USING (event_type)
     GROUP BY category
     """,
@@ -344,7 +344,7 @@ def hourly_rollup_append_stream(
     )
     SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
            event_type, count(*) AS n,
-           CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+           CAST(CAST(sum(CAST(value AS DECIMAL(18,4))) AS STRING) AS DOUBLE) AS total_value
     FROM events, wm
     WHERE epoch_us(date_trunc('hour', ts)) + 3600000000 <= wm_us
     GROUP BY 1, 2
