@@ -960,3 +960,89 @@ def q_dedup_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_matching") >= MIN_MATCHING
     )
     return verify_candidates_exact(cands, shingled)
+
+
+# ---------------------------------------------------------------------------
+# q_decontaminate — eval-set n-gram contamination check
+# ---------------------------------------------------------------------------
+
+DECON_K = 4  # word n-gram width; production decontamination uses 8-13
+DECON_MOD = 97  # eval set = doc_id % DECON_MOD == 0 (deterministic holdout)
+
+
+@query(
+    "q_decontaminate",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, source,
+               list_filter(string_split(lower(text), ' '), t -> t <> '') AS tk
+        FROM documents
+    ),
+    sh AS (
+        SELECT doc_id, source,
+               unnest(list_distinct(list_transform(
+                   range(1, greatest(len(tk) - {DECON_K - 1}, 1) + 1),
+                   i -> array_to_string(tk[i:i + {DECON_K - 1}], ' ')))) AS s
+        FROM toks
+    ),
+    ev AS (SELECT DISTINCT s FROM sh WHERE doc_id % {DECON_MOD} = 0),
+    hit AS (
+        SELECT DISTINCT sh.doc_id
+        FROM sh JOIN ev USING (s)
+        WHERE sh.doc_id % {DECON_MOD} <> 0
+    )
+    SELECT t.source,
+           CAST(count(*) AS BIGINT) AS n_train,
+           CAST(count(hit.doc_id) AS BIGINT) AS n_contaminated
+    FROM (SELECT doc_id, source FROM documents
+          WHERE doc_id % {DECON_MOD} <> 0) t
+    LEFT JOIN hit ON t.doc_id = hit.doc_id
+    GROUP BY 1
+    """,
+    description=f"benchmark decontamination: training docs sharing any "
+    f"{DECON_K}-gram with the held-out eval slice (doc_id % {DECON_MOD} = 0) "
+    "are flagged; per-source train size and contaminated count, "
+    "hash-verified (extension mandate: dedup / training-data hygiene)",
+)
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The eval-contamination pass every LLM training pipeline runs before
+    a data release: any training document that shares an n-gram with the
+    evaluation set is flagged (the GPT-3/PaLM-style n-gram overlap rule,
+    here with k=DECON_K=4 scaled to the synthetic corpus; production uses
+    8-13).
+
+    Scale: the eval side is benchmarks — MBs against a 100 TB train corpus
+    — so its distinct shingle set is BROADCAST and the train side never
+    shuffles: flagging is a map-side broadcast semi-join over the exploded
+    train shingles, followed by one per-source aggregate. The train corpus
+    is read once; shingling is the Arrow kernel shared with the dedup
+    family (functions/text.py::distinct_shingles_arrow).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    shingled = docs.select(
+        "doc_id",
+        "source",
+        distinct_shingles_arrow(tokens("text"), DECON_K).alias("sh"),
+    )
+    is_eval = F.col("doc_id") % DECON_MOD == 0
+    ev = (
+        shingled.filter(is_eval)
+        .select(F.explode("sh").alias("s"))
+        .distinct()
+    )
+    train = shingled.filter(~is_eval)
+    hit = (
+        train.select("doc_id", F.explode("sh").alias("s"))
+        .join(F.broadcast(ev), "s")
+        .select("doc_id")
+        .distinct()
+    )
+    return (
+        train.select("doc_id", "source")
+        .join(hit.withColumn("c", F.lit(1)), "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_train"),
+            F.count("c").alias("n_contaminated"),
+        )
+    )

@@ -523,3 +523,81 @@ def q_zorder_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("total_price"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q_sequence_pack — concat-and-split sequence packing for LLM training
+# ---------------------------------------------------------------------------
+
+SEQ_PACK_CAP = 512  # tokens per training window
+
+
+@query(
+    "q_sequence_pack",
+    oracle=f"""
+    WITH d AS (
+        SELECT source, doc_id,
+               len(list_filter(string_split(lower(text), ' '), t -> t <> ''))
+                 AS ntok
+        FROM documents
+    ),
+    c AS (
+        SELECT source, doc_id, ntok,
+               COALESCE(sum(ntok) OVER (
+                   PARTITION BY source ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 AS cum_before
+        FROM d
+    )
+    SELECT source,
+           CAST(floor(cum_before / {SEQ_PACK_CAP}.0) AS BIGINT) AS bin,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(ntok) AS BIGINT) AS bin_tokens,
+           min(doc_id) AS first_doc,
+           max(doc_id) AS last_doc
+    FROM c GROUP BY 1, 2
+    """,
+    description=f"sequence packing (concat-and-split): docs concatenated in "
+    f"doc_id order per source shard, split into {SEQ_PACK_CAP}-token "
+    "training windows; each doc lands in the window holding its first "
+    "token — per-bin doc count, token mass, and id range, hash-verified "
+    "(extension mandate: pipeline ops)",
+)
+def q_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The packing pass of an LLM training pipeline: short documents are
+    concatenated into fixed-capacity token windows so no batch slot is
+    wasted on padding. This is the concat-and-split formulation (the one
+    production tokenizer pipelines use): a running token offset per shard,
+    window index = offset // capacity.
+
+    Scale: the running sum is a window partitioned BY SOURCE SHARD — each
+    shard's prefix sum is independent, so the plan parallelizes across
+    shards and never forms a global single-partition window. At 100 TB you
+    keep shards bounded (source × day); the per-shard sort is the only
+    cost, and it co-partitions with the downstream per-shard write. No
+    UDFs, all whole-stage codegen.
+    """
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select("source", "doc_id", F.size(tokens("text")).alias("ntok"))
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    c = d.withColumn("cum_before", F.coalesce(F.sum("ntok").over(w), F.lit(0)))
+    return (
+        c.groupBy(
+            "source",
+            F.floor(F.col("cum_before") / F.lit(float(SEQ_PACK_CAP)))
+            .cast("bigint")
+            .alias("bin"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("ntok").cast("bigint").alias("bin_tokens"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+    )

@@ -553,3 +553,104 @@ def q_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("c").desc(), "bg")
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# q_perplexity_filter — LM-rarity document filter (perplexity-filter shape)
+# ---------------------------------------------------------------------------
+
+PPL_RARE_MULT = 50  # bigram is "rare" iff  MULT * c(w1 w2) < c(w1 ·), p < 1/50
+PPL_FLAG_MULT = 20  # doc is flagged iff    MULT * n_rare  > n_bigrams, > 5 %
+
+
+@query(
+    "q_perplexity_filter",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split(lower(text), ' '), t -> t <> '') AS tk
+        FROM documents
+    ),
+    bg AS (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(tk)),
+                                     i -> tk[i] || ' ' || tk[i+1])) AS bg
+        FROM toks WHERE len(tk) >= 2
+    ),
+    cnt AS (SELECT bg, count(*) AS c FROM bg GROUP BY bg),
+    pre AS (
+        SELECT split_part(bg, ' ', 1) AS w1, sum(c) AS cw1
+        FROM cnt GROUP BY 1
+    )
+    SELECT bg.doc_id,
+           CAST(count(*) AS BIGINT) AS n_bigrams,
+           CAST(sum(CASE WHEN {PPL_RARE_MULT} * cnt.c < pre.cw1
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_rare,
+           CAST(sum(CASE WHEN {PPL_RARE_MULT} * cnt.c < pre.cw1
+                         THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS rare_frac,
+           {PPL_FLAG_MULT} * sum(CASE WHEN {PPL_RARE_MULT} * cnt.c < pre.cw1
+                                      THEN 1 ELSE 0 END) > count(*) AS flagged
+    FROM bg
+    JOIN cnt USING (bg)
+    JOIN pre ON split_part(bg.bg, ' ', 1) = pre.w1
+    GROUP BY bg.doc_id
+    """,
+    description="LM-based document filter (the perplexity-filter pass of a "
+    "text pipeline, CCNet-style): each doc scored by the fraction of its "
+    "bigrams that are rare under the corpus's own bigram LM "
+    "(P(w2|w1) < 1/50 as the exact integer test 50·c(w1w2) < c(w1·)); "
+    "docs with > 5 % rare bigrams flagged — all rational arithmetic, "
+    "hash-verified (extension mandate: text analysis)",
+)
+def q_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity filtering with exact arithmetic: true log-perplexity
+    thresholds are per-bigram monotone in P(w2|w1), so a rarity threshold
+    on the rational conditional probability (integer cross-multiply, no
+    transcendentals — logs drift by ulps across engines) gives the same
+    keep/drop decisions a log-domain implementation makes for the matching
+    cutoff, and stays bit-reproducible.
+
+    Scale: two corpus-bounded aggregates build the LM (bigram counts,
+    prefix totals — vocab², partial-aggregated), then one shuffle joins
+    each doc's bigram occurrences to their corpus statistics (the same
+    (doc, token)-pair volume as wordcount) and one per-doc aggregate
+    scores it. Self-inclusive scoring (the doc's own bigrams count toward
+    the LM) — standard for corpus-level filtering, and what keeps it one
+    pass.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    bg = (
+        docs.select("doc_id", tokens("text").alias("tk"))
+        .filter(F.size("tk") >= 2)
+        .select("doc_id", F.explode(word_shingles(F.col("tk"), 2)).alias("bg"))
+    )
+    cnt = bg.groupBy("bg").agg(F.count(F.lit(1)).alias("c"))
+    pre = (
+        cnt.select(F.substring_index("bg", " ", 1).alias("w1"), "c")
+        .groupBy("w1")
+        .agg(F.sum("c").alias("cw1"))
+    )
+    rare = F.when(
+        F.lit(PPL_RARE_MULT) * F.col("c") < F.col("cw1"), F.lit(1)
+    ).otherwise(F.lit(0))
+    return (
+        bg.join(cnt, "bg")
+        .withColumn("w1", F.substring_index("bg", " ", 1))
+        .join(pre, "w1")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum(rare).alias("n_rare"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            "n_rare",
+            (F.col("n_rare").cast("double") / F.col("n_bigrams")).alias(
+                "rare_frac"
+            ),
+            (
+                F.lit(PPL_FLAG_MULT) * F.col("n_rare") > F.col("n_bigrams")
+            ).alias("flagged"),
+        )
+    )
