@@ -281,3 +281,54 @@ def q_ml_logreg(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = logreg_fit(data)
     rows = [(i, w[i]) for i in range(len(w))]
     return spark.createDataFrame(rows, "component bigint, weight double")
+
+
+# ---------------------------------------------------------------------------
+# q_embedding_centroids — per-label mean embedding (vector aggregation)
+# ---------------------------------------------------------------------------
+
+CENTROID_SCALE = 9  # decimal scale for exact component sums; |v| <= 1-ish
+
+
+@query(
+    "q_embedding_centroids",
+    oracle=f"""
+    WITH comp AS (
+        SELECT label,
+               unnest(list_transform(range(0, len(embedding)),
+                   i -> {{'pos': i, 'v': CAST(embedding[i+1] AS DOUBLE)}})) AS r
+        FROM embeddings
+    )
+    SELECT label,
+           CAST(r['pos'] AS BIGINT) AS pos,
+           CAST(CAST(sum(CAST(r['v'] AS DECIMAL(18,{CENTROID_SCALE})))
+                     AS STRING) AS DOUBLE) / count(*) AS centroid,
+           CAST(count(*) AS BIGINT) AS n
+    FROM comp GROUP BY 1, 2
+    """,
+    description="per-label mean embedding (class centroids): posexplode to "
+    "(label, dim) pairs, exact decimal component sums / count — the "
+    "vector-aggregation kernel behind nearest-class-mean classifiers and "
+    "IVF coarse quantizer seeding; hash-verified bit-for-bit via the "
+    "decimal-sum discipline (functions/numeric.py)",
+)
+def q_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Centroid computation as a relational aggregate: explode vectors to
+    (label, pos, component) and partial-aggregate — at 100 TB this is ONE
+    shuffle whose width is labels × dim (tiny), with map-side combine
+    doing virtually all the work; no vector ever reaches the driver. The
+    float32→double cast is exact, and the decimal(18,9) component sums
+    make the mean order-independent (same discipline as dsum; no double
+    lands on a half-way point at scale 9 — dyadic denominators can't
+    carry the 5^9 factor — so both engines round identically).
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    comp = emb.select(
+        "label", F.posexplode("embedding").alias("pos", "v")
+    )
+    return comp.groupBy("label", F.col("pos").cast("bigint").alias("pos")).agg(
+        (
+            dsum(F.col("v").cast("double"), CENTROID_SCALE) / F.count(F.lit(1))
+        ).alias("centroid"),
+        F.count(F.lit(1)).alias("n"),
+    )

@@ -654,3 +654,69 @@ def q_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("flagged"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q_bpe_merge_step — first BPE merge candidates from word frequencies
+# ---------------------------------------------------------------------------
+
+BPE_TOP = 20
+
+
+@query(
+    "q_bpe_merge_step",
+    oracle=f"""
+    WITH words AS (
+        SELECT unnest(list_filter(string_split(lower(text), ' '),
+                                  t -> t <> '')) AS w
+        FROM documents
+    ),
+    freq AS (SELECT w, count(*) AS wf FROM words GROUP BY w),
+    pairs AS (
+        SELECT unnest(list_transform(range(1, length(w)),
+                   i -> substring(w, CAST(i AS INT), 2))) AS pair,
+               wf
+        FROM freq WHERE length(w) >= 2
+    )
+    SELECT pair, CAST(sum(wf) AS BIGINT) AS cnt
+    FROM pairs GROUP BY pair
+    ORDER BY cnt DESC, pair LIMIT {BPE_TOP}
+    """,
+    description=f"tokenizer training's first BPE merge step: adjacent "
+    f"character-pair frequencies weighted by corpus word frequency, top-"
+    f"{BPE_TOP} merge candidates (Sennrich et al. 2016 — the statistics "
+    "pass each merge iteration repeats); two aggregations, all integer "
+    "counts, hash-verified (extension mandate: text analysis)",
+)
+def q_bpe_merge_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE trains on the WORD FREQUENCY table, not the raw corpus — the
+    standard trick that makes each merge iteration O(vocab), not
+    O(corpus): first aggregate words (corpus-sized shuffle, the wordcount
+    kernel), then expand each distinct word's adjacent symbol pairs
+    weighted by its frequency (vocab-sized — cheap at any corpus scale)
+    and aggregate again. Both pair expansion and counting are whole-stage
+    codegen; top-k is TakeOrderedAndProject (no global sort). Subsequent
+    merge iterations rewrite the (tiny) vocab table and repeat the second
+    aggregate only.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    freq = (
+        docs.select(F.explode(tokens("text")).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("wf"))
+    )
+    pairs = freq.filter(F.length("w") >= 2).select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("w") - 1),
+                lambda i: F.substring(F.col("w"), i, F.lit(2)),
+            )
+        ).alias("pair"),
+        "wf",
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("wf").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "pair")
+        .limit(BPE_TOP)
+    )

@@ -108,3 +108,48 @@ def test_perplexity_filter_flag_consistency(spark, sf_dir):
         flagged += bool(r["flagged"])
     # thresholds are calibrated to split the corpus, not rubber-stamp it
     assert 0 < flagged < len(rows)
+
+
+def test_bpe_merge_step_mass_and_shape(spark, sf_dir):
+    from go_web_mapreduce_spark.operators.text_analysis import (
+        BPE_TOP,
+        q_bpe_merge_step,
+    )
+
+    rows = q_bpe_merge_step(spark, sf_dir).collect()
+    assert len(rows) == BPE_TOP
+    cnts = [r["cnt"] for r in rows]
+    assert cnts == sorted(cnts, reverse=True)
+    assert all(len(r["pair"]) == 2 for r in rows)
+    # total pair mass identity: sum over words of wf * (len - 1)
+    docs = load_table(spark, sf_dir, "documents")
+    total = (
+        docs.select(F.explode(tokens("text")).alias("w"))
+        .filter(F.length("w") >= 2)
+        .select((F.length("w") - 1).alias("m"))
+        .agg(F.sum("m"))
+        .collect()[0][0]
+    )
+    # the top-20 mass can't exceed the corpus pair mass
+    assert sum(cnts) <= total
+
+
+def test_embedding_centroids_shape_and_bounds(spark, sf_dir):
+    from go_web_mapreduce_spark.operators.ml import q_embedding_centroids
+
+    rows = q_embedding_centroids(spark, sf_dir).collect()
+    emb = load_table(spark, sf_dir, "embeddings")
+    dim = len(emb.select("embedding").first()[0])
+    label_counts = {
+        r["label"]: r["n"]
+        for r in emb.groupBy("label").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert len(rows) == dim * len(label_counts)
+    lo, hi = (
+        emb.select(F.explode("embedding").alias("v"))
+        .agg(F.min("v"), F.max("v"))
+        .collect()[0]
+    )
+    for r in rows:
+        assert r["n"] == label_counts[r["label"]]
+        assert lo - 1e-9 <= r["centroid"] <= hi + 1e-9
