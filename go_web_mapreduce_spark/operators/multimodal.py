@@ -267,6 +267,10 @@ def decode_png(data: bytes):
 # stubbed because the container genuinely has no PIL/ffmpeg — but PNG needs
 # only stdlib zlib and baseline-grayscale JPEG needs only numpy (Huffman +
 # DCT in functions/jpeg.py), so both decode for real
+from go_web_mapreduce_spark.functions.gif import (  # noqa: E402
+    decode_gif,
+    encode_gif,
+)
 from go_web_mapreduce_spark.functions.jpeg import (  # noqa: E402
     decode_jpeg_gray,
     encode_jpeg_gray,
@@ -275,6 +279,7 @@ from go_web_mapreduce_spark.functions.jpeg import (  # noqa: E402
 DECODERS = {
     "image/bmp": decode_bmp,
     "image/png": decode_png,
+    "image/gif": decode_gif,
     "image/jpeg": decode_jpeg_gray,
     "audio/wav": decode_wav,
     "audio/x-wav": decode_wav,
@@ -282,10 +287,11 @@ DECODERS = {
 
 
 def decode_payload(mime: str, payload: bytes):
-    """Decode one payload into a pixel/sample array. BMP, PNG, PCM WAV, and
-    baseline grayscale JPEG decode for real (stdlib + numpy only); the
-    remaining codecs raise — the container has no PIL/librosa/ffmpeg, and
-    silently faking an MP3 decode would be worse than refusing."""
+    """Decode one payload into a pixel/sample array. BMP, PNG, GIF (real
+    LZW), PCM WAV, and baseline grayscale JPEG decode for real (stdlib +
+    numpy only); the remaining codecs raise — the container has no
+    PIL/librosa/ffmpeg, and silently faking an MP3 decode would be worse
+    than refusing."""
     dec = DECODERS.get(mime)
     if dec is None:
         raise NotImplementedError(
@@ -564,11 +570,13 @@ _ASCII_DOCS_SQL = (
 def synthesize_image_table(docs: DataFrame) -> DataFrame:
     """Build a genuine mixed-format media table: each document's utf-8 bytes
     tiled into a 16×16 RGB pixel block and encoded as a REAL image file —
-    24-bit BMP (headers, padding, bottom-up rows) for even doc_ids, PNG
-    (zlib IDAT, cycling scanline filters 0–4) for odd doc_ids. Arrow-
-    batched; every payload is a valid file any image reader opens, and the
-    two formats decode to the identical pixel array, so one first-principles
-    oracle covers both."""
+    24-bit BMP (headers, padding, bottom-up rows) for doc_id % 3 == 0, PNG
+    (zlib IDAT, cycling scanline filters 0–4) for % 3 == 1, GIF87a (palette
+    + genuine variable-width LZW) for % 3 == 2. Arrow-batched; every
+    payload is a valid file any image reader opens, and all three formats
+    decode to the identical pixel array, so one first-principles oracle
+    covers them all. (A 16×16 tile has ≤256 distinct colors by pigeonhole,
+    so the GIF palette constraint always holds.)"""
 
     def run(batches: Iterator) -> Iterator:
         import numpy as np
@@ -583,12 +591,15 @@ def synthesize_image_table(docs: DataFrame) -> DataFrame:
                 px = np.frombuffer((raw * reps)[:n_px], np.uint8).reshape(
                     IMG_H, IMG_W, 3
                 )
-                if doc_id % 2 == 0:
+                if doc_id % 3 == 0:
                     payloads.append(encode_bmp(px))
                     mimes.append("image/bmp")
-                else:
+                elif doc_id % 3 == 1:
                     payloads.append(encode_png(px))
                     mimes.append("image/png")
+                else:
+                    payloads.append(encode_gif(px))
+                    mimes.append("image/gif")
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
@@ -629,17 +640,20 @@ def synthesize_image_table(docs: DataFrame) -> DataFrame:
     """,
     description="REAL media decode over a mixed-format corpus: documents "
     "rendered as valid 24-bit BMP files (headers, padding, BGR, bottom-up "
-    "rows) AND real PNGs (zlib IDAT, scanline filters 0-4) then decoded "
+    "rows), real PNGs (zlib IDAT, scanline filters 0-4), AND real GIFs "
+    "(palette + genuine variable-width LZW, functions/gif.py) then decoded "
     "back with the pure-stdlib parsers; per-source exact pixel sums prove "
-    "both round trips bit-for-bit (JPEG/MP3/MP4 remain stubbed — no "
-    "PIL/ffmpeg in the container)",
+    "all three round trips bit-for-bit (MP3/MP4 remain stubbed — no "
+    "PIL/ffmpeg in the container; grayscale baseline JPEG decodes in "
+    "q_multimodal_jpeg)",
 )
 def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decode is no longer a stub for stdlib-expressible formats: the query
-    synthesizes genuine BMP files (even doc_ids) and PNG files (odd
-    doc_ids, cycling all five scanline filter types) and runs them through
-    the real parsers inside an Arrow-batched mapInPandas — bytes in, pixel
-    arrays out, exact integer statistics aggregated per source. The oracle
+    synthesizes genuine BMP files (doc_id % 3 == 0), PNG files (% 3 == 1,
+    cycling all five scanline filter types), and GIF files (% 3 == 2,
+    genuine LZW) and runs them through the real parsers inside an
+    Arrow-batched mapInPandas — bytes in, pixel arrays out, exact integer
+    statistics aggregated per source. The oracle
     recomputes the pixel sums from first principles (tiled utf-8 bytes), so
     a single header-offset, padding, or unfilter bug in either codec would
     hash-mismatch."""

@@ -116,8 +116,9 @@ def test_media_features_are_real_statistics():
 
 
 def test_synthesized_images_decode_to_tiled_text(spark, sf_dir):
-    """Both formats of the mixed table must decode back to the document's
-    tiled utf-8 bytes — the invariant the decode oracle checks in bulk."""
+    """All three formats of the mixed table must decode back to the
+    document's tiled utf-8 bytes — the invariant the decode oracle checks
+    in bulk."""
     import numpy as np
 
     docs = ascii_documents(load_table(spark, sf_dir, "documents")).limit(6)
@@ -130,7 +131,7 @@ def test_synthesized_images_decode_to_tiled_text(spark, sf_dir):
         px = decode_payload(r["mime"], bytes(r["payload"]))
         seen_mimes.add(r["mime"])
         assert bytes(np.asarray(px, np.uint8).reshape(-1)) == want
-    assert seen_mimes == {"image/bmp", "image/png"}
+    assert seen_mimes == {"image/bmp", "image/png", "image/gif"}
 
 
 def test_features_real_for_decodable_mimes(spark, sf_dir):
