@@ -7,6 +7,8 @@ from __future__ import annotations
 
 import numpy as np
 import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
 
 from go_web_mapreduce_spark.functions.gif import decode_gif, encode_gif
 
@@ -87,3 +89,22 @@ def test_container_fields():
 def test_decoder_rejects_non_gif():
     with pytest.raises(ValueError, match="not a GIF"):
         decode_gif(b"\x89PNG\r\n\x1a\nnope")
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    w=st.integers(1, 24),
+    h=st.integers(1, 24),
+    ncolors=st.integers(1, 256),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_random_images_roundtrip_exactly(w, h, ncolors, seed):
+    """Any image with ≤256 distinct colors must survive the GIF round trip
+    bit-for-bit — arbitrary dimensions, palette sizes (hitting every
+    min-code-size), and pixel layouts."""
+    rng = np.random.default_rng(seed)
+    palette = rng.integers(0, 256, (ncolors, 3)).astype(np.uint8)
+    idx = rng.integers(0, ncolors, (h, w))
+    px = palette[idx]
+    data = encode_gif(px)
+    assert np.array_equal(decode_gif(data), px)
