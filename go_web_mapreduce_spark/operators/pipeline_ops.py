@@ -601,3 +601,145 @@ def q_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("doc_id").alias("last_doc"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q_corpus_pipeline — end-to-end training-data funnel with stage retention
+# ---------------------------------------------------------------------------
+
+CP_MIN_TOKENS = 10  # quality gate: at least this many tokens
+CP_MIN_TTR_PCT = 40  # ...and type-token ratio >= 40% (integer cross-multiply)
+CP_EVAL_MOD = 97  # eval slice (shared with q_decontaminate)
+CP_DECON_K = 4  # contamination n-gram width
+CP_BIN_CAP = 512  # packing capacity (shared with q_sequence_pack)
+
+
+@query(
+    "q_corpus_pipeline",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, source,
+               list_filter(string_split(lower(text), ' '), x -> x <> '') AS tk,
+               text
+        FROM documents
+    ),
+    ev AS (
+        SELECT DISTINCT unnest(list_distinct(list_transform(
+                   range(1, greatest(len(tk) - {CP_DECON_K - 1}, 1) + 1),
+                   i -> array_to_string(tk[i:i + {CP_DECON_K - 1}], ' ')))) AS s
+        FROM t WHERE doc_id % {CP_EVAL_MOD} = 0
+    ),
+    hit AS (
+        SELECT DISTINCT sh.doc_id
+        FROM (SELECT doc_id,
+                     unnest(list_distinct(list_transform(
+                         range(1, greatest(len(tk) - {CP_DECON_K - 1}, 1) + 1),
+                         i -> array_to_string(tk[i:i + {CP_DECON_K - 1}], ' ')))) AS s
+              FROM t WHERE doc_id % {CP_EVAL_MOD} <> 0) sh
+        JOIN ev USING (s)
+    ),
+    train AS (
+        SELECT doc_id, source, text, len(tk) AS ntok,
+               CASE WHEN len(tk) >= {CP_MIN_TOKENS}
+                     AND 100 * len(list_distinct(tk)) >= {CP_MIN_TTR_PCT} * len(tk)
+                    THEN 1 ELSE 0 END AS q
+        FROM t WHERE doc_id % {CP_EVAL_MOD} <> 0
+    ),
+    staged AS (
+        SELECT source, ntok, q,
+               CASE WHEN q = 1 AND doc_id = min(CASE WHEN q = 1 THEN doc_id END)
+                        OVER (PARTITION BY text)
+                    THEN 1 ELSE 0 END AS k,
+               CASE WHEN doc_id IN (SELECT doc_id FROM hit) THEN 1 ELSE 0 END AS c
+        FROM train
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_train,
+           CAST(sum(q) AS BIGINT) AS n_quality,
+           CAST(sum(k) AS BIGINT) AS n_unique,
+           CAST(sum(k * (1 - c)) AS BIGINT) AS n_clean,
+           CAST(sum(CASE WHEN k = 1 AND c = 0 THEN ntok ELSE 0 END) AS BIGINT)
+             AS clean_tokens,
+           CAST(ceil(sum(CASE WHEN k = 1 AND c = 0 THEN ntok ELSE 0 END)
+                     / {CP_BIN_CAP}.0) AS BIGINT) AS n_bins,
+           CAST(sum(k * (1 - c)) AS DOUBLE) / count(*) AS retention
+    FROM staged GROUP BY source
+    """,
+    description="end-to-end training-data funnel: train slice → quality "
+    "gate (length + type-token ratio, integer cross-multiply) → exact-"
+    "dedup canonical keeper (min doc_id per text) → eval-decontaminated → "
+    "packed 512-token bin count, with per-source per-stage retention — "
+    "the composition the standalone ops (q_corpus_filter, q_dedup_exact, "
+    "q_decontaminate, q_sequence_pack) run in production sequence, "
+    "hash-verified as one plan",
+)
+def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One plan, four pipeline stages, per-stage conservation visible in
+    the output (n_train ≥ n_quality ≥ n_unique ≥ n_clean). Scale posture
+    is inherited from the standalone ops it composes: the quality gate is
+    a map-side projection, the keeper needs one shuffle on text (the
+    exact-dedup hash-groupBy shape), contamination is a broadcast
+    semi-join (eval side is benchmarks — MBs), and the final aggregate is
+    per-source states. Catalyst shares the documents scan across stages.
+    """
+    from pyspark.sql import Window
+
+    from go_web_mapreduce_spark.functions.text import distinct_shingles_arrow
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", "source", "text", tokens("text").alias("tk"))
+    is_eval = F.col("doc_id") % CP_EVAL_MOD == 0
+    ev = (
+        t.filter(is_eval)
+        .select(F.explode(distinct_shingles_arrow(F.col("tk"), CP_DECON_K)).alias("s"))
+        .distinct()
+    )
+    train = t.filter(~is_eval)
+    hit = (
+        train.select(
+            "doc_id",
+            F.explode(distinct_shingles_arrow(F.col("tk"), CP_DECON_K)).alias("s"),
+        )
+        .join(F.broadcast(ev), "s")
+        .select("doc_id")
+        .distinct()
+        .withColumn("c", F.lit(1))
+    )
+    q = (
+        (F.size("tk") >= CP_MIN_TOKENS)
+        & (
+            F.lit(100) * F.size(F.array_distinct("tk"))
+            >= F.lit(CP_MIN_TTR_PCT) * F.size("tk")
+        )
+    ).cast("int")
+    staged = train.select(
+        "doc_id", "source", "text", F.size("tk").alias("ntok"), q.alias("q")
+    )
+    w = Window.partitionBy("text")
+    staged = staged.withColumn(
+        "k",
+        (
+            (F.col("q") == 1)
+            & (
+                F.col("doc_id")
+                == F.min(F.when(F.col("q") == 1, F.col("doc_id"))).over(w)
+            )
+        ).cast("int"),
+    ).join(hit, "doc_id", "left").fillna({"c": 0})
+    clean_tok = F.when(
+        (F.col("k") == 1) & (F.col("c") == 0), F.col("ntok")
+    ).otherwise(F.lit(0))
+    return staged.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_train"),
+        F.sum("q").alias("n_quality"),
+        F.sum("k").alias("n_unique"),
+        F.sum(F.col("k") * (1 - F.col("c"))).alias("n_clean"),
+        F.sum(clean_tok).alias("clean_tokens"),
+        F.ceil(F.sum(clean_tok) / F.lit(float(CP_BIN_CAP)))
+        .cast("bigint")
+        .alias("n_bins"),
+        (
+            F.sum(F.col("k") * (1 - F.col("c"))).cast("double")
+            / F.count(F.lit(1))
+        ).alias("retention"),
+    )

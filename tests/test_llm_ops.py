@@ -153,3 +153,26 @@ def test_embedding_centroids_shape_and_bounds(spark, sf_dir):
     for r in rows:
         assert r["n"] == label_counts[r["label"]]
         assert lo - 1e-9 <= r["centroid"] <= hi + 1e-9
+
+
+def test_corpus_pipeline_funnel_monotonicity(spark, sf_dir):
+    """The funnel can only narrow: n_train >= n_quality >= n_unique >=
+    n_clean per source, retention consistent, and bins cover clean
+    tokens at exactly ceil(tokens/cap)."""
+    import math
+
+    from go_web_mapreduce_spark.operators.pipeline_ops import (
+        CP_BIN_CAP,
+        q_corpus_pipeline,
+    )
+
+    rows = q_corpus_pipeline(spark, sf_dir).collect()
+    assert rows
+    narrowed = False
+    for r in rows:
+        assert r["n_train"] >= r["n_quality"] >= r["n_unique"] >= r["n_clean"]
+        assert r["n_bins"] == math.ceil(r["clean_tokens"] / CP_BIN_CAP)
+        assert abs(r["retention"] - r["n_clean"] / r["n_train"]) == 0.0
+        if r["n_clean"] < r["n_train"]:
+            narrowed = True
+    assert narrowed  # the gates genuinely drop documents on this corpus
