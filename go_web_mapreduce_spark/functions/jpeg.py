@@ -1,4 +1,5 @@
-"""Baseline JPEG (ITU-T T.81) grayscale codec in pure numpy + stdlib.
+"""Baseline JPEG (ITU-T T.81) codec — grayscale AND 4:4:4 color — in pure
+numpy + stdlib.
 
 No libjpeg/PIL exists in this container, but baseline JPEG needs none of
 them: the entropy layer is canonical Huffman over a public code-table
@@ -9,13 +10,17 @@ stream — all expressible with ``struct``/numpy. This module implements:
   (SOI/APP0/DQT/SOF0/DHT/SOS/EOI, Annex-K example Huffman tables, byte
   stuffing), used by the multimodal pipeline to synthesize genuine JPEG
   payloads any image viewer opens.
-- :func:`decode_jpeg_gray` — a general baseline decoder for single-
-  component (grayscale) scans: marker walk, DQT/DHT/SOF0/SOS parse,
-  canonical Huffman decode of DC categories + AC run/size pairs (EOB and
-  ZRL included), de-zigzag, dequantize, IDCT via the orthonormal basis
-  matrix, level shift + clip. Multi-component scans, progressive mode, and
-  restart intervals raise ``ValueError`` — a partial honest decoder, like
-  the PNG path's non-interlaced restriction (operators/multimodal.py).
+- :func:`encode_jpeg_color` — the 3-component sibling: genuine 4:4:4
+  color JFIF (interleaved Y/Cb/Cr MCUs, separate luma/chroma quantization
+  tables, ITU-T T.871 color transform, per-component DC predictors).
+- :func:`decode_jpeg` — a general baseline decoder for 1-component
+  (grayscale) and 3-component 4:4:4 interleaved scans: marker walk,
+  DQT/DHT/SOF0/SOS parse, canonical Huffman decode of DC categories + AC
+  run/size pairs (EOB and ZRL included), de-zigzag, dequantize, IDCT via
+  the orthonormal basis matrix, color transform, level shift + clip.
+  Chroma-subsampled (4:2:0/4:2:2) scans, progressive mode, and restart
+  intervals raise ``ValueError`` — a partial honest decoder, like the PNG
+  path's non-interlaced restriction (operators/multimodal.py).
 
 Exactness: JPEG is lossy in general, but with an all-ones quantization
 table a block-constant 8×8 tile has a single integral DCT coefficient
@@ -131,6 +136,52 @@ def _seg(marker: int, payload: bytes) -> bytes:
     return struct.pack(">HH", marker, len(payload) + 2) + payload
 
 
+def _encode_block(bw: "_BitWriter", block, qtab, prev_dc: int) -> int:
+    """FDCT → quantize → Huffman-encode one level-shifted 8×8 block;
+    returns the new DC predictor."""
+    coef = _M @ block @ _M.T
+    # quantize in zigzag order: zz[i] = coef[zigzag position i]
+    flat = coef.reshape(64)
+    zz = np.round(flat[_Z] / qtab).astype(np.int64)
+    # DC
+    diff = int(zz[0]) - prev_dc
+    new_dc = int(zz[0])
+    s = _category(diff)
+    code, ln = _DC_ENC[s]
+    bw.put(code, ln)
+    if s:
+        bw.put(diff if diff >= 0 else diff + (1 << s) - 1, s)
+    # AC: run-length of zeros + size, ZRL for 16 zeros, EOB at end
+    run = 0
+    last_nz = int(np.max(np.nonzero(zz)[0])) if np.any(zz[1:]) else 0
+    for i in range(1, 64):
+        v = int(zz[i])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, ln = _AC_ENC[0xF0]  # ZRL
+            bw.put(code, ln)
+            run -= 16
+        s = _category(v)
+        if s > 10:
+            # the standard AC table tops out at size 10 (|v| ≤ 1023);
+            # reachable only at quant=1 on pathological ±128 blocks
+            raise ValueError(
+                "AC coefficient magnitude needs size > 10; raise quant"
+            )
+        code, ln = _AC_ENC[(run << 4) | s]
+        bw.put(code, ln)
+        bw.put(v if v >= 0 else v + (1 << s) - 1, s)
+        run = 0
+        if i == last_nz:
+            break
+    if last_nz < 63:
+        code, ln = _AC_ENC[0x00]  # EOB
+        bw.put(code, ln)
+    return new_dc
+
+
 def encode_jpeg_gray(pixels, quant: int = 1) -> bytes:
     """Encode an (h, w) uint8 grayscale array as a baseline JFIF JPEG.
     ``quant`` fills a uniform quantization table (1 → numerically lossless
@@ -156,49 +207,74 @@ def encode_jpeg_gray(pixels, quant: int = 1) -> bytes:
     shifted = px.astype(np.float64) - 128.0
     for by in range(0, h, 8):
         for bx in range(0, w, 8):
-            block = shifted[by : by + 8, bx : bx + 8]
-            coef = _M @ block @ _M.T
-            # quantize in zigzag order: zz[i] = coef[zigzag position i]
-            flat = coef.reshape(64)
-            zz = np.round(flat[_Z] / qtab).astype(np.int64)
-            # DC
-            diff = int(zz[0]) - prev_dc
-            prev_dc = int(zz[0])
-            s = _category(diff)
-            code, ln = _DC_ENC[s]
-            bw.put(code, ln)
-            if s:
-                bw.put(diff if diff >= 0 else diff + (1 << s) - 1, s)
-            # AC: run-length of zeros + size, ZRL for 16 zeros, EOB at end
-            run = 0
-            last_nz = int(np.max(np.nonzero(zz)[0])) if np.any(zz[1:]) else 0
-            for i in range(1, 64):
-                v = int(zz[i])
-                if v == 0:
-                    run += 1
-                    continue
-                while run > 15:
-                    code, ln = _AC_ENC[0xF0]  # ZRL
-                    bw.put(code, ln)
-                    run -= 16
-                s = _category(v)
-                if s > 10:
-                    # the standard AC table tops out at size 10 (|v| ≤ 1023);
-                    # reachable only at quant=1 on pathological ±128 blocks
-                    raise ValueError(
-                        "AC coefficient magnitude needs size > 10; raise quant"
-                    )
-                code, ln = _AC_ENC[(run << 4) | s]
-                bw.put(code, ln)
-                bw.put(v if v >= 0 else v + (1 << s) - 1, s)
-                run = 0
-                if i == last_nz:
-                    break
-            if last_nz < 63:
-                code, ln = _AC_ENC[0x00]  # EOB
-                bw.put(code, ln)
+            prev_dc = _encode_block(
+                bw, shifted[by : by + 8, bx : bx + 8], qtab, prev_dc
+            )
     out += bw.flush()
     out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+# JFIF/JPEG color transform (ITU-T T.871): exact float64 both directions
+_RGB2YCC = np.array(
+    [
+        [0.299, 0.587, 0.114],
+        [-0.168735892, -0.331264108, 0.5],
+        [0.5, -0.418687589, -0.081312411],
+    ]
+)
+
+
+def encode_jpeg_color(pixels, quant: int = 1, chroma_quant: int | None = None) -> bytes:
+    """Encode an (h, w, 3) uint8 RGB array as a genuine 3-component
+    baseline JFIF JPEG — 4:4:4 (no chroma subsampling), interleaved
+    Y/Cb/Cr MCUs, separate luma/chroma quantization tables, per-component
+    DC predictors. The Annex-K luminance Huffman tables serve all three
+    components (spec-legal: the SOS component spec binds tables)."""
+    px = np.asarray(pixels, dtype=np.uint8)
+    h, w, ch = px.shape
+    if ch != 3:
+        raise ValueError("encode_jpeg_color expects (h, w, 3) RGB")
+    if h % 8 or w % 8:
+        raise ValueError("encode_jpeg_color requires multiple-of-8 dimensions")
+    cq = quant if chroma_quant is None else chroma_quant
+    qtabs = [np.full(64, quant, np.int32), np.full(64, cq, np.int32)]
+
+    rgb = px.astype(np.float64)
+    ycc = np.tensordot(rgb, _RGB2YCC.T, axes=1)
+    planes = [ycc[..., 0] - 128.0, ycc[..., 1], ycc[..., 2]]  # Cb/Cr are
+    # already centered on 0 by the transform; Y is level-shifted
+
+    out = bytearray()
+    out += b"\xff\xd8"
+    out += _seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += _seg(0xFFDB, b"\x00" + qtabs[0].astype(np.uint8).tobytes())
+    out += _seg(0xFFDB, b"\x01" + qtabs[1].astype(np.uint8).tobytes())
+    # SOF0: comps (1: Y, qtab 0) (2: Cb, qtab 1) (3: Cr, qtab 1), all 1×1
+    out += _seg(
+        0xFFC0,
+        struct.pack(">BHHB", 8, h, w, 3)
+        + b"\x01\x11\x00" + b"\x02\x11\x01" + b"\x03\x11\x01",
+    )
+    out += _seg(0xFFC4, b"\x00" + bytes(DC_BITS) + bytes(DC_VALS))
+    out += _seg(0xFFC4, b"\x10" + bytes(AC_BITS) + bytes(AC_VALS))
+    # SOS: every component uses DC table 0 / AC table 0
+    out += _seg(0xFFDA, b"\x03\x01\x00\x02\x00\x03\x00\x00\x3f\x00")
+
+    bw = _BitWriter()
+    prev_dc = [0, 0, 0]
+    comp_q = [0, 1, 1]
+    for by in range(0, h, 8):
+        for bx in range(0, w, 8):  # one MCU = one block per component
+            for ci in range(3):
+                prev_dc[ci] = _encode_block(
+                    bw,
+                    planes[ci][by : by + 8, bx : bx + 8],
+                    qtabs[comp_q[ci]],
+                    prev_dc[ci],
+                )
+    out += bw.flush()
+    out += b"\xff\xd9"
     return bytes(out)
 
 
@@ -262,19 +338,50 @@ def _extend(v: int, s: int) -> int:
     return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
 
 
-def decode_jpeg_gray(data: bytes):
-    """Decode a baseline single-component JPEG into an (h, w) uint8 array.
-    General over DQT/DHT contents (parsed, not assumed); raises ValueError
-    for progressive scans, multi-component images, or restart intervals."""
+def _decode_block(br: "_BitReader", dct, act, qt, prev_dc: int):
+    """Huffman-decode one block → (dequantized 8×8 float block pre-level-
+    shift, new DC predictor)."""
+    zz = np.zeros(64, dtype=np.int64)
+    s = _read_symbol(br, dct)
+    diff = _extend(br.bits(s), s) if s else 0
+    prev_dc += diff
+    zz[0] = prev_dc
+    i = 1
+    while i < 64:
+        rs = _read_symbol(br, act)
+        if rs == 0x00:  # EOB
+            break
+        if rs == 0xF0:  # ZRL
+            i += 16
+            continue
+        run, size = rs >> 4, rs & 0x0F
+        i += run
+        if i > 63:
+            raise ValueError("AC coefficient index out of range")
+        zz[i] = _extend(br.bits(size), size)
+        i += 1
+    flat = np.zeros(64, dtype=np.float64)
+    flat[_Z] = zz * qt  # zz[i] lands at flat position _Z[i]
+    return _M.T @ flat.reshape(8, 8) @ _M, prev_dc
+
+
+def decode_jpeg(data: bytes):
+    """Decode a baseline JPEG: single-component (grayscale) → (h, w)
+    uint8; three-component 4:4:4 interleaved (YCbCr) → (h, w, 3) uint8
+    RGB. General over DQT/DHT contents (parsed, not assumed); raises
+    ValueError for progressive scans, subsampled chroma (4:2:0/4:2:2),
+    or restart intervals — honest partial coverage, like the PNG path's
+    non-interlaced restriction."""
     if data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload")
     pos = 2
     qtabs: dict[int, np.ndarray] = {}
     htabs: dict[tuple[int, int], dict] = {}
     h = w = None
-    comp_q = 0
+    comps: list[tuple[int, int, int]] = []  # (id, sampling, quant-table id)
+    scan_tables: dict[int, tuple[int, int]] = {}  # comp id → (dc, ac)
+    scan_order: list[int] = []
     scan_start = None
-    dc_id = ac_id = 0
     while pos + 4 <= len(data):
         if data[pos] != 0xFF:
             raise ValueError("marker expected in JPEG stream")
@@ -304,17 +411,27 @@ def decode_jpeg_gray(data: bytes):
                 off += 17 + n
         elif marker == 0xC0:  # SOF0 baseline
             _prec, h, w, ncomp = struct.unpack_from(">BHHB", body, 0)
-            if ncomp != 1:
-                raise ValueError("only single-component (grayscale) JPEG supported")
-            comp_q = body[8]  # per-component: id, sampling, quant-table id
+            if ncomp not in (1, 3):
+                raise ValueError("only 1- or 3-component JPEG supported")
+            comps = [
+                (body[6 + 3 * c], body[7 + 3 * c], body[8 + 3 * c])
+                for c in range(ncomp)
+            ]
+            if any(samp != 0x11 for _cid, samp, _q in comps):
+                raise ValueError(
+                    "chroma subsampling (non-4:4:4) unsupported"
+                )
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
                         0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError("only baseline sequential (SOF0) JPEG supported")
         elif marker == 0xDD:
             raise ValueError("restart intervals unsupported")
         elif marker == 0xDA:  # SOS
-            dc_id = body[2] >> 4
-            ac_id = body[2] & 0x0F
+            ns = body[0]
+            for c in range(ns):
+                cid = body[1 + 2 * c]
+                scan_tables[cid] = (body[2 + 2 * c] >> 4, body[2 + 2 * c] & 0x0F)
+                scan_order.append(cid)
             scan_start = pos + 2 + seglen
             break
         pos += 2 + seglen
@@ -322,39 +439,34 @@ def decode_jpeg_gray(data: bytes):
         raise ValueError("JPEG missing SOS/SOF0")
     if h % 8 or w % 8:
         raise ValueError("non-multiple-of-8 JPEG dimensions unsupported")
-    qt = qtabs[comp_q]
-    dct = htabs[(0, dc_id)]
-    act = htabs[(1, ac_id)]
+    if scan_order != [cid for cid, _s, _q in comps]:
+        raise ValueError("SOS component order must match SOF0")
 
     br = _BitReader(data[scan_start:])
-    out = np.empty((h, w), dtype=np.uint8)
-    prev_dc = 0
-    inv_z = _Z  # zz[i] lands at flat position _Z[i]
+    ncomp = len(comps)
+    planes = [np.empty((h, w), dtype=np.float64) for _ in range(ncomp)]
+    prev_dc = [0] * ncomp
     for by in range(0, h, 8):
-        for bx in range(0, w, 8):
-            zz = np.zeros(64, dtype=np.int64)
-            s = _read_symbol(br, dct)
-            diff = _extend(br.bits(s), s) if s else 0
-            prev_dc += diff
-            zz[0] = prev_dc
-            i = 1
-            while i < 64:
-                rs = _read_symbol(br, act)
-                if rs == 0x00:  # EOB
-                    break
-                if rs == 0xF0:  # ZRL
-                    i += 16
-                    continue
-                run, size = rs >> 4, rs & 0x0F
-                i += run
-                if i > 63:
-                    raise ValueError("AC coefficient index out of range")
-                zz[i] = _extend(br.bits(size), size)
-                i += 1
-            flat = np.zeros(64, dtype=np.float64)
-            flat[inv_z] = zz * qt
-            block = _M.T @ flat.reshape(8, 8) @ _M
-            out[by : by + 8, bx : bx + 8] = np.clip(
-                np.round(block + 128.0), 0, 255
-            ).astype(np.uint8)
-    return out
+        for bx in range(0, w, 8):  # one MCU: one 8×8 block per component
+            for ci, (cid, _samp, qid) in enumerate(comps):
+                dc_id, ac_id = scan_tables[cid]
+                block, prev_dc[ci] = _decode_block(
+                    br, htabs[(0, dc_id)], htabs[(1, ac_id)], qtabs[qid],
+                    prev_dc[ci],
+                )
+                planes[ci][by : by + 8, bx : bx + 8] = block
+    if ncomp == 1:
+        return np.clip(np.round(planes[0] + 128.0), 0, 255).astype(np.uint8)
+    # ITU-T T.871 inverse transform; chroma blocks decode already centered
+    y, cb, cr = planes[0] + 128.0, planes[1], planes[2]
+    r = y + 1.402 * cr
+    g = y - 0.344136286 * cb - 0.714136286 * cr
+    b = y + 1.772 * cb
+    return np.clip(np.round(np.stack([r, g, b], axis=-1)), 0, 255).astype(
+        np.uint8
+    )
+
+
+# backward-compatible name: the original grayscale entry point (now also
+# accepts 3-component files and returns (h, w, 3) for them)
+decode_jpeg_gray = decode_jpeg

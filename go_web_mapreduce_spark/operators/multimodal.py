@@ -10,13 +10,15 @@ Decode is REAL for every format expressible without codec libraries:
 ``decode_bmp`` (24-bit BMP, pure struct/numpy header parse + de-pad + BGR
 flip), ``decode_png`` (non-interlaced 8-bit RGB/RGBA: zlib inflate +
 per-scanline unfilter of all five PNG filter types), ``decode_wav``
-(PCM via stdlib ``wave``), and baseline grayscale JPEG (pure-numpy
-Huffman + DCT decoder, functions/jpeg.py) — exercised end-to-end by
-``q_multimodal_decode`` / ``q_multimodal_audio`` / ``q_multimodal_jpeg``,
-which synthesize genuine BMP/PNG/WAV/JPEG files and hash-verify the
-decoded pixel/sample sums against first-principles oracles. Only formats
-that genuinely require external libraries (MP3/MP4, color-subsampled or
-progressive JPEG — no PIL/ffmpeg in the container) remain stubbed:
+(PCM via stdlib ``wave``), GIF (genuine variable-width LZW,
+functions/gif.py), and baseline JPEG — grayscale AND 3-component 4:4:4
+color (pure-numpy Huffman + DCT + T.871 color transform,
+functions/jpeg.py) — exercised end-to-end by ``q_multimodal_decode`` /
+``q_multimodal_audio`` / ``q_multimodal_jpeg``, which synthesize genuine
+BMP/PNG/GIF/WAV/JPEG files and hash-verify the decoded pixel/sample sums
+against first-principles oracles. Only formats that genuinely require
+external libraries (MP3/MP4, chroma-subsampled or progressive JPEG — no
+PIL/ffmpeg in the container) remain stubbed:
 ``decode_payload`` raises rather than faking it. ``extract_features``
 computes REAL pixel/sample statistics for every decodable mime and falls
 back to a deterministic md5-derived stand-in only for undecodable
@@ -272,7 +274,8 @@ from go_web_mapreduce_spark.functions.gif import (  # noqa: E402
     encode_gif,
 )
 from go_web_mapreduce_spark.functions.jpeg import (  # noqa: E402
-    decode_jpeg_gray,
+    decode_jpeg,
+    encode_jpeg_color,
     encode_jpeg_gray,
 )
 
@@ -280,7 +283,7 @@ DECODERS = {
     "image/bmp": decode_bmp,
     "image/png": decode_png,
     "image/gif": decode_gif,
-    "image/jpeg": decode_jpeg_gray,
+    "image/jpeg": decode_jpeg,
     "audio/wav": decode_wav,
     "audio/x-wav": decode_wav,
 }
@@ -849,12 +852,15 @@ JPEG_BLOCKS = JPEG_GRID * JPEG_GRID
 
 
 def synthesize_jpeg_table(docs: DataFrame) -> DataFrame:
-    """Each document becomes a genuine baseline JFIF JPEG: a 16×16
-    grayscale image of four 8×8 blocks, block k holding the constant value
-    of the document's k-th byte (tiled). Block-constant content has a
-    single integral DCT coefficient per block, so with the unit quant table
-    the lossy codec becomes numerically exact — the oracle can predict the
-    decoded pixels from first principles (functions/jpeg.py docstring)."""
+    """Each document becomes a genuine baseline JFIF JPEG: a 16×16 image
+    of four 8×8 blocks, block k holding the constant value of the
+    document's k-th byte (tiled). Even doc_ids encode as single-component
+    grayscale; odd doc_ids as REAL 3-component 4:4:4 color JPEGs
+    (interleaved YCbCr MCUs, dual quant tables) whose R=G=B content keeps
+    the color transform exact (Y = v, Cb = Cr = 0 centered — single
+    integral DCT coefficient per block either way), so with the unit
+    quant table the lossy codec stays numerically exact and the oracle
+    can predict the decoded pixels from first principles."""
 
     def run(batches: Iterator) -> Iterator:
         import numpy as np
@@ -863,14 +869,19 @@ def synthesize_jpeg_table(docs: DataFrame) -> DataFrame:
         ones = np.ones((8, 8), dtype=np.int64)
         for pdf in batches:
             payloads = []
-            for text in pdf["text"]:
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
                 raw = text.encode("utf-8")
                 vals = np.array(
                     [raw[k % len(raw)] for k in range(JPEG_BLOCKS)],
                     dtype=np.int64,
                 ).reshape(JPEG_GRID, JPEG_GRID)
                 px = np.kron(vals, ones).astype(np.uint8)
-                payloads.append(encode_jpeg_gray(px))
+                if doc_id % 2 == 0:
+                    payloads.append(encode_jpeg_gray(px))
+                else:
+                    payloads.append(
+                        encode_jpeg_color(np.stack([px, px, px], axis=-1))
+                    )
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
@@ -888,18 +899,21 @@ def synthesize_jpeg_table(docs: DataFrame) -> DataFrame:
 @query(
     "q_multimodal_jpeg",
     # each decoded image is 4 blocks of 64 pixels, block k = byte[k mod len]
-    # of the document, so pixel_sum = 64 · Σ_{k<4} ascii(char[k mod len]).
-    # The ASCII predicate is enforced identically in both engines.
+    # of the document, so the per-image value sum is 64 · Σ_{k<4}
+    # ascii(char[k mod len]) — times 3 for odd doc_ids, whose REAL color
+    # JPEGs decode to (16,16,3) with R=G=B. The ASCII predicate is enforced
+    # identically in both engines.
     oracle=f"""
     WITH b AS (
-      SELECT source, octet_length(encode(text)) AS len, text
+      SELECT source, octet_length(encode(text)) AS len, text,
+             CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 3 END AS nch
       FROM documents
       WHERE {_ASCII_DOCS_SQL}
     )
     SELECT source,
            CAST(count(*) AS BIGINT) AS n_images,
-           CAST(count(*) * {JPEG_BLOCKS * 64} AS BIGINT) AS n_pixels,
-           CAST(sum(64 * (
+           CAST(sum(nch) * {JPEG_BLOCKS * 64} AS BIGINT) AS n_pixels,
+           CAST(sum(nch * 64 * (
                ascii(substr(text, (0 % len) + 1, 1))
              + ascii(substr(text, (1 % len) + 1, 1))
              + ascii(substr(text, (2 % len) + 1, 1))
@@ -908,16 +922,19 @@ def synthesize_jpeg_table(docs: DataFrame) -> DataFrame:
     FROM b GROUP BY source
     """,
     description="REAL JPEG decode with zero codec libraries: documents "
-    "rendered as genuine baseline JFIF JPEGs (Annex-K Huffman tables, "
-    "byte-stuffed entropy stream, zigzag, DCT) then decoded back by the "
-    "pure-numpy baseline decoder in functions/jpeg.py; block-constant "
-    "content + unit quant table make the round trip numerically exact, so "
-    "per-source pixel sums hash-verify against a first-principles oracle",
+    "rendered as genuine baseline JFIF JPEGs — grayscale for even "
+    "doc_ids, 3-component 4:4:4 COLOR (interleaved YCbCr MCUs, dual "
+    "quant tables, T.871 color transform) for odd — then decoded back by "
+    "the pure-numpy baseline decoder in functions/jpeg.py; block-constant "
+    "content + unit quant table make both round trips numerically exact, "
+    "so per-source pixel sums hash-verify against a first-principles "
+    "oracle",
 )
 def q_multimodal_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The JPEG sibling of q_multimodal_decode: a Huffman-table, bitstream,
-    zigzag, dequantize, or IDCT bug anywhere in functions/jpeg.py would
-    hash-mismatch the per-source pixel sums."""
+    zigzag, dequantize, IDCT, MCU-interleave, or color-transform bug
+    anywhere in functions/jpeg.py would hash-mismatch the per-source
+    pixel sums."""
 
     def run(batches: Iterator) -> Iterator:
         import pandas as pd
@@ -927,7 +944,7 @@ def q_multimodal_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
             for mime, payload in zip(pdf["mime"], pdf["payload"]):
                 px = decode_payload(mime, bytes(payload))
                 sums.append(int(px.astype("int64").sum()))
-                counts.append(int(px.shape[0] * px.shape[1]))
+                counts.append(int(px.size))
             yield pd.DataFrame(
                 {"source": pdf["source"], "n_px": counts, "px_sum": sums}
             )

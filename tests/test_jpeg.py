@@ -102,3 +102,78 @@ try:
 
 except ImportError:  # pragma: no cover — hypothesis is expected present
     pass
+
+
+def test_color_gray_content_roundtrip_exact():
+    """A 3-component 4:4:4 color JPEG with R=G=B block-constant content
+    must round-trip exactly: Y = v, Cb = Cr = centered 0, one integral
+    DCT coefficient per block per component."""
+    import numpy as np
+
+    from go_web_mapreduce_spark.functions.jpeg import (
+        decode_jpeg,
+        encode_jpeg_color,
+    )
+
+    ones = np.ones((8, 8), np.int64)
+    vals = np.array([[65, 200], [7, 129]])
+    px = np.kron(vals, ones).astype(np.uint8)
+    px3 = np.stack([px, px, px], axis=-1)
+    back = decode_jpeg(encode_jpeg_color(px3))
+    assert back.shape == (16, 16, 3)
+    assert np.array_equal(back, px3)
+
+
+def test_color_arbitrary_content_bounded_error():
+    """Real color content at quant=1: the only loss is coefficient
+    rounding + the color transform — reconstruction stays within a few
+    counts per channel."""
+    import numpy as np
+
+    from go_web_mapreduce_spark.functions.jpeg import (
+        decode_jpeg,
+        encode_jpeg_color,
+    )
+
+    rng = np.random.default_rng(11)
+    px = rng.integers(0, 256, (24, 32, 3)).astype(np.uint8)
+    back = decode_jpeg(encode_jpeg_color(px))
+    err = np.abs(back.astype(int) - px.astype(int)).max()
+    assert err <= 4
+
+
+def test_color_uses_separate_chroma_quant():
+    """chroma_quant coarser than luma must degrade chroma only: gray
+    content (zero chroma energy) still round-trips exactly."""
+    import numpy as np
+
+    from go_web_mapreduce_spark.functions.jpeg import (
+        decode_jpeg,
+        encode_jpeg_color,
+    )
+
+    ones = np.ones((8, 8), np.int64)
+    px = np.kron(np.array([[50, 220], [140, 90]]), ones).astype(np.uint8)
+    px3 = np.stack([px, px, px], axis=-1)
+    back = decode_jpeg(encode_jpeg_color(px3, quant=1, chroma_quant=8))
+    assert np.array_equal(back, px3)
+
+
+def test_decoder_refuses_subsampled():
+    """A 4:2:0 SOF0 must be refused, not mis-decoded."""
+    import numpy as np
+    import pytest
+
+    from go_web_mapreduce_spark.functions.jpeg import (
+        decode_jpeg,
+        encode_jpeg_color,
+    )
+
+    ones = np.ones((8, 8), np.int64)
+    px = np.kron(np.array([[50, 220], [140, 90]]), ones).astype(np.uint8)
+    data = bytearray(encode_jpeg_color(np.stack([px, px, px], -1)))
+    sof = data.find(b"\xff\xc0")
+    assert sof > 0
+    data[sof + 2 + 2 + 6 + 1] = 0x22  # Y sampling 2x2 -> 4:2:0
+    with pytest.raises(ValueError, match="subsampling"):
+        decode_jpeg(bytes(data))
