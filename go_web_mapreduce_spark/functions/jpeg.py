@@ -1,4 +1,4 @@
-"""Baseline JPEG (ITU-T T.81) codec — grayscale AND 4:4:4 color — in pure
+"""Baseline JPEG (ITU-T T.81) codec — grayscale, 4:4:4 color, and 4:2:0 — in pure
 numpy + stdlib.
 
 No libjpeg/PIL exists in this container, but baseline JPEG needs none of
@@ -10,17 +10,19 @@ stream — all expressible with ``struct``/numpy. This module implements:
   (SOI/APP0/DQT/SOF0/DHT/SOS/EOI, Annex-K example Huffman tables, byte
   stuffing), used by the multimodal pipeline to synthesize genuine JPEG
   payloads any image viewer opens.
-- :func:`encode_jpeg_color` — the 3-component sibling: genuine 4:4:4
-  color JFIF (interleaved Y/Cb/Cr MCUs, separate luma/chroma quantization
-  tables, ITU-T T.871 color transform, per-component DC predictors).
+- :func:`encode_jpeg_color` — the 3-component sibling: genuine color
+  JFIF, 4:4:4 or 4:2:0 chroma-subsampled (interleaved Y/Cb/Cr MCUs,
+  separate luma/chroma quantization tables, ITU-T T.871 color transform,
+  per-component DC predictors, 2×2 box-averaged chroma when subsampling).
 - :func:`decode_jpeg` — a general baseline decoder for 1-component
-  (grayscale) and 3-component 4:4:4 interleaved scans: marker walk,
-  DQT/DHT/SOF0/SOS parse, canonical Huffman decode of DC categories + AC
-  run/size pairs (EOB and ZRL included), de-zigzag, dequantize, IDCT via
-  the orthonormal basis matrix, color transform, level shift + clip.
-  Chroma-subsampled (4:2:0/4:2:2) scans, progressive mode, and restart
-  intervals raise ``ValueError`` — a partial honest decoder, like the PNG
-  path's non-interlaced restriction (operators/multimodal.py).
+  (grayscale), 3-component 4:4:4, and 3-component 4:2:0 interleaved
+  scans: marker walk, DQT/DHT/SOF0/SOS parse, canonical Huffman decode of
+  DC categories + AC run/size pairs (EOB and ZRL included), de-zigzag,
+  dequantize, IDCT via the orthonormal basis matrix, chroma upsample,
+  color transform, level shift + clip. Other samplings (4:2:2/4:1:1),
+  progressive mode, and restart intervals raise ``ValueError`` — a
+  partial honest decoder, like the PNG path's non-interlaced restriction
+  (operators/multimodal.py).
 
 Exactness: JPEG is lossy in general, but with an all-ones quantization
 table a block-constant 8×8 tile has a single integral DCT coefficient
@@ -225,36 +227,50 @@ _RGB2YCC = np.array(
 )
 
 
-def encode_jpeg_color(pixels, quant: int = 1, chroma_quant: int | None = None) -> bytes:
+def encode_jpeg_color(
+    pixels,
+    quant: int = 1,
+    chroma_quant: int | None = None,
+    subsample: bool = False,
+) -> bytes:
     """Encode an (h, w, 3) uint8 RGB array as a genuine 3-component
-    baseline JFIF JPEG — 4:4:4 (no chroma subsampling), interleaved
-    Y/Cb/Cr MCUs, separate luma/chroma quantization tables, per-component
-    DC predictors. The Annex-K luminance Huffman tables serve all three
-    components (spec-legal: the SOS component spec binds tables)."""
+    baseline JFIF JPEG: 4:4:4 by default, or 4:2:0 with ``subsample=True``
+    (Y at 2×2 sampling, chroma box-averaged 2×2 — the layout virtually
+    every camera JPEG uses). Interleaved MCUs, separate luma/chroma
+    quantization tables, per-component DC predictors. The Annex-K
+    luminance Huffman tables serve all three components (spec-legal: the
+    SOS component spec binds tables)."""
     px = np.asarray(pixels, dtype=np.uint8)
     h, w, ch = px.shape
     if ch != 3:
         raise ValueError("encode_jpeg_color expects (h, w, 3) RGB")
-    if h % 8 or w % 8:
-        raise ValueError("encode_jpeg_color requires multiple-of-8 dimensions")
+    mcu = 16 if subsample else 8
+    if h % mcu or w % mcu:
+        raise ValueError(
+            f"encode_jpeg_color requires multiple-of-{mcu} dimensions"
+        )
     cq = quant if chroma_quant is None else chroma_quant
     qtabs = [np.full(64, quant, np.int32), np.full(64, cq, np.int32)]
 
     rgb = px.astype(np.float64)
     ycc = np.tensordot(rgb, _RGB2YCC.T, axes=1)
-    planes = [ycc[..., 0] - 128.0, ycc[..., 1], ycc[..., 2]]  # Cb/Cr are
-    # already centered on 0 by the transform; Y is level-shifted
+    y = ycc[..., 0] - 128.0  # Cb/Cr come out of the transform already
+    cb, cr = ycc[..., 1], ycc[..., 2]  # centered on 0; Y is level-shifted
+    if subsample:
+        cb = (cb[0::2, 0::2] + cb[0::2, 1::2] + cb[1::2, 0::2] + cb[1::2, 1::2]) / 4.0
+        cr = (cr[0::2, 0::2] + cr[0::2, 1::2] + cr[1::2, 0::2] + cr[1::2, 1::2]) / 4.0
+    y_samp = 0x22 if subsample else 0x11
 
     out = bytearray()
     out += b"\xff\xd8"
     out += _seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
     out += _seg(0xFFDB, b"\x00" + qtabs[0].astype(np.uint8).tobytes())
     out += _seg(0xFFDB, b"\x01" + qtabs[1].astype(np.uint8).tobytes())
-    # SOF0: comps (1: Y, qtab 0) (2: Cb, qtab 1) (3: Cr, qtab 1), all 1×1
+    # SOF0: comps (1: Y, qtab 0) (2: Cb, qtab 1) (3: Cr, qtab 1)
     out += _seg(
         0xFFC0,
         struct.pack(">BHHB", 8, h, w, 3)
-        + b"\x01\x11\x00" + b"\x02\x11\x01" + b"\x03\x11\x01",
+        + bytes([1, y_samp, 0]) + b"\x02\x11\x01" + b"\x03\x11\x01",
     )
     out += _seg(0xFFC4, b"\x00" + bytes(DC_BITS) + bytes(DC_VALS))
     out += _seg(0xFFC4, b"\x10" + bytes(AC_BITS) + bytes(AC_VALS))
@@ -263,16 +279,33 @@ def encode_jpeg_color(pixels, quant: int = 1, chroma_quant: int | None = None) -
 
     bw = _BitWriter()
     prev_dc = [0, 0, 0]
-    comp_q = [0, 1, 1]
-    for by in range(0, h, 8):
-        for bx in range(0, w, 8):  # one MCU = one block per component
-            for ci in range(3):
-                prev_dc[ci] = _encode_block(
-                    bw,
-                    planes[ci][by : by + 8, bx : bx + 8],
-                    qtabs[comp_q[ci]],
-                    prev_dc[ci],
+    for by in range(0, h, mcu):
+        for bx in range(0, w, mcu):
+            if subsample:
+                # MCU = 4 Y blocks (raster order) + 1 Cb + 1 Cr
+                for dy in (0, 8):
+                    for dx in (0, 8):
+                        prev_dc[0] = _encode_block(
+                            bw,
+                            y[by + dy : by + dy + 8, bx + dx : bx + dx + 8],
+                            qtabs[0],
+                            prev_dc[0],
+                        )
+                cy, cx = by // 2, bx // 2
+                prev_dc[1] = _encode_block(
+                    bw, cb[cy : cy + 8, cx : cx + 8], qtabs[1], prev_dc[1]
                 )
+                prev_dc[2] = _encode_block(
+                    bw, cr[cy : cy + 8, cx : cx + 8], qtabs[1], prev_dc[2]
+                )
+            else:
+                for ci, plane in enumerate((y, cb, cr)):
+                    prev_dc[ci] = _encode_block(
+                        bw,
+                        plane[by : by + 8, bx : bx + 8],
+                        qtabs[0 if ci == 0 else 1],
+                        prev_dc[ci],
+                    )
     out += bw.flush()
     out += b"\xff\xd9"
     return bytes(out)
@@ -417,9 +450,13 @@ def decode_jpeg(data: bytes):
                 (body[6 + 3 * c], body[7 + 3 * c], body[8 + 3 * c])
                 for c in range(ncomp)
             ]
-            if any(samp != 0x11 for _cid, samp, _q in comps):
+            samps = [samp for _cid, samp, _q in comps]
+            if not (
+                samps == [0x11] * ncomp
+                or (ncomp == 3 and samps == [0x22, 0x11, 0x11])
+            ):
                 raise ValueError(
-                    "chroma subsampling (non-4:4:4) unsupported"
+                    "only 4:4:4 and 4:2:0 chroma subsampling supported"
                 )
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
                         0xCB, 0xCD, 0xCE, 0xCF):
@@ -444,17 +481,52 @@ def decode_jpeg(data: bytes):
 
     br = _BitReader(data[scan_start:])
     ncomp = len(comps)
-    planes = [np.empty((h, w), dtype=np.float64) for _ in range(ncomp)]
+    is_420 = ncomp == 3 and comps[0][1] == 0x22
     prev_dc = [0] * ncomp
-    for by in range(0, h, 8):
-        for bx in range(0, w, 8):  # one MCU: one 8×8 block per component
-            for ci, (cid, _samp, qid) in enumerate(comps):
-                dc_id, ac_id = scan_tables[cid]
-                block, prev_dc[ci] = _decode_block(
-                    br, htabs[(0, dc_id)], htabs[(1, ac_id)], qtabs[qid],
-                    prev_dc[ci],
-                )
-                planes[ci][by : by + 8, bx : bx + 8] = block
+    if is_420:
+        if h % 16 or w % 16:
+            raise ValueError("4:2:0 needs multiple-of-16 dimensions here")
+        planes = [
+            np.empty((h, w), np.float64),
+            np.empty((h // 2, w // 2), np.float64),
+            np.empty((h // 2, w // 2), np.float64),
+        ]
+        for by in range(0, h, 16):
+            for bx in range(0, w, 16):
+                # MCU = 4 Y blocks (raster order) + 1 Cb + 1 Cr
+                dc_id, ac_id = scan_tables[comps[0][0]]
+                for dy in (0, 8):
+                    for dx in (0, 8):
+                        block, prev_dc[0] = _decode_block(
+                            br, htabs[(0, dc_id)], htabs[(1, ac_id)],
+                            qtabs[comps[0][2]], prev_dc[0],
+                        )
+                        planes[0][
+                            by + dy : by + dy + 8, bx + dx : bx + dx + 8
+                        ] = block
+                for ci in (1, 2):
+                    dc_id, ac_id = scan_tables[comps[ci][0]]
+                    block, prev_dc[ci] = _decode_block(
+                        br, htabs[(0, dc_id)], htabs[(1, ac_id)],
+                        qtabs[comps[ci][2]], prev_dc[ci],
+                    )
+                    planes[ci][
+                        by // 2 : by // 2 + 8, bx // 2 : bx // 2 + 8
+                    ] = block
+        # nearest-neighbor chroma upsampling back to full resolution
+        planes[1] = planes[1].repeat(2, 0).repeat(2, 1)
+        planes[2] = planes[2].repeat(2, 0).repeat(2, 1)
+    else:
+        planes = [np.empty((h, w), dtype=np.float64) for _ in range(ncomp)]
+        for by in range(0, h, 8):
+            for bx in range(0, w, 8):  # one MCU: one 8×8 block per comp
+                for ci, (cid, _samp, qid) in enumerate(comps):
+                    dc_id, ac_id = scan_tables[cid]
+                    block, prev_dc[ci] = _decode_block(
+                        br, htabs[(0, dc_id)], htabs[(1, ac_id)], qtabs[qid],
+                        prev_dc[ci],
+                    )
+                    planes[ci][by : by + 8, bx : bx + 8] = block
     if ncomp == 1:
         return np.clip(np.round(planes[0] + 128.0), 0, 255).astype(np.uint8)
     # ITU-T T.871 inverse transform; chroma blocks decode already centered

@@ -11,14 +11,14 @@ Decode is REAL for every format expressible without codec libraries:
 flip), ``decode_png`` (non-interlaced 8-bit RGB/RGBA: zlib inflate +
 per-scanline unfilter of all five PNG filter types), ``decode_wav``
 (PCM via stdlib ``wave``), GIF (genuine variable-width LZW,
-functions/gif.py), and baseline JPEG — grayscale AND 3-component 4:4:4
-color (pure-numpy Huffman + DCT + T.871 color transform,
-functions/jpeg.py) — exercised end-to-end by ``q_multimodal_decode`` /
+functions/gif.py), and baseline JPEG — grayscale, 3-component 4:4:4
+color, AND 4:2:0 chroma-subsampled color (pure-numpy Huffman + DCT +
+T.871 color transform, functions/jpeg.py) — exercised end-to-end by ``q_multimodal_decode`` /
 ``q_multimodal_audio`` / ``q_multimodal_jpeg``, which synthesize genuine
 BMP/PNG/GIF/WAV/JPEG files and hash-verify the decoded pixel/sample sums
 against first-principles oracles. Only formats that genuinely require
-external libraries (MP3/MP4, chroma-subsampled or progressive JPEG — no
-PIL/ffmpeg in the container) remain stubbed:
+external libraries (MP3/MP4, progressive JPEG — no PIL/ffmpeg in the
+container) remain stubbed:
 ``decode_payload`` raises rather than faking it. ``extract_features``
 computes REAL pixel/sample statistics for every decodable mime and falls
 back to a deterministic md5-derived stand-in only for undecodable
@@ -854,13 +854,15 @@ JPEG_BLOCKS = JPEG_GRID * JPEG_GRID
 def synthesize_jpeg_table(docs: DataFrame) -> DataFrame:
     """Each document becomes a genuine baseline JFIF JPEG: a 16×16 image
     of four 8×8 blocks, block k holding the constant value of the
-    document's k-th byte (tiled). Even doc_ids encode as single-component
-    grayscale; odd doc_ids as REAL 3-component 4:4:4 color JPEGs
-    (interleaved YCbCr MCUs, dual quant tables) whose R=G=B content keeps
-    the color transform exact (Y = v, Cb = Cr = 0 centered — single
-    integral DCT coefficient per block either way), so with the unit
-    quant table the lossy codec stays numerically exact and the oracle
-    can predict the decoded pixels from first principles."""
+    document's k-th byte (tiled). doc_id % 3 == 0 encodes as
+    single-component grayscale; % 3 == 1 as a REAL 3-component 4:4:4
+    color JPEG (interleaved YCbCr MCUs, dual quant tables); % 3 == 2 as
+    4:2:0 CHROMA-SUBSAMPLED color (four Y blocks + box-averaged Cb/Cr per
+    MCU — the camera-JPEG layout). R=G=B content keeps every variant
+    exact: Y = v, both chroma planes are constant 0 centered (so even the
+    2×2 box average is lossless), and each block has a single integral
+    DCT coefficient — the oracle predicts the decoded pixels from first
+    principles."""
 
     def run(batches: Iterator) -> Iterator:
         import numpy as np
@@ -876,11 +878,14 @@ def synthesize_jpeg_table(docs: DataFrame) -> DataFrame:
                     dtype=np.int64,
                 ).reshape(JPEG_GRID, JPEG_GRID)
                 px = np.kron(vals, ones).astype(np.uint8)
-                if doc_id % 2 == 0:
+                if doc_id % 3 == 0:
                     payloads.append(encode_jpeg_gray(px))
                 else:
                     payloads.append(
-                        encode_jpeg_color(np.stack([px, px, px], axis=-1))
+                        encode_jpeg_color(
+                            np.stack([px, px, px], axis=-1),
+                            subsample=bool(doc_id % 3 == 2),
+                        )
                     )
             yield pd.DataFrame(
                 {
@@ -900,13 +905,14 @@ def synthesize_jpeg_table(docs: DataFrame) -> DataFrame:
     "q_multimodal_jpeg",
     # each decoded image is 4 blocks of 64 pixels, block k = byte[k mod len]
     # of the document, so the per-image value sum is 64 · Σ_{k<4}
-    # ascii(char[k mod len]) — times 3 for odd doc_ids, whose REAL color
-    # JPEGs decode to (16,16,3) with R=G=B. The ASCII predicate is enforced
-    # identically in both engines.
+    # ascii(char[k mod len]) — times 3 for the color variants (4:4:4 for
+    # doc_id % 3 == 1, 4:2:0 for % 3 == 2), whose REAL color JPEGs decode
+    # to (16,16,3) with R=G=B. The ASCII predicate is enforced identically
+    # in both engines.
     oracle=f"""
     WITH b AS (
       SELECT source, octet_length(encode(text)) AS len, text,
-             CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 3 END AS nch
+             CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 3 END AS nch
       FROM documents
       WHERE {_ASCII_DOCS_SQL}
     )
@@ -922,9 +928,9 @@ def synthesize_jpeg_table(docs: DataFrame) -> DataFrame:
     FROM b GROUP BY source
     """,
     description="REAL JPEG decode with zero codec libraries: documents "
-    "rendered as genuine baseline JFIF JPEGs — grayscale for even "
-    "doc_ids, 3-component 4:4:4 COLOR (interleaved YCbCr MCUs, dual "
-    "quant tables, T.871 color transform) for odd — then decoded back by "
+    "rendered as genuine baseline JFIF JPEGs — grayscale, 3-component "
+    "4:4:4 COLOR, and 4:2:0 CHROMA-SUBSAMPLED color (four Y blocks + "
+    "box-averaged chroma per MCU, T.871 transform) — then decoded back by "
     "the pure-numpy baseline decoder in functions/jpeg.py; block-constant "
     "content + unit quant table make both round trips numerically exact, "
     "so per-source pixel sums hash-verify against a first-principles "

@@ -159,8 +159,8 @@ def test_color_uses_separate_chroma_quant():
     assert np.array_equal(back, px3)
 
 
-def test_decoder_refuses_subsampled():
-    """A 4:2:0 SOF0 must be refused, not mis-decoded."""
+def test_decoder_refuses_unsupported_sampling():
+    """A 4:2:2 SOF0 must be refused, not mis-decoded (4:2:0 decodes)."""
     import numpy as np
     import pytest
 
@@ -174,6 +174,39 @@ def test_decoder_refuses_subsampled():
     data = bytearray(encode_jpeg_color(np.stack([px, px, px], -1)))
     sof = data.find(b"\xff\xc0")
     assert sof > 0
-    data[sof + 2 + 2 + 6 + 1] = 0x22  # Y sampling 2x2 -> 4:2:0
+    data[sof + 2 + 2 + 6 + 1] = 0x21  # Y sampling 2x1 -> 4:2:2
     with pytest.raises(ValueError, match="subsampling"):
         decode_jpeg(bytes(data))
+
+
+def test_420_gray_content_roundtrip_exact():
+    """4:2:0 with R=G=B content: constant chroma makes the 2x2 box average
+    lossless, so even the subsampled variant round-trips exactly."""
+    import numpy as np
+
+    from go_web_mapreduce_spark.functions.jpeg import (
+        decode_jpeg,
+        encode_jpeg_color,
+    )
+
+    ones = np.ones((8, 8), np.int64)
+    px = np.kron(np.array([[65, 200], [7, 129]]), ones).astype(np.uint8)
+    px3 = np.stack([px, px, px], axis=-1)
+    back = decode_jpeg(encode_jpeg_color(px3, subsample=True))
+    assert np.array_equal(back, px3)
+
+
+def test_420_smooth_color_bounded_error():
+    import numpy as np
+
+    from go_web_mapreduce_spark.functions.jpeg import (
+        decode_jpeg,
+        encode_jpeg_color,
+    )
+
+    grad = np.linspace(0, 255, 32 * 48).reshape(32, 48)
+    px = np.stack([grad, grad[::-1], np.full_like(grad, 100)], -1).astype(
+        np.uint8
+    )
+    back = decode_jpeg(encode_jpeg_color(px, subsample=True))
+    assert np.abs(back.astype(int) - px.astype(int)).max() <= 8
