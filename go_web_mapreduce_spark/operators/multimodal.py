@@ -964,3 +964,108 @@ def q_multimodal_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_px").alias("n_pixels"),
         F.sum("px_sum").alias("pixel_sum"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q_multimodal_video — REAL video decode: AVI container, MJPEG frames
+# ---------------------------------------------------------------------------
+
+VIDEO_FRAMES = 4  # frames per synthesized clip
+
+
+def synthesize_video_table(docs: DataFrame) -> DataFrame:
+    """Each document becomes a genuine AVI-MJPEG video: VIDEO_FRAMES
+    frames of 16×16 grayscale, frame k's four 8×8 blocks holding the
+    document's bytes 4k..4k+3 (tiled) — so the whole clip walks the first
+    16 bytes of the text. Every payload is a valid AVI any player with an
+    MJPEG decoder opens."""
+
+    def run(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        from go_web_mapreduce_spark.functions.avi import encode_avi_mjpeg
+
+        ones = np.ones((8, 8), dtype=np.int64)
+        for pdf in batches:
+            payloads = []
+            for text in pdf["text"]:
+                raw = text.encode("utf-8")
+                frames = []
+                for k in range(VIDEO_FRAMES):
+                    vals = np.array(
+                        [raw[(4 * k + j) % len(raw)] for j in range(4)],
+                        dtype=np.int64,
+                    ).reshape(2, 2)
+                    frames.append(np.kron(vals, ones).astype(np.uint8))
+                payloads.append(encode_avi_mjpeg(frames))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": payloads,
+                    "mime": "video/x-msvideo",
+                    "source": pdf["source"],
+                }
+            )
+
+    return ascii_documents(docs).select("doc_id", "text", "source").mapInPandas(
+        run, "doc_id bigint, payload binary, mime string, source string"
+    )
+
+
+@query(
+    "q_multimodal_video",
+    # the clip's 16 blocks tile bytes 0..15 of the text, 64 pixels each
+    oracle=f"""
+    WITH b AS (
+      SELECT source, octet_length(encode(text)) AS len, text
+      FROM documents
+      WHERE {_ASCII_DOCS_SQL}
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_videos,
+           CAST(count(*) * {VIDEO_FRAMES} AS BIGINT) AS n_frames,
+           CAST(sum(64 * list_sum(list_transform(range(0, {4 * VIDEO_FRAMES}),
+                i -> ascii(substr(text, (i % len) + 1, 1))))) AS BIGINT)
+             AS pixel_sum
+    FROM b GROUP BY source
+    """,
+    description="REAL video decode with zero codec libraries: documents "
+    "rendered as genuine AVI-MJPEG clips (RIFF hdrl/movi/idx1 tree, one "
+    "complete baseline JPEG per 00dc frame chunk) then demuxed and "
+    "frame-decoded by the pure-stdlib container walk in functions/avi.py "
+    "+ the numpy JPEG decoder; per-source frame counts and pixel sums "
+    "hash-verify against a first-principles oracle (H.264/MP4 refuse "
+    "honestly — those genuinely need ffmpeg)",
+)
+def q_multimodal_video(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The video modality's real path: container demux + per-frame codec,
+    the same two layers ffmpeg would provide, for the one layout where
+    both are stdlib-expressible. A RIFF-walk, frame-count, JPEG, or
+    index bug would hash-mismatch the per-source sums."""
+
+    def run(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        from go_web_mapreduce_spark.functions.avi import decode_avi_mjpeg
+
+        for pdf in batches:
+            sums, counts = [], []
+            for payload in pdf["payload"]:
+                frames = decode_avi_mjpeg(bytes(payload))
+                sums.append(int(sum(f.astype(np.int64).sum() for f in frames)))
+                counts.append(len(frames))
+            yield pd.DataFrame(
+                {"source": pdf["source"], "n_frames": counts, "px_sum": sums}
+            )
+
+    media = synthesize_video_table(load_table(spark, sf_dir, "documents"))
+    decoded = media.select("source", "payload").mapInPandas(
+        run, "source string, n_frames bigint, px_sum bigint"
+    )
+    return decoded.groupBy("source").agg(
+        F.count("*").alias("n_videos"),
+        F.sum("n_frames").alias("n_frames"),
+        F.sum("px_sum").alias("pixel_sum"),
+    )
