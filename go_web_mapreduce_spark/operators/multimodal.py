@@ -47,6 +47,11 @@ FEATURE_SCHEMA = (
     f"features array<float>, source string"
 )
 
+# oracle-side twin of ascii_documents — keep the predicates in lockstep
+_ASCII_DOCS_SQL = (
+    "length(text) > 0 AND octet_length(encode(text)) = length(text)"
+)
+
 
 def as_media_table(docs: DataFrame) -> DataFrame:
     """Wrap the documents table as a media table: payload = utf-8 bytes of
@@ -496,53 +501,131 @@ def sample_frames(media: DataFrame, every_n: int = 4) -> DataFrame:
     return media.select("doc_id", "payload").mapInPandas(run, FRAME_SCHEMA)
 
 
+FRAME_SAMPLE_EVERY = 2  # keep frames 0, 2, ... of each clip
+
+
 @query(
     "q_multimodal_frames",
+    # sampled frames k ∈ {0, 2}: frame k's blocks tile text bytes 4k..4k+3,
+    # 64 pixels each — the same first-principles arithmetic as the video
+    # oracle, restricted to the kept frames
     oracle=f"""
-    SELECT count(*) AS n_frames,
-           count(DISTINCT doc_id) AS n_docs,
-           max(frame_no) AS max_frame_no
-    FROM (
-      SELECT doc_id,
-             unnest(range(0, CAST(ceil(octet_length(encode(text)) / {FRAME_SIZE}.0) AS BIGINT), 4)) AS frame_no
+    WITH b AS (
+      SELECT source, octet_length(encode(text)) AS len, text
       FROM documents
+      WHERE {_ASCII_DOCS_SQL}
     )
+    SELECT source,
+           CAST(count(*) * {-(-4 // FRAME_SAMPLE_EVERY)} AS BIGINT)
+             AS n_sampled,
+           CAST(sum(64 * list_sum(list_transform(
+                [0, 1, 2, 3, 8, 9, 10, 11],
+                i -> ascii(substr(text, (i % len) + 1, 1))))) AS BIGINT)
+             AS pixel_sum
+    FROM b GROUP BY source
     """,
-    description="1→N frame sampling over binary payloads via mapInPandas "
-    "(extension mandate: multimodal; demux stubbed, offsets/fan-out real)",
+    description="REAL 1→N frame sampling: the AVI-MJPEG clips demuxed by "
+    "the genuine RIFF walk (functions/avi.py), every 2nd frame kept and "
+    "JPEG-decoded — the keyframe-extraction pass of a video pipeline; "
+    "per-source sampled-frame counts and pixel sums hash-verified "
+    "(extension mandate: multimodal)",
 )
 def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
-    media = as_media_table(load_table(spark, sf_dir, "documents"))
-    frames = sample_frames(media)
-    return frames.agg(
-        F.count("*").alias("n_frames"),
-        F.countDistinct("doc_id").alias("n_docs"),
-        F.max("frame_no").alias("max_frame_no"),
+    """Frame sampling is no longer a byte-slice stand-in: each document's
+    genuine AVI clip is demuxed with the real container walk, every 2nd
+    frame is decoded by the real JPEG codec, and the sampled frames'
+    exact pixel sums aggregate per source. The 1→N fan-out (one clip row
+    → one row per kept frame) happens inside the Arrow batch."""
+
+    def run(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        from go_web_mapreduce_spark.functions.avi import decode_avi_mjpeg
+
+        for pdf in batches:
+            out = {"source": [], "frame_no": [], "px_sum": []}
+            for source, payload in zip(pdf["source"], pdf["payload"]):
+                frames = decode_avi_mjpeg(bytes(payload))
+                for k in range(0, len(frames), FRAME_SAMPLE_EVERY):
+                    out["source"].append(source)
+                    out["frame_no"].append(k)
+                    out["px_sum"].append(int(frames[k].astype(np.int64).sum()))
+            yield pd.DataFrame(out)
+
+    media = synthesize_video_table(load_table(spark, sf_dir, "documents"))
+    sampled = media.select("source", "payload").mapInPandas(
+        run, "source string, frame_no int, px_sum bigint"
+    )
+    return sampled.groupBy("source").agg(
+        F.count("*").alias("n_sampled"),
+        F.sum("px_sum").alias("pixel_sum"),
     )
 
 
 @query(
     "q_multimodal_resize",
-    # the stand-in thumb is the payload digest tiled to width*height bytes,
-    # so the rollup is exactly checkable: distinct thumbs == distinct
-    # payload digests, and every thumb is exactly 32*32 bytes
-    oracle="""
-    SELECT count(*) AS n_thumbs,
-           count(DISTINCT md5(text)) AS n_unique,
-           CAST(count(*) * 1024 AS BIGINT) AS total_thumb_bytes
-    FROM documents
+    # thumb pixel (y, x, ch) = floor-average of the 2×2 source pixels
+    # (2y+dy, 2x+dx, ch); source pixel p = text byte ((row·16+col)·3+ch)
+    # mod len (the decode oracle's tiling). i < 192 enumerates the thumb's
+    # values: y = i//24, x = (i%24)//3, ch = i%3.
+    oracle=f"""
+    WITH b AS (
+      SELECT source, octet_length(encode(text)) AS len, text
+      FROM documents
+      WHERE length(text) > 0 AND octet_length(encode(text)) = length(text)
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_thumbs,
+           CAST(count(*) * 192 AS BIGINT) AS total_thumb_bytes,
+           CAST(sum(list_sum(list_transform(range(0, 192), i ->
+               ( ascii(substr(text, ((((2*(i//24))*16 + 2*((i%24)//3))*3 + i%3) % len) + 1, 1))
+               + ascii(substr(text, ((((2*(i//24))*16 + 2*((i%24)//3) + 1)*3 + i%3) % len) + 1, 1))
+               + ascii(substr(text, ((((2*(i//24) + 1)*16 + 2*((i%24)//3))*3 + i%3) % len) + 1, 1))
+               + ascii(substr(text, ((((2*(i//24) + 1)*16 + 2*((i%24)//3) + 1)*3 + i%3) % len) + 1, 1))
+               ) // 4))) AS BIGINT) AS thumb_sum
+    FROM b GROUP BY source
     """,
-    description="1→1 resize/thumbnail step over binary payloads via "
-    "mapInPandas (decode stubbed; fixed-size output plumbing real) — "
-    "extension mandate: multimodal resize",
+    description="REAL 1→1 resize: the mixed BMP/PNG/GIF corpus decoded by "
+    "the genuine codecs, 2×2 box-downsampled 16×16→8×8 (floor average "
+    "per channel) inside the Arrow batch, per-source thumbnail pixel "
+    "sums hash-verified against a first-principles oracle — the "
+    "thumbnail pass of a vision-data pipeline (extension mandate: "
+    "multimodal resize)",
 )
 def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    media = as_media_table(load_table(spark, sf_dir, "documents"))
-    thumbs = resize_media(media, width=32, height=32)
-    return thumbs.agg(
+    """Resize is no longer a digest stand-in: every payload is a genuine
+    image file (three formats), decoded for real, and the thumbnail is an
+    exact integer box average — so a decode bug, an off-by-one in the
+    window grid, or a rounding-mode drift all hash-mismatch. The generic
+    byte-level ``resize_media`` op remains for undecodable payloads."""
+
+    def run(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            sums, nbytes = [], []
+            for mime, payload in zip(pdf["mime"], pdf["payload"]):
+                px = decode_payload(mime, bytes(payload)).astype(np.int64)
+                thumb = (
+                    px[0::2, 0::2] + px[0::2, 1::2]
+                    + px[1::2, 0::2] + px[1::2, 1::2]
+                ) // 4
+                sums.append(int(thumb.sum()))
+                nbytes.append(int(thumb.size))
+            yield pd.DataFrame(
+                {"source": pdf["source"], "nb": nbytes, "s": sums}
+            )
+
+    media = synthesize_image_table(load_table(spark, sf_dir, "documents"))
+    thumbs = media.select("source", "mime", "payload").mapInPandas(
+        run, "source string, nb bigint, s bigint"
+    )
+    return thumbs.groupBy("source").agg(
         F.count("*").alias("n_thumbs"),
-        F.countDistinct("thumb").alias("n_unique"),
-        F.sum(F.octet_length("thumb")).alias("total_thumb_bytes"),
+        F.sum("nb").alias("total_thumb_bytes"),
+        F.sum("s").alias("thumb_sum"),
     )
 
 
@@ -562,12 +645,6 @@ def ascii_documents(docs: DataFrame) -> DataFrame:
     return docs.filter(
         (F.length("text") > 0) & (F.octet_length("text") == F.length("text"))
     )
-
-
-# oracle-side twin of ascii_documents — keep the predicates in lockstep
-_ASCII_DOCS_SQL = (
-    "length(text) > 0 AND octet_length(encode(text)) = length(text)"
-)
 
 
 def synthesize_image_table(docs: DataFrame) -> DataFrame:
