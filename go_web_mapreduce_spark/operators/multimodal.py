@@ -284,6 +284,16 @@ from go_web_mapreduce_spark.functions.jpeg import (  # noqa: E402
     encode_jpeg_gray,
 )
 
+def _decode_avi_stacked(data: bytes):
+    """AVI-MJPEG → (n_frames, h, w) array (all frames share dimensions by
+    construction here, so the stack is well-formed)."""
+    import numpy as np
+
+    from go_web_mapreduce_spark.functions.avi import decode_avi_mjpeg
+
+    return np.stack(decode_avi_mjpeg(data))
+
+
 DECODERS = {
     "image/bmp": decode_bmp,
     "image/png": decode_png,
@@ -291,6 +301,8 @@ DECODERS = {
     "image/jpeg": decode_jpeg,
     "audio/wav": decode_wav,
     "audio/x-wav": decode_wav,
+    "video/x-msvideo": _decode_avi_stacked,
+    "video/avi": _decode_avi_stacked,
 }
 
 
