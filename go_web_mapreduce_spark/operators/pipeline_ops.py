@@ -743,3 +743,59 @@ def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count(F.lit(1))
         ).alias("retention"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q_csv_roundtrip — file-format interchange: parquet → CSV → DataFrame
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_csv_roundtrip",
+    # the round trip must be lossless, so the oracle aggregates the source
+    # table directly — any quoting/escaping/typing bug in the CSV path
+    # shows up as a count or checksum mismatch
+    oracle="""
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT text) AS BIGINT) AS n_unique,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+           CAST(sum(length(text)) AS BIGINT) AS sum_len
+    FROM documents GROUP BY lang
+    """,
+    description="file-format interchange (SURVEY §2.2 connectors): the "
+    "documents table written as quoted CSV (header, escaped quotes) and "
+    "read back through DataFrameReader with an explicit schema; per-lang "
+    "counts, distinct-text counts, and length checksums hash-verify "
+    "against the parquet source — proving the round trip loses nothing "
+    "(the reference's only ingest was the HTTP POST body; Parquet/CSV/"
+    "JSON arrive free with Spark)",
+)
+def q_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Escaping is where CSV round trips die (embedded quotes, commas,
+    leading zeros re-typed); quoteAll + an explicit read schema pins the
+    dialect. The write is partitioned like any Spark sink — at 100 TB
+    this is the standard parquet↔CSV interchange job, one scan each way,
+    no driver involvement."""
+    import hashlib
+    import tempfile
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    path = f"{tempfile.gettempdir()}/spark_graft_csv_{key}"
+    (
+        docs.write.mode("overwrite")
+        .options(header=True, quoteAll=True, escape='"')
+        .csv(path)
+    )
+    back = spark.read.options(header=True, escape='"').schema(
+        "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    ).csv(path)
+    return back.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("text").alias("n_unique"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.sum(F.length("text")).alias("sum_len"),
+    )
