@@ -36,7 +36,7 @@ from go_web_mapreduce_spark.functions.hashing import (
 )
 from go_web_mapreduce_spark.functions.text import distinct_shingles_arrow, tokens
 from go_web_mapreduce_spark.registry import query
-from go_web_mapreduce_spark.sources.tables import load_table
+from go_web_mapreduce_spark.sources.tables import fan_out, load_table
 
 # MinHash-LSH configuration (shared by the Spark pipeline and the oracle)
 SHINGLE_K = 3
@@ -65,7 +65,10 @@ def _shingled_docs(spark: SparkSession, sf_dir: str, k: int = SHINGLE_K) -> Data
     # the shingle set is built by the Arrow kernel — the Column HOF formulation
     # (array_distinct(word_shingles(...))) is value-identical but interpreted
     # per position, measured ~10× slower (functions/text.py docstring)
-    return docs.select("doc_id", tokens("text").alias("tk")).select(
+    # fan_out: the Arrow shingle kernel is CPU-bound and the documents
+    # scan is one partition at test SFs — widen so it parallelizes
+    # (no-op when the scan is already wide; sources/tables.py::fan_out)
+    return fan_out(docs.select("doc_id", tokens("text").alias("tk"))).select(
         "doc_id",
         distinct_shingles_arrow(F.col("tk"), k).alias("shingles"),
     )

@@ -276,6 +276,11 @@ def q_ml_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     "reproducible; no full-corpus collect",
 )
 def q_ml_logreg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # deliberately NOT fan_out: the per-iteration mapInPandas over a
+    # checkpointed small table repeats 8 times — at one partition the
+    # kernel cost is tiny and 32 partitions just multiply per-task Python
+    # worker overhead ×256 (measured 2× slower); at real scale the scan
+    # is already wide
     emb = load_table(spark, sf_dir, "embeddings")
     data = labeled_embeddings(emb)
     w = logreg_fit(data)

@@ -35,7 +35,7 @@ from pyspark.sql import functions as F
 
 from go_web_mapreduce_spark.functions.numeric import dsum
 from go_web_mapreduce_spark.registry import query
-from go_web_mapreduce_spark.sources.tables import load_table
+from go_web_mapreduce_spark.sources.tables import fan_out, load_table
 
 FEATURE_DIM = 8
 
@@ -701,7 +701,9 @@ def synthesize_image_table(docs: DataFrame) -> DataFrame:
                 }
             )
 
-    return ascii_documents(docs).select("doc_id", "text", "source").mapInPandas(
+    return fan_out(
+        ascii_documents(docs).select("doc_id", "text", "source")
+    ).mapInPandas(
         run, "doc_id bigint, payload binary, mime string, source string"
     )
 
@@ -868,7 +870,9 @@ def synthesize_wav_table(docs: DataFrame) -> DataFrame:
                 }
             )
 
-    return ascii_documents(docs).select("doc_id", "text", "source").mapInPandas(
+    return fan_out(
+        ascii_documents(docs).select("doc_id", "text", "source")
+    ).mapInPandas(
         run, "doc_id bigint, payload binary, mime string, source string"
     )
 
@@ -985,7 +989,9 @@ def synthesize_jpeg_table(docs: DataFrame) -> DataFrame:
                 }
             )
 
-    return ascii_documents(docs).select("doc_id", "text", "source").mapInPandas(
+    return fan_out(
+        ascii_documents(docs).select("doc_id", "text", "source")
+    ).mapInPandas(
         run, "doc_id bigint, payload binary, mime string, source string"
     )
 
@@ -1097,7 +1103,9 @@ def synthesize_video_table(docs: DataFrame) -> DataFrame:
                 }
             )
 
-    return ascii_documents(docs).select("doc_id", "text", "source").mapInPandas(
+    return fan_out(
+        ascii_documents(docs).select("doc_id", "text", "source")
+    ).mapInPandas(
         run, "doc_id bigint, payload binary, mime string, source string"
     )
 

@@ -124,3 +124,26 @@ def register_catalog(spark: SparkSession, sf_dir: str, suffix: str = "") -> list
         load_table(spark, sf_dir, t).createOrReplaceTempView(name)
         names.append(name)
     return names
+
+
+def fan_out(df: DataFrame) -> DataFrame:
+    """Widen a DataFrame to at least the cluster's default parallelism
+    before a CPU-bound Python kernel (codec encode/decode, Arrow shingle
+    or signature computation).
+
+    Why: Spark sizes scan partitions by BYTES (``maxPartitionBytes``), so
+    a small-but-expensive table — 5k documents that each cost milliseconds
+    of Python — arrives as ONE partition and serializes the whole kernel
+    on one core (measured: the media family ran 1-of-32 cores at sf0.1).
+    At 100 TB the scan is already thousands of partitions and this is a
+    NO-OP — the check compares actual partitions against
+    ``defaultParallelism`` and only then pays a round-robin shuffle, whose
+    cost is proportional to the (small, or it wouldn't trigger) input.
+
+    Results never depend on the layout: every caller aggregates
+    order-independent sums/counts downstream.
+    """
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
