@@ -213,3 +213,28 @@ def test_features_consistent_with_digest(media):
             for i in range(len(r["features"]))
         ]
         assert [np.float32(f) for f in r["features"]] == want
+
+
+def test_fan_out_widens_small_scans_only(spark, sf_dir):
+    """fan_out must widen a single-partition scan to defaultParallelism
+    (the CPU-bound-Python fix) and leave already-wide inputs alone."""
+    from go_web_mapreduce_spark.sources.tables import fan_out
+
+    docs = load_table(spark, sf_dir, "documents")
+    assert docs.rdd.getNumPartitions() < spark.sparkContext.defaultParallelism
+    wide = fan_out(docs)
+    assert (
+        wide.rdd.getNumPartitions() == spark.sparkContext.defaultParallelism
+    )
+    # already-wide input: no extra shuffle appended
+    wider = wide.repartition(spark.sparkContext.defaultParallelism * 2)
+    assert fan_out(wider) is wider
+    # values unaffected
+    assert wide.count() == docs.count()
+
+
+def test_media_synthesis_parallelizes(spark, sf_dir):
+    """The media kernels must not serialize on the scan's byte-sized
+    partitioning: the synthesized table carries >1 partition."""
+    media = synthesize_image_table(load_table(spark, sf_dir, "documents"))
+    assert media.rdd.getNumPartitions() > 1
