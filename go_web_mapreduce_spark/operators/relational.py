@@ -1202,3 +1202,108 @@ def q_udaf_second_max(spark: SparkSession, sf_dir: str) -> DataFrame:
         second_max("l_extendedprice").alias("second_max"),
         n_distinct("l_extendedprice").alias("n_distinct"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q_unpivot — wide→long reshaping (melt), the inverse of q_pivot
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_unpivot",
+    oracle="""
+    WITH long AS (
+        SELECT l_returnflag, 'qty' AS metric,
+               CAST(l_quantity AS DOUBLE) AS v FROM lineitem
+        UNION ALL
+        SELECT l_returnflag, 'price', CAST(l_extendedprice AS DOUBLE)
+        FROM lineitem
+        UNION ALL
+        SELECT l_returnflag, 'disc', CAST(l_discount AS DOUBLE) FROM lineitem
+    )
+    SELECT l_returnflag, metric,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(CAST(sum(CAST(v AS DECIMAL(18,4))) AS STRING) AS DOUBLE)
+             AS total
+    FROM long GROUP BY 1, 2
+    """,
+    description="unpivot/melt (the inverse of q_pivot): three measure "
+    "columns reshaped to (metric, value) rows via the native unpivot "
+    "operator, then aggregated per (flag, metric) with exact decimal "
+    "sums — wide→long reshaping is the normalization step feeding "
+    "metric-generic pipelines (SURVEY §2.2 relational surface)",
+)
+def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``DataFrame.unpivot`` is a zero-shuffle projection (each input row
+    yields one row per measure in-place — an Expand node, like rollup);
+    the only exchange is the final small-key aggregate. At 100 TB the
+    reshape adds no data movement, just ×3 row volume into a partial
+    agg."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.col("l_quantity").cast("double").alias("qty"),
+        F.col("l_extendedprice").cast("double").alias("price"),
+        F.col("l_discount").cast("double").alias("disc"),
+    )
+    long = li.unpivot(
+        ["l_returnflag"], ["qty", "price", "disc"], "metric", "v"
+    )
+    return long.groupBy("l_returnflag", "metric").agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum("v").alias("total"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_window_distribution — distribution analytics: ntile / percent_rank /
+# cume_dist
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_window_distribution",
+    oracle="""
+    WITH r AS (
+        SELECT event_type, event_id, value,
+               ntile(4) OVER w AS quartile,
+               percent_rank() OVER w AS pr,
+               cume_dist() OVER w AS cd
+        FROM events
+        WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)
+    )
+    SELECT event_type, quartile,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(CAST(sum(CAST(pr AS DECIMAL(18,12))) AS STRING) AS DOUBLE)
+             AS sum_pr,
+           CAST(CAST(sum(CAST(cd AS DECIMAL(18,12))) AS STRING) AS DOUBLE)
+             AS sum_cd
+    FROM r GROUP BY 1, 2
+    """,
+    description="distribution window functions (ntile quartiles, "
+    "percent_rank, cume_dist) per event type with a fully deterministic "
+    "(value, id) tie order; per-quartile counts and exact decimal sums "
+    "of the rank statistics hash-verify — the analytic-function surface "
+    "beyond ranking (SURVEY §2.2 windows)",
+)
+def q_window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percent_rank = (rank−1)/(n−1) and cume_dist = rank_max/n are exact
+    rationals of row positions, so under a total tie order both engines
+    produce identical doubles; the decimal(18,12) cast before summing
+    keeps the aggregate order-independent. One shuffle on event_type."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", "event_id", F.col("value").cast("double").alias("value")
+    )
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    r = ev.select(
+        "event_type",
+        F.ntile(4).over(w).alias("quartile"),
+        F.percent_rank().over(w).alias("pr"),
+        F.cume_dist().over(w).alias("cd"),
+    )
+    return r.groupBy("event_type", "quartile").agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum("pr", 12).alias("sum_pr"),
+        dsum("cd", 12).alias("sum_cd"),
+    )
