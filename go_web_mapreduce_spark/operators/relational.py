@@ -1307,3 +1307,67 @@ def q_window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         dsum("pr", 12).alias("sum_pr"),
         dsum("cd", 12).alias("sum_cd"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q_dense_grid — explicit cross join: dense dimension grid, sparse facts
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_dense_grid",
+    oracle="""
+    WITH grid AS (
+        SELECT r_name, seg
+        FROM region CROSS JOIN (SELECT DISTINCT c_mktsegment AS seg
+                                FROM customer) s
+    ),
+    facts AS (
+        SELECT r_name, c_mktsegment AS seg,
+               count(*) AS n_cust,
+               CAST(CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS STRING)
+                    AS DOUBLE) AS total_bal
+        FROM region
+        JOIN nation ON r_regionkey = n_regionkey
+        JOIN customer ON n_nationkey = c_nationkey
+        GROUP BY 1, 2
+    )
+    SELECT g.r_name, g.seg,
+           CAST(coalesce(f.n_cust, 0) AS BIGINT) AS n_cust,
+           coalesce(f.total_bal, 0.0) AS total_bal
+    FROM grid g LEFT JOIN facts f ON g.r_name = f.r_name AND g.seg = f.seg
+    """,
+    description="explicit CROSS JOIN: the dense region × market-segment "
+    "grid left-joined onto sparse aggregated facts with zero-fill — the "
+    "dense-report pattern (every cell present even when no fact row "
+    "exists), cartesian only over two tiny dimensions (SURVEY §2.2 "
+    "joins: the one join type with no equi-key)",
+)
+def q_dense_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The cartesian product is deliberately dimension × dimension (5 × 5
+    here; never a fact side — a fact cross join is a bug at any scale),
+    planned as a BroadcastNestedLoopJoin with both inputs broadcast-
+    small; the facts arrive pre-aggregated so the left join is
+    grid-sized. This is the same spine-then-join shape as q_gap_fill,
+    with the spine built by cross join instead of sequence()."""
+    region = load_table(spark, sf_dir, "region")
+    nation = load_table(spark, sf_dir, "nation")
+    customer = load_table(spark, sf_dir, "customer")
+    grid = region.select("r_name").crossJoin(
+        customer.select(F.col("c_mktsegment").alias("seg")).distinct()
+    )
+    facts = (
+        region.join(nation, F.col("r_regionkey") == F.col("n_regionkey"))
+        .join(customer, F.col("n_nationkey") == F.col("c_nationkey"))
+        .groupBy("r_name", F.col("c_mktsegment").alias("seg"))
+        .agg(
+            F.count(F.lit(1)).alias("n_cust"),
+            dsum("c_acctbal").alias("total_bal"),
+        )
+    )
+    return grid.join(facts, ["r_name", "seg"], "left").select(
+        "r_name",
+        "seg",
+        F.coalesce("n_cust", F.lit(0)).alias("n_cust"),
+        F.coalesce("total_bal", F.lit(0.0)).alias("total_bal"),
+    )
