@@ -176,3 +176,25 @@ def test_pagerank_aggregates_partially_and_reuses_checkpoints(spark, sf_dir):
     # scans, not as re-derived join subtrees repeated once per iteration
     assert "Scan ExistingRDD" in plan
     assert plan.count("FileScan parquet") == 0
+
+
+def test_dense_grid_cartesian_is_dimension_only(spark, sf_dir):
+    """The cross join must be a broadcast nested loop over tiny dims; the
+    customer facts arrive pre-aggregated (partial agg present), never as
+    a cartesian side."""
+    plan = executed_plan(spark, sf_dir, "q_dense_grid")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "partial_count" in plan or "partial_sum" in plan
+
+
+def test_unpivot_reshapes_without_a_shuffle(spark, sf_dir):
+    """Melt is an Expand node: one exchange total (the final aggregate),
+    none for the reshape itself."""
+    plan = executed_plan(spark, sf_dir, "q_unpivot")
+    assert "Expand" in plan
+    assert plan.count("Exchange ") == 1
+
+
+def test_corpus_pipeline_broadcasts_eval_shingles(spark, sf_dir):
+    plan = executed_plan(spark, sf_dir, "q_corpus_pipeline")
+    assert "BroadcastHashJoin" in plan
