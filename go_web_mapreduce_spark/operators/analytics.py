@@ -452,3 +452,108 @@ def q_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_total",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q_bloom_join — manual Bloom-filter semi-join reduction
+# ---------------------------------------------------------------------------
+
+BLOOM_BITS = 1024
+BLOOM_WORDS = BLOOM_BITS // 64
+BLOOM_TOP = 100  # small-side keys (top orders by price)
+
+
+@query(
+    "q_bloom_join",
+    # the bloom filter is conservative (false positives only) and the real
+    # join removes them, so the result is EXACTLY the plain join — the
+    # oracle needs no bloom at all
+    oracle="""
+    WITH top AS (
+        SELECT o_orderkey, o_orderpriority
+        FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 100
+    )
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_items,
+           CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS STRING)
+                AS DOUBLE) AS revenue
+    FROM lineitem JOIN top ON l_orderkey = o_orderkey
+    GROUP BY 1
+    """,
+    description="manual Bloom-filter semi-join reduction: the 100 small-"
+    "side keys hash into a 1024-bit filter built DISTRIBUTED (explode "
+    "positions → per-word bit_or; driver receives 16 longs), the fact "
+    "side is prefiltered map-side by two portable md5 bit tests before "
+    "the broadcast join — the runtime-filter technique that cuts fact "
+    "shuffle/probe volume at 100 TB, provably lossless because Bloom "
+    "false positives die in the real join (result hash-equal to the "
+    "plain join oracle)",
+)
+def q_bloom_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's own InjectRuntimeFilter does this automatically for some
+    shapes; spelling it out keeps the technique available when the
+    optimizer won't (e.g. a key set produced by an arbitrary upstream
+    query) and proves the engine-portable hash discipline supports it.
+    Driver traffic is 16 longs — the same bounded-sidecar pattern as the
+    IVF centroids. The filter: bit positions p₁, p₂ = md5-derived
+    buckets of the key; membership test is word[p/64] >> (p%64) & 1 for
+    both."""
+    from go_web_mapreduce_spark.functions.hashing import md5_bucket
+
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    top = (
+        orders.orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .limit(BLOOM_TOP)
+        .select("o_orderkey", "o_orderpriority")
+        .localCheckpoint(eager=False)  # reused: bloom build + join probe
+    )
+    okey = F.col("o_orderkey").cast("string")
+    positions = top.select(
+        F.explode(
+            F.array(
+                md5_bucket(okey, BLOOM_BITS, salt=1),
+                md5_bucket(okey, BLOOM_BITS, salt=2),
+            )
+        ).alias("p")
+    )
+    words = (
+        positions.groupBy((F.col("p") / 64).cast("int").alias("w"))
+        # SQL shiftleft takes a per-row bit count; the PySpark wrapper
+        # only accepts an int literal, hence expr
+        .agg(
+            F.bit_or(
+                F.expr("shiftleft(1L, cast(p % 64 AS int))")
+            ).alias("bits")
+        )
+        .collect()
+    )
+    wmap = {int(r["w"]): int(r["bits"]) for r in words}
+    lits_sql = "array(" + ", ".join(
+        f"{wmap.get(w, 0)}L" for w in range(BLOOM_WORDS)
+    ) + ")"
+
+    lkey = F.col("l_orderkey").cast("string")
+    staged = lineitem.select(
+        "l_orderkey",
+        "l_extendedprice",
+        md5_bucket(lkey, BLOOM_BITS, salt=1).alias("_p1"),
+        md5_bucket(lkey, BLOOM_BITS, salt=2).alias("_p2"),
+    )
+
+    def bit_test(col: str) -> str:
+        return (
+            f"((shiftright(element_at({lits_sql}, cast({col} / 64 AS int) + 1),"
+            f" cast({col} % 64 AS int)) & 1L) = 1L)"
+        )
+
+    pref = staged.filter(F.expr(bit_test("_p1")) & F.expr(bit_test("_p2")))
+    joined = pref.join(
+        F.broadcast(top), pref["l_orderkey"] == top["o_orderkey"]
+    )
+    return joined.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum(F.col("l_extendedprice").cast("decimal(18,4)"))
+        .cast("double")
+        .alias("revenue"),
+    )
