@@ -97,22 +97,23 @@ def decode_avi_mjpeg(data: bytes):
         if fourcc == b"LIST":
             listtype = data[body_start : body_start + 4]
             if listtype in (b"hdrl", b"strl", b"movi"):
-                # recurse into the list by just continuing the walk inside
+                # flatten into the list (chunks self-describe; the outer
+                # RIFF size bounds the walk)
                 pos = body_start + 4
-                end_stack = body_start + size  # noqa: F841 — bounded by RIFF
                 continue
             pos = body_start + size + (size % 2)
             continue
         if fourcc == b"avih":
             n_frames_hdr = struct.unpack_from("<I", data, body_start + 16)[0]
         elif fourcc == b"strh":
-            if data[body_start : body_start + 4] != b"vids":
-                raise ValueError("first stream is not video")
-            handler = data[body_start + 4 : body_start + 8]
-            if handler != b"MJPG":
-                raise ValueError(
-                    f"codec {handler!r} requires ffmpeg; only MJPG decodes"
-                )
+            # accept extra non-video streams (a camera AVI commonly carries
+            # an audio track); only the VIDEO stream's codec matters
+            if data[body_start : body_start + 4] == b"vids":
+                handler = data[body_start + 4 : body_start + 8]
+                if handler != b"MJPG":
+                    raise ValueError(
+                        f"codec {handler!r} requires ffmpeg; only MJPG decodes"
+                    )
         elif fourcc in (b"00dc", b"00db"):
             frames.append(decode_jpeg(data[body_start : body_start + size]))
         pos = body_start + size + (size % 2)

@@ -135,7 +135,15 @@ def encode_gif(pixels) -> bytes:
 def decode_gif(data: bytes):
     """GIF87a/89a → (H, W, 3) uint8. Full LZW decode; supports the subset
     the encoder above and common single-image files use (global color
-    table, no interlace, no transparency)."""
+    table, no interlace, no transparency). Malformed/truncated payloads
+    raise ValueError like every sibling decoder."""
+    try:
+        return _decode_gif(data)
+    except (struct.error, IndexError) as ex:
+        raise ValueError(f"truncated or corrupt GIF: {ex}") from ex
+
+
+def _decode_gif(data: bytes):
     if data[:3] != b"GIF":
         raise ValueError("not a GIF")
     w, h, packed, _bg, _ar = struct.unpack("<HHBBB", data[6:13])
@@ -164,7 +172,11 @@ def decode_gif(data: bytes):
     min_code_size = data[pos]
     pos += 1
     stream = bytearray()
-    while data[pos] != 0:
+    while True:
+        if pos >= len(data):
+            raise ValueError("truncated GIF: missing block terminator")
+        if data[pos] == 0:
+            break
         n = data[pos]
         stream += data[pos + 1 : pos + 1 + n]
         pos += 1 + n
@@ -208,5 +220,11 @@ def decode_gif(data: bytes):
                 width += 1
         if nbits < 0:
             break
+    if len(out) < iw * ih:
+        raise ValueError(
+            f"truncated GIF: decoded {len(out)} of {iw * ih} pixels"
+        )
     idx = np.frombuffer(bytes(out[: iw * ih]), np.uint8)
+    if int(idx.max(initial=0)) >= len(palette):
+        raise ValueError("GIF index exceeds color table")
     return palette[idx].reshape(ih, iw, 3)

@@ -400,11 +400,11 @@ def _decode_block(br: "_BitReader", dct, act, qt, prev_dc: int):
 
 def decode_jpeg(data: bytes):
     """Decode a baseline JPEG: single-component (grayscale) → (h, w)
-    uint8; three-component 4:4:4 interleaved (YCbCr) → (h, w, 3) uint8
-    RGB. General over DQT/DHT contents (parsed, not assumed); raises
-    ValueError for progressive scans, subsampled chroma (4:2:0/4:2:2),
-    or restart intervals — honest partial coverage, like the PNG path's
-    non-interlaced restriction."""
+    uint8; three-component 4:4:4 or 4:2:0 interleaved (YCbCr) →
+    (h, w, 3) uint8 RGB. General over DQT/DHT contents (parsed, not
+    assumed); raises ValueError for progressive scans, other samplings
+    (4:2:2/4:1:1), or restart intervals — honest partial coverage, like
+    the PNG path's non-interlaced restriction."""
     if data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload")
     pos = 2

@@ -973,6 +973,35 @@ DECON_K = 4  # word n-gram width; production decontamination uses 8-13
 DECON_MOD = 97  # eval set = doc_id % DECON_MOD == 0 (deterministic holdout)
 
 
+def decon_train_and_hits(spark: SparkSession, sf_dir: str):
+    """Shared decontamination core (used by q_decontaminate and
+    q_corpus_pipeline): returns (train docs with shingle sets, distinct
+    contaminated doc_ids); train keeps the text column so composing
+    pipelines can gate on content. fan_out widens the CPU-bound Arrow shingle
+    kernel past the byte-sized scan partitioning (no-op at real scale)."""
+    docs = load_table(spark, sf_dir, "documents")
+    shingled = fan_out(docs.select("doc_id", "source", "text")).select(
+        "doc_id",
+        "source",
+        "text",
+        distinct_shingles_arrow(tokens("text"), DECON_K).alias("sh"),
+    )
+    is_eval = F.col("doc_id") % DECON_MOD == 0
+    ev = (
+        shingled.filter(is_eval)
+        .select(F.explode("sh").alias("s"))
+        .distinct()
+    )
+    train = shingled.filter(~is_eval)
+    hit = (
+        train.select("doc_id", F.explode("sh").alias("s"))
+        .join(F.broadcast(ev), "s")
+        .select("doc_id")
+        .distinct()
+    )
+    return train, hit
+
+
 @query(
     "q_decontaminate",
     oracle=f"""
@@ -1021,25 +1050,7 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     is read once; shingling is the Arrow kernel shared with the dedup
     family (functions/text.py::distinct_shingles_arrow).
     """
-    docs = load_table(spark, sf_dir, "documents")
-    shingled = docs.select(
-        "doc_id",
-        "source",
-        distinct_shingles_arrow(tokens("text"), DECON_K).alias("sh"),
-    )
-    is_eval = F.col("doc_id") % DECON_MOD == 0
-    ev = (
-        shingled.filter(is_eval)
-        .select(F.explode("sh").alias("s"))
-        .distinct()
-    )
-    train = shingled.filter(~is_eval)
-    hit = (
-        train.select("doc_id", F.explode("sh").alias("s"))
-        .join(F.broadcast(ev), "s")
-        .select("doc_id")
-        .distinct()
-    )
+    train, hit = decon_train_and_hits(spark, sf_dir)
     return (
         train.select("doc_id", "source")
         .join(hit.withColumn("c", F.lit(1)), "doc_id", "left")

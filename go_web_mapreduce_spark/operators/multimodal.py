@@ -52,6 +52,9 @@ _ASCII_DOCS_SQL = (
     "length(text) > 0 AND octet_length(encode(text)) = length(text)"
 )
 
+VIDEO_FRAMES = 4  # frames per synthesized AVI clip (4 blocks of text bytes each)
+FRAME_SAMPLE_EVERY = 2  # q_multimodal_frames keeps frames 0, 2, ...
+
 
 def as_media_table(docs: DataFrame) -> DataFrame:
     """Wrap the documents table as a media table: payload = utf-8 bytes of
@@ -513,14 +516,12 @@ def sample_frames(media: DataFrame, every_n: int = 4) -> DataFrame:
     return media.select("doc_id", "payload").mapInPandas(run, FRAME_SCHEMA)
 
 
-FRAME_SAMPLE_EVERY = 2  # keep frames 0, 2, ... of each clip
-
-
 @query(
     "q_multimodal_frames",
-    # sampled frames k ∈ {0, 2}: frame k's blocks tile text bytes 4k..4k+3,
-    # 64 pixels each — the same first-principles arithmetic as the video
-    # oracle, restricted to the kept frames
+    # sampled frames k ∈ {0, 2, ...}: frame k's blocks tile text bytes
+    # 4k..4k+3, 64 pixels each — the same first-principles arithmetic as
+    # the video oracle, restricted to the kept frames (index list derived
+    # from VIDEO_FRAMES / FRAME_SAMPLE_EVERY so the constants can't drift)
     oracle=f"""
     WITH b AS (
       SELECT source, octet_length(encode(text)) AS len, text
@@ -528,10 +529,12 @@ FRAME_SAMPLE_EVERY = 2  # keep frames 0, 2, ... of each clip
       WHERE {_ASCII_DOCS_SQL}
     )
     SELECT source,
-           CAST(count(*) * {-(-4 // FRAME_SAMPLE_EVERY)} AS BIGINT)
+           CAST(count(*) * {-(-VIDEO_FRAMES // FRAME_SAMPLE_EVERY)} AS BIGINT)
              AS n_sampled,
            CAST(sum(64 * list_sum(list_transform(
-                [0, 1, 2, 3, 8, 9, 10, 11],
+                [{", ".join(str(4 * k + j)
+                            for k in range(0, VIDEO_FRAMES, FRAME_SAMPLE_EVERY)
+                            for j in range(4))}],
                 i -> ascii(substr(text, (i % len) + 1, 1))))) AS BIGINT)
              AS pixel_sum
     FROM b GROUP BY source
@@ -1064,9 +1067,6 @@ def q_multimodal_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # q_multimodal_video — REAL video decode: AVI container, MJPEG frames
 # ---------------------------------------------------------------------------
-
-VIDEO_FRAMES = 4  # frames per synthesized clip
-
 
 def synthesize_video_table(docs: DataFrame) -> DataFrame:
     """Each document becomes a genuine AVI-MJPEG video: VIDEO_FRAMES

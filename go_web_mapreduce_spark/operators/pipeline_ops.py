@@ -607,10 +607,11 @@ def q_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
 # q_corpus_pipeline — end-to-end training-data funnel with stage retention
 # ---------------------------------------------------------------------------
 
+from go_web_mapreduce_spark.operators.dedup import DECON_K as CP_DECON_K
+from go_web_mapreduce_spark.operators.dedup import DECON_MOD as CP_EVAL_MOD
+
 CP_MIN_TOKENS = 10  # quality gate: at least this many tokens
 CP_MIN_TTR_PCT = 40  # ...and type-token ratio >= 40% (integer cross-multiply)
-CP_EVAL_MOD = 97  # eval slice (shared with q_decontaminate)
-CP_DECON_K = 4  # contamination n-gram width
 CP_BIN_CAP = 512  # packing capacity (shared with q_sequence_pack)
 
 
@@ -684,36 +685,20 @@ def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql import Window
 
-    from go_web_mapreduce_spark.functions.text import distinct_shingles_arrow
+    from go_web_mapreduce_spark.operators.dedup import decon_train_and_hits
 
-    docs = load_table(spark, sf_dir, "documents")
-    t = docs.select("doc_id", "source", "text", tokens("text").alias("tk"))
-    is_eval = F.col("doc_id") % CP_EVAL_MOD == 0
-    ev = (
-        t.filter(is_eval)
-        .select(F.explode(distinct_shingles_arrow(F.col("tk"), CP_DECON_K)).alias("s"))
-        .distinct()
-    )
-    train = t.filter(~is_eval)
-    hit = (
-        train.select(
-            "doc_id",
-            F.explode(distinct_shingles_arrow(F.col("tk"), CP_DECON_K)).alias("s"),
-        )
-        .join(F.broadcast(ev), "s")
-        .select("doc_id")
-        .distinct()
-        .withColumn("c", F.lit(1))
-    )
+    train, hits = decon_train_and_hits(spark, sf_dir)
+    hit = hits.withColumn("c", F.lit(1))
+    tk = tokens("text")
     q = (
-        (F.size("tk") >= CP_MIN_TOKENS)
+        (F.size(tk) >= CP_MIN_TOKENS)
         & (
-            F.lit(100) * F.size(F.array_distinct("tk"))
-            >= F.lit(CP_MIN_TTR_PCT) * F.size("tk")
+            F.lit(100) * F.size(F.array_distinct(tk))
+            >= F.lit(CP_MIN_TTR_PCT) * F.size(tk)
         )
     ).cast("int")
     staged = train.select(
-        "doc_id", "source", "text", F.size("tk").alias("ntok"), q.alias("q")
+        "doc_id", "source", "text", F.size(tk).alias("ntok"), q.alias("q")
     )
     w = Window.partitionBy("text")
     staged = staged.withColumn(
@@ -774,7 +759,8 @@ def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Escaping is where CSV round trips die (embedded quotes, commas,
     leading zeros re-typed); quoteAll + an explicit read schema pins the
-    dialect. The write is partitioned like any Spark sink — at 100 TB
+    dialect (multiLine on the read side so embedded newlines inside
+    quoted fields survive). The write is partitioned like any Spark sink — at 100 TB
     this is the standard parquet↔CSV interchange job, one scan each way,
     no driver involvement."""
     import hashlib
@@ -790,7 +776,7 @@ def q_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .options(header=True, quoteAll=True, escape='"')
         .csv(path)
     )
-    back = spark.read.options(header=True, escape='"').schema(
+    back = spark.read.options(header=True, escape='"', multiLine=True).schema(
         "doc_id bigint, text string, lang string, source string, n_chars bigint"
     ).csv(path)
     return back.groupBy("lang").agg(

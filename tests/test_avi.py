@@ -63,3 +63,18 @@ def test_non_mjpeg_codec_refused():
 def test_non_avi_refused():
     with pytest.raises(ValueError, match="not an AVI"):
         decode_avi_mjpeg(b"RIFF\x04\x00\x00\x00WAVE")
+
+
+def test_audio_track_tolerated():
+    """An AVI with an extra non-video stream header (camera files carry
+    audio) must still decode its MJPEG frames."""
+    import struct
+
+    frames = _block_frames([[9, 9, 9, 9]])
+    data = bytearray(encode_avi_mjpeg(frames))
+    auds = b"strh" + struct.pack("<I", 8) + b"auds" + b"PCM "
+    i = bytes(data).find(b"idx1")
+    patched = bytearray(bytes(data[:i]) + auds + bytes(data[i:]))
+    struct.pack_into("<I", patched, 4, len(patched) - 8)
+    back = decode_avi_mjpeg(bytes(patched))
+    assert len(back) == 1 and np.array_equal(back[0], frames[0])

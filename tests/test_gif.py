@@ -108,3 +108,14 @@ def test_random_images_roundtrip_exactly(w, h, ncolors, seed):
     px = palette[idx]
     data = encode_gif(px)
     assert np.array_equal(decode_gif(data), px)
+
+
+@settings(max_examples=25, deadline=None)
+@given(cut=st.integers(1, 200))
+def test_truncated_gif_raises_valueerror(cut):
+    px = np.full((16, 16, 3), 7, np.uint8)
+    data = encode_gif(px)
+    if cut >= len(data):
+        return
+    with pytest.raises(ValueError):
+        decode_gif(data[:cut])
