@@ -198,3 +198,12 @@ def test_unpivot_reshapes_without_a_shuffle(spark, sf_dir):
 def test_corpus_pipeline_broadcasts_eval_shingles(spark, sf_dir):
     plan = executed_plan(spark, sf_dir, "q_corpus_pipeline")
     assert "BroadcastHashJoin" in plan
+
+
+def test_bloom_join_filters_before_broadcast_join(spark, sf_dir):
+    """The bloom bit tests must sit in the fact scan's stage (a Filter on
+    the lineitem side) with the small side broadcast — the runtime-filter
+    shape that cuts probe volume before any join machinery."""
+    plan = executed_plan(spark, sf_dir, "q_bloom_join")
+    assert "BroadcastHashJoin" in plan
+    assert "shiftright" in plan  # the bit test reached the physical plan
