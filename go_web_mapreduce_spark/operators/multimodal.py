@@ -1235,3 +1235,93 @@ def q_audio_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("energy").alias("energy_sum"),
         F.bool_and("ok").alias("all_parseval"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q_media_pipeline — end-to-end multimodal curation funnel
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_media_pipeline",
+    # content identity is the DECODED pixel block = the text tiled to 768
+    # bytes, so two docs collide exactly when their tilings agree (e.g.
+    # "ab" and "abab") — the oracle groups by the materialized tile and
+    # recomputes keeper pixel sums from it
+    oracle=f"""
+    WITH b AS (
+      SELECT doc_id, source, text, octet_length(encode(text)) AS len
+      FROM documents
+      WHERE {_ASCII_DOCS_SQL}
+    ),
+    t AS (
+      SELECT doc_id, source,
+             substring(repeat(text, CAST(ceil({IMG_W * IMG_H * 3}.0 / len)
+                                         AS INT)),
+                       1, {IMG_W * IMG_H * 3}) AS tile
+      FROM b
+    ),
+    k AS (
+      SELECT source, tile,
+             CASE WHEN doc_id = min(doc_id) OVER (PARTITION BY tile)
+                  THEN 1 ELSE 0 END AS keep
+      FROM t
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_media,
+           CAST(sum(keep) AS BIGINT) AS n_unique,
+           CAST(sum(CASE WHEN keep = 1 THEN list_sum(list_transform(
+                    range(1, {IMG_W * IMG_H * 3} + 1),
+                    i -> ascii(substr(tile, i, 1)))) ELSE 0 END) AS BIGINT)
+             AS keeper_pixel_sum
+    FROM k GROUP BY source
+    """,
+    description="end-to-end multimodal curation: the mixed BMP/PNG/GIF "
+    "corpus decoded by the REAL codecs, deduplicated on the md5 of the "
+    "DECODED pixel bytes (a decode bug changes group identity, not just "
+    "sums), canonical keeper per content (min doc_id), per-source keeper "
+    "pixel sums — the media sibling of q_corpus_pipeline, hash-verified "
+    "as one plan",
+)
+def q_media_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode → content-dedup → keeper stats in one plan: content
+    identity is computed from the decoded pixels (not the source file —
+    the same image encoded as BMP vs PNG deduplicates), the keeper
+    window shuffles once on the content hash, and the aggregate is
+    per-source states. At 100 TB the content hash is the media dedup
+    key (exact dedup of re-encoded copies); near-dup goes through the
+    embedding/LSH family."""
+    import hashlib as _hl
+
+    def run(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            out = {"doc_id": [], "source": [], "h": [], "s": []}
+            for doc_id, source, mime, payload in zip(
+                pdf["doc_id"], pdf["source"], pdf["mime"], pdf["payload"]
+            ):
+                px = decode_payload(mime, bytes(payload))
+                raw = np.ascontiguousarray(px, dtype=np.uint8).tobytes()
+                out["doc_id"].append(doc_id)
+                out["source"].append(source)
+                out["h"].append(_hl.md5(raw).hexdigest())
+                out["s"].append(int(px.astype(np.int64).sum()))
+            yield pd.DataFrame(out)
+
+    from pyspark.sql import Window
+
+    media = synthesize_image_table(load_table(spark, sf_dir, "documents"))
+    decoded = media.select("doc_id", "source", "mime", "payload").mapInPandas(
+        run, "doc_id bigint, source string, h string, s bigint"
+    )
+    w = Window.partitionBy("h")
+    staged = decoded.withColumn(
+        "keep", (F.col("doc_id") == F.min("doc_id").over(w)).cast("int")
+    )
+    return staged.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_media"),
+        F.sum("keep").alias("n_unique"),
+        F.sum(F.col("keep") * F.col("s")).alias("keeper_pixel_sum"),
+    )
