@@ -180,6 +180,21 @@ def _decode_gif(data: bytes):
         n = data[pos]
         stream += data[pos + 1 : pos + 1 + n]
         pos += 1 + n
+    # refuse-don't-fake (module posture): a second image (animated GIF)
+    # after this frame's block terminator would otherwise be silently
+    # dropped; require the 0x3B trailer, skipping any extension blocks
+    # that legally sit between terminator and trailer.
+    tpos = pos + 1  # past the 0x00 block terminator
+    while tpos < len(data) and data[tpos] == 0x21:
+        tpos += 2
+        while tpos < len(data) and data[tpos] != 0:
+            tpos += 1 + data[tpos]
+        tpos += 1
+    if tpos >= len(data) or data[tpos] != 0x3B:
+        raise ValueError(
+            "multi-image/animated GIF unsupported: trailer 0x3B not found "
+            "after first image"
+        )
 
     clear = 1 << min_code_size
     eoi = clear + 1

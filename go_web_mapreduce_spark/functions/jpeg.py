@@ -193,6 +193,10 @@ def encode_jpeg_gray(pixels, quant: int = 1) -> bytes:
     h, w = px.shape
     if h % 8 or w % 8:
         raise ValueError("encode_jpeg_gray requires multiple-of-8 dimensions")
+    if not 1 <= quant <= 255:
+        # DQT stores 8-bit entries; >255 would wrap via astype(uint8) and
+        # emit a file whose stored table disagrees with the one applied
+        raise ValueError("quant must be in [1, 255] (8-bit DQT entries)")
     qtab = np.full(64, quant, dtype=np.int32)
 
     out = bytearray()
@@ -250,6 +254,12 @@ def encode_jpeg_color(
             f"encode_jpeg_color requires multiple-of-{mcu} dimensions"
         )
     cq = quant if chroma_quant is None else chroma_quant
+    if not 1 <= quant <= 255 or not 1 <= cq <= 255:
+        # DQT stores 8-bit entries; out-of-range values would wrap via
+        # astype(uint8), silently desyncing stored vs applied tables
+        raise ValueError(
+            "quant and chroma_quant must be in [1, 255] (8-bit DQT entries)"
+        )
     qtabs = [np.full(64, quant, np.int32), np.full(64, cq, np.int32)]
 
     rgb = px.astype(np.float64)

@@ -764,19 +764,29 @@ def q_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     this is the standard parquet↔CSV interchange job, one scan each way,
     no driver involvement."""
     import hashlib
+    import os
     import tempfile
 
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "text", "lang", "source", "n_chars"
     )
-    key = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    # key includes the PID so concurrent processes on the same dataset
+    # never race on rmtree/overwrite (the read below is lazy — the files
+    # must survive until the caller collects, so no eager cleanup here)
+    key = hashlib.md5(f"{sf_dir}:{os.getpid()}".encode()).hexdigest()[:12]
     path = f"{tempfile.gettempdir()}/spark_graft_csv_{key}"
+    # pin the null/empty dialect explicitly on BOTH sides: nulls travel as
+    # \N, empty strings as quoted "" — Spark's default read maps empty
+    # fields to null, which would silently change n_unique/sum_len for a
+    # corpus containing empty or null texts
     (
         docs.write.mode("overwrite")
-        .options(header=True, quoteAll=True, escape='"')
+        .options(header=True, quoteAll=True, escape='"', nullValue="\\N")
         .csv(path)
     )
-    back = spark.read.options(header=True, escape='"', multiLine=True).schema(
+    back = spark.read.options(
+        header=True, escape='"', multiLine=True, nullValue="\\N", emptyValue=""
+    ).schema(
         "doc_id bigint, text string, lang string, source string, n_chars bigint"
     ).csv(path)
     return back.groupBy("lang").agg(

@@ -454,10 +454,13 @@ def foreachbatch_idempotent_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     identifier, stable across restarts from the same checkpoint.
     """
     import hashlib
+    import os
     import shutil
     import tempfile
 
-    key = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    # PID in the key: two concurrent processes on the same dataset must
+    # not race on rmtree/overwrite of a shared scratch dir
+    key = hashlib.md5(f"{sf_dir}:{os.getpid()}".encode()).hexdigest()[:12]
     base = f"{tempfile.gettempdir()}/spark_graft_febatch_{key}"
     out_dir, ckpt = f"{base}/out", f"{base}/ckpt"
     shutil.rmtree(base, ignore_errors=True)  # fresh deterministic run
