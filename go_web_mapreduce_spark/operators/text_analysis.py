@@ -720,3 +720,142 @@ def q_bpe_merge_step(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("cnt").desc(), "pair")
         .limit(BPE_TOP)
     )
+
+
+# ---------------------------------------------------------------------------
+# q_bpe_train — the full iterative BPE training loop (k merges)
+# ---------------------------------------------------------------------------
+
+BPE_TRAIN_STEPS = 5
+
+# \x01 never appears in the corpus (tokens() strips nothing, but the unit
+# separator is not a printable text character); it delimits symbols so a
+# merge is a plain left-to-right non-overlapping string replace — the same
+# semantics in Spark (java String.replace) and DuckDB (replace).
+_BPE_SEP = "\x01"
+
+
+def _bpe_train_oracle(k: int) -> str:
+    """k unrolled CTE levels replaying the exact Spark iteration: encode →
+    (count pairs → argmax → rewrite) × k. chr(1)-wrapped symbols make the
+    rewrite a non-overlapping replace in both engines."""
+    s = "chr(1)"
+    ctes = [
+        """words AS (
+        SELECT unnest(list_filter(string_split(lower(text), ' '),
+                                  t -> t <> '')) AS w
+        FROM documents
+    )""",
+        "freq AS (SELECT w, count(*) AS wf FROM words GROUP BY w)",
+        rf"""v1 AS (
+        SELECT regexp_replace(w, '(?s)(.)', {s}||'\1'||{s}, 'g') AS enc, wf
+        FROM freq
+    )""",
+    ]
+    for i in range(1, k + 1):
+        ctes.append(
+            f"""p{i} AS (
+        SELECT u.l AS l, u.r AS r, CAST(sum(wf) AS BIGINT) AS cnt FROM (
+            SELECT unnest(list_transform(range(1, len(syms)),
+                       j -> {{'l': syms[j], 'r': syms[j + 1]}})) AS u, wf
+            FROM (SELECT string_split(trim(enc, {s}), {s}||{s}) AS syms, wf
+                  FROM v{i})
+        ) GROUP BY u.l, u.r
+    )"""
+        )
+        ctes.append(
+            f"b{i} AS (SELECT l, r, cnt FROM p{i} "
+            f"ORDER BY cnt DESC, l, r LIMIT 1)"
+        )
+        if i < k:
+            ctes.append(
+                f"""v{i + 1} AS (
+        SELECT replace(enc, {s}||b.l||{s}||{s}||b.r||{s},
+                       {s}||b.l||b.r||{s}) AS enc, wf
+        FROM v{i}, b{i} b
+    )"""
+            )
+    selects = " UNION ALL ".join(
+        f"SELECT {i} AS step, l || r AS pair, cnt FROM b{i}"
+        for i in range(1, k + 1)
+    )
+    return "WITH " + ",\n    ".join(ctes) + "\n    " + selects
+
+
+@query(
+    "q_bpe_train",
+    oracle=_bpe_train_oracle(BPE_TRAIN_STEPS),
+    description=f"the full iterative BPE tokenizer-training loop "
+    f"(Sennrich et al. 2016): {BPE_TRAIN_STEPS} merge rounds, each "
+    "counting adjacent symbol pairs over the word-frequency table, "
+    "taking the argmax, and rewriting every word's symbol sequence; "
+    "the learned merge table hash-verifies against a fully unrolled "
+    f"{BPE_TRAIN_STEPS}-level CTE oracle (VERDICT r4 next-steps #4 — "
+    "the first genuinely iterative text operator)",
+)
+def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE trains on the WORD-FREQUENCY table: one corpus-sized shuffle
+    builds ``(word, wf)``; every merge round after that is vocab-sized
+    (distinct words — ~10M rows at 100 TB, trivial for a cluster). Each
+    round is two narrow stages (pair expand + hash-agg) plus a ONE-ROW
+    driver collect (the argmax — BPE's sequential step by definition),
+    then a vectorized string `replace` rewrite. Per-round lazy
+    localCheckpoint truncates lineage exactly like the pagerank loop
+    (graph.py), so round k does not replay rounds 1..k-1.
+
+    Symbols are \\x01-delimited inside one string, so the merge is a
+    left-to-right non-overlapping `replace` — bit-identical semantics in
+    Spark and the DuckDB oracle, and the rewrite stays whole-stage
+    codegen (no UDF). Reference anchor: the reduce-side fold this
+    generalizes is the wordcount reduce (server/views.go:57-59); the
+    iteration itself is the engine's extension mandate (tokenizer
+    training for LLM data pipelines).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    freq = (
+        docs.select(F.explode(tokens("text")).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("wf"))
+    )
+    vocab = freq.select(
+        F.regexp_replace("w", "(?s)(.)", f"{_BPE_SEP}$1{_BPE_SEP}").alias(
+            "enc"
+        ),
+        "wf",
+    ).localCheckpoint(eager=False)
+
+    merges: list[tuple[int, str, int]] = []
+    for step in range(1, BPE_TRAIN_STEPS + 1):
+        sy = vocab.select(
+            F.split(F.btrim("enc", F.lit(_BPE_SEP)), _BPE_SEP * 2).alias(
+                "syms"
+            ),
+            "wf",
+        ).select(
+            F.slice("syms", 1, F.size("syms") - 1).alias("l"),
+            F.slice("syms", 2, F.size("syms") - 1).alias("r"),
+            "wf",
+        )
+        pairs = sy.select(
+            F.explode(F.arrays_zip("l", "r")).alias("p"), "wf"
+        ).select(F.col("p.l").alias("l"), F.col("p.r").alias("r"), "wf")
+        best = (
+            pairs.groupBy("l", "r")
+            .agg(F.sum("wf").alias("cnt"))
+            .orderBy(F.col("cnt").desc(), "l", "r")
+            .first()
+        )
+        if best is None:  # degenerate corpus: nothing left to merge
+            break
+        l, r, cnt = best["l"], best["r"], int(best["cnt"])
+        merges.append((step, l + r, cnt))
+        vocab = vocab.withColumn(
+            "enc",
+            F.replace(
+                "enc",
+                F.lit(f"{_BPE_SEP}{l}{_BPE_SEP}{_BPE_SEP}{r}{_BPE_SEP}"),
+                F.lit(f"{_BPE_SEP}{l}{r}{_BPE_SEP}"),
+            ),
+        ).localCheckpoint(eager=False)
+
+    return spark.createDataFrame(merges, "step int, pair string, cnt bigint")

@@ -15,6 +15,9 @@ from __future__ import annotations
 
 import numpy as np
 import pytest
+from pyspark.sql import functions as F
+
+from go_web_mapreduce_spark.functions.text import tokens
 
 from go_web_mapreduce_spark.functions.gif import decode_gif, encode_gif
 from go_web_mapreduce_spark.functions.jpeg import (
@@ -91,3 +94,69 @@ def test_csv_dialect_preserves_empty_and_null(spark, tmp_path):
     ).schema("doc_id bigint, text string").csv(path)
     got = {r["doc_id"]: r["text"] for r in back.collect()}
     assert got == {1: "hello", 2: "", 3: None, 4: 'quo"te'}
+
+
+# ---------------------------------------------------------------------------
+# q_bpe_train: independent pure-Python reference (VERDICT r4 next-steps #4)
+# ---------------------------------------------------------------------------
+
+
+def _reference_bpe(word_freqs: dict[str, int], k: int):
+    """Textbook BPE (Sennrich et al. 2016) on a word-frequency table:
+    symbol sequences as Python lists, argmax with (count desc, l, r)
+    tie-break, left-to-right non-overlapping merge."""
+    vocab = {tuple(w): f for w, f in word_freqs.items()}
+    merges = []
+    for step in range(1, k + 1):
+        counts: dict[tuple[str, str], int] = {}
+        for syms, f in vocab.items():
+            for a, b in zip(syms, syms[1:]):
+                counts[(a, b)] = counts.get((a, b), 0) + f
+        if not counts:
+            break
+        (l, r), cnt = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((step, l + r, cnt))
+        new_vocab: dict[tuple, int] = {}
+        for syms, f in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                    out.append(l + r)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            key = tuple(out)
+            new_vocab[key] = new_vocab.get(key, 0) + f
+        vocab = new_vocab
+    return merges
+
+
+def test_bpe_train_matches_pure_python_reference(spark, sf_dir):
+    """Run the Spark loop on the real sf0.001 corpus and the textbook
+    algorithm on the identically-tokenized word frequencies; the learned
+    merge tables must be identical (cross-engine equality is separately
+    covered by the DuckDB oracle — this pins the ALGORITHM, including
+    overlap handling like 'aaaa' -> [aa, aa])."""
+    from go_web_mapreduce_spark.operators.text_analysis import (
+        BPE_TRAIN_STEPS,
+        q_bpe_train,
+    )
+    from go_web_mapreduce_spark.sources.tables import load_table
+
+    freq_rows = (
+        load_table(spark, sf_dir, "documents")
+        .select(F.explode(tokens("text")).alias("w"))
+        .groupBy("w")
+        .count()
+        .collect()
+    )
+    expect = _reference_bpe(
+        {r["w"]: r["count"] for r in freq_rows}, BPE_TRAIN_STEPS
+    )
+    got = [
+        (r["step"], r["pair"], r["cnt"])
+        for r in q_bpe_train(spark, sf_dir).orderBy("step").collect()
+    ]
+    assert got == expect
+    assert len(got) == BPE_TRAIN_STEPS
