@@ -68,6 +68,26 @@ def main() -> None:
             lambda acc, v: acc + v,
         ).alias("s")
     ).write.mode("overwrite").format("noop").save()
+    # ...and the Expand + multi-count-distinct codegen paths: the round-4
+    # three-run protocol showed the FIRST grouping-sets execution pays
+    # +1.2 s and the first count-distinct +0.5 s of janino compilation
+    # (warm runs spin-normalize to the r2 yardstick exactly) — warm both
+    # here so q_grouping_sets/q_count_distinct measure the queries
+    warm_df = spark.range(1000).select(
+        (F.col("id") % 7).cast("string").alias("a"),
+        (F.col("id") % 3).cast("string").alias("b"),
+        (F.col("id") % 100).cast("decimal(18,4)").alias("d"),
+        "id",
+    )
+    warm_df.createOrReplaceTempView("bench_warm")
+    spark.sql(
+        "SELECT coalesce(a, 'ALL') a, coalesce(b, 'ALL') b, count(*) n,"
+        " CAST(CAST(sum(d) AS STRING) AS DOUBLE) s FROM bench_warm"
+        " GROUP BY GROUPING SETS ((a), (b), ())"
+    ).write.mode("overwrite").format("noop").save()
+    warm_df.groupBy("a").agg(
+        F.countDistinct("id").alias("nd"), F.count("*").alias("n")
+    ).write.mode("overwrite").format("noop").save()
 
     per_query: dict[str, float] = {}
     total = 0.0
