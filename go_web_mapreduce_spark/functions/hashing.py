@@ -166,15 +166,22 @@ def band_keys(signature: Column, bands: int, rows_per_band: int) -> Column:
     )
 
 
-def token_hashes(toks: Column) -> Column:
-    """48-bit md5-derived hash per token (``array<bigint>``), the SimHash
-    input. Kept as a separate projection so md5 runs once per token."""
+def token_hashes(toks: Column, bits: int = 60) -> Column:
+    """``bits``-wide md5-derived hash per token (``array<bigint>``), the
+    SimHash input. Kept as a separate projection so md5 runs once per
+    token. ``bits`` must be a multiple of 4 (hex truncation) and <= 60
+    (signed-int64 headroom in both Spark and the DuckDB oracle)."""
+    if not 4 <= bits <= 60 or bits % 4:
+        raise ValueError("bits must be a multiple of 4 in [4, 60]")
     return F.transform(
-        toks, lambda t: F.conv(F.substring(F.md5(t), 1, 12), 16, 10).cast("bigint")
+        toks,
+        lambda t: F.conv(F.substring(F.md5(t), 1, bits // 4), 16, 10).cast(
+            "bigint"
+        ),
     )
 
 
-def simhash_from_hashes(hashed: Column, n_tokens: Column, bits: int = 48) -> Column:
+def simhash_from_hashes(hashed: Column, n_tokens: Column, bits: int = 60) -> Column:
     """SimHash fingerprint (Charikar 2002, public) from pre-hashed tokens.
 
     Single fold over the hash array accumulating all ``bits`` per-bit
@@ -211,14 +218,14 @@ def simhash_from_hashes(hashed: Column, n_tokens: Column, bits: int = 48) -> Col
     )
 
 
-def simhash(toks: Column, bits: int = 48) -> Column:
+def simhash(toks: Column, bits: int = 60) -> Column:
     """SimHash of a token array as a long; see :func:`simhash_from_hashes`.
     Prefer materializing :func:`token_hashes` in its own projection first
     when the token expression is itself expensive."""
-    return simhash_from_hashes(token_hashes(toks), F.size(toks), bits)
+    return simhash_from_hashes(token_hashes(toks, bits), F.size(toks), bits)
 
 
-def simhash_from_hashes_arrow(hashed: Column, bits: int = 48) -> Column:
+def simhash_from_hashes_arrow(hashed: Column, bits: int = 60) -> Column:
     """Arrow-vectorized SimHash fold over pre-hashed tokens.
 
     Identical output to :func:`simhash_from_hashes` — integer bit-count +
@@ -248,9 +255,10 @@ def simhash_from_hashes_arrow(hashed: Column, bits: int = 48) -> Column:
     return fold(hashed)
 
 
-def simhash_from_tokens_arrow(toks: Column, bits: int = 48) -> Column:
+def simhash_from_tokens_arrow(toks: Column, bits: int = 60) -> Column:
     """Arrow-vectorized SimHash straight from the token array: the per-token
-    48-bit md5 hash AND the popcount/majority fold run in one pandas_udf.
+    ``bits``-wide md5 hash AND the popcount/majority fold run in one
+    pandas_udf.
 
     Output-identical to ``simhash_from_hashes(token_hashes(toks), size(toks))``
     (asserted in tests). Splitting hash and fold into two projections still
@@ -259,11 +267,13 @@ def simhash_from_tokens_arrow(toks: Column, bits: int = 48) -> Column:
     hashlib call per token inside the Arrow batch with no intermediate
     array<bigint> column materialized.
     """
-    if not 1 <= bits <= 60:
-        raise ValueError("bits must be in [1, 60]")
+    if not 4 <= bits <= 60 or bits % 4:
+        raise ValueError("bits must be a multiple of 4 in [4, 60]")
     import hashlib
 
     import numpy as np
+
+    nhex = bits // 4
 
     @F.pandas_udf("bigint")
     def fold(batch: pd.Series) -> pd.Series:
@@ -279,7 +289,7 @@ def simhash_from_tokens_arrow(toks: Column, bits: int = 48) -> Column:
                 out.append(0)
                 continue
             a = np.fromiter(
-                (int(md5(t.encode("utf-8")).hexdigest()[:12], 16) for t in tk),
+                (int(md5(t.encode("utf-8")).hexdigest()[:nhex], 16) for t in tk),
                 dtype=np.int64,
                 count=len(tk),
             )

@@ -49,9 +49,16 @@ MIN_MATCHING = 6  # est. jaccard >= 6/12 = 0.5
 JACCARD_THRESHOLD = 0.6
 MAX_SHINGLE_DF = 50  # stop-shingle cap: drop shingles in > this many docs
 
-# simhash configuration: 48 bits in 4 bands of 12; by pigeonhole, any pair at
-# hamming distance <= 3 shares at least one full band
-SIMHASH_BITS = 48
+# simhash configuration: 60 bits in 4 bands of 15; by pigeonhole, any pair at
+# hamming distance <= 3 shares at least one full band. Band width sets the
+# bucket space (2^15 = 32,768 per band): the round-5 sf0.1→sf1 scaling run
+# measured the previous 12-bit bands (4,096 buckets) going quadratic at 50k
+# docs (exp 1.5, 2s→42s) because expected in-bucket pairs grow as n²/buckets.
+# 60 is the ceiling that keeps fingerprints exact in a signed int64 on BOTH
+# engines (DuckDB '0x…'::BIGINT); at larger corpora still, widen bands and
+# accept a larger max_dist per band count, or shard the join by a fingerprint
+# prefix.
+SIMHASH_BITS = 60
 SIMHASH_BANDS = 4
 SIMHASH_MAX_DIST = 3
 
@@ -494,7 +501,7 @@ def simhash_pairs(
     id_col: str = "doc_id",
     max_dist: int = SIMHASH_MAX_DIST,
 ) -> DataFrame:
-    """Near-dup pairs at hamming distance <= max_dist on 48-bit SimHash.
+    """Near-dup pairs at hamming distance <= max_dist on 60-bit SimHash.
 
     Candidate generation is *complete* by pigeonhole: 4 disjoint 12-bit bands;
     any pair within distance 3 must agree on >= 1 whole band, so the band
@@ -535,7 +542,7 @@ def simhash_pairs(
 
 
 def _simhash_sql() -> str:
-    """DuckDB mirror of functions/hashing.py::simhash (48-bit, md5-derived)."""
+    """DuckDB mirror of functions/hashing.py::simhash (60-bit, md5-derived)."""
     return f"""
       list_sum(list_transform(range({SIMHASH_BITS}), j ->
         CASE WHEN 2 * list_sum(list_transform(hashed, h -> (h >> j) & 1)) >= len(hashed)
@@ -549,7 +556,7 @@ def _simhash_sql() -> str:
     WITH toks AS (SELECT doc_id, {_TK} AS tk FROM documents),
     hs AS (
       SELECT doc_id,
-             list_transform(tk, t -> ('0x' || substr(md5(t), 1, 12))::BIGINT) AS hashed
+             list_transform(tk, t -> ('0x' || substr(md5(t), 1, 15))::BIGINT) AS hashed
       FROM toks
     ),
     sig AS (SELECT doc_id, {_simhash_sql()} AS sh FROM hs)
@@ -558,7 +565,7 @@ def _simhash_sql() -> str:
     FROM sig a JOIN sig b ON a.doc_id < b.doc_id
     WHERE bit_count(xor(a.sh, b.sh)) <= {SIMHASH_MAX_DIST}
     """,
-    description="SimHash near-dup pairs (hamming <= 3 on 48-bit fingerprints, "
+    description="SimHash near-dup pairs (hamming <= 3 on 60-bit fingerprints, "
     "complete via pigeonhole banding; Charikar 2002)",
 )
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
