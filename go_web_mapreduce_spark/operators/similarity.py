@@ -481,18 +481,39 @@ def ann_lsh_buckets(df: DataFrame, id_col: str = "vec_id") -> DataFrame:
     return df.withColumn("bucket", bucket)
 
 
+def _probe_bucket_offsets(radius: int, num_planes: int = NUM_HYPERPLANES) -> list[int]:
+    """XOR masks of every bucket within hamming distance <= radius of the
+    probe's bucket (C(H,0)+...+C(H,radius) masks — 1, 9, 37 for H=8)."""
+    from itertools import combinations
+
+    masks = [0]
+    for r in range(1, radius + 1):
+        for bits in combinations(range(num_planes), r):
+            m = 0
+            for b in bits:
+                m |= 1 << b
+            masks.append(m)
+    return masks
+
+
 def ann_topk_lsh(
-    corpus: DataFrame, probe: DataFrame, k: int = TOP_K, id_col: str = "vec_id"
+    corpus: DataFrame,
+    probe: DataFrame,
+    k: int = TOP_K,
+    id_col: str = "vec_id",
+    radius: int = 1,
 ) -> DataFrame:
-    """Approximate top-k: score only corpus rows whose bucket is the probe's
-    bucket or any hamming-1 neighbor (multi-probe LSH). Candidate fraction is
-    ~(1 + H)/2^H of the corpus — independent of corpus size."""
+    """Approximate top-k: score only corpus rows whose bucket is within
+    hamming-``radius`` of the probe's bucket (multi-probe LSH). Candidate
+    fraction is ~(sum of C(H,0..radius))/2^H of the corpus — independent of
+    corpus size. Operating curve (recall@k vs candidate fraction per
+    radius) measured in SCALE.md / tools/ann_curves.py."""
     bucketed = ann_lsh_buckets(corpus, id_col)
     p = ann_lsh_buckets(probe, id_col).select(
         F.col("embedding").alias("probe_vec"), F.col("bucket").alias("pb")
     )
     probe_buckets = F.array(
-        F.col("pb"), *[F.col("pb").bitwiseXOR(F.lit(1 << j)) for j in range(NUM_HYPERPLANES)]
+        *[F.col("pb").bitwiseXOR(F.lit(m)) for m in _probe_bucket_offsets(radius)]
     )
     p = F.broadcast(p.select("probe_vec", F.explode(probe_buckets).alias("bucket")))
     cands = bucketed.join(p, "bucket")
@@ -983,13 +1004,17 @@ def pq_topk(
     k: int = TOP_K,
     shortlist: int = PQ_SHORTLIST,
     id_col: str = "vec_id",
+    m: int = PQ_M,
+    ksub: int = PQ_KSUB,
 ) -> DataFrame:
     """Two-stage compressed-domain ANN: ADC over PQ codes shortlists
     ``shortlist`` candidates (TakeOrdered — per-partition heap on 8-byte
     codes), then an exact cosine rerank touches only the shortlist's full
     vectors (broadcast semi-join). The corpus's full vectors are read once
-    for encoding and once for ``shortlist`` rows — never shuffled."""
-    cb = pq_train(corpus)
+    for encoding and once for ``shortlist`` rows — never shuffled.
+    ``m``/``ksub`` trade code size for ADC fidelity — operating curve in
+    SCALE.md (tools/ann_curves.py)."""
+    cb = pq_train(corpus, m=m, ksub=ksub)
     codes = pq_encode(corpus, cb, id_col)
     pv = [float(x) for x in probe.select("embedding").first()["embedding"]]
     short = (
