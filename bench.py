@@ -112,10 +112,20 @@ def main() -> None:
         # the pressure land as a GC pause inside a later query's timing
         gc.collect()
 
+    # documented-slower alternative plans (registry variant_of) count toward
+    # the full total but get their own line: a deliberately-kept alternate
+    # (e.g. prefix-filter jaccard) must not read as a headline regression
+    alternates = {
+        n for n, spec in REGISTRY.items() if spec.variant_of is not None
+    }
+    alt_total = sum(t for n, t in per_query.items() if n in alternates)
+
     summary = {
         "metric": "total_query_wall_clock",
         "value": round(total, 3),
         "unit": "sec",
+        "headline_value": round(total - alt_total, 3),
+        "alternates_sec": round(alt_total, 3),
         "n_queries": len(per_query),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         # fixed pure-Python spin: calibrates this host's single-core speed at

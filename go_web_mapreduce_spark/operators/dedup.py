@@ -485,6 +485,7 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     "where pair volume explodes; identical oracle, hash-verified "
     "(measured slower than the co-occurrence plan on this corpus — see "
     "jaccard_pairs_prefix docstring)",
+    variant_of="q_dedup_ngram_jaccard",
 )
 def q_dedup_ngram_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jaccard_pairs_prefix(_shingled_docs(spark, sf_dir))
@@ -826,6 +827,7 @@ def q_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     "contraction (Kiveris et al. 2014), O(log n) rounds on any graph "
     "shape — the 100 TB path when near-dup chains run deep; identical "
     "recursive-CTE oracle as q_dedup_groups",
+    variant_of="q_dedup_groups",
 )
 def q_dedup_groups_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     cands = minhash_candidates(_shingled_docs(spark, sf_dir))

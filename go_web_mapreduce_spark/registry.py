@@ -22,18 +22,32 @@ class QuerySpec:
     fn: QueryFn
     oracle: str | None  # DuckDB SQL over the pre-registered table views; None → rows-only check
     description: str
+    # name of the primary query this one is a documented-slower alternative
+    # plan for (e.g. prefix-filter jaccard vs the inverted-index default).
+    # Alternates run and verify like everything else; bench.py reports a
+    # separate headline total without them so a deliberately-kept slow
+    # variant doesn't read as a regression.
+    variant_of: str | None = None
 
 
 REGISTRY: dict[str, QuerySpec] = {}
 
 
-def query(name: str, oracle: str | None, description: str) -> Callable[[QueryFn], QueryFn]:
+def query(
+    name: str,
+    oracle: str | None,
+    description: str,
+    variant_of: str | None = None,
+) -> Callable[[QueryFn], QueryFn]:
     """Register ``fn(spark, sf_dir) -> DataFrame`` under ``name``."""
 
     def deco(fn: QueryFn) -> QueryFn:
         if name in REGISTRY:
             raise ValueError(f"duplicate query name {name!r}")
-        REGISTRY[name] = QuerySpec(name=name, fn=fn, oracle=oracle, description=description)
+        REGISTRY[name] = QuerySpec(
+            name=name, fn=fn, oracle=oracle, description=description,
+            variant_of=variant_of,
+        )
         return fn
 
     return deco
