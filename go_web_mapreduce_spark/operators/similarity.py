@@ -853,6 +853,7 @@ def pq_train(
     seed: int = 42,
     iters: int = 15,
     id_col: str = "vec_id",
+    normalize: bool = True,
 ):
     """Train PQ codebooks on a content-deterministic capped sample: returns
     a numpy array of shape (m, ksub, dim/m). Vectors are L2-normalized
@@ -873,7 +874,8 @@ def pq_train(
     if n > sample_cap:
         samp = samp.limit(sample_cap)
     X = np.array([r["embedding"] for r in samp.collect()], dtype=np.float64)
-    X = _normalize_rows(X)
+    if normalize:  # residual IVFPQ trains on raw residuals — no re-norm
+        X = _normalize_rows(X)
     dsub = X.shape[1] // m
     rng = np.random.default_rng(seed)
     return np.stack(
@@ -884,11 +886,20 @@ def pq_train(
     )
 
 
-def pq_encode(corpus: DataFrame, codebooks, id_col: str = "vec_id") -> DataFrame:
+def pq_encode(
+    corpus: DataFrame,
+    codebooks,
+    id_col: str = "vec_id",
+    normalize: bool = True,
+    keep_cols: list[str] | None = None,
+    vec_col: str = "embedding",
+) -> DataFrame:
     """Map-side PQ encoding: each vector → ``m`` centroid indices
     (array<int>). An Arrow-batched pandas UDF (vectorized argmin per
     subspace); no shuffle — at 100 TB this is one scan writing 8-byte codes,
-    the 32× compression that lets the ADC scan live in memory."""
+    the 32× compression that lets the ADC scan live in memory.
+    ``normalize=False`` + ``vec_col`` serve the residual-IVFPQ path;
+    ``keep_cols`` carries extra columns (e.g. the IVF list id) through."""
     import numpy as np
     import pandas as pd
 
@@ -898,7 +909,9 @@ def pq_encode(corpus: DataFrame, codebooks, id_col: str = "vec_id") -> DataFrame
     @F.pandas_udf("array<int>")
     def encode(col):
         out = []
-        X = _normalize_rows(np.array(col.tolist(), dtype=np.float64))
+        X = np.array(col.tolist(), dtype=np.float64)
+        if normalize:
+            X = _normalize_rows(X)
         codes = np.empty((len(X), m), dtype=np.int32)
         for j in range(m):
             sub = X[:, j * dsub : (j + 1) * dsub]
@@ -913,7 +926,9 @@ def pq_encode(corpus: DataFrame, codebooks, id_col: str = "vec_id") -> DataFrame
             out.append([int(c) for c in row])
         return pd.Series(out)
 
-    return corpus.select(id_col, encode("embedding").alias("codes"))
+    return corpus.select(
+        id_col, *(keep_cols or []), encode(vec_col).alias("codes")
+    )
 
 
 def pq_adc_score(codes_col, codebooks, probe_vec) -> "F.Column":
@@ -1040,3 +1055,120 @@ def pq_topk(
 def q_similarity_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return pq_topk(emb, emb.filter(F.col("vec_id") == 0))
+
+
+# ---------------------------------------------------------------------------
+# ANN: IVFPQ — the composed production layout (Jégou et al. 2011)
+# ---------------------------------------------------------------------------
+
+
+def ivfpq_topk(
+    corpus: DataFrame,
+    probe: DataFrame,
+    k: int = TOP_K,
+    num_centroids: int = IVF_CENTROIDS,
+    nprobe: int = IVF_NPROBE,
+    m: int = PQ_M,
+    ksub: int = PQ_KSUB,
+    shortlist: int = PQ_SHORTLIST,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF + residual PQ — the standard billion-scale ANN index layout
+    (Jégou et al. 2011, §IV; public): the coarse quantizer prunes to
+    ``nprobe`` inverted lists, PQ codes store each vector's RESIDUAL from
+    its list centroid, and a probe's score decomposes exactly as
+
+        ⟨p̂, x̂⟩ = ⟨p̂, c(x)⟩ + ⟨p̂, x̂ − c(x)⟩
+                 = per-list constant + ADC(residual codes)
+
+    (everything in the L2-normalized domain, so the inner product IS the
+    cosine). Residual encoding is what makes PQ codes sharp at scale: each
+    codebook only has to cover one Voronoi cell's spread, not the whole
+    corpus.
+
+    Scale shape: quantizer + codebooks train on capped samples; assignment
+    and encoding are one map-side scan each; a probe reads nprobe/C of the
+    8-byte codes (partition pruning under ``ivf_persist``'s layout),
+    shortlists with a codegen gather-sum + TakeOrdered, and reranks only
+    ``shortlist`` full vectors. Measured recall/candidate-fraction in
+    tests/test_ann.py and SCALE.md."""
+    import numpy as np
+
+    from go_web_mapreduce_spark.functions.vectors import l2_norm
+
+    nrm = l2_norm(F.col("embedding"))
+    unit = corpus.select(
+        id_col,
+        F.transform(
+            "embedding",
+            lambda x: F.when(nrm == 0.0, F.lit(0.0)).otherwise(
+                x.cast("double") / nrm
+            ),
+        ).alias("embedding"),
+    )
+    assigned, centroids = ivf_assign(unit, num_centroids, id_col=id_col)
+    cent_arr = np.array(centroids, dtype=np.float64)
+
+    cent_df = F.broadcast(
+        corpus.sparkSession.createDataFrame(
+            [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
+            "cid int, centroid array<double>",
+        )
+    )
+    residuals = assigned.join(cent_df, "cid").select(
+        id_col,
+        "cid",
+        F.zip_with("embedding", "centroid", lambda x, c: x - c).alias("res"),
+    )
+    cb = pq_train(
+        residuals.withColumnRenamed("res", "embedding"),
+        m=m,
+        ksub=ksub,
+        id_col=id_col,
+        normalize=False,
+    )
+    codes = pq_encode(
+        residuals, cb, id_col=id_col, normalize=False,
+        keep_cols=["cid"], vec_col="res",
+    )
+
+    pv = np.array(
+        [float(x) for x in probe.select("embedding").first()["embedding"]],
+        dtype=np.float64,
+    )
+    pv = pv / (np.linalg.norm(pv) or 1.0)
+    top_c = _nearest_centroids(probe, centroids, nprobe)
+    # per-list constant ⟨p̂, c⟩, gathered by cid from a literal array
+    base_arr = F.array(
+        *[F.lit(float(np.dot(pv, cent_arr[i]))) for i in range(len(centroids))]
+    )
+    short = (
+        codes.filter(F.col("cid").isin(top_c))
+        .select(
+            id_col,
+            (
+                F.element_at(base_arr, F.col("cid") + 1)
+                + pq_adc_score(F.col("codes"), cb, pv)
+            ).alias("adc"),
+        )
+        .orderBy(F.col("adc").desc(), F.col(id_col))
+        .limit(shortlist)
+    )
+    cands = corpus.join(F.broadcast(short.select(id_col)), id_col)
+    return cosine_topk(cands.select(id_col, "embedding"), probe, k, id_col)
+
+
+@query(
+    "q_similarity_ivfpq",
+    oracle=None,  # approximate by construction — recall vs exact measured
+    # in tests/test_ann.py
+    description="ANN top-20 via IVFPQ: coarse-quantizer list pruning + "
+    "residual product-quantization ADC (exact score decomposition "
+    "⟨p,x⟩ = ⟨p,c⟩ + ⟨p,x−c⟩ in the normalized domain) + exact rerank of "
+    "the shortlist — the composed billion-scale index layout both "
+    "q_similarity_ivf and q_similarity_pq build toward; a probe touches "
+    "nprobe/C of the 8-byte codes and `shortlist` full vectors",
+)
+def q_similarity_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ivfpq_topk(emb, emb.filter(F.col("vec_id") == 0))

