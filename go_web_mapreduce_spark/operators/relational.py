@@ -1165,6 +1165,95 @@ def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOP = 3
+
+
+@query(
+    "q_bm25",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(lower(text), ' ')) AS word FROM documents
+    ), tf AS (
+      SELECT doc_id, word, count(*) AS tf FROM toks WHERE word <> '' GROUP BY 1, 2
+    ), dl AS (
+      SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY doc_id
+    ), df AS (
+      SELECT word, count(*) AS df FROM (SELECT DISTINCT doc_id, word FROM tf) GROUP BY word
+    ), stats AS (
+      SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS sum_dl FROM dl
+    ), scored AS (
+      SELECT tf.doc_id, tf.word, tf.tf, df.df, dl.dl,
+             ((CAST(stats.n_docs - df.df AS DOUBLE) + 0.5)
+              / (CAST(df.df AS DOUBLE) + 0.5))
+             * (CAST(tf.tf AS DOUBLE) * {BM25_K1 + 1.0}
+                / (CAST(tf.tf AS DOUBLE)
+                   + {BM25_K1} * ({1.0 - BM25_B} + {BM25_B}
+                      * (CAST(dl.dl AS DOUBLE)
+                         / (CAST(stats.sum_dl AS DOUBLE)
+                            / CAST(stats.n_docs AS DOUBLE)))))) AS score
+      FROM tf JOIN df USING (word) JOIN dl USING (doc_id), stats
+    )
+    SELECT doc_id, word, tf, df, dl, score
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY score DESC, word) AS rn
+      FROM scored
+    ) WHERE rn <= {BM25_TOP} AND doc_id < 50
+    """,
+    description=f"BM25 ranking (Robertson-Sparck Jones; k1={BM25_K1}, "
+    f"b={BM25_B}): the production IR scorer built from the same tf/df/dl "
+    "statistics as q_tfidf, with length normalization. Rational idf "
+    "(N-df+0.5)/(df+0.5) keeps the whole score inside IEEE +-*/ — no "
+    "transcendental libm calls — so floats hash-match cross-engine; "
+    "top-3 terms per doc (SURVEY named workload: inverted index / IR)",
+)
+def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same scale shape as TF-IDF: two corpus aggregations (tf, and df over
+    distinct pairs), a per-doc length table, one broadcast-able join on
+    word, one window per doc. The corpus-level scalars (N, Σdl) collect as
+    two integers; avgdl is derived with the IDENTICAL operation order as
+    the oracle so the doubles match bit-for-bit."""
+    words = tokenized_documents(spark, sf_dir)
+    tf = words.groupBy("doc_id", "word").agg(F.count("*").alias("tf"))
+    tf = tf.localCheckpoint(eager=False)  # feeds tf, dl, df — scan once
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").cast("bigint").alias("dl"))
+    df = tf.select("doc_id", "word").distinct().groupBy("word").agg(
+        F.count("*").alias("df")
+    )
+    stats = dl.agg(
+        F.count("*").alias("n_docs"), F.sum("dl").cast("bigint").alias("sum_dl")
+    ).first()
+    n_docs, sum_dl = int(stats["n_docs"]), int(stats["sum_dl"])
+    avgdl = float(sum_dl) / float(n_docs)
+
+    tf_d = F.col("tf").cast("double")
+    idf = (
+        (F.col("df") * F.lit(-1) + F.lit(n_docs)).cast("double") + F.lit(0.5)
+    ) / (F.col("df").cast("double") + F.lit(0.5))
+    norm = (
+        tf_d * F.lit(BM25_K1 + 1.0)
+        / (
+            tf_d
+            + F.lit(BM25_K1)
+            * (
+                F.lit(1.0 - BM25_B)
+                + F.lit(BM25_B) * (F.col("dl").cast("double") / F.lit(avgdl))
+            )
+        )
+    )
+    w = W.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("word"))
+    return (
+        tf.join(df, "word")
+        .join(dl, "doc_id")
+        .withColumn("score", idf * norm)
+        .withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") <= BM25_TOP) & (F.col("doc_id") < 50))
+        .select("doc_id", "word", "tf", "df", "dl", "score")
+    )
+
+
 @query(
     "q_udaf_second_max",
     oracle="""
