@@ -670,6 +670,49 @@ def ivf_load(spark: SparkSession, path: str):
     return assigned, centroids
 
 
+def ivf_assign_frozen(
+    vectors: DataFrame, centroids: list[list[float]], id_col: str = "vec_id"
+) -> DataFrame:
+    """Assign vectors to the nearest of FROZEN centroids (Euclidean argmin,
+    the KMeans.transform metric) — a map-side Arrow pass, no training, no
+    shuffle. The ingest-time half of :func:`ivf_append`."""
+    import numpy as np
+    import pandas as pd
+
+    cent = np.array(centroids, dtype=np.float64)
+    cn = (cent * cent).sum(1)
+
+    @F.pandas_udf("int")
+    def assign(col):
+        X = np.array(col.tolist(), dtype=np.float64)
+        d = (X * X).sum(1)[:, None] - 2.0 * X @ cent.T + cn[None, :]
+        return pd.Series(d.argmin(1).astype("int32"))
+
+    return vectors.select(id_col, "embedding", assign("embedding").alias("cid"))
+
+
+def ivf_append(
+    spark: SparkSession, path: str, new_vectors: DataFrame,
+    id_col: str = "vec_id",
+) -> None:
+    """Incremental IVF ingest: append a new batch to a persisted index
+    WITHOUT retraining — the coarse quantizer is frozen, the batch is
+    assigned map-side (:func:`ivf_assign_frozen`) and appended under the
+    same ``partitionBy("cid")`` layout, so searches immediately see the
+    new vectors through the identical partition-pruned path.
+
+    This is the standard production ingest pattern (Jégou-style IVF
+    deployments): assignment is O(batch·C·d) with zero shuffle and zero
+    index rebuild; quantizer retraining/rebalancing is an offline
+    decision when list-size drift accumulates — monitor with a
+    ``groupBy("cid").count()`` over the persisted table. The batch-vs-
+    index discipline mirrors q_dedup_incremental's content-hash index
+    (dedup.py)."""
+    _, centroids = ivf_load(spark, path)
+    assigned = ivf_assign_frozen(new_vectors, centroids, id_col)
+    assigned.write.mode("append").partitionBy("cid").parquet(f"{path}/vectors")
+
+
 def ivf_topk_persisted(
     spark: SparkSession,
     path: str,

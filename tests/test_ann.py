@@ -256,3 +256,59 @@ def test_knn_graph_ivf_recall_and_shape(spark, sf_dir):
         per_vec[r["vec_id"]] = per_vec.get(r["vec_id"], 0) + 1
     assert len(per_vec) == n_vecs and max(per_vec.values()) <= 3
     assert len(exact & approx) / len(exact) >= 0.3
+
+
+def test_ivf_append_incremental_ingest(spark, sf_dir, tmp_path):
+    """Incremental IVF ingest: build the index on the first 80% of the
+    corpus, append the rest with the frozen quantizer, and the persisted
+    search must equal a one-shot search over the full corpus assigned
+    with the SAME centroids — plus every id lands exactly once and each
+    appended row sits in its true nearest list."""
+    import numpy as np
+
+    from go_web_mapreduce_spark.operators.similarity import (
+        ivf_append,
+        ivf_assign,
+        ivf_assign_frozen,
+        ivf_load,
+        ivf_persist,
+        ivf_topk_persisted,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = emb.count()
+    cut = int(n * 0.8)
+    base = emb.filter(F.col("vec_id") < cut)
+    batch = emb.filter(F.col("vec_id") >= cut)
+    path = str(tmp_path / "ivf")
+
+    assigned, centroids = ivf_assign(base)
+    ivf_persist(assigned, centroids, path)
+    ivf_append(spark, path, batch)
+
+    after, cents2 = ivf_load(spark, path)
+    assert cents2 == centroids  # quantizer untouched
+    ids = [r["vec_id"] for r in after.select("vec_id").collect()]
+    assert sorted(ids) == sorted(
+        r["vec_id"] for r in emb.select("vec_id").collect()
+    )
+
+    # each appended row's cid is the true Euclidean argmin
+    cent = np.array(centroids)
+    got = {
+        r["vec_id"]: r["cid"]
+        for r in after.filter(F.col("vec_id") >= cut).collect()
+    }
+    for r in batch.collect():
+        x = np.array(list(r["embedding"]), dtype=np.float64)
+        want = int(((cent - x) ** 2).sum(1).argmin())
+        assert got[r["vec_id"]] == want
+
+    # persisted search sees the appended vectors identically to a
+    # one-shot frozen assignment of the full corpus
+    probe = emb.filter(F.col("vec_id") == 0)
+    a = [tuple(r) for r in ivf_topk_persisted(spark, path, probe, K).collect()]
+    path2 = str(tmp_path / "ivf_oneshot")
+    ivf_persist(ivf_assign_frozen(emb, centroids), centroids, path2)
+    b = [tuple(r) for r in ivf_topk_persisted(spark, path2, probe, K).collect()]
+    assert a == b
