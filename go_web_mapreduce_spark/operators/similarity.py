@@ -1246,12 +1246,29 @@ def ivfpq_topk(
 
     Scale shape: quantizer + codebooks train on capped samples; assignment
     and encoding are one map-side scan each; a probe reads nprobe/C of the
-    8-byte codes (partition pruning under ``ivf_persist``'s layout),
+    8-byte codes (partition pruning under the persisted layout),
     shortlists with a codegen gather-sum + TakeOrdered, and reranks only
     ``shortlist`` full vectors. Measured recall/candidate-fraction in
     tests/test_ann.py and SCALE.md."""
-    import numpy as np
+    codes, centroids, cb = ivfpq_build(
+        corpus, num_centroids=num_centroids, m=m, ksub=ksub, id_col=id_col
+    )
+    return _ivfpq_search(
+        codes, centroids, cb, corpus, probe, k, nprobe, shortlist, id_col
+    )
 
+
+def ivfpq_build(
+    corpus: DataFrame,
+    num_centroids: int = IVF_CENTROIDS,
+    m: int = PQ_M,
+    ksub: int = PQ_KSUB,
+    id_col: str = "vec_id",
+):
+    """Build the IVFPQ index state: ``(codes_df(id, cid, codes),
+    centroids, codebooks)``. Normalizes, trains the coarse quantizer,
+    computes residuals, trains residual codebooks, encodes — two capped
+    sample collections plus two map-side scans."""
     from go_web_mapreduce_spark.functions.vectors import l2_norm
 
     nrm = l2_norm(F.col("embedding"))
@@ -1265,7 +1282,6 @@ def ivfpq_topk(
         ).alias("embedding"),
     )
     assigned, centroids = ivf_assign(unit, num_centroids, id_col=id_col)
-    cent_arr = np.array(centroids, dtype=np.float64)
 
     cent_df = F.broadcast(
         corpus.sparkSession.createDataFrame(
@@ -1289,7 +1305,23 @@ def ivfpq_topk(
         residuals, cb, id_col=id_col, normalize=False,
         keep_cols=["cid"], vec_col="res",
     )
+    return codes, centroids, cb
 
+
+def _ivfpq_search(
+    codes: DataFrame,
+    centroids: list[list[float]],
+    cb,
+    vectors: DataFrame,
+    probe: DataFrame,
+    k: int,
+    nprobe: int,
+    shortlist: int,
+    id_col: str,
+) -> DataFrame:
+    import numpy as np
+
+    cent_arr = np.array(centroids, dtype=np.float64)
     pv = np.array(
         [float(x) for x in probe.select("embedding").first()["embedding"]],
         dtype=np.float64,
@@ -1312,8 +1344,74 @@ def ivfpq_topk(
         .orderBy(F.col("adc").desc(), F.col(id_col))
         .limit(shortlist)
     )
-    cands = corpus.join(F.broadcast(short.select(id_col)), id_col)
+    cands = vectors.join(F.broadcast(short.select(id_col)), id_col)
     return cosine_topk(cands.select(id_col, "embedding"), probe, k, id_col)
+
+
+def ivfpq_persist(
+    codes: DataFrame, centroids: list[list[float]], codebooks,
+    path: str, corpus: DataFrame,
+) -> None:
+    """Write the IVFPQ index: residual codes parquet PARTITIONED BY cid
+    (an nprobe search reads only the probed directories — the 8-byte-per-
+    vector scan), centroid + codebook JSON sidecars, and the full vectors
+    for the exact rerank. Encode once at ingest; probes read codes +
+    sidecars + ``shortlist`` vectors."""
+    codes.write.mode("overwrite").partitionBy("cid").parquet(f"{path}/codes")
+    spark = codes.sparkSession
+    spark.createDataFrame(
+        [(i, c) for i, c in enumerate(centroids)],
+        "cid int, centroid array<double>",
+    ).coalesce(1).write.mode("overwrite").json(f"{path}/centroids")
+    m, ksub, dsub = codebooks.shape
+    spark.createDataFrame(
+        [
+            (j, c, [float(x) for x in codebooks[j][c]])
+            for j in range(m)
+            for c in range(ksub)
+        ],
+        "j int, c int, centroid array<double>",
+    ).coalesce(1).write.mode("overwrite").json(f"{path}/codebooks")
+    corpus.write.mode("overwrite").parquet(f"{path}/vectors")
+
+
+def ivfpq_load(spark: SparkSession, path: str):
+    """Load a persisted IVFPQ index → ``(codes_df, centroids, codebooks,
+    vectors_df)``; codes are partition-pruned by any ``cid`` filter."""
+    import numpy as np
+
+    codes = spark.read.parquet(f"{path}/codes")
+    cents = spark.read.json(f"{path}/centroids").collect()
+    centroids = [None] * len(cents)
+    for r in cents:
+        centroids[int(r["cid"])] = [float(x) for x in r["centroid"]]
+    rows = spark.read.json(f"{path}/codebooks").collect()
+    m = max(int(r["j"]) for r in rows) + 1
+    ksub = max(int(r["c"]) for r in rows) + 1
+    dsub = len(rows[0]["centroid"])
+    cb = np.zeros((m, ksub, dsub))
+    for r in rows:
+        cb[int(r["j"]), int(r["c"])] = [float(x) for x in r["centroid"]]
+    vectors = spark.read.parquet(f"{path}/vectors")
+    return codes, centroids, cb, vectors
+
+
+def ivfpq_topk_persisted(
+    spark: SparkSession,
+    path: str,
+    probe: DataFrame,
+    k: int = TOP_K,
+    nprobe: int = IVF_NPROBE,
+    shortlist: int = PQ_SHORTLIST,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Search a persisted IVFPQ index: sidecars load driver-side (KBs),
+    the ADC pass reads only the probed cid partitions of the codes
+    parquet, and the rerank touches ``shortlist`` full vectors."""
+    codes, centroids, cb, vectors = ivfpq_load(spark, path)
+    return _ivfpq_search(
+        codes, centroids, cb, vectors, probe, k, nprobe, shortlist, id_col
+    )
 
 
 @query(

@@ -312,3 +312,39 @@ def test_ivf_append_incremental_ingest(spark, sf_dir, tmp_path):
     ivf_persist(ivf_assign_frozen(emb, centroids), centroids, path2)
     b = [tuple(r) for r in ivf_topk_persisted(spark, path2, probe, K).collect()]
     assert a == b
+
+
+def test_ivfpq_persisted_search_equals_inline(spark, sf_dir, tmp_path):
+    """Encode-once-query-many for the composed index: persist codes
+    (partitioned by cid) + sidecars + vectors, and the persisted search
+    must return exactly the inline result; the codes scan must be
+    partition-pruned to the probed lists."""
+    from go_web_mapreduce_spark.operators.similarity import (
+        IVF_NPROBE,
+        ivfpq_build,
+        ivfpq_load,
+        ivfpq_persist,
+        ivfpq_topk,
+        ivfpq_topk_persisted,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    probe = emb.filter(F.col("vec_id") == 0)
+    inline = [tuple(r) for r in ivfpq_topk(emb, probe, K).collect()]
+
+    path = str(tmp_path / "ivfpq")
+    codes, centroids, cb = ivfpq_build(emb)
+    ivfpq_persist(codes, centroids, cb, path, emb)
+    persisted = [
+        tuple(r) for r in ivfpq_topk_persisted(spark, path, probe, K).collect()
+    ]
+    assert persisted == inline
+
+    # partition pruning: a cid filter on the persisted codes reads fewer
+    # files than the full scan (PartitionFilters in the plan)
+    codes2, _, _, _ = ivfpq_load(spark, path)
+    plan = (
+        codes2.filter(F.col("cid") == 0)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "PartitionFilters: [isnotnull(cid" in plan, plan
