@@ -76,6 +76,26 @@ def main() -> None:
         r = recall(lambda p, np_=nprobe: ivf_topk(emb, p, K, nprobe=np_))
         rows.append((f"IVF nprobe={nprobe}/32", f"~{frac:.3f}", r, frac))
 
+    from go_web_mapreduce_spark.operators.similarity import (
+        PQ_SHORTLIST,
+        _ivfpq_search,
+        ivfpq_build,
+    )
+
+    codes, centroids, cb = ivfpq_build(emb)
+    codes = codes.localCheckpoint(eager=True)
+    for nprobe in (4, 8, 16):
+        frac = nprobe / IVF_CENTROIDS
+        r = recall(
+            lambda p, np_=nprobe: _ivfpq_search(
+                codes, centroids, cb, emb, p, K, np_, PQ_SHORTLIST, "vec_id"
+            )
+        )
+        rows.append(
+            (f"IVFPQ nprobe={nprobe}/32 shortlist={PQ_SHORTLIST}",
+             f"~{frac:.3f}", r, frac)
+        )
+
     for shortlist, m, ksub in (
         (50, 8, 16), (100, 8, 16), (200, 8, 16), (400, 8, 16),
         (100, 4, 16), (100, 16, 16), (100, 8, 8),
