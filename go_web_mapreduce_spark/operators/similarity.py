@@ -614,37 +614,50 @@ def ivf_assign(
 
     Training cost discipline: a coarse quantizer only partitions space — it
     does not need a converged clustering, and it does not need the corpus.
-    Training runs on a seeded ``sample`` capped at ``train_sample_cap`` rows
-    (one cheap count decides the fraction), so the k-means passes touch a
-    bounded set no matter the corpus size; only the map-side ``transform``
-    sees every vector. Random init (k-means|| adds ~2 extra full passes) and
-    ``max_iter`` capped; recall vs exact is what's asserted
-    (tests/test_ann.py), not inertia. Persist the result with
-    :func:`ivf_persist` so a probe's nprobe buckets become partition pruning.
+    Training collects a CONTENT-DETERMINISTIC capped sample
+    (``orderBy(xxhash64(id)) limit cap`` — the pq_train discipline, so
+    centroids never depend on partition layout or cluster size) and runs
+    Lloyd iterations driver-side in numpy: the sample is ≤ sample_cap×dim
+    doubles (~50 MB at the default cap) and the distance matrix uses the
+    n×k expansion trick, so training is one Spark action total instead of
+    ~3 jobs per MLlib iteration (rewritten in round 5: the MLlib fit's
+    ~30 tiny jobs dominated the inline ANN queries at test SFs and its
+    ``sample()`` selection was layout-dependent). Only the map-side
+    assignment (:func:`ivf_assign_frozen`) sees every vector. Recall vs
+    exact is what's asserted (tests/test_ann.py), not inertia. Persist
+    the result with :func:`ivf_persist` so a probe's nprobe buckets
+    become partition pruning.
     """
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
+    import numpy as np
 
-    feat = corpus.withColumn("__fv", array_to_vector("embedding"))
     n = total_rows if total_rows is not None else corpus.count()
+    samp = corpus.select(
+        "embedding", F.xxhash64(F.col(id_col)).alias("__hk")
+    ).orderBy("__hk")
     if n > train_sample_cap:
-        # oversample slightly so the expected draw clears the cap, then cut
-        frac = min(1.0, 1.1 * train_sample_cap / n)
-        train = feat.sample(withReplacement=False, fraction=frac, seed=seed).limit(
-            train_sample_cap
+        samp = samp.limit(train_sample_cap)
+    X = np.array([r["embedding"] for r in samp.collect()], dtype=np.float64)
+    if len(X) < num_centroids:
+        raise ValueError(
+            f"ivf_assign: {len(X)} training vectors < {num_centroids} "
+            "centroids — lower num_centroids"
         )
-    else:
-        train = feat
-    model = KMeans(
-        k=num_centroids,
-        seed=seed,
-        featuresCol="__fv",
-        predictionCol="cid",
-        initMode="random",
-        maxIter=max_iter,
-    ).fit(train)
-    assigned = model.transform(feat).select(id_col, "embedding", "cid")
-    centroids = [[float(x) for x in c] for c in model.clusterCenters()]
+    rng = np.random.default_rng(seed)
+    C = X[rng.choice(len(X), size=num_centroids, replace=False)].copy()
+    for _ in range(max_iter):
+        # n×k squared distances via the expansion trick — never n×k×dim
+        d = (
+            (X * X).sum(1)[:, None]
+            - 2.0 * X @ C.T
+            + (C * C).sum(1)[None, :]
+        )
+        a = d.argmin(1)
+        for j in range(num_centroids):
+            pts = X[a == j]
+            if len(pts):
+                C[j] = pts.mean(0)
+    centroids = [[float(x) for x in c] for c in C]
+    assigned = ivf_assign_frozen(corpus, centroids, id_col)
     return assigned, centroids
 
 
@@ -1271,15 +1284,26 @@ def ivfpq_build(
     sample collections plus two map-side scans."""
     from go_web_mapreduce_spark.functions.vectors import l2_norm
 
-    nrm = l2_norm(F.col("embedding"))
-    unit = corpus.select(
-        id_col,
-        F.transform(
-            "embedding",
-            lambda x: F.when(nrm == 0.0, F.lit(0.0)).otherwise(
-                x.cast("double") / nrm
-            ),
-        ).alias("embedding"),
+    # materialize the norm ONCE per row before the per-element divide —
+    # folding l2_norm inside the transform lambda would re-evaluate the
+    # whole 64-element reduction per element (measured 16.7 s vs 3.4 s for
+    # the full query at sf0.1); lazy-checkpoint the unit vectors because
+    # KMeans fit iterations, the PQ training sample, and the encode scan
+    # each re-execute this projection otherwise
+    unit = (
+        corpus.select(
+            id_col, "embedding", l2_norm(F.col("embedding")).alias("__n")
+        )
+        .select(
+            id_col,
+            F.transform(
+                "embedding",
+                lambda x: F.when(F.col("__n") == 0.0, F.lit(0.0)).otherwise(
+                    x.cast("double") / F.col("__n")
+                ),
+            ).alias("embedding"),
+        )
+        .localCheckpoint(eager=False)
     )
     assigned, centroids = ivf_assign(unit, num_centroids, id_col=id_col)
 
@@ -1289,10 +1313,18 @@ def ivfpq_build(
             "cid int, centroid array<double>",
         )
     )
-    residuals = assigned.join(cent_df, "cid").select(
-        id_col,
-        "cid",
-        F.zip_with("embedding", "centroid", lambda x, c: x - c).alias("res"),
+    # checkpoint: pq_train's count + sample collect and pq_encode's scan
+    # would each replay the KMeans transform + join + subtract otherwise
+    residuals = (
+        assigned.join(cent_df, "cid")
+        .select(
+            id_col,
+            "cid",
+            F.zip_with("embedding", "centroid", lambda x, c: x - c).alias(
+                "res"
+            ),
+        )
+        .localCheckpoint(eager=False)
     )
     cb = pq_train(
         residuals.withColumnRenamed("res", "embedding"),
