@@ -504,7 +504,7 @@ def simhash_pairs(
 ) -> DataFrame:
     """Near-dup pairs at hamming distance <= max_dist on 60-bit SimHash.
 
-    Candidate generation is *complete* by pigeonhole: 4 disjoint 12-bit bands;
+    Candidate generation is *complete* by pigeonhole: 4 disjoint 15-bit bands;
     any pair within distance 3 must agree on >= 1 whole band, so the band
     equi-join finds every qualifying pair without an n² comparison.
 

@@ -786,7 +786,17 @@ def q_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     dialect (multiLine on the read side so embedded newlines inside
     quoted fields survive). The write is partitioned like any Spark sink — at 100 TB
     this is the standard parquet↔CSV interchange job, one scan each way,
-    no driver involvement."""
+    no driver involvement.
+
+    RESERVED SENTINEL: the dialect encodes SQL NULL as the two-character
+    field ``\\N`` (the classic MySQL/Hive convention). A text field whose
+    CONTENT is literally backslash-N would read back as NULL — an inherent
+    sentinel collision of every CSV null dialect (quoting does not
+    disambiguate: the reader compares the parsed field text against
+    nullValue). Callers moving a
+    corpus where ``\\N`` is plausible content must pick a sentinel provably
+    absent from the data (e.g. a ``\\x00``-prefixed token) on BOTH sides —
+    or use parquet, which needs no sentinel."""
     import hashlib
     import os
     import tempfile

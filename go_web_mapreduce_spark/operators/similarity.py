@@ -30,6 +30,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
+from go_web_mapreduce_spark.functions import ann_oracle
 from go_web_mapreduce_spark.functions.vectors import cosine_similarity
 from go_web_mapreduce_spark.registry import query
 from go_web_mapreduce_spark.sources.tables import load_table
@@ -598,41 +599,50 @@ IVF_TRAIN_SAMPLE_CAP = 100_000  # rows the quantizer trains on, corpus-size-inde
 def ivf_assign(
     corpus: DataFrame,
     num_centroids: int = IVF_CENTROIDS,
-    seed: int = 42,
     id_col: str = "vec_id",
     max_iter: int = 10,
     train_sample_cap: int = IVF_TRAIN_SAMPLE_CAP,
     total_rows: int | None = None,
 ):
-    """Train a coarse quantizer (distributed k-means) and assign every
-    corpus vector to its nearest centroid — the IVF partitioning step
-    (Jégou et al. 2011, public).
+    """Train a coarse quantizer and assign every corpus vector to its
+    nearest centroid — the IVF partitioning step (Jégou et al. 2011,
+    public). Training runs DRIVER-SIDE: a content-deterministic capped
+    sample is collected and Lloyd iterations run in numpy; only the
+    map-side frozen assignment (:func:`ivf_assign_frozen`) sees every
+    vector.
 
     Returns ``(assigned_df, centroids)``: the corpus with a ``cid`` column
-    (assignment is a map-side model.transform — vectors never shuffle) and
+    (assignment is a map-side Arrow pass — vectors never shuffle) and
     the centroid matrix as a plain list (C×dim floats — driver-tiny).
 
     Training cost discipline: a coarse quantizer only partitions space — it
     does not need a converged clustering, and it does not need the corpus.
     Training collects a CONTENT-DETERMINISTIC capped sample
-    (``orderBy(xxhash64(id)) limit cap`` — the pq_train discipline, so
-    centroids never depend on partition layout or cluster size) and runs
-    Lloyd iterations driver-side in numpy: the sample is ≤ sample_cap×dim
-    doubles (~50 MB at the default cap) and the distance matrix uses the
-    n×k expansion trick, so training is one Spark action total instead of
-    ~3 jobs per MLlib iteration (rewritten in round 5: the MLlib fit's
-    ~30 tiny jobs dominated the inline ANN queries at test SFs and its
-    ``sample()`` selection was layout-dependent). Only the map-side
-    assignment (:func:`ivf_assign_frozen`) sees every vector. Recall vs
+    (``orderBy(md5(cast(id as string))) limit cap`` — the pq_train
+    discipline, so centroids never depend on partition layout or cluster
+    size) and runs Lloyd iterations driver-side in numpy: the sample is
+    ≤ sample_cap×dim doubles (~50 MB at the default cap) and the distance
+    matrix uses the n×k expansion trick, so training is one Spark action
+    total instead of ~3 jobs per MLlib iteration (rewritten in round 5:
+    the MLlib fit's ~30 tiny jobs dominated the inline ANN queries at test
+    SFs and its ``sample()`` selection was layout-dependent). Recall vs
     exact is what's asserted (tests/test_ann.py), not inertia. Persist
     the result with :func:`ivf_persist` so a probe's nprobe buckets
     become partition pruning.
+
+    Every step is engine-portable (round 6): the sample key is md5 of the
+    id string (identical in Spark and DuckDB), initialization is the first
+    ``num_centroids`` hash-ordered sample rows (hash order is content-
+    random, so this is random init without an RNG), and an empty cluster
+    keeps its previous centroid — which is why the DuckDB oracles for the
+    IVF-family queries can replay the whole training as unrolled CTEs
+    (functions/ann_oracle.py) and hash-verify the results.
     """
     import numpy as np
 
     n = total_rows if total_rows is not None else corpus.count()
     samp = corpus.select(
-        "embedding", F.xxhash64(F.col(id_col)).alias("__hk")
+        "embedding", F.md5(F.col(id_col).cast("string")).alias("__hk")
     ).orderBy("__hk")
     if n > train_sample_cap:
         samp = samp.limit(train_sample_cap)
@@ -642,8 +652,7 @@ def ivf_assign(
             f"ivf_assign: {len(X)} training vectors < {num_centroids} "
             "centroids — lower num_centroids"
         )
-    rng = np.random.default_rng(seed)
-    C = X[rng.choice(len(X), size=num_centroids, replace=False)].copy()
+    C = X[:num_centroids].copy()
     for _ in range(max_iter):
         # n×k squared distances via the expansion trick — never n×k×dim
         d = (
@@ -785,11 +794,19 @@ def _nearest_centroids(
 
 @query(
     "q_similarity_ivf",
-    oracle=None,  # approximate by construction — driver records rows+schema
+    # FULL SQL oracle (round 6): training is engine-portable (md5 sample
+    # key, first-k init, fixed 10 Lloyd steps), so DuckDB replays the whole
+    # train → assign → nprobe-prune → exact-rerank pipeline as unrolled CTEs
+    oracle=ann_oracle.ivf_oracle(
+        dim=EMBEDDING_DIM, k=IVF_CENTROIDS, iters=10,
+        cap=IVF_TRAIN_SAMPLE_CAP, nprobe=IVF_NPROBE, top_k=TOP_K,
+    ),
     description="ANN top-20 via IVF coarse quantizer (sample-trained k-means "
     "partitioning + nprobe inverted-list scan; ivf_persist partitions the "
     "index by cid for partition-pruned search) — the preferred 100 TB "
-    "similarity path; recall vs exact measured in tests/test_ann.py",
+    "similarity path; recall vs exact measured in tests/test_ann.py; "
+    "hash-verified against a DuckDB oracle that replays the training as "
+    "unrolled Lloyd CTEs (functions/ann_oracle.py)",
 )
 def q_similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
@@ -805,6 +822,7 @@ def knn_graph_ivf(
     num_centroids: int = IVF_CENTROIDS,
     aprobe: int = KNN_IVF_APROBE,
     id_col: str = "vec_id",
+    index_shards: int = 1,
 ) -> DataFrame:
     """Approximate kNN graph via IVF lists — the sub-quadratic scale path
     for :func:`knn_graph` (which is Θ(n²·d) by definition and measured so
@@ -823,7 +841,17 @@ def knn_graph_ivf(
 
     Determinism: per-list blocks sort by id, local top-k uses a stable
     argsort on (−score), and the final window rank uses the same
-    (score desc, id asc) order as the exact graph."""
+    (score desc, id asc) order as the exact graph. Scores accumulate
+    dimension-sequentially (the embedding_near_dup_pairs discipline), so
+    they are bit-identical to the Column fold and the DuckDB oracle.
+
+    Row-size bound: each packed list row is ~(n/C)·dim doubles, so C must
+    scale with the corpus to keep a list inside a task (and under the 2 GB
+    array limit). ``index_shards`` bounds it orthogonally: the INDEX side
+    of each list splits into ``index_shards`` hash shards (the query side
+    joins all shards of a probed list), dividing peak row size by the
+    shard count with identical results — at 100 TB set both C ∝ n and
+    shards so a shard holds ~10⁴ vectors."""
     import numpy as np
     import pandas as pd
 
@@ -846,13 +874,25 @@ def knn_graph_ivf(
         .agg(F.collect_list("s").alias("qrows"))
     )
     ipacked = (
-        assigned.select("cid", F.struct(
-            F.col(id_col).alias("id"), F.col("embedding").alias("emb")
-        ).alias("s"))
-        .groupBy("cid")
+        assigned.select(
+            "cid",
+            F.pmod(F.hash(F.col(id_col)), F.lit(index_shards)).alias("shard"),
+            F.struct(
+                F.col(id_col).alias("id"), F.col("embedding").alias("emb")
+            ).alias("s"),
+        )
+        .groupBy("cid", "shard")
         .agg(F.collect_list("s").alias("irows"))
     )
+    # query side joins every shard of a probed list; a (vec, nbr) pair still
+    # arises exactly once (nbr lives in one shard of its one list)
     joined = qpacked.join(ipacked, "cid")
+
+    def _norms_seq(m: "np.ndarray") -> "np.ndarray":
+        acc = np.zeros(m.shape[0])
+        for i in range(m.shape[1]):
+            acc = acc + m[:, i] * m[:, i]
+        return np.sqrt(acc)
 
     def score_block(batches):
         for pdf in batches:
@@ -863,11 +903,17 @@ def knn_graph_ivf(
                 im = np.array([list(r["emb"]) for r in irows], dtype=np.float64)
                 qo, io = np.argsort(qi), np.argsort(ii)
                 qi, qm, ii, im = qi[qo], qm[qo], ii[io], im[io]
-                qn = np.sqrt((qm * qm).sum(1))
-                inn = np.sqrt((im * im).sum(1))
+                qn = _norms_seq(qm)
+                inn = _norms_seq(im)
+                # dimension-sequential accumulation == the left-fold dot of
+                # the Column expression and the list_reduce oracle, so the
+                # emitted scores are bit-identical across engines
+                dots = np.zeros((len(qi), len(ii)))
+                for i in range(qm.shape[1]):
+                    dots = dots + np.outer(qm[:, i], im[:, i])
                 denom = np.outer(qn, inn)
                 score = np.divide(
-                    qm @ im.T, denom, out=np.zeros((len(qi), len(ii))),
+                    dots, denom, out=np.zeros((len(qi), len(ii))),
                     where=denom != 0.0,
                 )
                 score[qi[:, None] == ii[None, :]] = -np.inf  # self
@@ -896,8 +942,11 @@ def knn_graph_ivf(
 
 @query(
     "q_knn_graph_ivf",
-    oracle=None,  # approximate by construction — recall vs the exact graph
-    # measured in tests/test_ann.py
+    # FULL SQL oracle (round 6): portable training + fold-parity scores
+    oracle=ann_oracle.knn_graph_ivf_oracle(
+        dim=EMBEDDING_DIM, k=IVF_CENTROIDS, iters=10,
+        cap=IVF_TRAIN_SAMPLE_CAP, aprobe=KNN_IVF_APROBE, graph_k=KNN_K,
+    ),
     description="approximate kNN graph via IVF lists: each vector indexed "
     "in its nearest list, searching its aprobe=4 nearest lists — work is "
     "an aprobe/C fraction of the exact graph's brute force (the Θ(n²·d) "
@@ -984,12 +1033,14 @@ PQ_TRAIN_CAP = 2048  # driver-side training sample cap (rows)
 PQ_SHORTLIST = 100  # ADC shortlist size before exact rerank
 
 
-def _pq_lloyd(X, k: int, iters: int, rng):
+def _pq_lloyd(X, k: int, iters: int):
     """Tiny deterministic Lloyd k-means on a (n, dsub) numpy block — the
     per-subspace codebook trainer. n ≤ PQ_TRAIN_CAP, k = 16, dsub = 8: the
     whole training is microseconds of driver numpy; the corpus never
-    participates (the same coarse-quantizer discipline as ivf_assign)."""
-    import numpy as np
+    participates (the same coarse-quantizer discipline as ivf_assign).
+    Init = first k rows (X arrives hash-ordered, i.e. content-random) and
+    empty clusters keep their previous centroid — both engine-portable so
+    the DuckDB oracle (functions/ann_oracle.py) replays this exactly."""
 
     if len(X) < k:
         raise ValueError(
@@ -997,7 +1048,7 @@ def _pq_lloyd(X, k: int, iters: int, rng):
             f"per subspace but got {len(X)}; grow the corpus/sample_cap or "
             "lower ksub"
         )
-    C = X[rng.choice(len(X), size=k, replace=False)].copy()
+    C = X[:k].copy()
     for _ in range(iters):
         d = ((X[:, None, :] - C[None, :, :]) ** 2).sum(-1)
         a = d.argmin(1)
@@ -1021,7 +1072,6 @@ def pq_train(
     m: int = PQ_M,
     ksub: int = PQ_KSUB,
     sample_cap: int = PQ_TRAIN_CAP,
-    seed: int = 42,
     iters: int = 15,
     id_col: str = "vec_id",
     normalize: bool = True,
@@ -1031,16 +1081,19 @@ def pq_train(
     before splitting so the ADC inner product approximates cosine. Driver
     memory is bounded by ``sample_cap`` rows regardless of corpus size.
 
-    Sample selection is by id-hash order (``orderBy(xxhash64(id))`` +
-    limit → TakeOrdered), so the training set — and therefore codebooks,
-    codes, and search results — depends only on the data's CONTENT, never
-    on partition layout or cluster size (a seeded ``sample().limit()``
-    would take whichever rows arrived first)."""
+    Sample selection is by id-hash order (``orderBy(md5(cast(id as
+    string)))`` + limit → TakeOrdered), so the training set — and therefore
+    codebooks, codes, and search results — depends only on the data's
+    CONTENT, never on partition layout or cluster size (a seeded
+    ``sample().limit()`` would take whichever rows arrived first). md5 of
+    the id string computes identically in DuckDB, and init/empty-cluster
+    rules are portable (see :func:`_pq_lloyd`), so the PQ-family oracles
+    replay this training verbatim in SQL (functions/ann_oracle.py)."""
     import numpy as np
 
     n = corpus.count()
     samp = corpus.select(
-        "embedding", F.xxhash64(F.col(id_col)).alias("__hk")
+        "embedding", F.md5(F.col(id_col).cast("string")).alias("__hk")
     ).orderBy("__hk")
     if n > sample_cap:
         samp = samp.limit(sample_cap)
@@ -1048,10 +1101,9 @@ def pq_train(
     if normalize:  # residual IVFPQ trains on raw residuals — no re-norm
         X = _normalize_rows(X)
     dsub = X.shape[1] // m
-    rng = np.random.default_rng(seed)
     return np.stack(
         [
-            _pq_lloyd(X[:, j * dsub : (j + 1) * dsub], ksub, iters, rng)
+            _pq_lloyd(X[:, j * dsub : (j + 1) * dsub], ksub, iters)
             for j in range(m)
         ]
     )
@@ -1214,8 +1266,11 @@ def pq_topk(
 
 @query(
     "q_similarity_pq",
-    oracle=None,  # approximate by construction — recall vs exact measured
-    # in tests/test_ann.py
+    # FULL SQL oracle (round 6): codebook training replayed per subspace
+    oracle=ann_oracle.pq_oracle(
+        dim=EMBEDDING_DIM, m=PQ_M, ksub=PQ_KSUB, iters=15,
+        cap=PQ_TRAIN_CAP, shortlist=PQ_SHORTLIST, top_k=TOP_K,
+    ),
     description="ANN top-20 via product quantization: sample-trained "
     "per-subspace codebooks, map-side 4-bit encoding (32× compression), "
     "codegen ADC gather-sum shortlist, exact rerank of the shortlist only — "
@@ -1448,8 +1503,14 @@ def ivfpq_topk_persisted(
 
 @query(
     "q_similarity_ivfpq",
-    oracle=None,  # approximate by construction — recall vs exact measured
-    # in tests/test_ann.py
+    # FULL SQL oracle (round 6): normalize → coarse Lloyd → residual
+    # codebooks → score decomposition, all replayed as unrolled CTEs
+    oracle=ann_oracle.ivfpq_oracle(
+        dim=EMBEDDING_DIM, k=IVF_CENTROIDS, ivf_iters=10,
+        ivf_cap=IVF_TRAIN_SAMPLE_CAP, nprobe=IVF_NPROBE,
+        m=PQ_M, ksub=PQ_KSUB, pq_iters=15, pq_cap=PQ_TRAIN_CAP,
+        shortlist=PQ_SHORTLIST, top_k=TOP_K,
+    ),
     description="ANN top-20 via IVFPQ: coarse-quantizer list pruning + "
     "residual product-quantization ADC (exact score decomposition "
     "⟨p,x⟩ = ⟨p,c⟩ + ⟨p,x−c⟩ in the normalized domain) + exact rerank of "

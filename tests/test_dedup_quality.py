@@ -11,7 +11,7 @@ assertions below are about the ALGORITHMS, not the corpus:
   P(cand|s) = 1-(1-s^r)^b within 3-sigma binomial slack, per
   replace-level — the b/r tradeoff stated in dedup.py docstrings,
   measured for the first time;
-- SimHash at hamming<=3/48 must find every verbatim duplicate (its
+- SimHash at hamming<=3/60 must find every verbatim duplicate (its
   design point), and every pair it reports must be a genuinely similar
   planted pair, not noise.
 """

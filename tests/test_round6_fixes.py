@@ -1,0 +1,81 @@
+"""Round-6 changes:
+
+1. The IVF/PQ family's training became engine-portable (md5 sample key,
+   first-k init) so the four previously rows-only ANN queries now carry
+   FULL DuckDB oracles — pinned here structurally (registry has SQL) and
+   behaviorally (training layout-insensitive; knn scores fold-exact).
+2. knn_graph_ivf gained index_shards (bounds packed-row size at scale)
+   which must not change results.
+3. registry: variant_of must resolve to a registered query.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from go_web_mapreduce_spark.sources.tables import load_table
+
+
+def test_ann_family_has_full_oracles():
+    from go_web_mapreduce_spark.queries import REGISTRY
+
+    for name in (
+        "q_similarity_ivf",
+        "q_similarity_pq",
+        "q_similarity_ivfpq",
+        "q_knn_graph_ivf",
+    ):
+        spec = REGISTRY[name]
+        assert spec.oracle is not None, f"{name} regressed to rows-only"
+        assert "md5(CAST(id AS VARCHAR))" in spec.oracle  # replayed training
+
+
+def test_ivf_assign_is_layout_insensitive(spark, sf_dir):
+    """Centroids are a pure function of content: any partitioning of the
+    same rows must train the identical quantizer (the pq_train discipline,
+    now via the engine-portable md5 sample key)."""
+    from go_web_mapreduce_spark.operators.similarity import ivf_assign
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    _, a = ivf_assign(emb, train_sample_cap=200)
+    _, b = ivf_assign(emb.repartition(13), train_sample_cap=200)
+    assert a == b
+
+
+def test_knn_graph_ivf_sharding_is_result_invariant(spark, sf_dir):
+    """index_shards only bounds packed-row size; the graph must be
+    identical for any shard count (each neighbor still arises from exactly
+    one (list, shard) block)."""
+    from go_web_mapreduce_spark.operators.similarity import knn_graph_ivf
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") < 300
+    )
+    base = sorted(tuple(r) for r in knn_graph_ivf(emb).collect())
+    sharded = sorted(
+        tuple(r) for r in knn_graph_ivf(emb, index_shards=4).collect()
+    )
+    assert sharded == base
+
+
+def test_variant_of_must_resolve():
+    import importlib
+
+    from go_web_mapreduce_spark import queries as q
+    from go_web_mapreduce_spark.registry import REGISTRY, QuerySpec
+
+    bad = QuerySpec(
+        name="q___bogus_variant",
+        fn=lambda spark, sf_dir: None,
+        oracle=None,
+        description="test fixture",
+        variant_of="q___no_such_query",
+    )
+    REGISTRY[bad.name] = bad
+    try:
+        with pytest.raises(ValueError, match="does not resolve"):
+            importlib.reload(q)
+    finally:
+        del REGISTRY[bad.name]
+        importlib.reload(q)
