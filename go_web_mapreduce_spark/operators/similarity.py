@@ -466,10 +466,12 @@ def _hyperplanes(num: int = NUM_HYPERPLANES, dim: int = EMBEDDING_DIM) -> list[l
     return planes
 
 
-def ann_lsh_buckets(df: DataFrame, id_col: str = "vec_id") -> DataFrame:
-    """Adds a ``bucket`` column: the sign pattern of NUM_HYPERPLANES dot
+def ann_lsh_buckets(
+    df: DataFrame, id_col: str = "vec_id", num_planes: int = NUM_HYPERPLANES
+) -> DataFrame:
+    """Adds a ``bucket`` column: the sign pattern of ``num_planes`` dot
     products — a pure map-side pass (vectors never shuffle)."""
-    planes = _hyperplanes()
+    planes = _hyperplanes(num_planes)
     bucket = F.lit(0)
     for j, plane in enumerate(planes):
         lit_plane = F.array(*[F.lit(v) for v in plane])
@@ -583,6 +585,145 @@ def _ann_lsh_oracle() -> str:
 def q_similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return ann_topk_lsh(emb, emb.filter(F.col("vec_id") == 0))
+
+
+LSH_DEDUP_PLANES = 16  # sign bits for the banded near-dup candidate join
+LSH_DEDUP_BANDS = 2  # 2 bands x 8 bits: complete for hamming distance <= 1
+
+
+def embedding_near_dup_pairs_lsh(
+    corpus: DataFrame,
+    threshold: float = NEAR_DUP_COS,
+    id_col: str = "vec_id",
+    num_planes: int = LSH_DEDUP_PLANES,
+    bands: int = LSH_DEDUP_BANDS,
+) -> DataFrame:
+    """Sub-quadratic near-dup pairs: the LSH-BUCKETED scale path that
+    :func:`embedding_near_dup_pairs`'s docstring promises (sign-LSH
+    banding + per-candidate exact verification) — the SimHash/MinHash
+    banding trick applied to the embedding domain (Charikar 2002 sign
+    hashes + the LSH banding construction, Mining of Massive Datasets
+    ch. 3; both public).
+
+    Candidate generation: each vector's ``num_planes``-bit sign signature
+    splits into ``bands`` disjoint bands; a pair becomes a candidate iff
+    some band agrees exactly (band equi-join — by pigeonhole, complete
+    for signature hamming distance <= bands-1). Candidates are re-scored
+    with the EXACT fold cosine and thresholded, so precision is 1.0 by
+    construction; recall follows the banding S-curve
+    ``1-(1-p^r)^b`` with ``p = 1 - arccos(cos)/pi`` — measured against
+    planted ground truth in tools/dedup_quality.py / SCALE.md.
+
+    Scale shape: signatures are one map-side pass (vectors never shuffle
+    for candidate generation — only (id, band) longs do); the distinct
+    candidate set joins vectors back for the exact re-score, touching
+    candidate-fraction x corpus bytes instead of the exact plan's
+    (B+1)/2-fold replication. Raise ``num_planes``/``bands`` to trade
+    recall for candidate volume at 100 TB.
+    """
+    sig = ann_lsh_buckets(corpus, id_col, num_planes)
+    width = num_planes // bands
+    mask = (1 << width) - 1
+    exploded = sig.select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("bi"),
+                        F.shiftright(F.col("bucket"), i * width)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("bv"),
+                    )
+                    for i in range(bands)
+                ]
+            )
+        ).alias("b"),
+    ).select("id", F.col("b.bi").alias("bi"), F.col("b.bv").alias("bv"))
+    a, b = exploded.alias("a"), exploded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.bi") == F.col("b.bi"))
+            & (F.col("a.bv") == F.col("b.bv"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("vec_a"), F.col("b.id").alias("vec_b"))
+        .distinct()
+    )
+    ea = corpus.select(F.col(id_col).alias("vec_a"), F.col("embedding").alias("ea"))
+    eb = corpus.select(F.col(id_col).alias("vec_b"), F.col("embedding").alias("eb"))
+    return (
+        cand.join(ea, "vec_a")
+        .join(eb, "vec_b")
+        .select(
+            "vec_a",
+            "vec_b",
+            cosine_similarity(F.col("ea"), F.col("eb")).alias("score"),
+        )
+        .filter(F.col("score") >= threshold)
+    )
+
+
+def _lsh_near_dup_oracle() -> str:
+    """Full DuckDB oracle for the banded LSH near-dup path: md5-derived
+    hyperplanes are literals, so signatures, band values, the candidate
+    join, and the exact fold-cosine re-score all replicate bit-identically
+    (the _ann_lsh_oracle discipline applied to the pair join)."""
+    planes = _hyperplanes(LSH_DEDUP_PLANES)
+    width = LSH_DEDUP_PLANES // LSH_DEDUP_BANDS
+    mask = (1 << width) - 1
+
+    def dot(e: str, plane: list[float]) -> str:
+        arr = "[" + ", ".join(repr(v) for v in plane) + "]"
+        return (
+            f"list_reduce(list_transform(range(len({e})), "
+            f"i -> {e}[i+1]::DOUBLE * {arr}[i+1]), (x, y) -> x + y)"
+        )
+
+    bucket_expr = " + ".join(
+        f"(CASE WHEN {dot('embedding', p)} >= 0 THEN {1 << j} ELSE 0 END)"
+        for j, p in enumerate(planes)
+    )
+    return f"""
+    WITH sig AS (
+      SELECT vec_id, ({bucket_expr}) AS bucket FROM embeddings
+    ), bnd AS (
+      SELECT vec_id, t.bi, (bucket >> (t.bi * {width})) & {mask} AS bv
+      FROM sig, range(0, {LSH_DEDUP_BANDS}) t(bi)
+    ), cand AS (
+      SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+      FROM bnd a JOIN bnd b
+        ON a.bi = b.bi AND a.bv = b.bv AND a.vec_id < b.vec_id
+    )
+    SELECT * FROM (
+      SELECT c.vec_a, c.vec_b,
+             {_cos_sql("ea.embedding", "eb.embedding")} AS score
+      FROM cand c
+      JOIN embeddings ea ON ea.vec_id = c.vec_a
+      JOIN embeddings eb ON eb.vec_id = c.vec_b
+    ) s WHERE score >= {SEMANTIC_COS}
+    """
+
+
+@query(
+    "q_dedup_embedding_lsh",
+    oracle=_lsh_near_dup_oracle(),
+    description="embedding near-dup pairs via sign-LSH banding (16-bit "
+    "signatures, 2x8-bit bands, band equi-join, exact fold-cosine "
+    "re-score) — the sub-quadratic 100 TB path for q_dedup_embedding; "
+    "precision 1.0 by construction, recall = the banding S-curve, "
+    "measured against planted vector ground truth (tools/dedup_quality"
+    ".py); hash-verified (deterministic md5 hyperplanes replay in SQL)",
+    variant_of="q_dedup_embedding",
+)
+def q_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # registered at the SEMANTIC_COS threshold (like q_semantic_dedup's
+    # edge set) so the demonstration corpus yields a non-trivial pair set;
+    # the operator itself defaults to NEAR_DUP_COS like the exact plan
+    emb = load_table(spark, sf_dir, "embeddings")
+    return embedding_near_dup_pairs_lsh(emb, threshold=SEMANTIC_COS)
+
 
 
 # ---------------------------------------------------------------------------
@@ -806,7 +947,10 @@ def _nearest_centroids(
     "index by cid for partition-pruned search) — the preferred 100 TB "
     "similarity path; recall vs exact measured in tests/test_ann.py; "
     "hash-verified against a DuckDB oracle that replays the training as "
-    "unrolled Lloyd CTEs (functions/ann_oracle.py)",
+    "unrolled Lloyd CTEs (functions/ann_oracle.py); defaults are one "
+    "measured operating point — functions/ann_config.pick_config(target) "
+    "returns the cheapest config for any recall target (nprobe=16 "
+    "reaches 0.835)",
 )
 def q_similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
@@ -1276,7 +1420,10 @@ def pq_topk(
     "codegen ADC gather-sum shortlist, exact rerank of the shortlist only — "
     "the compressed-domain 100 TB similarity path; pq_persist/pq_load/"
     "pq_topk_persisted give the encode-once-query-many read path (codes "
-    "parquet + codebook sidecar), persisted search byte-equal to inline",
+    "parquet + codebook sidecar), persisted search byte-equal to inline; "
+    "pick_config(target) in functions/ann_config.py maps a recall target "
+    "to the cheapest measured (shortlist, m, ksub) — m=16 hits 0.87 at "
+    "the default shortlist",
 )
 def q_similarity_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
@@ -1516,7 +1663,9 @@ def ivfpq_topk_persisted(
     "⟨p,x⟩ = ⟨p,c⟩ + ⟨p,x−c⟩ in the normalized domain) + exact rerank of "
     "the shortlist — the composed billion-scale index layout both "
     "q_similarity_ivf and q_similarity_pq build toward; a probe touches "
-    "nprobe/C of the 8-byte codes and `shortlist` full vectors",
+    "nprobe/C of the 8-byte codes and `shortlist` full vectors; "
+    "functions/ann_config.pick_config(target) returns the cheapest "
+    "measured (nprobe, shortlist) — (16, 400) reaches 0.82",
 )
 def q_similarity_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")

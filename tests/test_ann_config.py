@@ -1,0 +1,108 @@
+"""pick_config contract (round-6): the helper must return measured
+operating points, and — the pipeline being content-deterministic — the
+returned config must actually meet the target when re-run under the
+measurement protocol on the measurement corpus (sf0.1, recall@10 vs exact,
+20 probes)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from go_web_mapreduce_spark.functions.ann_config import (
+    CURVES_K,
+    CURVES_N_PROBES,
+    CURVES_SF_DIR,
+    MEASURED,
+    pick_config,
+)
+from go_web_mapreduce_spark.sources.tables import load_table
+
+TARGET = 0.8
+
+
+def test_pick_config_returns_cheapest_measured_point():
+    picks = pick_config(TARGET)
+    assert picks["lsh"] is None  # sign-LSH tops out at 0.40 here
+    assert picks["ivf"]["config"] == {"nprobe": 16}
+    # PQ's cheapest >=0.8 lever is m=16 at the default shortlist (frac
+    # 0.05), NOT a bigger shortlist (frac 0.10)
+    assert picks["pq"]["config"] == {"shortlist": 100, "m": 16, "ksub": 16}
+    assert picks["pq"]["candidate_fraction"] == 0.05
+    assert picks["ivfpq"]["config"] == {"nprobe": 16, "shortlist": 400}
+    for fam in ("ivf", "pq", "ivfpq"):
+        assert picks[fam]["expected_recall"] >= TARGET
+
+    with pytest.raises(ValueError, match="tops out"):
+        pick_config(TARGET, "lsh")
+    with pytest.raises(KeyError):
+        pick_config(TARGET, "nope")
+    # every family reaches 0.5 somewhere except nothing; sanity on shape
+    lows = pick_config(0.3)
+    assert all(v is not None for v in lows.values())
+
+
+def test_measured_table_is_internally_consistent():
+    for fam, rows in MEASURED.items():
+        assert rows == sorted(rows, key=lambda t: t[1]), fam  # by fraction
+        for cfg, frac, recall in rows:
+            assert 0 < frac <= 1 and 0 <= recall <= 1, (fam, cfg)
+
+
+def test_picked_configs_meet_target_on_measurement_corpus(spark):
+    """Re-run the exact measurement protocol for the three >=0.8 picks:
+    content-deterministic training means the measured recalls reproduce,
+    so >= TARGET holds with no slack."""
+    from go_web_mapreduce_spark.operators.similarity import (
+        _ivfpq_search,
+        cosine_topk,
+        ivf_topk,
+        ivfpq_build,
+        pq_topk,
+    )
+
+    emb = load_table(spark, CURVES_SF_DIR, "embeddings").localCheckpoint(
+        eager=True
+    )
+    probes = [
+        emb.filter(F.col("vec_id") == i) for i in range(CURVES_N_PROBES)
+    ]
+    exact = [
+        {r["vec_id"] for r in cosine_topk(emb, p, CURVES_K).collect()}
+        for p in probes
+    ]
+
+    def recall(mk_df) -> float:
+        tot = 0.0
+        for p, ex in zip(probes, exact):
+            got = {r["vec_id"] for r in mk_df(p).collect()}
+            tot += len(got & ex) / len(ex)
+        return tot / len(probes)
+
+    picks = pick_config(TARGET)
+
+    ivf_cfg = picks["ivf"]["config"]
+    r_ivf = recall(
+        lambda p: ivf_topk(emb, p, CURVES_K, nprobe=ivf_cfg["nprobe"])
+    )
+    assert r_ivf >= TARGET, (r_ivf, ivf_cfg)
+
+    pq_cfg = picks["pq"]["config"]
+    r_pq = recall(
+        lambda p: pq_topk(
+            emb, p, CURVES_K, shortlist=pq_cfg["shortlist"],
+            m=pq_cfg["m"], ksub=pq_cfg["ksub"],
+        )
+    )
+    assert r_pq >= TARGET, (r_pq, pq_cfg)
+
+    fq_cfg = picks["ivfpq"]["config"]
+    codes, centroids, cb = ivfpq_build(emb)
+    codes = codes.localCheckpoint(eager=True)
+    r_fq = recall(
+        lambda p: _ivfpq_search(
+            codes, centroids, cb, emb, p, CURVES_K,
+            fq_cfg["nprobe"], fq_cfg["shortlist"], "vec_id",
+        )
+    )
+    assert r_fq >= TARGET, (r_fq, fq_cfg)

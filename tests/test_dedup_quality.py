@@ -27,9 +27,13 @@ import pytest
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
 
 from dedup_quality import (  # noqa: E402
+    VEC_THRESHOLD,
     evaluate,
+    evaluate_vectors,
     lsh_candidate_probability,
     python_truth_pairs,
+    sign_banding_probability,
+    vector_truth_pairs,
 )
 
 
@@ -81,3 +85,73 @@ def test_formula_shape_sane():
     assert lsh_candidate_probability(0.95, 4, 3) > 0.97
     xs = [lsh_candidate_probability(s / 20, 4, 3) for s in range(21)]
     assert xs == sorted(xs)
+
+
+# ---------------------------------------------------------------------------
+# Vector (embedding) family — round-6: planted near-duplicate VECTORS at
+# exact target cosines (tools/dedup_quality.make_vector_fixture), so the
+# embedding/semantic dedup paths get the same ground-truth discipline the
+# shingle methods have had since round 5.
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def vv(spark):
+    return evaluate_vectors(spark)
+
+
+def test_exact_embedding_pairs_match_numpy_oracle(vv):
+    """q_dedup_embedding's block-grid kernel claims exactness: the pair
+    set must EQUAL the numpy all-pairs oracle (recall = precision = 1.0),
+    including any accidental (non-planted) crossings."""
+    assert vv["exact"] == vv["truth"]
+
+
+def test_lsh_banded_embedding_recall_meets_sign_banding_formula(vv):
+    """The sub-quadratic path's recall must track
+    1-(1-p^r)^b with p = 1-acos(cos)/pi, within 3-sigma binomial slack
+    per planted-cosine level; precision is 1.0 by construction (exact
+    re-score), asserted as subset-of-oracle."""
+    assert vv["lsh"] <= vv["truth"]  # precision 1.0
+    for cos_lv, lv in sorted(vv["per_level"].items()):
+        n = lv["n"]
+        expect = lv["formula_sum"] / n
+        sigma = math.sqrt(lv["formula_var"]) / n
+        got = lv["lsh"] / n
+        assert got >= expect - 3 * sigma - 1e-9, (
+            f"cos={cos_lv}: banded recall {got:.3f} below sign-banding "
+            f"guarantee {expect:.3f} - 3*{sigma:.3f}"
+        )
+
+
+def test_lsh_banded_finds_every_verbatim_duplicate(vv):
+    """cos = 1.0 pairs have identical sign signatures, so every band
+    agrees: recall at the verbatim level must be exactly 1.0 (the
+    design-point guarantee, like SimHash's for text)."""
+    lv = vv["per_level"][1.0]
+    assert lv["lsh"] == lv["n"]
+
+
+def test_semantic_components_match_python_union_find(vv):
+    """The q_semantic_dedup composition (exact pairs -> connected
+    components -> min-id keeper) must produce exactly the union-find
+    partition of the oracle edge set."""
+    assert vv["groups_match"]
+    assert vv["roots_are_min"]
+
+
+def test_sign_banding_formula_shape():
+    assert sign_banding_probability(1.0, 2, 8) == pytest.approx(1.0)
+    assert sign_banding_probability(0.0, 2, 8) < 0.01
+    # monotone in cosine
+    vals = [sign_banding_probability(c, 2, 8) for c in (0.4, 0.6, 0.8, 0.95)]
+    assert vals == sorted(vals)
+
+
+def test_vector_truth_contains_planted_above_threshold(vv):
+    truth = vector_truth_pairs(VEC_THRESHOLD)
+    for a, b, c in vv["fixture"].pairs:
+        if c >= VEC_THRESHOLD + 1e-9:
+            assert (a, b) in truth
+        elif c <= VEC_THRESHOLD - 1e-9:
+            assert (a, b) not in truth

@@ -84,15 +84,20 @@ def main() -> None:
 
     codes, centroids, cb = ivfpq_build(emb)
     codes = codes.localCheckpoint(eager=True)
-    for nprobe in (4, 8, 16):
+    for nprobe, shortlist in (
+        (4, PQ_SHORTLIST), (8, PQ_SHORTLIST), (16, PQ_SHORTLIST),
+        # the high-recall end of the curve: pick_config needs measured
+        # points past 0.8, which the default shortlist never reaches
+        (16, 400), (32, 400),
+    ):
         frac = nprobe / IVF_CENTROIDS
         r = recall(
-            lambda p, np_=nprobe: _ivfpq_search(
-                codes, centroids, cb, emb, p, K, np_, PQ_SHORTLIST, "vec_id"
+            lambda p, np_=nprobe, s=shortlist: _ivfpq_search(
+                codes, centroids, cb, emb, p, K, np_, s, "vec_id"
             )
         )
         rows.append(
-            (f"IVFPQ nprobe={nprobe}/32 shortlist={PQ_SHORTLIST}",
+            (f"IVFPQ nprobe={nprobe}/32 shortlist={shortlist}",
              f"~{frac:.3f}", r, frac)
         )
 
