@@ -835,6 +835,11 @@ def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     generalizes is the wordcount reduce (server/views.go:57-59); the
     iteration itself is the engine's extension mandate (tokenizer
     training for LLM data pipelines).
+
+    Deeper runs go through :func:`bpe_train` directly (32+ merges, where
+    merged symbols span earlier merges), which adds per-N-round DURABLE
+    checkpoints for long trainings and is property-tested against a pure-
+    Python reference implementation (tests/test_llm_ops.py).
     """
     docs = load_table(spark, sf_dir, "documents")
     freq = (
@@ -842,6 +847,34 @@ def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("wf"))
     )
+    merges, _ = bpe_train(freq, BPE_TRAIN_STEPS)
+    return spark.createDataFrame(merges, "step int, pair string, cnt bigint")
+
+
+def bpe_train(
+    freq: DataFrame,
+    steps: int,
+    checkpoint_every: int | None = None,
+    checkpoint_dir: str | None = None,
+):
+    """The BPE merge loop over a ``(w, wf)`` word-frequency table.
+
+    Returns ``(merges, vocab)``: ``merges`` is ``[(step, pair, cnt)]`` and
+    ``vocab`` the final \\x01-delimited encoding of every distinct word —
+    i.e. the trained tokenizer applied to the whole vocabulary.
+
+    Checkpoint discipline for real vocabulary depth (32+ merges): every
+    round truncates lineage with a LAZY localCheckpoint (else round k
+    replays rounds 1..k-1 — the pagerank discipline), and every
+    ``checkpoint_every`` rounds a DURABLE reliable checkpoint
+    (``DataFrame.checkpoint``) lands under ``checkpoint_dir`` so a long
+    training survives executor loss without replaying the merge chain —
+    at 100 TB the vocab table is ~10M rows, so the durable write is a
+    rounding error next to the corpus-sized freq build it protects.
+    """
+    spark = freq.sparkSession
+    if checkpoint_every and checkpoint_dir:
+        spark.sparkContext.setCheckpointDir(checkpoint_dir)
     vocab = freq.select(
         F.regexp_replace("w", "(?s)(.)", f"{_BPE_SEP}$1{_BPE_SEP}").alias(
             "enc"
@@ -850,7 +883,7 @@ def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).localCheckpoint(eager=False)
 
     merges: list[tuple[int, str, int]] = []
-    for step in range(1, BPE_TRAIN_STEPS + 1):
+    for step in range(1, steps + 1):
         sy = vocab.select(
             F.split(F.btrim("enc", F.lit(_BPE_SEP)), _BPE_SEP * 2).alias(
                 "syms"
@@ -881,6 +914,10 @@ def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit(f"{_BPE_SEP}{l}{_BPE_SEP}{_BPE_SEP}{r}{_BPE_SEP}"),
                 F.lit(f"{_BPE_SEP}{l}{r}{_BPE_SEP}"),
             ),
-        ).localCheckpoint(eager=False)
+        )
+        if checkpoint_every and checkpoint_dir and step % checkpoint_every == 0:
+            vocab = vocab.checkpoint(eager=True)
+        else:
+            vocab = vocab.localCheckpoint(eager=False)
 
-    return spark.createDataFrame(merges, "step int, pair string, cnt bigint")
+    return merges, vocab

@@ -176,3 +176,99 @@ def test_corpus_pipeline_funnel_monotonicity(spark, sf_dir):
         if r["n_clean"] < r["n_train"]:
             narrowed = True
     assert narrowed  # the gates genuinely drop documents on this corpus
+
+
+# ---------------------------------------------------------------------------
+# BPE at real vocabulary depth (round 6): 32 merges, where merged symbols
+# span earlier merges, property-tested against a pure-Python reference
+# implementation of Sennrich et al. 2016 — no oracle needed, the reference
+# IS the spec. Durable per-10-round checkpoints exercised on the way.
+# ---------------------------------------------------------------------------
+
+BPE_DEEP_STEPS = 32
+
+
+def _py_bpe_apply(syms: list[str], l: str, r: str) -> list[str]:
+    """Left-to-right non-overlapping merge — the exact semantics of the
+    engine's delimiter-string `replace` rewrite."""
+    out, i = [], 0
+    while i < len(syms):
+        if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+            out.append(l + r)
+            i += 2
+        else:
+            out.append(syms[i])
+            i += 1
+    return out
+
+
+def _py_bpe_train(freq: dict[str, int], steps: int):
+    """Reference BPE: greedy argmax over weighted adjacent-pair counts,
+    ties broken (count desc, left asc, right asc) like the engine."""
+    vocab = {w: [c for c in w] for w in freq}
+    merges = []
+    for step in range(1, steps + 1):
+        counts: dict[tuple[str, str], int] = {}
+        for w, wf in freq.items():
+            syms = vocab[w]
+            for i in range(len(syms) - 1):
+                key = (syms[i], syms[i + 1])
+                counts[key] = counts.get(key, 0) + wf
+        if not counts:
+            break
+        (l, r), cnt = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        merges.append((step, l + r, cnt))
+        vocab = {w: _py_bpe_apply(s, l, r) for w, s in vocab.items()}
+    return merges, vocab
+
+
+def test_bpe_deep_training_matches_python_reference(spark, sf_dir, tmp_path):
+    """32 Spark merge rounds (with durable checkpoints every 10) must
+    produce exactly the reference implementation's merge table AND the
+    identical final encoding of every vocabulary word — including merges
+    whose symbols span earlier merges (asserted present, i.e. the test
+    really reaches the interesting regime)."""
+    from go_web_mapreduce_spark.operators.text_analysis import (
+        _BPE_SEP,
+        bpe_train,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    freq_df = (
+        docs.select(F.explode(tokens("text")).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("wf"))
+    )
+    freq = {r["w"]: int(r["wf"]) for r in freq_df.collect()}
+
+    ckpt = str(tmp_path / "bpe_ckpt")
+    merges, vocab_df = bpe_train(
+        freq_df, BPE_DEEP_STEPS, checkpoint_every=10, checkpoint_dir=ckpt
+    )
+    py_merges, py_vocab = _py_bpe_train(freq, BPE_DEEP_STEPS)
+    assert merges == py_merges
+    assert len(merges) == BPE_DEEP_STEPS
+
+    # the interesting regime: some learned pair is built FROM an earlier
+    # merge (symbol longer than 2 chars => spans a previous merge)
+    assert any(len(pair) > 2 for _, pair, _ in merges)
+
+    # final encodings: reconstruct each word from its delimited encoding
+    # and compare symbol-for-symbol with the reference vocabulary
+    got = {}
+    for r in vocab_df.collect():
+        syms = [s for s in r["enc"].split(_BPE_SEP) if s]
+        got["".join(syms)] = syms
+    assert got == py_vocab
+
+    # the durable checkpoint actually landed (rounds 10/20/30)
+    import os
+
+    ckpt_files = [
+        os.path.join(dp, f)
+        for dp, _, fs in os.walk(ckpt)
+        for f in fs
+    ]
+    assert ckpt_files, "no durable checkpoint files written"
