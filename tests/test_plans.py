@@ -207,3 +207,17 @@ def test_bloom_join_filters_before_broadcast_join(spark, sf_dir):
     plan = executed_plan(spark, sf_dir, "q_bloom_join")
     assert "BroadcastHashJoin" in plan
     assert "shiftright" in plan  # the bit test reached the physical plan
+
+
+def test_lsh_banded_dedup_has_no_cartesian(spark, sf_dir):
+    """q_dedup_embedding_lsh's whole point is replacing the all-pairs grid
+    with a band equi-join: the plan must contain NO cartesian/broadcast
+    nested loop with a non-trivial condition — candidates come from a
+    hash-partitioned equi-join on (band_idx, band_value) — and the final
+    vector fetch must join back by id (vectors never ride the candidate
+    shuffle)."""
+    plan = executed_plan(spark, sf_dir, "q_dedup_embedding_lsh")
+    assert "CartesianProduct" not in plan
+    # the band self-join and both id joins are equi-joins
+    assert plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin") \
+        + plan.count("BroadcastHashJoin") >= 3
