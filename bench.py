@@ -88,6 +88,31 @@ def main() -> None:
     warm_df.groupBy("a").agg(
         F.countDistinct("id").alias("nd"), F.count("*").alias("n")
     ).write.mode("overwrite").format("noop").save()
+    # ...and the md5-bucket bit-test + broadcast-nested-loop shapes: the
+    # round-6 three-run protocol showed q_bloom_join pays ~+2.9 s and
+    # q_dense_grid ~+0.6 s of janino compilation on their first execution
+    # (warm runs land back at the r4 yardstick — BASELINE.md table); warm
+    # the md5/conv/shiftright-element_at projection and a both-sides-
+    # broadcast cross join so the timed loop measures those queries
+    from go_web_mapreduce_spark.functions.hashing import md5_bucket
+
+    lits = "array(" + ", ".join(f"{v}L" for v in range(16)) + ")"
+    warm_df.select(
+        md5_bucket(F.col("a"), 1024, salt=1).alias("_p1"),
+        md5_bucket(F.col("a"), 1024, salt=2).alias("_p2"),
+    ).filter(
+        F.expr(
+            f"((shiftright(element_at({lits}, cast(_p1 / 64 AS int) + 1),"
+            f" cast(_p1 % 64 AS int)) & 1L) = 1L)"
+        )
+        | F.expr(
+            f"((shiftright(element_at({lits}, cast(_p2 / 64 AS int) + 1),"
+            f" cast(_p2 % 64 AS int)) & 1L) = 1L)"
+        )
+    ).write.mode("overwrite").format("noop").save()
+    warm_df.select("a").limit(5).crossJoin(
+        warm_df.select("b").distinct().limit(5)
+    ).write.mode("overwrite").format("noop").save()
 
     per_query: dict[str, float] = {}
     total = 0.0
