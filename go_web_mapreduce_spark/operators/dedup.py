@@ -172,31 +172,36 @@ def _bucket_pairs(
     deduplicated across buckets. Output columns: ``a``, ``b`` — structs of
     (id, *payload).
 
-    One shuffle (groupBy bucket); pairs are generated inside each grouped row
-    with an index-aware ``transform`` instead of a self-join, so the corpus
-    is scanned and shuffled once. Callers must keep bucket fan-out bounded
-    (LSH banding does by construction).
+    Plan shape (rewritten in round 6 after the sf10 measurement): a plain
+    band self-equi-join. The previous formulation packed each bucket with
+    ``collect_list`` and expanded all C(n,2) pairs via nested
+    ``transform``+``flatten`` INSIDE ONE ROW — a single large bucket (the
+    sf10 tiled corpus produces ~100-member near-dup families whose bands
+    collide) materialized gigabytes in one Tungsten row and OOMed the
+    executor. The self-join keeps every row bucket-member-sized: the join
+    output streams (Spark's sort-merge join spills, and AQE's skew split
+    can break a hot band value across tasks), shuffle volume is two
+    passes of (band, id, payload) rows plus the emitted pairs — the pair
+    COUNT is inherent to the operator's semantics either way, but no plan
+    state is ever quadratic in a bucket's size. Same pair set, same
+    deterministic per-id payloads; cross-bucket duplicates collapse in
+    one dropDuplicates shuffle exactly as before.
     """
     member = F.struct(F.col(id_col), *[F.col(c) for c in payload_cols])
-    grouped = (
-        df.groupBy(bucket_col)
-        .agg(F.sort_array(F.collect_list(member)).alias("ms"))
-        .filter(F.size("ms") >= 2)
+    m = df.select(F.col(bucket_col).alias("_bk"), member.alias("_m"))
+    left = m.select(
+        "_bk", F.col("_m").alias("a"), F.col(f"_m.{id_col}").alias("_id_a")
     )
-
-    def pairs_after(a: Column, i: Column) -> Column:
-        rest = F.slice(F.col("ms"), i + F.lit(2), F.size(F.col("ms")))
-        return F.transform(rest, lambda b: F.struct(a.alias("a"), b.alias("b")))
-
+    right = m.select(
+        F.col("_bk").alias("_bk_r"),
+        F.col("_m").alias("b"),
+        F.col(f"_m.{id_col}").alias("_id_b"),
+    )
     return (
-        grouped.select(
-            F.explode(F.flatten(F.transform(F.col("ms"), pairs_after))).alias("p")
-        )
-        .select(
-            "p.a",
-            "p.b",
-            F.col(f"p.a.{id_col}").alias("_id_a"),
-            F.col(f"p.b.{id_col}").alias("_id_b"),
+        left.join(
+            right,
+            (F.col("_bk") == F.col("_bk_r"))
+            & (F.col("_id_a") < F.col("_id_b")),
         )
         .dropDuplicates(["_id_a", "_id_b"])
         .select("a", "b")
@@ -401,25 +406,20 @@ def jaccard_pairs_prefix(
         )
         .localCheckpoint(eager=False)
     )
-    ppost = (
-        perdoc.select(F.col(id_col), F.explode("pre").alias("s"))
-        .groupBy("s")
-        .agg(F.collect_list(F.col(id_col)).alias("docs"))
-        .filter(F.size("docs") >= 2)
-        .select(F.sort_array("docs").alias("docs"))
-    )
-
-    def pairs_after(a: Column, i: Column) -> Column:
-        rest = F.slice(F.col("docs"), i + F.lit(2), F.size(F.col("docs")))
-        return F.transform(
-            rest, lambda b: F.struct(a.alias("doc_a"), b.alias("doc_b"))
-        )
-
+    # candidate generation is a streaming self-equi-join on the prefix
+    # postings (round 6: the packed collect_list + in-row C(n,2) flatten
+    # OOMed on a single hot posting at sf10 — the _bucket_pairs lesson;
+    # prefix shingles are the RARE tail by construction, but one
+    # boilerplate shingle can still land in every doc of a template
+    # family, and the join shape stays row-bounded no matter what)
+    pp = perdoc.select(F.col(id_col), F.explode("pre").alias("s"))
     cand = (
-        ppost.select(
-            F.explode(F.flatten(F.transform(F.col("docs"), pairs_after))).alias("p")
+        pp.select("s", F.col(id_col).alias("doc_a"))
+        .join(
+            pp.select(F.col("s").alias("_s"), F.col(id_col).alias("doc_b")),
+            (F.col("s") == F.col("_s")) & (F.col("doc_a") < F.col("doc_b")),
         )
-        .select(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
+        .select("doc_a", "doc_b")
         .distinct()
     )
     sa = perdoc.select(
