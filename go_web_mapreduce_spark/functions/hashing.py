@@ -300,6 +300,56 @@ def simhash_from_tokens_arrow(toks: Column, bits: int = 60) -> Column:
     return fold(toks)
 
 
+def simhash_wide_from_tokens_arrow(toks: Column) -> Column:
+    """120-bit SimHash as a struct of two 60-bit halves ``(lo, hi)`` — the
+    WIDE fingerprint whose 30-bit bands keep banded candidate generation's
+    random-collision term n²·B/2^w negligible at corpus sizes where 15-bit
+    bands (60-bit fingerprint) go quadratic (measured at sf10 — SCALE.md).
+
+    Same Arrow-fused fold as :func:`simhash_from_tokens_arrow`; the two
+    halves take md5 hex chars 1-15 and 16-30 of the SAME per-token digest,
+    so the oracle replays both with substr() and the cost over the 60-bit
+    kernel is one extra numpy fold, not a second hash pass.
+    """
+    import hashlib
+
+    import numpy as np
+
+    @F.pandas_udf("struct<lo: bigint, hi: bigint>")
+    def fold(batch: pd.Series) -> pd.DataFrame:
+        md5 = hashlib.md5
+        shifts = np.arange(60, dtype=np.int64)
+        los: list[int | None] = []
+        his: list[int | None] = []
+        for tk in batch:
+            if tk is None:
+                # NULL token array → null fields, like the 60-bit path
+                los.append(None)
+                his.append(None)
+                continue
+            if len(tk) == 0:
+                los.append(0)
+                his.append(0)
+                continue
+            hexes = [md5(t.encode("utf-8")).hexdigest() for t in tk]
+            halves = []
+            for sl in (slice(0, 15), slice(15, 30)):
+                a = np.fromiter(
+                    (int(h[sl], 16) for h in hexes),
+                    dtype=np.int64,
+                    count=len(hexes),
+                )
+                counts = ((a[:, None] >> shifts) & 1).sum(axis=0)
+                halves.append(
+                    int(((counts * 2 >= a.size).astype(np.int64) << shifts).sum())
+                )
+            los.append(halves[0])
+            his.append(halves[1])
+        return pd.DataFrame({"lo": los, "hi": his}, dtype="object")
+
+    return fold(toks)
+
+
 def hamming_distance(a: Column, b: Column) -> Column:
     """Hamming distance between two long fingerprints: popcount of the XOR."""
     return F.bit_count(a.bitwiseXOR(b))

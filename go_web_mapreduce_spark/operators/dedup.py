@@ -33,6 +33,7 @@ from go_web_mapreduce_spark.functions.hashing import (
     hash_family,
     minhash_sig_arrow,
     simhash_from_tokens_arrow,
+    simhash_wide_from_tokens_arrow,
 )
 from go_web_mapreduce_spark.functions.text import distinct_shingles_arrow, tokens
 from go_web_mapreduce_spark.registry import query
@@ -573,6 +574,107 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Oracle brute-forces all pairs (fine at sf0.01); the Spark plan uses
     banding so the same result is produced with an equi-join at any scale."""
     return simhash_pairs(load_table(spark, sf_dir, "documents"))
+
+
+SIMHASH_WIDE_BITS = 120  # two 60-bit halves
+SIMHASH_WIDE_BANDS = 4  # 4 x 30-bit bands: complete for hamming <= 3
+
+
+def simhash_pairs_wide(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_dist: int = SIMHASH_MAX_DIST,
+) -> DataFrame:
+    """Near-dup pairs at hamming distance <= max_dist on a 120-bit SimHash
+    (two 60-bit halves) with 4 disjoint 30-bit bands — the WIDE variant
+    the sf10 measurement demanded (SCALE.md): banded candidate volume has
+    two terms, the similar-family term (output-inherent — any complete
+    scheme pays it) and the RANDOM-collision term n²·B/2^w, and at 500k
+    docs the 60-bit fingerprint's 15-bit bands (w=15) make the random
+    term dominate (measured exp 1.26). Widening to w=30 scales that term
+    by 2^-15 — negligible until n ~ 10⁹ — while pigeonhole completeness
+    for dist <= 3 is unchanged (4 disjoint bands). The price is a tighter
+    similarity notion: hamming <= 3 of 120 bits is a stricter
+    verbatim/boilerplate detector than <= 3 of 60 — exactly the regime
+    SimHash is pinned to (use MinHash-LSH for fuzzy dedup).
+    """
+    sigs = docs.select(id_col, tokens(text_col).alias("tk")).select(
+        id_col,
+        simhash_wide_from_tokens_arrow(F.col("tk")).alias("sw"),
+    ).select(
+        id_col, F.col("sw.lo").alias("lo"), F.col("sw.hi").alias("hi")
+    )
+    mask = (1 << 30) - 1
+    band_vals = [
+        F.col("lo").bitwiseAND(F.lit(mask)),
+        F.shiftright(F.col("lo"), 30).bitwiseAND(F.lit(mask)),
+        F.col("hi").bitwiseAND(F.lit(mask)),
+        F.shiftright(F.col("hi"), 30).bitwiseAND(F.lit(mask)),
+    ]
+    banded = sigs.select(
+        id_col,
+        "lo",
+        "hi",
+        F.explode(
+            F.array(
+                *[
+                    F.concat(F.lit(f"{b}:"), v.cast("string"))
+                    for b, v in enumerate(band_vals)
+                ]
+            )
+        ).alias("bk"),
+    )
+    pairs = _bucket_pairs(banded, "bk", id_col, ["lo", "hi"])
+    return pairs.select(
+        F.col(f"a.{id_col}").alias("doc_a"),
+        F.col(f"b.{id_col}").alias("doc_b"),
+        (
+            hamming_distance(F.col("a.lo"), F.col("b.lo"))
+            + hamming_distance(F.col("a.hi"), F.col("b.hi"))
+        ).alias("dist"),
+    ).filter(F.col("dist") <= max_dist)
+
+
+def _simhash_wide_half_sql(lohex: int) -> str:
+    """DuckDB majority fold over one 60-bit half; ``lohex`` is the 1-based
+    start of the half's 15 hex chars in the md5 digest."""
+    return f"""
+      list_sum(list_transform(range(60), j ->
+        CASE WHEN 2 * list_sum(list_transform(hw{lohex}, h -> (h >> j) & 1)) >= len(hw{lohex})
+             THEN (1::BIGINT << j) ELSE 0 END))
+    """
+
+
+@query(
+    "q_dedup_simhash_wide",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_TK} AS tk FROM documents),
+    hs AS (
+      SELECT doc_id,
+             list_transform(tk, t -> ('0x' || substr(md5(t), 1, 15))::BIGINT) AS hw1,
+             list_transform(tk, t -> ('0x' || substr(md5(t), 16, 15))::BIGINT) AS hw16
+      FROM toks
+    ),
+    sig AS (SELECT doc_id, {_simhash_wide_half_sql(1)} AS lo,
+                   {_simhash_wide_half_sql(16)} AS hi FROM hs)
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) AS dist
+    FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi))
+          <= {SIMHASH_MAX_DIST}
+    """,
+    description="SimHash near-dup pairs on a 120-bit fingerprint (two "
+    "60-bit halves, 4 disjoint 30-bit bands — complete for hamming <= 3 "
+    "by pigeonhole): the WIDE variant whose banded candidate generation "
+    "keeps the random-collision term n²·B/2^30 negligible at corpus "
+    "sizes where 15-bit bands go quadratic (found by the sf10 "
+    "measurement, SCALE.md); hash-verified against the brute-force "
+    "two-half oracle",
+    variant_of="q_dedup_simhash",
+)
+def q_dedup_simhash_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return simhash_pairs_wide(load_table(spark, sf_dir, "documents"))
 
 
 # ---------------------------------------------------------------------------

@@ -79,3 +79,57 @@ def test_variant_of_must_resolve():
     finally:
         del REGISTRY[bad.name]
         importlib.reload(q)
+
+
+def test_simhash_wide_finds_verbatim_and_is_complete(spark):
+    """The 120-bit variant's design point: every verbatim duplicate is
+    found at dist 0, and banding loses nothing vs a brute-force hamming
+    check over the same wide fingerprints (pigeonhole completeness)."""
+    from go_web_mapreduce_spark.functions.hashing import (
+        simhash_wide_from_tokens_arrow,
+    )
+    from go_web_mapreduce_spark.functions.text import tokens
+    from go_web_mapreduce_spark.operators.dedup import (
+        SIMHASH_MAX_DIST,
+        simhash_pairs_wide,
+    )
+
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta"),
+        (2, "alpha beta gamma delta epsilon zeta"),   # verbatim dup of 1
+        (3, "alpha beta gamma delta epsilon zeta"),   # and another
+        (4, "totally different words entirely here now"),
+        (5, "unrelated content again quite different text"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["doc_a"], r["doc_b"]): r["dist"]
+        for r in simhash_pairs_wide(docs).collect()
+    }
+    assert got[(1, 2)] == 0 and got[(1, 3)] == 0 and got[(2, 3)] == 0
+
+    # brute-force over the same wide fingerprints == the banded result
+    sig = {
+        r["doc_id"]: (r["sw"]["lo"], r["sw"]["hi"])
+        for r in docs.select(
+            "doc_id", simhash_wide_from_tokens_arrow(tokens("text")).alias("sw")
+        ).collect()
+    }
+    brute = {}
+    ids = sorted(sig)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            d = bin(sig[a][0] ^ sig[b][0]).count("1") + bin(
+                sig[a][1] ^ sig[b][1]
+            ).count("1")
+            if d <= SIMHASH_MAX_DIST:
+                brute[(a, b)] = d
+    assert got == brute
+
+
+def test_simhash_wide_registered_as_variant():
+    from go_web_mapreduce_spark.queries import REGISTRY
+
+    spec = REGISTRY["q_dedup_simhash_wide"]
+    assert spec.variant_of == "q_dedup_simhash"
+    assert spec.oracle is not None
