@@ -1047,28 +1047,45 @@ def knn_graph_ivf(
                 im = np.array([list(r["emb"]) for r in irows], dtype=np.float64)
                 qo, io = np.argsort(qi), np.argsort(ii)
                 qi, qm, ii, im = qi[qo], qm[qo], ii[io], im[io]
-                qn = _norms_seq(qm)
-                inn = _norms_seq(im)
-                # dimension-sequential accumulation == the left-fold dot of
-                # the Column expression and the list_reduce oracle, so the
-                # emitted scores are bit-identical across engines
-                dots = np.zeros((len(qi), len(ii)))
-                for i in range(qm.shape[1]):
-                    dots = dots + np.outer(qm[:, i], im[:, i])
+                # SELECTION uses one BLAS gemm (a 64-pass dimension-
+                # sequential outer-product loop was measured memory-
+                # bandwidth-bound at sf10 — ~GBs of traffic per list);
+                # the EMITTED scores of the selected n·k pairs are then
+                # recomputed with the sequential fold, so output values
+                # stay bit-identical to the Column fold / DuckDB oracle.
+                # Selection-order ties between the two float forms differ
+                # only below ~1e-15 — the measure-zero class the ANN
+                # oracles already accept (functions/ann_oracle.py).
+                qn = np.linalg.norm(qm, axis=1)
+                inn = np.linalg.norm(im, axis=1)
                 denom = np.outer(qn, inn)
                 score = np.divide(
-                    dots, denom, out=np.zeros((len(qi), len(ii))),
+                    qm @ im.T, denom, out=np.zeros((len(qi), len(ii))),
                     where=denom != 0.0,
                 )
                 score[qi[:, None] == ii[None, :]] = -np.inf  # self
                 kk = min(k, score.shape[1])
                 order = np.argsort(-score, axis=1, kind="stable")[:, :kk]
-                q = np.repeat(qi, kk)
-                c = ii[order].reshape(-1)
-                s = np.take_along_axis(score, order, axis=1).reshape(-1)
-                finite = np.isfinite(s)
+                q_idx = np.repeat(np.arange(len(qi)), kk)
+                c_idx = order.reshape(-1)
+                s_sel = np.take_along_axis(score, order, axis=1).reshape(-1)
+                finite = np.isfinite(s_sel)
+                q_idx, c_idx = q_idx[finite], c_idx[finite]
+                # fold-exact rescore of the survivors only (n·k pairs)
+                sq, si = qm[q_idx], im[c_idx]
+                acc = np.zeros(len(q_idx))
+                for d in range(qm.shape[1]):
+                    acc = acc + sq[:, d] * si[:, d]
+                dn = _norms_seq(qm)[q_idx] * _norms_seq(im)[c_idx]
+                s_exact = np.divide(
+                    acc, dn, out=np.zeros(len(q_idx)), where=dn != 0.0
+                )
                 yield pd.DataFrame(
-                    {"vec_id": q[finite], "nbr": c[finite], "score": s[finite]}
+                    {
+                        "vec_id": qi[q_idx],
+                        "nbr": ii[c_idx],
+                        "score": s_exact,
+                    }
                 )
 
     # no dedup needed: the index side is single-assignment, so a (vec, nbr)
