@@ -1120,6 +1120,32 @@ def q_knn_graph_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knn_graph_ivf(emb)
 
 
+KNN_IVF_SCALED_CENTROIDS = 256
+
+
+@query(
+    "q_knn_graph_ivf_scaled",
+    oracle=ann_oracle.knn_graph_ivf_oracle(
+        dim=EMBEDDING_DIM, k=KNN_IVF_SCALED_CENTROIDS, iters=10,
+        cap=IVF_TRAIN_SAMPLE_CAP, aprobe=KNN_IVF_APROBE, graph_k=KNN_K,
+    ),
+    description="the kNN-graph-via-IVF SCALE configuration: identical "
+    "pipeline at C=256 centroids — graph construction work is "
+    "n·(n/C)·aprobe·d, so C MUST grow with the corpus (the standard "
+    "IVF √n prescription; the C=32 default measured exp 1.90 sf1→sf10 "
+    "while C=256 stays sublinear — SCALE.md); same unrolled-Lloyd "
+    "oracle machinery, hash-verified",
+    variant_of="q_knn_graph_ivf",
+)
+def q_knn_graph_ivf_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The C=256 point of the C-must-scale-with-n rule. At the test SFs
+    the sample (≥500 rows) still exceeds C, so training is well-posed;
+    recall at equal aprobe is slightly lower per probe-list (narrower
+    lists) — the aprobe/C candidate-fraction tradeoff the docstring of
+    :func:`knn_graph_ivf` states."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return knn_graph_ivf(emb, num_centroids=KNN_IVF_SCALED_CENTROIDS)
+
 
 # ---------------------------------------------------------------------------
 # SVD / PCA top component — the reference's named "SVD" workload
