@@ -233,7 +233,9 @@ def session_window_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     state is bounded by ACTIVE sessions, not history. This is the streaming
     shape of the reference-era 'sessionize in reduce' workload.
     """
-    name = f"session_stream_{next(_counter)}"
+    import os
+    import tempfile
+
     agg = (
         stream_events(spark, sf_dir)
         .withColumn("_ts_us", F.expr("ts_ns div 1000"))
@@ -247,18 +249,33 @@ def session_window_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.max("_ts_us") - F.min("_ts_us")).alias("span_us"),
         )
     )
+    # sink: foreachBatch parquet OVERWRITE, not the memory sink — session
+    # cardinality grows with the corpus (users x sessions), and the memory
+    # sink collects the whole complete-mode table into the DRIVER (blew
+    # spark.driver.maxResultSize at sf10 — SCALE.md). foreachBatch writes
+    # each complete snapshot distributed; the last snapshot is the result.
+    # PID-keyed path: concurrent processes never race (pipeline_ops rule).
+    out_path = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_session_stream_{os.getpid()}_{next(_counter)}",
+    )
+
+    def sink_batch(batch_df, _batch_id):
+        batch_df.write.mode("overwrite").parquet(out_path)
+
     with scoped_shuffle_partitions(spark, STREAM_STATE_PARTITIONS):
         q = (
             agg.writeStream.outputMode("complete")
-            .format("memory")
-            .queryName(name)
+            .foreachBatch(sink_batch)
             .start()
         )
         try:
             q.processAllAvailable()
         finally:
             q.stop()
-    return spark.table(name).select("user_id", "start_us", "n_events", "span_us")
+    return spark.read.parquet(out_path).select(
+        "user_id", "start_us", "n_events", "span_us"
+    )
 
 
 @query(
@@ -369,7 +386,9 @@ def purchase_click_attribution_stream(spark: SparkSession, sf_dir: str) -> DataF
     history. An unbounded-condition stream-stream join would grow state
     forever; the time bound is what makes this production-viable.
     """
-    name = f"attribution_stream_{next(_counter)}"
+    import os
+    import tempfile
+
     purchases = (
         stream_events(spark, sf_dir)
         .filter(F.col("event_type") == "purchase")
@@ -399,18 +418,28 @@ def purchase_click_attribution_stream(spark: SparkSession, sf_dir: str) -> DataF
         & (F.col("c_ts") <= F.col("p_ts")),
         "inner",
     ).select("p_id", "c_id", (F.col("p_us") - F.col("c_us")).alias("gap_us"))
+    # sink: the native append-mode PARQUET file sink — the production shape
+    # for a stream whose output grows with the data. The memory sink
+    # accumulates every emitted row in the DRIVER (the q_stream_session_
+    # window sf10 failure class); the file sink writes distributed with
+    # exactly-once per-batch commits under the checkpoint. PID-keyed paths.
+    base = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_attrib_stream_{os.getpid()}_{next(_counter)}",
+    )
     with scoped_shuffle_partitions(spark, STREAM_STATE_PARTITIONS):
         q = (
             joined.writeStream.outputMode("append")
-            .format("memory")
-            .queryName(name)
+            .format("parquet")
+            .option("path", f"{base}/out")
+            .option("checkpointLocation", f"{base}/ckpt")
             .start()
         )
         try:
             q.processAllAvailable()
         finally:
             q.stop()
-    return spark.table(name)
+    return spark.read.parquet(f"{base}/out")
 
 
 @query(
