@@ -221,40 +221,82 @@ def q_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def _sketch_merge_oracle() -> str:
+    from go_web_mapreduce_spark.functions import hll as _hll
+
+    val = "CAST(user_id AS VARCHAR)"
+    return f"""
+    WITH daily AS (
+      SELECT event_type, date_trunc('day', ts) AS day,
+             {_hll.hll_bucket_sql_duckdb(val)} AS bucket,
+             max({_hll.hll_rank_sql(val)}) AS M
+      FROM events GROUP BY 1, 2, 3
+    ), merged AS (
+      SELECT event_type, bucket, max(M) AS M FROM daily GROUP BY 1, 2
+    ), stats AS (
+      SELECT event_type, sum({_hll.hll_term_sql_duckdb("M")})::BIGINT AS sp,
+             count(*) AS nb
+      FROM merged GROUP BY 1
+    ), est AS (
+      SELECT event_type, {_hll.hll_estimate_sql_duckdb("sp", "nb")} AS approx_users
+      FROM stats
+    ), days AS (
+      SELECT event_type, count(DISTINCT date_trunc('day', ts)) AS n_days
+      FROM events GROUP BY 1
+    ), ex AS (
+      SELECT event_type, count(DISTINCT user_id) AS exact_users
+      FROM events GROUP BY 1
+    )
+    SELECT event_type, approx_users, n_days, exact_users
+    FROM est JOIN days USING (event_type) JOIN ex USING (event_type)
+    """
+
+
 @query(
     "q_sketch_merge",
-    oracle=None,  # sketch estimates are approximate by construction; the
-    # merge identity (union of daily sketches == one-shot sketch) and the
-    # error bound vs exact are asserted in tests/test_analytics.py
-    description="mergeable distinct-count sketches: per-day HLL states of "
-    "user_id rolled up per event type via hll_union_agg — the incremental "
-    "distinct-counting pattern (persist daily states, merge at read; no "
-    "rescan of history)",
+    oracle=_sketch_merge_oracle(),
+    description="mergeable distinct-count sketches: per-day portable-HLL "
+    "register states of user_id merged per event type by max — the "
+    "incremental distinct-counting pattern (persist daily states, merge at "
+    "read; no rescan of history); hash-verified because the register "
+    "algebra is integer-exact (functions/hll.py)",
 )
 def q_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The scale story IS the mergeability: a 100 TB history keeps one tiny
-    (2^12 bucket) sketch per (event_type, day) partition; any rollup —
-    per type, per week, global — is a union of states, never a rescan.
-    The estimates are deterministic (DataSketches HLL with fixed lgK), so
-    the merge identity holds exactly: union of the daily states equals the
-    one-shot sketch over the raw rows (asserted). Exact distinct is
-    included for the error-vs-exact comparison at this SF."""
+    register table (<= 4096 rows) per (event_type, day) partition; any
+    rollup — per type, per week, global — is a max-merge of states, never
+    a rescan. The state here is the RELATIONAL sketch of functions/hll.py
+    ((group, bucket, M) rows): merge = groupBy(bucket).max(M), which is
+    associative/commutative, so the identity *union of daily states ==
+    one-shot sketch over raw rows* holds exactly by algebra (asserted in
+    tests/test_analytics.py) and the estimate hash-matches the DuckDB
+    oracle replaying the same daily->merged->estimate chain. Exact
+    distinct is included for the error-vs-exact comparison at this SF.
+    (The binary-state alternative ``hll_sketch_agg``/``hll_union_agg``
+    ships with Spark and is exercised in the same test; its DataSketches
+    state is more compact on the wire but engine-private, so the portable
+    register form is the verified contract.)"""
+    from go_web_mapreduce_spark.functions import hll as _hll
+
     events = load_table(spark, sf_dir, "events")
-    daily = events.groupBy(
-        "event_type", F.date_trunc("day", "ts").alias("day")
-    ).agg(F.expr("hll_sketch_agg(user_id)").alias("sk"))
+    daily = _hll.hll_registers(
+        events.withColumn("day", F.date_trunc("day", "ts")),
+        ["event_type", "day"],
+        F.col("user_id"),
+    )
+    est = _hll.hll_estimate_from_registers(daily, ["event_type"]).select(
+        "event_type", F.col("approx").alias("approx_users")
+    )
+    days = events.groupBy("event_type").agg(
+        F.countDistinct(F.date_trunc("day", "ts")).alias("n_days")
+    )
+    ex = events.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_users")
+    )
     return (
-        daily.groupBy("event_type")
-        .agg(
-            F.expr("hll_sketch_estimate(hll_union_agg(sk))").alias("approx_users"),
-            F.count("*").alias("n_days"),
-        )
-        .join(
-            load_table(spark, sf_dir, "events")
-            .groupBy("event_type")
-            .agg(F.countDistinct("user_id").alias("exact_users")),
-            "event_type",
-        )
+        est.join(days, "event_type")
+        .join(ex, "event_type")
+        .select("event_type", "approx_users", "n_days", "exact_users")
     )
 
 

@@ -746,35 +746,126 @@ def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _approx_distinct_oracle() -> str:
+    from go_web_mapreduce_spark.functions import hll as _hll
+
+    val = "CAST(l_orderkey AS VARCHAR)"
+    return f"""
+    WITH regs AS (
+      SELECT l_returnflag, {_hll.hll_bucket_sql_duckdb(val)} AS bucket,
+             max({_hll.hll_rank_sql(val)}) AS M
+      FROM lineitem GROUP BY 1, 2
+    ), stats AS (
+      SELECT l_returnflag, sum({_hll.hll_term_sql_duckdb("M")})::BIGINT AS sp,
+             count(*) AS nb
+      FROM regs GROUP BY 1
+    ), est AS (
+      SELECT l_returnflag, {_hll.hll_estimate_sql_duckdb("sp", "nb")} AS approx_orders
+      FROM stats
+    ), keyed AS (
+      SELECT l_returnflag, l_extendedprice,
+             md5(l_orderkey::VARCHAR || ':' || l_linenumber::VARCHAR) AS k
+      FROM lineitem
+    ), samp AS (
+      SELECT * FROM (
+        SELECT l_returnflag, l_extendedprice, k,
+               row_number() OVER (PARTITION BY l_returnflag ORDER BY k) AS rn
+        FROM keyed) WHERE rn <= 1024
+    ), ranked AS (
+      SELECT l_returnflag, l_extendedprice,
+             row_number() OVER (
+               PARTITION BY l_returnflag ORDER BY l_extendedprice, k) AS sr,
+             count(*) OVER (PARTITION BY l_returnflag) AS kk
+      FROM samp
+    ), pct AS (
+      SELECT l_returnflag,
+             max(CASE WHEN sr = (kk + 1) // 2 THEN l_extendedprice END) AS price_p50,
+             max(CASE WHEN sr = (19 * kk + 19) // 20 THEN l_extendedprice END) AS price_p95
+      FROM ranked GROUP BY 1
+    ), nn AS (SELECT l_returnflag, count(*) AS n FROM lineitem GROUP BY 1)
+    SELECT l_returnflag, approx_orders, price_p50, price_p95, n
+    FROM est JOIN pct USING (l_returnflag) JOIN nn USING (l_returnflag)
+    """
+
+
 @query(
     "q_approx_distinct",
-    oracle=None,  # approximate by construction — sketch internals differ per
-    # engine; accuracy is asserted against exact counts in tests
-    description="approximate aggregates: HyperLogLog++ count-distinct and "
-    "approximate percentiles — the sketches that replace exact "
-    "count(DISTINCT)/percentile at 100 TB (SURVEY §2.2 approx aggregates)",
+    oracle=_approx_distinct_oracle(),
+    description="approximate aggregates: engine-portable HyperLogLog "
+    "count-distinct (4096 registers, md5 hash) and deterministic "
+    "hash-sample percentiles — the sketches that replace exact "
+    "count(DISTINCT)/percentile at 100 TB (SURVEY §2.2 approx aggregates); "
+    "hash-verified because every step is integer-exact or a frozen literal "
+    "(functions/hll.py)",
 )
 def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact count(DISTINCT) is a full shuffle of the distinct values;
-    approx_count_distinct is a fixed-size HLL sketch merged map-side —
-    constant memory per group at any scale. Same trade for percentiles."""
+    """Exact count(DISTINCT) shuffles every distinct value; an HLL register
+    table partial-aggregates map-side and shuffles <= 4096 rows per group
+    at any input size. This is the FROM-SCRATCH portable HLL
+    (functions/hll.py — md5 bucket/rank, integer harmonic sum, literal
+    linear-counting table), not ``approx_count_distinct``: same O()s, but
+    every step is reproducible in ANSI SQL, so the estimate itself is
+    hash-verified against DuckDB instead of rows-only. (Spark's native
+    HLL++ remains the zero-dependency production alternative; its accuracy
+    vs this implementation is pinned in tests/test_analytics.py.)
+
+    Percentiles: a deterministic bottom-1024-by-md5 sample per group (a
+    KMV-style uniform sample with no RNG state), then the nearest-rank
+    element — sampling error ~1.5 percentile points at k=1024. The
+    per-group window sort is the test-SF shape; at 100 TB gate map-side by
+    a hash threshold first (the q_reservoir_per_key RESERVOIR_GATE
+    pattern) so the sort input is bounded. Reference parity: distinct
+    counting in the reference is an exact reduce (algorithm.go); the
+    sketch forms are the documented scale extension."""
+    from go_web_mapreduce_spark.functions import hll as _hll
+
     li = load_table(spark, sf_dir, "lineitem")
+    regs = _hll.hll_registers(li, ["l_returnflag"], F.col("l_orderkey"))
+    est = _hll.hll_estimate_from_registers(regs, ["l_returnflag"]).select(
+        "l_returnflag", F.col("approx").alias("approx_orders")
+    )
+    keyed = li.select(
+        "l_returnflag",
+        "l_extendedprice",
+        F.md5(
+            F.concat(
+                F.col("l_orderkey").cast("string"),
+                F.lit(":"),
+                F.col("l_linenumber").cast("string"),
+            )
+        ).alias("k"),
+    )
+    samp = (
+        keyed.withColumn(
+            "rn", F.row_number().over(W.partitionBy("l_returnflag").orderBy("k"))
+        )
+        .filter(F.col("rn") <= 1024)
+        .drop("rn")
+    )
+    ranked = samp.select(
+        "l_returnflag",
+        "l_extendedprice",
+        F.row_number()
+        .over(W.partitionBy("l_returnflag").orderBy("l_extendedprice", "k"))
+        .alias("sr"),
+        F.count("*").over(W.partitionBy("l_returnflag")).alias("kk"),
+    )
+    pct = ranked.groupBy("l_returnflag").agg(
+        F.max(
+            F.when(F.col("sr") == F.expr("(kk + 1) div 2"), F.col("l_extendedprice"))
+        ).alias("price_p50"),
+        F.max(
+            F.when(
+                F.col("sr") == F.expr("(19 * kk + 19) div 20"),
+                F.col("l_extendedprice"),
+            )
+        ).alias("price_p95"),
+    )
+    nn = li.groupBy("l_returnflag").agg(F.count("*").alias("n"))
     return (
-        li.groupBy("l_returnflag")
-        .agg(
-            F.approx_count_distinct("l_orderkey", 0.02).alias("approx_orders"),
-            F.percentile_approx("l_extendedprice", [0.5, 0.95], 1000).alias("_pp"),
-            F.count("*").alias("n"),
-        )
-        # scalar columns, not the raw array: the driver's rows-only
-        # canonicalizer can't hash list cells (ADVICE r01)
-        .select(
-            "l_returnflag",
-            "approx_orders",
-            F.element_at("_pp", 1).alias("price_p50"),
-            F.element_at("_pp", 2).alias("price_p95"),
-            "n",
-        )
+        est.join(pct, "l_returnflag")
+        .join(nn, "l_returnflag")
+        .select("l_returnflag", "approx_orders", "price_p50", "price_p95", "n")
     )
 
 
