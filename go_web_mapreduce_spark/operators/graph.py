@@ -261,3 +261,163 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     nodes = li.select(F.col("l_partkey").alias("node")).distinct()
     ranks = pagerank(nodes, copurchase_edges(li))
     return ranks.select(F.col("node").alias("part_id"), F.col("r").alias("pr"))
+
+
+# ---------------------------------------------------------------------------
+# triangle counting — degree-ordered wedge join (the O(m^1.5) plan)
+# ---------------------------------------------------------------------------
+
+# okey packs (degree, node id) into one bigint so "orient toward the
+# higher-degree endpoint" is a single integer comparison in both engines;
+# partkey < 2^32 and degree < 2^31 at any conceivable SF, so the pack is
+# collision-free and exact
+_TRI_OKEY_SHIFT = 32
+
+
+@query(
+    "q_triangle_count",
+    oracle=f"""
+    WITH li AS (
+      SELECT l_orderkey, l_partkey FROM lineitem
+      WHERE l_shipdate >= '{PR_YEAR}-01-01' AND l_shipdate < '{PR_YEAR + 1}-01-01'
+    ),
+    und AS (
+      SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+      WHERE a.l_partkey < b.l_partkey
+    ),
+    deg AS (
+      SELECT node, count(*) AS d FROM (
+        SELECT u AS node FROM und UNION ALL SELECT v AS node FROM und
+      ) GROUP BY node
+    ),
+    keyed AS (
+      SELECT und.u, und.v,
+             du.d * {1 << _TRI_OKEY_SHIFT}::BIGINT + und.u AS ku,
+             dv.d * {1 << _TRI_OKEY_SHIFT}::BIGINT + und.v AS kv
+      FROM und JOIN deg du ON du.node = und.u JOIN deg dv ON dv.node = und.v
+    ),
+    oriented AS (
+      SELECT CASE WHEN ku < kv THEN ku ELSE kv END AS src,
+             CASE WHEN ku < kv THEN kv ELSE ku END AS dst
+      FROM keyed
+    ),
+    wedges AS (
+      SELECT e1.dst AS a, e2.dst AS b
+      FROM oriented e1 JOIN oriented e2
+        ON e1.src = e2.src AND e1.dst < e2.dst
+    ),
+    tri AS (
+      SELECT count(*) AS n_triangles
+      FROM wedges w JOIN oriented e ON e.src = w.a AND e.dst = w.b
+    )
+    SELECT
+      CAST((SELECT count(*) FROM deg) AS BIGINT) AS n_nodes,
+      CAST((SELECT count(*) FROM und) AS BIGINT) AS n_edges,
+      CAST((SELECT count(*) FROM wedges) AS BIGINT) AS n_wedges,
+      CAST(n_triangles AS BIGINT) AS n_triangles,
+      CASE WHEN (SELECT count(*) FROM wedges) > 0
+           THEN 1.0 * n_triangles / (SELECT count(*) FROM wedges)
+           ELSE 0.0 END AS closure_ratio
+    FROM tri
+    """,
+    description="exact triangle count over the part co-occurrence graph "
+    "via degree-ordered wedge joins (nodes+edges+wedges+triangles+global "
+    "oriented-wedge closure ratio) — the third classic graph workload "
+    "next to PageRank "
+    "and connected components; the orientation bound is what makes "
+    "triangle enumeration feasible at 100 TB",
+)
+def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Naive triangle enumeration joins the edge list to itself twice with
+    no bound on the intermediate: a single hub of degree D emits D^2
+    wedges. The classical fix (public: Schank & Wagner 2005; Suri &
+    Vassilvitskii WWW'11 for the MapReduce form) orients every edge from
+    its lower-(degree, id) endpoint to its higher one: out-degree under
+    this orientation is O(sqrt(m)), so the wedge join is O(m^1.5) total
+    and hub nodes stop dominating. Every triangle is counted exactly once
+    — its two lowest-ordered edges form the wedge, its highest pair
+    closes it.
+
+    Plan shape: the co-occurrence self-join is bounded per order (<= 7
+    lines each, see :func:`copurchase_edges`); degrees are one partial
+    aggregate; the wedge join and closure join are shuffle equi-joins on
+    packed integer keys. Nothing touches the driver; the only floats are
+    one final ratio. The (degree, id) pack into a single bigint keeps the
+    orientation a one-integer comparison identical in both engines."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .where(
+            (F.col("l_shipdate") >= f"{PR_YEAR}-01-01")
+            & (F.col("l_shipdate") < f"{PR_YEAR + 1}-01-01")
+        )
+        .select("l_orderkey", "l_partkey")
+    )
+    a = li.select("l_orderkey", F.col("l_partkey").alias("u"))
+    b = li.select("l_orderkey", F.col("l_partkey").alias("v"))
+    und = (
+        a.join(b, "l_orderkey")
+        .where(F.col("u") < F.col("v"))
+        .select("u", "v")
+        .distinct()
+    )
+    return triangle_stats(und)
+
+
+def triangle_stats(und: DataFrame) -> DataFrame:
+    """Degree-ordered triangle statistics over an undirected edge list
+    ``(u, v)`` with ``u < v`` and no duplicates — the engine behind
+    :func:`q_triangle_count`, factored out so tests can feed graphs with
+    known triangle counts.
+
+    ``und`` and ``oriented`` feed several of the final one-row aggregates,
+    so both are lazily ``localCheckpoint``-ed (the pagerank discipline):
+    without it each aggregate re-derives the edge list — the co-occurrence
+    self-join plus a distinct — once per count (measured at sf0.1:
+    8.5 s -> 7.6 s on a cold session, 1.6 s warm — the remaining cold
+    cost is codegen, not re-derivation). On a durable cluster checkpoint
+    to parquet instead."""
+    und = und.localCheckpoint(eager=False)
+    deg = (
+        und.select(F.col("u").alias("node"))
+        .unionAll(und.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("d"))
+    )
+    shift = F.lit(1 << _TRI_OKEY_SHIFT).cast("long")
+    keyed = (
+        und.join(deg.withColumnRenamed("node", "u").withColumnRenamed("d", "du"), "u")
+        .join(deg.withColumnRenamed("node", "v").withColumnRenamed("d", "dv"), "v")
+        .select(
+            (F.col("du") * shift + F.col("u")).alias("ku"),
+            (F.col("dv") * shift + F.col("v")).alias("kv"),
+        )
+    )
+    oriented = keyed.select(
+        F.least("ku", "kv").alias("src"), F.greatest("ku", "kv").alias("dst")
+    ).localCheckpoint(eager=False)
+    e1 = oriented.select(F.col("src"), F.col("dst").alias("a"))
+    e2 = oriented.select(F.col("src"), F.col("dst").alias("b"))
+    wedges = e1.join(e2, "src").where(F.col("a") < F.col("b")).select("a", "b")
+    closed = wedges.join(
+        oriented,
+        (wedges["a"] == oriented["src"]) & (wedges["b"] == oriented["dst"]),
+    )
+    counts = (
+        deg.agg(F.count("*").alias("n_nodes"))
+        .crossJoin(und.agg(F.count("*").alias("n_edges")))
+        .crossJoin(wedges.agg(F.count("*").alias("n_wedges")))
+        .crossJoin(closed.agg(F.count("*").alias("n_triangles")))
+    )
+    return counts.select(
+        "n_nodes",
+        "n_edges",
+        "n_wedges",
+        "n_triangles",
+        F.when(
+            F.col("n_wedges") > 0,
+            F.lit(1.0) * F.col("n_triangles") / F.col("n_wedges"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("closure_ratio"),
+    )

@@ -829,3 +829,62 @@ def q_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_chars").alias("sum_chars"),
         F.sum(F.length("text")).alias("sum_len"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q_jsonl_roundtrip — file-format interchange: parquet → JSON Lines → DataFrame
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_jsonl_roundtrip",
+    # lossless round trip ⇒ the oracle aggregates the parquet source
+    # directly; any escaping/encoding/typing bug in the JSONL path shows
+    # up as a count or checksum mismatch
+    oracle="""
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT text) AS BIGINT) AS n_unique,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+           CAST(sum(length(text)) AS BIGINT) AS sum_len
+    FROM documents GROUP BY source
+    """,
+    description="file-format interchange (SURVEY §2.2 connectors): the "
+    "documents table written as JSON Lines and read back with an explicit "
+    "schema; per-source counts, distinct-text counts, and length checksums "
+    "hash-verify against the parquet source — the interchange format LLM "
+    "corpora actually ship in (one JSON object per line)",
+)
+def q_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSONL is the de-facto wire format for training corpora, and unlike
+    CSV it needs NO null sentinel (JSON ``null`` is unambiguous) and no
+    quoting dialect (newlines/quotes/unicode are escaped by the format) —
+    the contrast to q_csv_roundtrip's reserved-``\\N`` caveat. The explicit
+    read schema pins types (schema inference on JSON re-types zero-padded
+    strings and widens ints — and is a full extra scan at 100 TB). Spark
+    line-splits JSONL in parallel like any text source, so both directions
+    are one distributed scan, no driver involvement; fields absent from a
+    line arrive as NULL and round-trip exactly."""
+    import hashlib
+    import os
+    import tempfile
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+    # PID-keyed path: concurrent processes never race on overwrite; the
+    # lazy read below means files must outlive this function — no cleanup
+    key = hashlib.md5(f"{sf_dir}:{os.getpid()}".encode()).hexdigest()[:12]
+    path = f"{tempfile.gettempdir()}/spark_graft_jsonl_{key}"
+    docs.write.mode("overwrite").json(path)
+    back = (
+        spark.read.schema(
+            "doc_id bigint, text string, lang string, source string, n_chars bigint"
+        ).json(path)
+    )
+    return back.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("text").alias("n_unique"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.sum(F.length("text")).alias("sum_len"),
+    )

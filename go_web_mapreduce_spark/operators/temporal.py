@@ -302,3 +302,101 @@ def q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.last("v", ignorenulls=True).over(w).alias("filled_value"),
         F.isnull("v").cast("bigint").alias("is_gap"),
     )
+
+
+# ---------------------------------------------------------------------------
+# interval coalescing — merge overlapping spans (gaps-and-islands)
+# ---------------------------------------------------------------------------
+
+# each event opens a fixed activity interval [ts, ts + 5 min); overlapping
+# or touching intervals merge into one island
+INTERVAL_LEN_US = 5 * 60 * 1_000_000
+
+
+@query(
+    "q_interval_merge",
+    oracle=f"""
+    WITH iv AS (
+      SELECT user_id, epoch_us(ts) AS s,
+             epoch_us(ts) + {INTERVAL_LEN_US} AS e, event_id
+      FROM events
+    ),
+    flagged AS (
+      SELECT user_id, s, e, event_id,
+             CASE WHEN s <= max(e) OVER (
+                    PARTITION BY user_id ORDER BY s, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                  THEN 0 ELSE 1 END AS new_i
+      FROM iv
+    ),
+    numbered AS (
+      SELECT user_id, s, e,
+             sum(new_i) OVER (
+               PARTITION BY user_id ORDER BY s, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+      FROM flagged
+    ),
+    merged AS (
+      SELECT user_id, island, min(s) AS i_start, max(e) AS i_end,
+             count(*) AS n_events
+      FROM numbered GROUP BY user_id, island
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_islands,
+           CAST(sum(i_end - i_start) AS BIGINT) AS covered_us,
+           CAST(max(i_end - i_start) AS BIGINT) AS longest_us,
+           CAST(max(n_events) AS BIGINT) AS max_events_per_island
+    FROM merged GROUP BY user_id
+    """,
+    description="interval coalescing (gaps-and-islands): each event opens "
+    "a fixed 5-minute activity span; overlapping/touching spans merge into "
+    "islands per user — per-user island count, covered time, longest "
+    "island — the overlap-merge complement of gap-based q_sessionize",
+)
+def q_interval_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The classic interval-merge: sort each user's spans by start, flag a
+    new island when a span starts after the running max of all previous
+    ends (``max(e) OVER (... ROWS ... 1 PRECEDING)`` — NOT ``lag(e)``,
+    which breaks when an earlier long span swallows its successors), and
+    a running sum of flags numbers the islands. All arithmetic is integer
+    microseconds, so the oracle hash-matches exactly.
+
+    Scale shape: ONE shuffle on user_id; both window passes and the two
+    aggregations reuse that single exchange (same partition key). Island
+    state is a running max/sum inside each partition — no driver state, no
+    self-join (the naive overlap-pairs formulation is an O(n^2)-per-user
+    range join). At 100 TB a hot user with millions of spans serializes
+    one task; cap spans per (user, day) first if that regime exists —
+    islands cannot cross a boundary wider than the interval length unless
+    activity is continuous, so day-bucketed keys keep exactness for
+    sparse users and bound the rest."""
+    events = load_table(spark, sf_dir, "events")
+    us = F.expr("ts_ns div 1000")
+    iv = events.select(
+        "user_id",
+        us.alias("s"),
+        (us + F.lit(INTERVAL_LEN_US)).alias("e"),
+        "event_id",
+    )
+    order = W.partitionBy("user_id").orderBy("s", "event_id")
+    prev_max_e = F.max("e").over(
+        order.rowsBetween(W.unboundedPreceding, -1)
+    )
+    flagged = iv.withColumn(
+        "new_i", F.when(F.col("s") <= prev_max_e, F.lit(0)).otherwise(F.lit(1))
+    )
+    numbered = flagged.withColumn(
+        "island",
+        F.sum("new_i").over(order.rowsBetween(W.unboundedPreceding, 0)),
+    )
+    merged = numbered.groupBy("user_id", "island").agg(
+        F.min("s").alias("i_start"),
+        F.max("e").alias("i_end"),
+        F.count("*").alias("n_events"),
+    )
+    return merged.groupBy("user_id").agg(
+        F.count("*").alias("n_islands"),
+        F.sum(F.col("i_end") - F.col("i_start")).alias("covered_us"),
+        F.max(F.col("i_end") - F.col("i_start")).alias("longest_us"),
+        F.max("n_events").alias("max_events_per_island"),
+    )

@@ -98,3 +98,101 @@ def test_ml_linreg_matches_numpy_lstsq(spark, sf_dir):
         assert abs(row["slope"] - slope) < 1e-4
         assert abs(row["intercept"] - intercept) < 1e-3
         assert row["n"] == len(pts)
+
+
+def test_triangle_stats_on_known_graphs(spark):
+    """K4 has 4 triangles and 12 wedges under any orientation-consistent
+    counting (closure ratio 1.0); a 4-cycle has wedges but zero
+    triangles; a star has zero. Brute-force parity on a random-ish graph
+    pins the degree-ordered join against itertools."""
+    from itertools import combinations
+
+    from go_web_mapreduce_spark.operators.graph import triangle_stats
+
+    def run(edges):
+        df = spark.createDataFrame(
+            [(min(a, b), max(a, b)) for a, b in edges], "u long, v long"
+        ).distinct()
+        return triangle_stats(df).collect()[0]
+
+    k4 = list(combinations(range(4), 2))
+    r = run(k4)
+    assert (r["n_nodes"], r["n_edges"], r["n_triangles"]) == (4, 6, 4)
+    assert r["closure_ratio"] == 1.0
+
+    cycle4 = [(0, 1), (1, 2), (2, 3), (3, 0)]
+    r = run(cycle4)
+    assert r["n_triangles"] == 0 and r["n_wedges"] > 0
+
+    star = [(0, i) for i in range(1, 7)]
+    r = run(star)
+    assert r["n_triangles"] == 0
+
+    # deterministic pseudo-random graph vs brute force
+    nodes = range(12)
+    edges = [
+        (a, b)
+        for a, b in combinations(nodes, 2)
+        if (a * 7 + b * 13) % 3 == 0
+    ]
+    eset = set(edges)
+    brute = sum(
+        1
+        for a, b, c in combinations(nodes, 3)
+        if (a, b) in eset and (b, c) in eset and (a, c) in eset
+    )
+    r = run(edges)
+    assert r["n_triangles"] == brute
+
+
+def test_interval_merge_matches_brute_force(spark, sf_dir):
+    """Replay the interval merge in plain Python per user and compare
+    island counts and covered time exactly."""
+    from go_web_mapreduce_spark.operators.temporal import (
+        INTERVAL_LEN_US,
+        q_interval_merge,
+    )
+    from go_web_mapreduce_spark.sources.tables import load_table
+
+    got = {r["user_id"]: r for r in q_interval_merge(spark, sf_dir).collect()}
+    rows = (
+        load_table(spark, sf_dir, "events")
+        .selectExpr("user_id", "ts_ns div 1000 AS s")
+        .collect()
+    )
+    by_user: dict = {}
+    for r in rows:
+        by_user.setdefault(r["user_id"], []).append(r["s"])
+    for uid, starts in by_user.items():
+        starts.sort()
+        islands = []
+        for s in starts:
+            e = s + INTERVAL_LEN_US
+            if islands and s <= islands[-1][1]:
+                islands[-1][1] = max(islands[-1][1], e)
+            else:
+                islands.append([s, e])
+        g = got[uid]
+        assert g["n_islands"] == len(islands)
+        assert g["covered_us"] == sum(e - s for s, e in islands)
+        assert g["longest_us"] == max(e - s for s, e in islands)
+
+
+def test_jsonl_roundtrip_survives_hostile_strings(spark, tmp_path):
+    """Embedded newlines, quotes, backslash-N, unicode, empty string and
+    NULL must all round-trip byte-identically through the JSONL path —
+    including the \\N content that the CSV dialect reserves."""
+    hostile = [
+        (1, 'line1\nline2', "en"),
+        (2, 'quote " and \\ backslash', "en"),
+        (3, "\\N", "de"),          # CSV's reserved sentinel is safe here
+        (4, "", "de"),             # empty string stays empty, not NULL
+        (5, None, "fr"),           # NULL stays NULL
+        (6, "emoji \U0001f600 and sőr", "hu"),
+        (7, "tab\tand\rcarriage", "en"),
+    ]
+    df = spark.createDataFrame(hostile, "doc_id long, text string, lang string")
+    path = str(tmp_path / "jsonl")
+    df.write.mode("overwrite").json(path)
+    back = spark.read.schema("doc_id long, text string, lang string").json(path)
+    assert sorted(map(tuple, back.collect())) == sorted(hostile)
