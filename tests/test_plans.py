@@ -221,3 +221,39 @@ def test_lsh_banded_dedup_has_no_cartesian(spark, sf_dir):
     # the band self-join and both id joins are equi-joins
     assert plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin") \
         + plan.count("BroadcastHashJoin") >= 3
+
+
+def test_interval_merge_reuses_one_exchange(spark, sf_dir):
+    """Both windows and both aggregation pairs must ride ONE hash exchange
+    on user_id — and the scan must read only the 3 referenced columns."""
+    plan = executed_plan(spark, sf_dir, "q_interval_merge")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "partial_min" in plan and "partial_count" in plan
+    read_schema = plan.split("ReadSchema:", 1)[1].splitlines()[0]
+    assert "props" not in read_schema and "value" not in read_schema
+
+
+def test_triangle_count_is_equi_joins_only(spark, sf_dir):
+    """Degree-ordered wedge counting must never fall back to a cartesian:
+    the wedge join and the closure join are equi-joins on packed integer
+    keys; the only nested-loop joins are the one-row stat spine."""
+    plan = executed_plan(spark, sf_dir, "q_triangle_count")
+    assert "CartesianProduct" not in plan
+    # the lazy localCheckpoints truncate lineage (upstream edge-derivation
+    # joins appear as Scan ExistingRDD), so the final plan shows the wedge
+    # join and the closure join — both must be equi-joins
+    assert (
+        plan.count("SortMergeJoin")
+        + plan.count("ShuffledHashJoin")
+        + plan.count("BroadcastHashJoin")
+        >= 2
+    )
+
+
+def test_approx_distinct_registers_aggregate_partially(spark, sf_dir):
+    """The HLL register table must partial-aggregate map-side (max per
+    bucket) so the shuffle carries <= 4096 rows per group, and no raw
+    count(DISTINCT) of the value column may appear in the plan."""
+    plan = executed_plan(spark, sf_dir, "q_approx_distinct")
+    assert "partial_max" in plan
+    assert "distinct l_orderkey" not in plan.lower()
