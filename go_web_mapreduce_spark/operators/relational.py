@@ -766,11 +766,22 @@ def _approx_distinct_oracle() -> str:
       SELECT l_returnflag, l_extendedprice,
              md5(l_orderkey::VARCHAR || ':' || l_linenumber::VARCHAR) AS k
       FROM lineitem
+    ), gates AS (
+      -- (2^60 // n) * 16k, not (2^60 * 16k) // n: the latter overflows
+      -- int64; the reordering is stated identically in both engines so
+      -- the rounding difference is shared, not a divergence
+      SELECT l_returnflag,
+             CASE WHEN count(*) <= {16 * 1024} THEN {1 << 60}
+                  ELSE ({1 << 60} // count(*)) * {16 * 1024} END AS gate
+      FROM lineitem GROUP BY 1
+    ), gated AS (
+      SELECT keyed.* FROM keyed JOIN gates USING (l_returnflag)
+      WHERE ('0x' || substr(k, 1, 15))::BIGINT < gate
     ), samp AS (
       SELECT * FROM (
         SELECT l_returnflag, l_extendedprice, k,
                row_number() OVER (PARTITION BY l_returnflag ORDER BY k) AS rn
-        FROM keyed) WHERE rn <= 1024
+        FROM gated) WHERE rn <= 1024
     ), ranked AS (
       SELECT l_returnflag, l_extendedprice,
              row_number() OVER (
@@ -811,12 +822,17 @@ def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Percentiles: a deterministic bottom-1024-by-md5 sample per group (a
     KMV-style uniform sample with no RNG state), then the nearest-rank
-    element — sampling error ~1.5 percentile points at k=1024. The
-    per-group window sort is the test-SF shape; at 100 TB gate map-side by
-    a hash threshold first (the q_reservoir_per_key RESERVOIR_GATE
-    pattern) so the sort input is bounded. Reference parity: distinct
-    counting in the reference is an exact reduce (algorithm.go); the
-    sketch forms are the documented scale extension."""
+    element — sampling error ~1.5 percentile points at k=1024. The sample
+    selection is GATED map-side (the q_reservoir_per_key RESERVOIR_GATE
+    pattern, made count-adaptive): a cheap per-group count sets a 60-bit
+    hash threshold keeping ~16k expected survivors per group, so the
+    per-group window sorts a bounded set at any corpus size instead of
+    every row. The gate is integer arithmetic replicated verbatim in the
+    oracle, so parity is exact; the gated bottom-1024 equals the ungated
+    bottom-1024 unless fewer than 1024 of n rows hash under a 16·1024/n
+    threshold — a ~40σ deviation of a binomial, i.e. never. Reference
+    parity: distinct counting in the reference is an exact reduce
+    (algorithm.go); the sketch forms are the documented scale extension."""
     from go_web_mapreduce_spark.functions import hll as _hll
 
     li = load_table(spark, sf_dir, "lineitem")
@@ -835,12 +851,21 @@ def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("k"),
     )
+    gates = li.groupBy("l_returnflag").agg(
+        F.expr(
+            f"CASE WHEN count(*) <= {16 * 1024} THEN CAST({1 << 60} AS BIGINT) "
+            f"ELSE (CAST({1 << 60} AS BIGINT) div count(*)) * {16 * 1024} END"
+        ).alias("gate")
+    )
+    gated = keyed.join(F.broadcast(gates), "l_returnflag").filter(
+        F.conv(F.substring("k", 1, 15), 16, 10).cast("long") < F.col("gate")
+    )
     samp = (
-        keyed.withColumn(
+        gated.withColumn(
             "rn", F.row_number().over(W.partitionBy("l_returnflag").orderBy("k"))
         )
         .filter(F.col("rn") <= 1024)
-        .drop("rn")
+        .drop("rn", "gate")
     )
     ranked = samp.select(
         "l_returnflag",
