@@ -268,10 +268,11 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 # okey packs (degree, node id) into one bigint so "orient toward the
-# higher-degree endpoint" is a single integer comparison in both engines;
-# partkey < 2^32 and degree < 2^31 at any conceivable SF, so the pack is
-# collision-free and exact
-_TRI_OKEY_SHIFT = 32
+# higher-degree endpoint" is a single integer comparison in both engines.
+# 35 id bits cover partkey up to 3.4e10 (TPC-H SF ~170k, i.e. >100 TB)
+# and leave 28 degree bits (a part co-occurring with 268M others) — both
+# beyond any real corpus, so the pack is collision-free and exact
+_TRI_OKEY_SHIFT = 35
 
 
 @query(
