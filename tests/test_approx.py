@@ -30,3 +30,49 @@ def test_approx_percentiles_ordered_and_bounded(spark, sf_dir):
     for r in q_approx_distinct(spark, sf_dir).collect():
         p50, p95 = r["price_p50"], r["price_p95"]
         assert bounds[0] <= p50 <= p95 <= bounds[1]
+
+
+def test_gated_sample_equals_ungated_bottom_k(spark, sf_dir):
+    """The count-adaptive hash gate in q_approx_distinct must be invisible
+    to the result: bottom-1024-by-md5 of the gated survivor set equals
+    bottom-1024 of all rows (the gate keeps ~16k expected survivors per
+    group, so losing a bottom-1024 member is a ~40-sigma binomial event)."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from go_web_mapreduce_spark.sources.tables import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    keyed = li.select(
+        "l_returnflag",
+        F.md5(
+            F.concat(
+                F.col("l_orderkey").cast("string"),
+                F.lit(":"),
+                F.col("l_linenumber").cast("string"),
+            )
+        ).alias("k"),
+    )
+    gates = li.groupBy("l_returnflag").agg(
+        F.expr(
+            f"CASE WHEN count(*) <= {16 * 1024} THEN CAST({1 << 60} AS BIGINT) "
+            f"ELSE (CAST({1 << 60} AS BIGINT) div count(*)) * {16 * 1024} END"
+        ).alias("gate")
+    )
+    w = W.partitionBy("l_returnflag").orderBy("k")
+
+    def bottom_k(df):
+        return {
+            (r["l_returnflag"], r["k"])
+            for r in df.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= 1024)
+            .collect()
+        }
+
+    ungated = bottom_k(keyed)
+    gated = bottom_k(
+        keyed.join(F.broadcast(gates), "l_returnflag").filter(
+            F.conv(F.substring("k", 1, 15), 16, 10).cast("long") < F.col("gate")
+        ).select("l_returnflag", "k")
+    )
+    assert gated == ungated
