@@ -541,3 +541,118 @@ def foreachbatch_idempotent_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_stream_foreachbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return foreachbatch_idempotent_sink(spark, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# streaming portable-HLL: approximate distinct users per (hour, type)
+# ---------------------------------------------------------------------------
+
+
+def _stream_hll_oracle() -> str:
+    from go_web_mapreduce_spark.functions import hll as _hll
+
+    val = "CAST(user_id AS VARCHAR)"
+    return f"""
+    WITH regs AS (
+      SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+             event_type,
+             {_hll.hll_bucket_sql_duckdb(val)} AS bucket,
+             max({_hll.hll_rank_sql(val)}) AS M
+      FROM events GROUP BY 1, 2, 3
+    ), stats AS (
+      SELECT hour, event_type,
+             sum({_hll.hll_term_sql_duckdb("M")})::BIGINT AS sp, count(*) AS nb
+      FROM regs GROUP BY 1, 2
+    ), ex AS (
+      SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+             event_type, count(DISTINCT user_id) AS exact_users
+      FROM events GROUP BY 1, 2
+    )
+    SELECT hour, event_type,
+           {_hll.hll_estimate_sql_duckdb("sp", "nb")} AS approx_users,
+           exact_users
+    FROM stats JOIN ex USING (hour, event_type)
+    """
+
+
+@query(
+    "q_stream_hll",
+    # the streaming register state must land on the identical estimate the
+    # batch portable-HLL computes over the raw table
+    oracle=_stream_hll_oracle(),
+    description="streaming sketch state: portable-HLL registers of user_id "
+    "maintained per (hour window, event_type) by a streaming max-aggregate, "
+    "estimates computed at read — approximate distinct users per window, "
+    "hash-verified against the batch HLL oracle",
+)
+def q_stream_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct counting in a stream is the canonical sketch use case:
+    exact count(DISTINCT) needs per-window sets of unbounded size in the
+    state store, while an HLL register table keeps <= 4096 integers per
+    (window, type) — and max is exactly the streaming-aggregate shape
+    (associative, commutative, incremental per micro-batch). The stream
+    maintains the REGISTERS (the mergeable state a production pipeline
+    would persist); the estimate is a read-time batch step over the sink,
+    mirroring q_sketch_merge's persist-states/estimate-at-read pattern.
+    Uses the engine-portable HLL (functions/hll.py), so the streaming
+    result hash-matches a DuckDB oracle replaying the same math over the
+    raw table — the same batch-equivalence discipline as every other
+    streaming query here. Watermarked; complete-mode memory sink at test
+    scale (window x type x <=4096 rows), RocksDB + append/foreachBatch at
+    cluster scale (see q_stream_foreachbatch)."""
+    from go_web_mapreduce_spark.functions import hll as _hll
+
+    name = f"hll_stream_{next(_counter)}"
+    val = "CAST(user_id AS STRING)"
+    ev = stream_events(spark, sf_dir).withWatermark("ts", "2 hours")
+    regs = (
+        ev.select(
+            "ts",
+            "event_type",
+            F.conv(F.substring(F.md5(F.expr(val)), 1, 3), 16, 10)
+            .cast("int")
+            .alias("bucket"),
+            F.expr(_hll.hll_rank_sql(val)).alias("rank"),
+        )
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type", "bucket")
+        .agg(F.max("rank").alias("M"))
+    )
+    with scoped_shuffle_partitions(spark, STREAM_STATE_PARTITIONS):
+        q = (
+            regs.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    reg_tbl = spark.table(name)
+    stats = reg_tbl.groupBy("w", "event_type").agg(
+        F.sum(F.expr(_hll.hll_term_sql_spark("M"))).alias("_s"),
+        F.count("*").alias("_nb"),
+    )
+    from go_web_mapreduce_spark.sources.tables import load_table
+
+    # load_table, not a raw read: events.ts has shipped as both
+    # TIMESTAMP(NANOS) and NTZ micros across testdata generations and
+    # normalize_events is the one place that reconciles them
+    exact = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.date_trunc("hour", "ts").alias("h"), "event_type")
+        .agg(F.countDistinct("user_id").alias("exact_users"))
+    )
+    est = stats.select(
+        F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+        "event_type",
+        _hll.hll_estimate_col(F.col("_s"), F.col("_nb")).alias("approx_users"),
+    )
+    return est.join(
+        exact.select(
+            F.date_format("h", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+            "event_type",
+            "exact_users",
+        ),
+        ["hour", "event_type"],
+    )

@@ -366,3 +366,47 @@ def test_rocksdb_state_store_incremental_available_now(spark, sf_dir, tmp_path):
         for r in events.groupBy("event_type").agg(F.count("*").alias("n")).collect()
     }
     assert got == want
+
+
+def test_stream_hll_registers_equal_batch(spark, sf_dir):
+    """The streaming max-aggregate over HLL registers must land on the
+    IDENTICAL register table — and therefore the identical estimate — as a
+    batch groupBy over the same finite input, and the estimate must track
+    the exact distinct count within the 4096-register error envelope."""
+    from pyspark.sql import functions as F
+
+    from go_web_mapreduce_spark.functions import hll as _hll
+    from go_web_mapreduce_spark.sources.tables import load_table
+    from go_web_mapreduce_spark.streaming.events import q_stream_hll
+
+    rows = q_stream_hll(spark, sf_dir).collect()
+    assert len(rows) > 0
+    for r in rows:
+        # small-cardinality windows hit linear counting (near-exact); the
+        # 1.04/sqrt(4096) ≈ 1.6% asymptotic band plus slack covers the rest
+        assert abs(r["approx_users"] - r["exact_users"]) <= max(
+            3, 0.1 * r["exact_users"]
+        ), r
+
+    # batch twin: same registers, same estimate formula
+    val = "CAST(user_id AS STRING)"
+    batch = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            F.date_trunc("hour", "ts").alias("h"),
+            "event_type",
+            F.conv(F.substring(F.md5(F.expr(val)), 1, 3), 16, 10)
+            .cast("int")
+            .alias("bucket"),
+            F.expr(_hll.hll_rank_sql(val)).alias("rank"),
+        )
+        .groupBy("h", "event_type", "bucket")
+        .agg(F.max("rank").alias("M"))
+    )
+    est = _hll.hll_estimate_from_registers(batch, ["h", "event_type"])
+    want = {
+        (r["h"].strftime("%Y-%m-%d %H:%M:%S"), r["event_type"]): r["approx"]
+        for r in est.collect()
+    }
+    got = {(r["hour"], r["event_type"]): r["approx_users"] for r in rows}
+    assert got == want
