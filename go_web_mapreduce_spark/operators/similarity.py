@@ -1713,3 +1713,188 @@ def ivfpq_topk_persisted(
 def q_similarity_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return ivfpq_topk(emb, emb.filter(F.col("vec_id") == 0))
+
+
+# ---------------------------------------------------------------------------
+# hybrid retrieval: reciprocal-rank fusion of a lexical and a vector leg
+# ---------------------------------------------------------------------------
+
+RRF_K = 60  # Cormack, Clarke & Buettcher 2009: k=60 is the published default
+RRF_LEG_N = 50  # depth of each retrieved list before fusion
+RRF_TOP = 20
+RRF_TERMS = ("fast", "join", "data")  # the literal lexical query
+RRF_PROBE = 0  # the vector query: embedding of vec_id 0 (query-by-example)
+
+
+def _rrf_oracle() -> str:
+    from go_web_mapreduce_spark.operators.relational import BM25_B, BM25_K1
+
+    score = f"""((CAST(stats.n_docs - df.df AS DOUBLE) + 0.5)
+              / (CAST(df.df AS DOUBLE) + 0.5))
+             * (CAST(tf.tf AS DOUBLE) * {BM25_K1 + 1.0}
+                / (CAST(tf.tf AS DOUBLE)
+                   + {BM25_K1} * ({1.0 - BM25_B} + {BM25_B}
+                      * (CAST(dl.dl AS DOUBLE)
+                         / (CAST(stats.sum_dl AS DOUBLE)
+                            / CAST(stats.n_docs AS DOUBLE))))))"""
+    terms_in = ", ".join(f"'{t}'" for t in RRF_TERMS)
+    fold = " + ".join(
+        f"coalesce(max(CASE WHEN word = '{t}' THEN s END), CAST(0 AS DOUBLE))"
+        for t in RRF_TERMS
+    )
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(lower(text), ' ')) AS word FROM documents
+    ), tf AS (
+      SELECT doc_id, word, count(*) AS tf FROM toks WHERE word <> '' GROUP BY 1, 2
+    ), dl AS (
+      SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY doc_id
+    ), df AS (
+      SELECT word, count(*) AS df FROM (SELECT DISTINCT doc_id, word FROM tf) GROUP BY word
+    ), stats AS (
+      SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS sum_dl FROM dl
+    ), term_scores AS (
+      SELECT tf.doc_id, tf.word, {score} AS s
+      FROM tf JOIN df USING (word) JOIN dl USING (doc_id), stats
+      WHERE tf.word IN ({terms_in})
+    ), lex_scored AS (
+      SELECT doc_id, {fold} AS lex_score FROM term_scores GROUP BY doc_id
+    ), lex AS (
+      SELECT doc_id,
+             row_number() OVER (ORDER BY lex_score DESC, doc_id) AS lex_rank
+      FROM lex_scored QUALIFY lex_rank <= {RRF_LEG_N}
+    ), vec_scored AS (
+      SELECT vec_id, {_cos_sql("embedding", "pv")} AS vscore
+      FROM embeddings,
+           (SELECT embedding AS pv FROM embeddings WHERE vec_id = {RRF_PROBE})
+    ), vec AS (
+      SELECT vec_id,
+             row_number() OVER (ORDER BY vscore DESC, vec_id) AS vec_rank
+      FROM vec_scored QUALIFY vec_rank <= {RRF_LEG_N}
+    )
+    SELECT CAST(coalesce(l.doc_id, v.vec_id) AS BIGINT) AS item_id,
+           CAST(coalesce(l.lex_rank, 0) AS BIGINT) AS lex_rank,
+           CAST(coalesce(v.vec_rank, 0) AS BIGINT) AS vec_rank,
+           coalesce(CAST(1 AS DOUBLE) / ({RRF_K} + l.lex_rank), CAST(0 AS DOUBLE))
+         + coalesce(CAST(1 AS DOUBLE) / ({RRF_K} + v.vec_rank), CAST(0 AS DOUBLE))
+           AS rrf_score
+    FROM lex l FULL JOIN vec v ON l.doc_id = v.vec_id
+    ORDER BY rrf_score DESC, item_id
+    LIMIT {RRF_TOP}
+    """
+
+
+@query(
+    "q_rank_fusion",
+    oracle=_rrf_oracle(),
+    description="hybrid retrieval: BM25 lexical top-50 for a literal term "
+    "query fused with cosine vector top-50 for a probe embedding via "
+    "reciprocal-rank fusion (1/(60+rank), Cormack 2009) over the shared "
+    "doc_id==vec_id key space — the standard lexical+semantic search "
+    "combiner of modern retrieval/RAG pipelines; rank 0 = not retrieved "
+    "by that leg",
+)
+def q_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RRF is rank-only fusion, so the two legs' score scales never meet —
+    which is exactly why it is the production default for combining BM25
+    with dense retrieval. Scale shape: each leg is an independent top-N
+    retrieval (the lexical leg is the q_bm25 aggregation pipeline filtered
+    to the query's terms; the vector leg is cosine_topk's broadcast-probe
+    scan → TakeOrderedAndProject), so the fusion itself sees only
+    2×RRF_LEG_N rows — the rank windows and the full-outer join run on
+    bounded lists, never the corpus. All arithmetic is IEEE +-*/ on
+    doubles with a fixed fold order (the per-term sum folds left-to-right
+    over the literal term list), so the fused scores hash-match the DuckDB
+    oracle bit-for-bit. Reference parity: composes the inverted-index /
+    IR workload (server/views.go:53-55 word pipeline) with the extension
+    mandate's similarity search."""
+    from go_web_mapreduce_spark.operators.relational import (
+        BM25_B,
+        BM25_K1,
+        tokenized_documents,
+    )
+
+    # ---- lexical leg: BM25 over the full corpus stats, scored for TERMS
+    words = tokenized_documents(spark, sf_dir)
+    tf = words.groupBy("doc_id", "word").agg(F.count("*").alias("tf"))
+    tf = tf.localCheckpoint(eager=False)  # feeds tf, dl, df — scan once
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").cast("bigint").alias("dl"))
+    dfreq = tf.select("doc_id", "word").distinct().groupBy("word").agg(
+        F.count("*").alias("df")
+    )
+    st = dl.agg(
+        F.count("*").alias("n_docs"), F.sum("dl").cast("bigint").alias("sum_dl")
+    ).first()
+    n_docs, sum_dl = int(st["n_docs"]), int(st["sum_dl"])
+    avgdl = float(sum_dl) / float(n_docs)
+
+    tf_d = F.col("tf").cast("double")
+    idf = (
+        (F.col("df") * F.lit(-1) + F.lit(n_docs)).cast("double") + F.lit(0.5)
+    ) / (F.col("df").cast("double") + F.lit(0.5))
+    norm = (
+        tf_d
+        * F.lit(BM25_K1 + 1.0)
+        / (
+            tf_d
+            + F.lit(BM25_K1)
+            * (
+                F.lit(1.0 - BM25_B)
+                + F.lit(BM25_B) * (F.col("dl").cast("double") / F.lit(avgdl))
+            )
+        )
+    )
+    term_scores = (
+        tf.filter(F.col("word").isin(list(RRF_TERMS)))
+        .join(dfreq, "word")
+        .join(dl, "doc_id")
+        .withColumn("s", idf * norm)
+    )
+    per_term = term_scores.groupBy("doc_id").agg(
+        *[
+            F.max(F.when(F.col("word") == t, F.col("s"))).alias(f"_s{i}")
+            for i, t in enumerate(RRF_TERMS)
+        ]
+    )
+    lex_score = F.coalesce(F.col("_s0"), F.lit(0.0))
+    for i in range(1, len(RRF_TERMS)):
+        lex_score = lex_score + F.coalesce(F.col(f"_s{i}"), F.lit(0.0))
+    # top-N via TakeOrderedAndProject (no global sort), THEN rank the
+    # bounded list — the rank window runs on <= RRF_LEG_N rows
+    lex50 = (
+        per_term.withColumn("lex_score", lex_score)
+        .orderBy(F.col("lex_score").desc(), "doc_id")
+        .limit(RRF_LEG_N)
+    )
+    lex = lex50.withColumn(
+        "lex_rank",
+        F.row_number().over(W.orderBy(F.col("lex_score").desc(), "doc_id")),
+    ).select(F.col("doc_id").alias("item_id"), "lex_rank")
+
+    # ---- vector leg: broadcast-probe cosine scan, top-N, rank the list
+    emb = load_table(spark, sf_dir, "embeddings")
+    vec50 = cosine_topk(emb, emb.filter(F.col("vec_id") == RRF_PROBE), k=RRF_LEG_N)
+    vec = vec50.withColumn(
+        "vec_rank",
+        F.row_number().over(W.orderBy(F.col("score").desc(), "vec_id")),
+    ).select(F.col("vec_id").alias("item_id"), "vec_rank")
+
+    # ---- fusion over the two bounded lists
+    fused = lex.join(vec, ["item_id"], "full_outer")
+    rrf = F.coalesce(
+        F.lit(1.0).cast("double") / (F.col("lex_rank") + F.lit(RRF_K)),
+        F.lit(0.0),
+    ) + F.coalesce(
+        F.lit(1.0).cast("double") / (F.col("vec_rank") + F.lit(RRF_K)),
+        F.lit(0.0),
+    )
+    return (
+        fused.select(
+            F.col("item_id").cast("bigint").alias("item_id"),
+            F.coalesce("lex_rank", F.lit(0)).cast("bigint").alias("lex_rank"),
+            F.coalesce("vec_rank", F.lit(0)).cast("bigint").alias("vec_rank"),
+            rrf.alias("rrf_score"),
+        )
+        .orderBy(F.col("rrf_score").desc(), "item_id")
+        .limit(RRF_TOP)
+    )

@@ -133,3 +133,34 @@ def test_simhash_wide_registered_as_variant():
     spec = REGISTRY["q_dedup_simhash_wide"]
     assert spec.variant_of == "q_dedup_simhash"
     assert spec.oracle is not None
+
+
+def test_rank_fusion_is_self_consistent(spark, sf_dir):
+    """RRF invariants: every fused score is exactly the reciprocal-rank sum
+    of the ranks the row itself reports; ranks are within leg depth; output
+    is descending; and an item retrieved by BOTH legs outranks one with the
+    same single-leg rank (the fusion actually fuses)."""
+    from go_web_mapreduce_spark.operators.similarity import (
+        RRF_K,
+        RRF_LEG_N,
+        RRF_TOP,
+        q_rank_fusion,
+    )
+
+    rows = q_rank_fusion(spark, sf_dir).collect()
+    assert 0 < len(rows) <= RRF_TOP
+    scores = [r["rrf_score"] for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    both = 0
+    for r in rows:
+        lex, vec = r["lex_rank"], r["vec_rank"]
+        assert 0 <= lex <= RRF_LEG_N and 0 <= vec <= RRF_LEG_N
+        assert lex > 0 or vec > 0
+        want = (1.0 / (RRF_K + lex) if lex else 0.0) + (
+            1.0 / (RRF_K + vec) if vec else 0.0
+        )
+        assert r["rrf_score"] == want, (r, want)
+        if lex and vec:
+            both += 1
+    # the head of the fused list should be dominated by dual-leg items
+    assert both >= 1
