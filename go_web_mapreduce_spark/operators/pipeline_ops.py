@@ -888,3 +888,87 @@ def q_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_chars").alias("sum_chars"),
         F.sum(F.length("text")).alias("sum_len"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q_weighted_sample — Efraimidis–Spirakis A-ES weighted sampling
+# ---------------------------------------------------------------------------
+
+WEIGHTED_K = 100
+# 2^52 + 1: md5's first 13 hex chars give an exact-in-double 52-bit integer;
+# (h+1)/(2^52+1) is a deterministic uniform in (0, 1)
+_U_DENOM = "4503599627370497.0"
+
+
+def _hex13_int(h: str) -> str:
+    """SQL for the integer value of the first 13 hex chars of ``h`` — the
+    same instr/substr arithmetic as :func:`_hex4_int`, widened to 52 bits
+    (still exact in BIGINT and in DOUBLE). Identical text in both engines."""
+    terms = [
+        f"CAST(instr('{_HEX}', substr({h}, {i + 1}, 1)) - 1 AS BIGINT)"
+        f" * {16 ** (12 - i)}"
+        for i in range(13)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+def _aes_key(weight_expr: str, dialect: str, salt: str = "") -> str:
+    """The A-ES priority ln(u)/w as ONE dialect-identical SQL string.
+
+    Efraimidis & Spirakis 2006: drawing the k largest u_i^(1/w_i) over
+    independent uniforms u_i is an exact weighted sample without
+    replacement; ln(u)/w is the same ordering (ln is monotone) without
+    pow's double-rounding. The ONLY transcendental is ln, and its value
+    is used purely for ORDERING — it never reaches the output — so the
+    ≤1-ulp libm difference between engines can only matter if two
+    distinct documents' keys collide to within ~1e-16 relative at the
+    exact k-th boundary: probability ~0, unlike ln-in-output at a fixed
+    rounding boundary (the portable-HLL lesson, functions/hll.py)."""
+    seed = f"concat({_cast_str('doc_id', dialect)}, '{salt}')"
+    u = f"(CAST({_hex13_int(f'md5({seed})')} + 1 AS DOUBLE) / {_U_DENOM})"
+    return f"(ln({u}) / CAST({weight_expr} AS DOUBLE))"
+
+
+def weighted_sample(
+    docs: DataFrame, weight_expr: str, k: int = WEIGHTED_K, salt: str = ""
+) -> DataFrame:
+    """Top-k rows by the A-ES priority — weight-proportional sampling
+    without replacement in ONE map-side projection + TakeOrdered: no
+    shuffle of the corpus, no RNG state, reproducible across engines,
+    runs, and partitionings. At 100 TB this is a single scan; the only
+    coordination is the k-row per-partition top-k merge."""
+    keyed = docs.filter(F.expr(weight_expr) > 0).withColumn(
+        "_k", F.expr(_aes_key(weight_expr, "spark", salt))
+    )
+    return (
+        keyed.orderBy(F.col("_k").desc(), "doc_id")
+        .limit(k)
+        .drop("_k")
+    )
+
+
+@query(
+    "q_weighted_sample",
+    oracle=f"""
+    WITH keyed AS (
+      SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS weight,
+             {_aes_key('n_chars', 'duck')} AS k
+      FROM documents WHERE n_chars > 0
+    )
+    SELECT doc_id, lang, weight
+    FROM keyed ORDER BY k DESC, doc_id LIMIT {WEIGHTED_K}
+    """,
+    description=f"weighted sampling without replacement (Efraimidis-"
+    f"Spirakis A-ES): top-{WEIGHTED_K} documents by ln(u)/weight priority "
+    "with weight = n_chars and u a content-addressed md5 uniform — the "
+    "importance-sampling primitive of training-data mixing (sample long/"
+    "high-quality docs proportionally more); map-side keys + TakeOrdered, "
+    "no corpus shuffle",
+)
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sel = weighted_sample(
+        docs.select("doc_id", "lang", F.col("n_chars").cast("bigint").alias("weight")),
+        "weight",
+    )
+    return sel.select("doc_id", "lang", "weight")

@@ -187,3 +187,62 @@ def test_write_zordered_clusters_both_dims(spark, sf_dir, tmp_path):
         .collect()
     )
     assert len(spans) >= 4  # actually range-partitioned into several files
+
+
+def test_weighted_sample_matches_pure_python_aes(spark, sf_dir):
+    """Independent-implementation parity: the Spark selection must equal a
+    pure-Python Efraimidis-Spirakis replay (md5 uniform, math.log, same
+    tie-break) — no shared code beyond the md5 spec."""
+    import hashlib
+    import math
+
+    from go_web_mapreduce_spark.operators.pipeline_ops import (
+        WEIGHTED_K,
+        q_weighted_sample,
+    )
+    from go_web_mapreduce_spark.sources.tables import load_table
+
+    got = {r["doc_id"] for r in q_weighted_sample(spark, sf_dir).collect()}
+
+    rows = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "n_chars")
+        .collect()
+    )
+    keyed = []
+    for r in rows:
+        if r["n_chars"] <= 0:
+            continue
+        h = int(hashlib.md5(str(r["doc_id"]).encode()).hexdigest()[:13], 16)
+        u = (h + 1) / 4503599627370497.0
+        keyed.append((math.log(u) / float(r["n_chars"]), -r["doc_id"], r["doc_id"]))
+    keyed.sort(reverse=True)
+    want = {doc_id for _, _, doc_id in keyed[:WEIGHTED_K]}
+    assert got == want
+
+
+def test_weighted_sample_scale_invariant_and_salted(spark, sf_dir):
+    """A-ES law: multiplying every weight by a constant must not change the
+    selection (u^(1/cw) is a monotone transform of u^(1/w)); changing the
+    salt must (the uniforms actually drive the draw)."""
+    from pyspark.sql import functions as F
+
+    from go_web_mapreduce_spark.operators.pipeline_ops import weighted_sample
+    from go_web_mapreduce_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.col("n_chars").cast("bigint").alias("weight")
+    )
+    base = {r["doc_id"] for r in weighted_sample(docs, "weight").collect()}
+    scaled = {
+        r["doc_id"]
+        for r in weighted_sample(
+            docs.withColumn("weight", F.col("weight") * 17), "weight"
+        ).collect()
+    }
+    assert base == scaled and len(base) > 0
+
+    other = {
+        r["doc_id"] for r in weighted_sample(docs, "weight", salt="s1").collect()
+    }
+    assert other != base
