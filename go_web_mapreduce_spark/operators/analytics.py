@@ -599,3 +599,78 @@ def q_bloom_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("revenue"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q_anomaly_mad — robust outlier detection (Hampel / MAD filter)
+# ---------------------------------------------------------------------------
+
+# Hampel identifier: |x - median| > MAD_NSIGMA * 1.4826 * MAD flags x.
+# 1.4826 ≈ 1/Φ⁻¹(3/4) makes MAD a consistent σ estimator under normality;
+# one double multiply, identical in both engines.
+MAD_NSIGMA = 3.0
+MAD_CONSISTENCY = 1.4826
+
+
+@query(
+    "q_anomaly_mad",
+    oracle=f"""
+    WITH med AS (
+      SELECT event_type,
+             percentile_cont(0.5) WITHIN GROUP (ORDER BY value) AS med
+      FROM events GROUP BY event_type
+    ), dev AS (
+      SELECT e.event_type, m.med, abs(e.value - m.med) AS ad
+      FROM events e JOIN med m USING (event_type)
+    ), mad AS (
+      SELECT event_type, max(med) AS med,
+             percentile_cont(0.5) WITHIN GROUP (ORDER BY ad) AS mad
+      FROM dev GROUP BY event_type
+    )
+    SELECT d.event_type, m.med, m.mad,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CASE WHEN d.ad > {MAD_NSIGMA} * ({MAD_CONSISTENCY} * m.mad)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM dev d JOIN mad m USING (event_type)
+    GROUP BY d.event_type, m.med, m.mad
+    """,
+    description="robust outlier detection (Hampel identifier): per event "
+    "type, median and MAD of value, and the count of rows whose absolute "
+    "deviation exceeds 3·1.4826·MAD — the data-quality gate that survives "
+    "the heavy-tailed metrics that break mean/stddev z-scores; exact "
+    "medians as the correctness baseline",
+)
+def q_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two aggregation passes on event_type (median, then median of
+    absolute deviations) with the per-type medians broadcast back between
+    them — the corpus is scanned twice and shuffled zero times (the
+    percentile aggs shuffle only per-group state; the joins are broadcast).
+    Exact percentile buffers each group's values, so at 100 TB swap the
+    two F.percentile calls for approx_percentile (same plan shape, same
+    flags modulo sketch error) or maintain the q_quantile_rollup
+    histogram sketch instead; the Hampel flag arithmetic is one abs-diff
+    and one compare per row either way. Exactness baseline kept here so
+    the whole chain hash-verifies against DuckDB (F.percentile ≡
+    percentile_cont, the q_percentiles-proven pairing)."""
+    events = load_table(spark, sf_dir, "events")
+    med = events.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.5)).alias("med")
+    )
+    dev = events.join(F.broadcast(med), "event_type").select(
+        "event_type", "med", F.abs(F.col("value") - F.col("med")).alias("ad")
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.max("med").alias("med"),
+        F.percentile("ad", F.lit(0.5)).alias("mad"),
+    )
+    flagged = dev.select("event_type", "ad").join(F.broadcast(mad), "event_type")
+    return flagged.groupBy("event_type", "med", "mad").agg(
+        F.count("*").alias("n"),
+        F.sum(
+            F.when(
+                F.col("ad")
+                > F.lit(MAD_NSIGMA) * (F.lit(MAD_CONSISTENCY) * F.col("mad")),
+                1,
+            ).otherwise(0)
+        ).alias("n_outliers"),
+    )

@@ -286,3 +286,34 @@ def test_bloom_prefilter_prunes_but_never_drops(spark, sf_dir):
     true_matches = sum(n for n, _ in want.values())
     assert kept >= true_matches  # conservative: no true match lost
     assert kept < total * 0.5  # and it genuinely prunes
+
+
+def test_anomaly_mad_matches_numpy_reference(spark, sf_dir):
+    """Independent replay: per-type median/MAD/outlier-count recomputed with
+    numpy must equal the Spark plan's output exactly (numpy's median uses
+    midpoint-of-two interpolation at even n — the same percentile_cont law)."""
+    import numpy as np
+
+    from go_web_mapreduce_spark.operators.analytics import (
+        MAD_CONSISTENCY,
+        MAD_NSIGMA,
+        q_anomaly_mad,
+    )
+    from go_web_mapreduce_spark.sources.tables import load_table
+
+    got = {
+        r["event_type"]: (r["med"], r["mad"], r["n"], r["n_outliers"])
+        for r in q_anomaly_mad(spark, sf_dir).collect()
+    }
+    rows = load_table(spark, sf_dir, "events").select("event_type", "value").collect()
+    by_type: dict[str, list[float]] = {}
+    for r in rows:
+        by_type.setdefault(r["event_type"], []).append(r["value"])
+    assert set(got) == set(by_type) and len(got) > 0
+    for et, vals in by_type.items():
+        v = np.asarray(vals, dtype=np.float64)
+        med = float(np.median(v))
+        ad = np.abs(v - med)
+        mad = float(np.median(ad))
+        n_out = int((ad > MAD_NSIGMA * (MAD_CONSISTENCY * mad)).sum())
+        assert got[et] == (med, mad, len(vals), n_out), et
