@@ -77,3 +77,35 @@ def distinct_shingles_arrow(toks: Column, k: int = 3) -> Column:
         return pd.Series(out)
 
     return shingle(toks)
+
+
+def shingle_counts_arrow(toks: Column, k: int = 8) -> Column:
+    """Word-``k``-gram multiplicities of a token array as
+    ``map<string,bigint>`` (gram → occurrence count within the document).
+
+    The multiplicity-preserving sibling of :func:`distinct_shingles_arrow`,
+    for operators where REPEATED windows matter (exact-substring duplicate
+    spans count every window position, not the distinct gram set). Same
+    Arrow-batch discipline: tokenization stays JVM-side, only the pure
+    string slicing/counting runs in Python, map-side with no shuffle.
+
+    A document shorter than ``k`` tokens yields NULL (it has no length-``k``
+    window) — callers filter ``size(tokens) >= k`` first, mirroring the
+    oracle's ``len(tk) >= k`` guard.
+    """
+
+    @F.pandas_udf("map<string,bigint>")
+    def counts(batch: pd.Series) -> pd.Series:
+        out = []
+        for tk in batch:
+            if tk is None or len(tk) < k:
+                out.append(None)
+                continue
+            d: dict[str, int] = {}
+            for i in range(len(tk) - (k - 1)):
+                g = " ".join(tk[i : i + k])
+                d[g] = d.get(g, 0) + 1
+            out.append(d)
+        return pd.Series(out)
+
+    return counts(toks)

@@ -35,7 +35,11 @@ from go_web_mapreduce_spark.functions.hashing import (
     simhash_from_tokens_arrow,
     simhash_wide_from_tokens_arrow,
 )
-from go_web_mapreduce_spark.functions.text import distinct_shingles_arrow, tokens
+from go_web_mapreduce_spark.functions.text import (
+    distinct_shingles_arrow,
+    shingle_counts_arrow,
+    tokens,
+)
 from go_web_mapreduce_spark.registry import query
 from go_web_mapreduce_spark.sources.tables import fan_out, load_table
 
@@ -1170,4 +1174,128 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_train"),
             F.count("c").alias("n_contaminated"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# exact-substring duplicate spans (ExactSubstr-style window statistics)
+# ---------------------------------------------------------------------------
+
+# window length in tokens: every length-SPAN_K token window that occurs >= 2
+# times across the corpus (counting multiplicity, within- and cross-document)
+# is a duplicated span — the signal ExactSubstr dedup (Lee et al. 2022,
+# "Deduplicating Training Data Makes Language Models Better", public) excises.
+# Production uses ~50 tokens; 8 fits the synthetic corpus's ~10-400-token docs.
+SPAN_K = 8
+
+
+def duplicate_span_stats(docs: DataFrame, k: int = SPAN_K) -> DataFrame:
+    """Per-document duplicated-window statistics: for every document with
+    >= ``k`` tokens, how many of its length-``k`` token windows also occur
+    elsewhere in the corpus (any other position, same or different doc).
+
+    Returns ``(doc_id, source, n_windows, n_dup_windows)``.
+
+    Scale shape (the ExactSubstr plan re-expressed relationally — the
+    suffix-array formulation is a single-machine algorithm, this is the
+    equivalent windowed-fingerprint join):
+    - window multiplicities per doc come from ONE map-side Arrow pass
+      (functions/text.py::shingle_counts_arrow) — full gram strings never
+      leave the stage: they are hashed to 60-bit md5-derived longs before
+      the explode reaches a shuffle, so shuffle bytes are
+      #distinct-windows-per-doc × 16, independent of window text length;
+    - global occurrence counts are a groupBy(gh) with map-side partial
+      aggregation; the join back to per-doc rows is gh↔gh, so AQE plans it
+      against the same hash partitioning — one logical shuffle of the
+      window-hash table, never corpus²;
+    - a window is duplicated iff its GLOBAL multiplicity >= 2, which the
+      per-doc multiplicity map makes exact for within-doc repeats too.
+    """
+    toks = tokens("text")
+    eligible = docs.filter(F.size(toks) >= k)
+    local = eligible.select(
+        "doc_id",
+        "source",
+        F.explode(shingle_counts_arrow(toks, k)).alias("g", "c"),
+    ).select(
+        "doc_id",
+        "source",
+        F.conv(F.substring(F.md5("g"), 1, 15), 16, 10).cast("bigint").alias("gh"),
+        "c",
+    )
+    glob = local.groupBy("gh").agg(F.sum("c").alias("gcount"))
+    return (
+        local.join(glob, "gh")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.sum("c").alias("n_windows"),
+            F.sum(F.when(F.col("gcount") >= 2, F.col("c")).otherwise(0)).alias(
+                "n_dup_windows"
+            ),
+        )
+    )
+
+
+@query(
+    "q_substring_dedup",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, source, {_TK} AS tk FROM documents
+    ), eligible AS (
+      SELECT * FROM toks WHERE len(tk) >= {SPAN_K}
+    ), grams AS (
+      SELECT doc_id, source,
+             ('0x' || substr(md5(array_to_string(tk[i:i+{SPAN_K - 1}], ' ')),
+                             1, 15))::BIGINT AS gh
+      FROM eligible, unnest(range(1, len(tk) - {SPAN_K} + 2)) AS t(i)
+    ), local AS (
+      SELECT doc_id, source, gh, count(*) AS c FROM grams GROUP BY ALL
+    ), gtot AS (
+      SELECT gh, sum(c) AS gcount FROM local GROUP BY gh
+    ), perdoc AS (
+      SELECT doc_id, any_value(source) AS source,
+             CAST(sum(c) AS BIGINT) AS n_windows,
+             CAST(sum(CASE WHEN gcount >= 2 THEN c ELSE 0 END) AS BIGINT)
+               AS n_dup_windows
+      FROM local JOIN gtot USING (gh) GROUP BY doc_id
+    )
+    SELECT source,
+           count(*) AS n_docs,
+           CAST(sum(n_windows) AS BIGINT) AS windows,
+           CAST(sum(n_dup_windows) AS BIGINT) AS dup_windows,
+           CAST(sum(n_dup_windows) AS DOUBLE) / CAST(sum(n_windows) AS DOUBLE)
+             AS dup_frac,
+           max(CAST(n_dup_windows AS DOUBLE) / CAST(n_windows AS DOUBLE))
+             AS max_doc_dup_frac
+    FROM perdoc GROUP BY source
+    """,
+    description="exact-substring duplicate spans: fraction of 8-token windows "
+    "occurring >= 2x corpus-wide, per source (ExactSubstr signal, Lee et al. "
+    "2022; extension mandate: dedup)",
+)
+def q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level ExactSubstr duplication report: per source, the number
+    of eligible documents, total / duplicated window counts, the duplicated
+    fraction, and the worst single document's duplicated fraction.
+
+    Both ratio columns are a SINGLE IEEE division of two exact integers, so
+    they hash-match the oracle bit-for-bit (no float-accumulation ordering
+    anywhere). Reference scope note: the reference engine has no dedup
+    surface at all (its only text op is the word-count map UDF,
+    server/views.go:53-55) — this is the extension mandate's training-data
+    pipeline family.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    perdoc = duplicate_span_stats(docs, SPAN_K)
+    return perdoc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_windows").alias("windows"),
+        F.sum("n_dup_windows").alias("dup_windows"),
+        (
+            F.sum("n_dup_windows").cast("double")
+            / F.sum("n_windows").cast("double")
+        ).alias("dup_frac"),
+        F.max(
+            F.col("n_dup_windows").cast("double") / F.col("n_windows").cast("double")
+        ).alias("max_doc_dup_frac"),
     )
