@@ -674,3 +674,124 @@ def q_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).otherwise(0)
         ).alias("n_outliers"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q_heavy_hitters_cms — count-min sketch word frequencies
+# ---------------------------------------------------------------------------
+
+# sketch geometry: d=4 independent md5-derived hash rows x w=512 counters.
+# Standard CM guarantees (Cormode & Muthukrishnan 2005, public):
+# overestimate-only, error <= e*N/w with prob 1-e^-d per query.
+CMS_DEPTH = 4
+CMS_WIDTH = 512
+CMS_TOPK = 20
+
+# DuckDB mirror of functions/text.py::tokens (module-local copy, same as the
+# dedup/text_analysis modules)
+_CMS_TK = "list_filter(string_split(lower(text), ' '), t -> t <> '')"
+
+
+@query(
+    "q_heavy_hitters_cms",
+    oracle=f"""
+    WITH toks AS (SELECT {_CMS_TK} AS tk FROM documents),
+    words AS (SELECT unnest(tk) AS w FROM toks),
+    wc AS (SELECT w, count(*) AS c FROM words GROUP BY w),
+    cells AS (
+      SELECT j,
+             ('0x' || substr(md5(CAST(j AS VARCHAR) || ':' || w), 1, 8))::BIGINT
+               % {CMS_WIDTH} AS b,
+             CAST(sum(c) AS BIGINT) AS cnt
+      FROM wc, unnest(range(0, {CMS_DEPTH})) AS t(j)
+      GROUP BY j, b
+    ),
+    top AS (SELECT w, c FROM wc ORDER BY c DESC, w LIMIT {CMS_TOPK}),
+    probes AS (
+      SELECT w, c, j,
+             ('0x' || substr(md5(CAST(j AS VARCHAR) || ':' || w), 1, 8))::BIGINT
+               % {CMS_WIDTH} AS b
+      FROM top, unnest(range(0, {CMS_DEPTH})) AS t(j)
+    )
+    SELECT p.w AS word,
+           CAST(min(p.c) AS BIGINT) AS true_cnt,
+           CAST(min(cl.cnt) AS BIGINT) AS cms_est
+    FROM probes p JOIN cells cl ON p.j = cl.j AND p.b = cl.b
+    GROUP BY p.w
+    """,
+    description="count-min sketch heavy hitters: 4x512 md5-derived CM sketch "
+    "vs exact counts for the top-20 words (extension mandate: sketches)",
+)
+def q_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch over the corpus word stream, probed at the true
+    top-``CMS_TOPK`` words: ``(word, true_cnt, cms_est)`` with
+    ``cms_est >= true_cnt`` guaranteed (CM sketches only overestimate).
+
+    Scale shape — the reason CM matters at 100 TB: the sketch is a
+    FIXED-SIZE aggregate. Building it is a groupBy over (row, bucket) with
+    cardinality <= d*w = 2,048, so map-side partial aggregation collapses
+    each input partition to <= 2,048 rows before the shuffle — sketch
+    construction shuffles O(d*w) bytes per partition regardless of corpus
+    size, and sketches of disjoint corpus shards MERGE by cell-wise sum
+    (the same algebraic-merge discipline as q_ivm_merge/q_sketch_merge).
+    The exact word count this query compares against is the expensive part
+    (a full distinct-word shuffle) — kept here because the query's POINT is
+    the measured estimate-vs-truth table; a production 100 TB run keeps
+    only the sketch side plus a per-partition candidate heap.
+
+    Hashing is the portable md5 family (functions/hashing.py::md5_bucket)
+    so the DuckDB oracle replays the exact same sketch, cell for cell.
+    """
+    from go_web_mapreduce_spark.functions.hashing import md5_bucket
+    from go_web_mapreduce_spark.functions.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    wc = (
+        docs.select(F.explode(tokens("text")).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    # build the d x w counter table from the reduced (word, count) set:
+    # one row per (hash row j, bucket) — explode is x4 map-side, partial
+    # agg bounds the shuffle at d*w rows per partition
+    rows = F.array(*[F.lit(j) for j in range(CMS_DEPTH)])
+    cells = (
+        wc.select("c", F.explode(rows).alias("j"), "w")
+        .select(
+            "j",
+            # md5_bucket(word, w, salt=j) replayed per row j; salt equals j
+            # so the oracle's CAST(j AS VARCHAR)||':'||w matches exactly
+            F.when(F.col("j") == 0, md5_bucket(F.col("w"), CMS_WIDTH, salt=0))
+            .when(F.col("j") == 1, md5_bucket(F.col("w"), CMS_WIDTH, salt=1))
+            .when(F.col("j") == 2, md5_bucket(F.col("w"), CMS_WIDTH, salt=2))
+            .otherwise(md5_bucket(F.col("w"), CMS_WIDTH, salt=3))
+            .alias("b"),
+            "c",
+        )
+        .groupBy("j", "b")
+        .agg(F.sum("c").alias("cnt"))
+    )
+    top = wc.orderBy(F.desc("c"), "w").limit(CMS_TOPK)
+    probes = top.select(
+        "w",
+        "c",
+        F.explode(rows).alias("j"),
+    ).select(
+        "w",
+        "c",
+        "j",
+        F.when(F.col("j") == 0, md5_bucket(F.col("w"), CMS_WIDTH, salt=0))
+        .when(F.col("j") == 1, md5_bucket(F.col("w"), CMS_WIDTH, salt=1))
+        .when(F.col("j") == 2, md5_bucket(F.col("w"), CMS_WIDTH, salt=2))
+        .otherwise(md5_bucket(F.col("w"), CMS_WIDTH, salt=3))
+        .alias("b"),
+    )
+    # the counter table is <= d*w = 2,048 rows -> broadcast the probe join
+    return (
+        probes.join(F.broadcast(cells), ["j", "b"])
+        .groupBy(F.col("w").alias("word"))
+        .agg(
+            F.min("c").alias("true_cnt"),
+            F.min("cnt").alias("cms_est"),
+        )
+    )
