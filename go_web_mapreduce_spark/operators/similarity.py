@@ -1898,3 +1898,105 @@ def q_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("rrf_score").desc(), "item_id")
         .limit(RRF_TOP)
     )
+
+
+# ---------------------------------------------------------------------------
+# q_embed_quantize — int8 scalar quantization of the embedding table
+# ---------------------------------------------------------------------------
+
+# symmetric per-vector int8: scale = max|x|/127, code = clamp(floor(x/scale
+# + .5), ±127). The standard vector-store compression (4x smaller than
+# float32); the query reports the reconstruction error it costs.
+INT8_LEVELS = 127.0
+
+
+def int8_quantize_error(x):
+    """Per-vector squared reconstruction error of symmetric int8
+    quantization, as a single deterministic Column expression.
+
+    Every step is elementwise IEEE double math plus a LEFT-FOLD sum
+    (``F.aggregate`` from init 0.0 — and err² >= 0, so the DuckDB
+    ``list_reduce`` first-element fold produces bit-identical doubles),
+    which is what lets the oracle hash-match a float pipeline exactly.
+    floor(v/scale + 0.5) is used instead of round(): both engines define
+    floor identically, while round() disagrees at .5 boundaries.
+    """
+    maxabs = F.aggregate(
+        x, F.lit(0.0), lambda acc, v: F.greatest(acc, F.abs(v.cast("double")))
+    )
+    scale = maxabs / F.lit(INT8_LEVELS)
+
+    def err_term(v):
+        vd = v.cast("double")
+        code = F.greatest(
+            F.least(F.floor(vd / scale + F.lit(0.5)).cast("double"), F.lit(127.0)),
+            F.lit(-127.0),
+        )
+        e = vd - code * scale
+        return e * e
+
+    sq = F.aggregate(x, F.lit(0.0), lambda acc, v: acc + err_term(v))
+    return F.when(maxabs == 0.0, F.lit(0.0)).otherwise(sq)
+
+
+@query(
+    "q_embed_quantize",
+    oracle="""
+    WITH base AS (
+      SELECT label, len(embedding) AS dim,
+             list_reduce(list_transform(embedding, v -> abs(v::DOUBLE)),
+                         (a, b) -> greatest(a, b)) AS maxabs,
+             embedding
+      FROM embeddings
+    ), per_vec AS (
+      SELECT label, dim,
+             CASE WHEN maxabs = 0 THEN 0.0 ELSE
+               list_reduce(list_transform(embedding, v ->
+                 (v::DOUBLE - greatest(least(floor(v::DOUBLE / (maxabs / 127.0)
+                                                   + 0.5), 127.0), -127.0)
+                              * (maxabs / 127.0))
+                 * (v::DOUBLE - greatest(least(floor(v::DOUBLE / (maxabs / 127.0)
+                                                     + 0.5), 127.0), -127.0)
+                                * (maxabs / 127.0))),
+                 (a, b) -> a + b)
+             END / dim AS mse
+      FROM base
+    )
+    SELECT label, count(*) AS n_vecs,
+           CAST(CAST(sum(CAST(mse AS DECIMAL(18,12))) AS STRING) AS DOUBLE)
+             / count(*) AS avg_mse,
+           max(mse) AS max_mse
+    FROM per_vec GROUP BY label
+    """,
+    description="int8 scalar quantization of embeddings: per-label "
+    "reconstruction MSE of symmetric per-vector codes (extension mandate: "
+    "similarity / vector compression)",
+)
+def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reconstruction cost of compressing the embedding table to int8:
+    per label, the count of vectors and the mean / max per-vector MSE of
+    symmetric scalar quantization.
+
+    Scale shape: quantization is a pure map-side projection over the
+    embeddings scan (codegen fold, no Python, no shuffle); the only
+    shuffle is the tiny per-label aggregate. At 100 TB this is the cheap
+    first rung of the compression ladder (int8 → PQ → IVFPQ; the PQ
+    family's measured trade-offs live in q_similarity_pq/ivfpq), and the
+    avg/max MSE columns are exactly what an operator checks before
+    switching the serving tier to the quantized copy. avg follows the
+    decimal-sum discipline (functions/numeric.py); max of bit-identical
+    doubles is order-free, so the query hash-verifies.
+    """
+    from go_web_mapreduce_spark.functions.numeric import dsum
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    per_vec = emb.select(
+        "label",
+        (int8_quantize_error(F.col("embedding")) / F.size("embedding").cast("double")
+         ).alias("mse"),
+    )
+    return per_vec.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        (dsum("mse", 12) / F.count(F.lit(1))).alias("avg_mse"),
+        F.max("mse").alias("max_mse"),
+    )
