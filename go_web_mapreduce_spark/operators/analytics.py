@@ -750,6 +750,11 @@ def q_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select(F.explode(tokens("text")).alias("w"))
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("c"))
+        # wc feeds BOTH the sketch cells and the true top-k probe set;
+        # without this, Catalyst duplicates the corpus scan + word explode
+        # (lazy localCheckpoint = compute once on first action, reuse after
+        # — the q_bloom_join discipline)
+        .localCheckpoint(eager=False)
     )
     # build the d x w counter table from the reduced (word, count) set:
     # one row per (hash row j, bucket) — explode is x4 map-side, partial

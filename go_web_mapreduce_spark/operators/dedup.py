@@ -23,7 +23,7 @@ Scale design (the part that matters at 100 TB):
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from go_web_mapreduce_spark.functions.hashing import (
@@ -1198,16 +1198,18 @@ def duplicate_span_stats(docs: DataFrame, k: int = SPAN_K) -> DataFrame:
 
     Scale shape (the ExactSubstr plan re-expressed relationally — the
     suffix-array formulation is a single-machine algorithm, this is the
-    equivalent windowed-fingerprint join):
+    equivalent windowed-fingerprint pass):
     - window multiplicities per doc come from ONE map-side Arrow pass
       (functions/text.py::shingle_counts_arrow) — full gram strings never
       leave the stage: they are hashed to 60-bit md5-derived longs before
       the explode reaches a shuffle, so shuffle bytes are
       #distinct-windows-per-doc × 16, independent of window text length;
-    - global occurrence counts are a groupBy(gh) with map-side partial
-      aggregation; the join back to per-doc rows is gh↔gh, so AQE plans it
-      against the same hash partitioning — one logical shuffle of the
-      window-hash table, never corpus²;
+    - global occurrence counts come from an unbounded SUM OVER
+      (PARTITION BY gh) window on those same rows — one shuffle, one scan,
+      one run of the shingle kernel. The groupBy(gh)-then-self-join
+      formulation is value-identical but duplicates the scan+kernel
+      subtree (Catalyst does not reuse it), i.e. 2× the dominant cost at
+      100 TB;
     - a window is duplicated iff its GLOBAL multiplicity >= 2, which the
       per-doc multiplicity map makes exact for within-doc repeats too.
     """
@@ -1223,9 +1225,9 @@ def duplicate_span_stats(docs: DataFrame, k: int = SPAN_K) -> DataFrame:
         F.conv(F.substring(F.md5("g"), 1, 15), 16, 10).cast("bigint").alias("gh"),
         "c",
     )
-    glob = local.groupBy("gh").agg(F.sum("c").alias("gcount"))
+    gcount = F.sum("c").over(Window.partitionBy("gh"))
     return (
-        local.join(glob, "gh")
+        local.withColumn("gcount", gcount)
         .groupBy("doc_id", "source")
         .agg(
             F.sum("c").alias("n_windows"),
