@@ -257,3 +257,29 @@ def test_approx_distinct_registers_aggregate_partially(spark, sf_dir):
     plan = executed_plan(spark, sf_dir, "q_approx_distinct")
     assert "partial_max" in plan
     assert "distinct l_orderkey" not in plan.lower()
+
+
+def test_substring_dedup_single_scan_single_kernel(spark, sf_dir):
+    # the round-6 plan fix: global window counts come from a window over
+    # gh, not a groupBy+self-join that would duplicate the corpus scan and
+    # the Arrow shingle kernel (the dominant cost at scale)
+    plan = executed_plan(spark, sf_dir, "q_substring_dedup")
+    assert plan.count("Scan parquet") == 1
+    assert plan.count("ArrowEvalPython") == 1
+    assert "Window" in plan
+
+
+def test_embed_quantize_is_pure_codegen_single_shuffle(spark, sf_dir):
+    # int8 quantization must stay a map-side Column fold: no Python eval
+    # nodes, and the only exchange is the per-label aggregate
+    plan = executed_plan(spark, sf_dir, "q_embed_quantize")
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert plan.count("Exchange") == 1
+    assert "partial_count" in plan or "partial_sum" in plan
+
+
+def test_cms_probe_join_is_broadcast(spark, sf_dir):
+    # the d*w counter table is <= 2,048 rows — the probe join must
+    # broadcast it, never shuffle the probes
+    plan = executed_plan(spark, sf_dir, "q_heavy_hitters_cms")
+    assert "BroadcastHashJoin" in plan
