@@ -1910,9 +1910,18 @@ def q_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
 INT8_LEVELS = 127.0
 
 
-def int8_quantize_error(x):
+def int8_maxabs(x):
+    """max|x_i| of a float-array column as a double (the int8 scale
+    numerator). Max is exact and order-free, so init-0.0 left fold ==
+    DuckDB's first-element ``list_reduce`` fold bit-for-bit."""
+    return F.aggregate(
+        x, F.lit(0.0), lambda acc, v: F.greatest(acc, F.abs(v.cast("double")))
+    )
+
+
+def int8_quantize_error(x, scale):
     """Per-vector squared reconstruction error of symmetric int8
-    quantization, as a single deterministic Column expression.
+    quantization given a MATERIALIZED ``scale`` column (max|x|/127).
 
     Every step is elementwise IEEE double math plus a LEFT-FOLD sum
     (``F.aggregate`` from init 0.0 — and err² >= 0, so the DuckDB
@@ -1920,23 +1929,29 @@ def int8_quantize_error(x):
     which is what lets the oracle hash-match a float pipeline exactly.
     floor(v/scale + 0.5) is used instead of round(): both engines define
     floor identically, while round() disagrees at .5 boundaries.
-    """
-    maxabs = F.aggregate(
-        x, F.lit(0.0), lambda acc, v: F.greatest(acc, F.abs(v.cast("double")))
-    )
-    scale = maxabs / F.lit(INT8_LEVELS)
 
-    def err_term(v):
-        vd = v.cast("double")
-        code = F.greatest(
-            F.least(F.floor(vd / scale + F.lit(0.5)).cast("double"), F.lit(127.0)),
+    ``scale`` must be a plain column reference, not the maxabs fold
+    expression: HOF lambdas are interpreted (CodegenFallback), so an
+    inlined scale would re-run the whole maxabs fold TWICE PER ELEMENT —
+    measured 6× slower on the 64-d table. Same reason the error term is
+    built in a ``transform`` and squared in the fold: ``e * e`` on the
+    lambda variable reads the materialized element twice instead of
+    duplicating the error subtree.
+    """
+    err = F.transform(
+        x,
+        lambda v: v.cast("double")
+        - F.greatest(
+            F.least(
+                F.floor(v.cast("double") / scale + F.lit(0.5)).cast("double"),
+                F.lit(127.0),
+            ),
             F.lit(-127.0),
         )
-        e = vd - code * scale
-        return e * e
-
-    sq = F.aggregate(x, F.lit(0.0), lambda acc, v: acc + err_term(v))
-    return F.when(maxabs == 0.0, F.lit(0.0)).otherwise(sq)
+        * scale,
+    )
+    sq = F.aggregate(err, F.lit(0.0), lambda acc, e: acc + e * e)
+    return F.when(scale == 0.0, F.lit(0.0)).otherwise(sq)
 
 
 @query(
@@ -1990,10 +2005,20 @@ def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     from go_web_mapreduce_spark.functions.numeric import dsum
 
     emb = load_table(spark, sf_dir, "embeddings")
-    per_vec = emb.select(
+    # stage maxabs/scale into their own projections so the fold in
+    # int8_quantize_error sees a column REFERENCE, not an inlined
+    # re-computation per element (see its docstring; measured 6×)
+    staged = emb.select(
         "label",
-        (int8_quantize_error(F.col("embedding")) / F.size("embedding").cast("double")
-         ).alias("mse"),
+        "embedding",
+        (int8_maxabs(F.col("embedding")) / F.lit(INT8_LEVELS)).alias("scale"),
+    )
+    per_vec = staged.select(
+        "label",
+        (
+            int8_quantize_error(F.col("embedding"), F.col("scale"))
+            / F.size("embedding").cast("double")
+        ).alias("mse"),
     )
     return per_vec.groupBy("label").agg(
         F.count(F.lit(1)).alias("n_vecs"),

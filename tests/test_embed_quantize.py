@@ -5,6 +5,8 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from go_web_mapreduce_spark.operators.similarity import (
+    INT8_LEVELS,
+    int8_maxabs,
     int8_quantize_error,
     q_embed_quantize,
 )
@@ -13,7 +15,13 @@ from go_web_mapreduce_spark.sources.tables import load_table
 
 def _err(spark, vec):
     df = spark.createDataFrame([(vec,)], "embedding array<float>")
-    return df.select(int8_quantize_error(F.col("embedding")).alias("e")).first()["e"]
+    staged = df.select(
+        "embedding",
+        (int8_maxabs(F.col("embedding")) / F.lit(INT8_LEVELS)).alias("scale"),
+    )
+    return staged.select(
+        int8_quantize_error(F.col("embedding"), F.col("scale")).alias("e")
+    ).first()["e"]
 
 
 def test_exactly_representable_vectors_have_zero_error(spark):
