@@ -1933,10 +1933,10 @@ def int8_quantize_error(x, scale):
     ``scale`` must be a plain column reference, not the maxabs fold
     expression: HOF lambdas are interpreted (CodegenFallback), so an
     inlined scale would re-run the whole maxabs fold TWICE PER ELEMENT —
-    measured 6× slower on the 64-d table. Same reason the error term is
-    built in a ``transform`` and squared in the fold: ``e * e`` on the
-    lambda variable reads the materialized element twice instead of
-    duplicating the error subtree.
+    measured 19× slower at sf1 (18.3s → 0.95s, SCALE_MEASURED.json).
+    Same reason the error term is built in a ``transform`` and squared in
+    the fold: ``e * e`` on the lambda variable reads the materialized
+    element twice instead of duplicating the error subtree.
     """
     err = F.transform(
         x,
