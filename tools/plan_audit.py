@@ -60,6 +60,9 @@ HEADLINERS = {
     "q_rank_fusion": "hybrid RRF: each leg an independent TakeOrdered retrieval; rank windows + full-outer join touch only two bounded lists",
     "q_weighted_sample": "A-ES weighted sampling: map-side ln(u)/w keys + TakeOrderedAndProject, corpus never shuffles",
     "q_anomaly_mad": "Hampel outlier gate: two percentile aggs with medians broadcast back between passes, zero corpus shuffles",
+    "q_substring_dedup": "ExactSubstr span stats: ONE scan + ONE Arrow kernel, global counts via window over the gram hash (no self-join)",
+    "q_heavy_hitters_cms": "count-min sketch: fixed-size (j,bucket) partial agg, counter table broadcast to the probe join",
+    "q_embed_quantize": "int8 quantization: pure codegen transform+fold, scale materialized as a column, single per-label exchange",
 }
 
 
