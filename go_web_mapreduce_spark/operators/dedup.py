@@ -1301,3 +1301,119 @@ def q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_dup_windows").cast("double") / F.col("n_windows").cast("double")
         ).alias("max_doc_dup_frac"),
     )
+
+
+# ---------------------------------------------------------------------------
+# cross-source overlap matrix (content leakage between corpus sources)
+# ---------------------------------------------------------------------------
+
+# shingle width for the source-level containment matrix: long enough that a
+# shared gram means shared CONTENT (not shared phrasing), short enough to
+# catch partial/quoted overlap that exact-hash dedup misses
+OVERLAP_K = 5
+
+
+@query(
+    "q_source_overlap",
+    oracle=f"""
+    WITH toks AS (
+      SELECT source, {_TK} AS tk FROM documents
+    ), sh AS (
+      SELECT DISTINCT source,
+             ('0x' || substr(md5(array_to_string(tk[i:i+{OVERLAP_K - 1}], ' ')),
+                             1, 15))::BIGINT AS gh
+      FROM toks, unnest(range(1, len(tk) - {OVERLAP_K} + 2)) AS t(i)
+      WHERE len(tk) >= {OVERLAP_K}
+    ), sizes AS (
+      SELECT source, count(*) AS n_grams FROM sh GROUP BY source
+    ), shared AS (
+      SELECT a.source AS src_a, b.source AS src_b, count(*) AS n_shared
+      FROM sh a JOIN sh b ON a.gh = b.gh AND a.source < b.source
+      GROUP BY 1, 2
+    )
+    SELECT src_a, src_b, n_shared,
+           CAST(n_shared AS DOUBLE)
+             / CAST(least(sa.n_grams, sb.n_grams) AS DOUBLE) AS containment
+    FROM shared
+    JOIN sizes sa ON sa.source = src_a
+    JOIN sizes sb ON sb.source = src_b
+    """,
+    description="cross-source overlap matrix: shared distinct 5-grams and "
+    "containment ratio per source pair — content leakage between corpus "
+    "sources (extension mandate: dedup)",
+)
+def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For every source pair that shares at least one distinct 5-gram:
+    the shared-gram count and the containment ratio
+    ``n_shared / min(|grams_a|, |grams_b|)`` — the matrix a pipeline
+    operator reads before mixing sources (a high-containment pair means
+    one source largely republishes the other, so mixture weights
+    double-count it).
+
+    Scale shape: grams become 60-bit md5-derived longs map-side; ONE
+    shuffle builds the distinct (source, gh) set. Pair generation then
+    groups by gh and expands ordered pairs IN-ROW from the per-gram
+    source set — bounded by the source dimension (20 here; sources are a
+    dimension, they do not grow with corpus bytes), so there is no
+    gram-level self-join and no corpus² anywhere. Per-source gram
+    cardinalities (a 20-row aggregate) broadcast back for the
+    containment denominator. The DuckDB oracle uses the equivalent
+    self-join formulation — same pair set, same counts.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens("text")
+    sh = (
+        docs.filter(F.size(toks) >= OVERLAP_K)
+        .select(
+            "source",
+            F.explode(distinct_shingles_arrow(toks, OVERLAP_K)).alias("g"),
+        )
+        .select(
+            "source",
+            F.conv(F.substring(F.md5("g"), 1, 15), 16, 10).cast("bigint").alias("gh"),
+        )
+        .distinct()
+    )
+    sh = sh.localCheckpoint(eager=False)  # feeds sizes + pair expansion
+    sizes = sh.groupBy("source").agg(F.count(F.lit(1)).alias("n_grams"))
+    # per-gram sorted source set; ordered pairs expand inside the row
+    # (two-arg transform gives (element, index); slice is 1-based)
+    ss = F.array_sort(F.collect_set("source"))
+    pairs = (
+        sh.groupBy("gh")
+        .agg(ss.alias("ss"))
+        .filter(F.size("ss") >= 2)
+        .select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        "ss",
+                        lambda x, i: F.transform(
+                            F.slice(F.col("ss"), i + F.lit(2), F.size(F.col("ss"))),
+                            lambda y: F.struct(
+                                x.alias("src_a"), y.alias("src_b")
+                            ),
+                        ),
+                    )
+                )
+            ).alias("p")
+        )
+        .select("p.src_a", "p.src_b")
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    sa = sizes.select(F.col("source").alias("src_a"), F.col("n_grams").alias("na"))
+    sb = sizes.select(F.col("source").alias("src_b"), F.col("n_grams").alias("nb"))
+    return (
+        pairs.join(F.broadcast(sa), "src_a")
+        .join(F.broadcast(sb), "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            "n_shared",
+            (
+                F.col("n_shared").cast("double")
+                / F.least("na", "nb").cast("double")
+            ).alias("containment"),
+        )
+    )

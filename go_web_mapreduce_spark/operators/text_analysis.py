@@ -921,3 +921,114 @@ def bpe_train(
             vocab = vocab.localCheckpoint(eager=False)
 
     return merges, vocab
+
+
+# ---------------------------------------------------------------------------
+# n-gram diversity (type-token ratios) — synthetic-data collapse detector
+# ---------------------------------------------------------------------------
+
+# distinct/total ratios at unigram and trigram level. Falling n-gram
+# diversity under a fixed corpus size is the standard early signal of
+# model-generated (self-repetitive) text contaminating a training mix —
+# the corpus-level sibling of q_repetition_filter's per-document gate.
+DIVERSITY_NGRAM = 3
+
+
+@query(
+    "q_ngram_diversity",
+    oracle=f"""
+    WITH toks AS (SELECT source, {_TK} AS tk FROM documents),
+    uni AS (
+      SELECT source, count(*) AS n_tokens,
+             count(DISTINCT w) AS n_distinct_tokens
+      FROM (SELECT source, unnest(tk) AS w FROM toks) GROUP BY source
+    ),
+    tri AS (
+      SELECT source, count(*) AS n_trigrams,
+             count(DISTINCT gh) AS n_distinct_trigrams
+      FROM (
+        SELECT source,
+               ('0x' || substr(md5(array_to_string(tk[i:i+{DIVERSITY_NGRAM - 1}],
+                                                   ' ')), 1, 15))::BIGINT AS gh
+        FROM toks, unnest(range(1, len(tk) - {DIVERSITY_NGRAM} + 2)) AS t(i)
+        WHERE len(tk) >= {DIVERSITY_NGRAM}
+      ) GROUP BY source
+    )
+    SELECT source, n_tokens, n_distinct_tokens,
+           CAST(n_distinct_tokens AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+             AS unigram_ttr,
+           n_trigrams, n_distinct_trigrams,
+           CAST(n_distinct_trigrams AS DOUBLE) / CAST(n_trigrams AS DOUBLE)
+             AS trigram_ttr
+    FROM uni JOIN tri USING (source)
+    """,
+    description="n-gram diversity per source: unigram and trigram type-token "
+    "ratios — the corpus-level diversity-collapse signal for synthetic/"
+    "self-repetitive text (extension mandate: text analysis)",
+)
+def q_ngram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-token ratios per source at unigram and trigram granularity:
+    ``distinct/total`` for each, as one IEEE division of two exact
+    integers (hash-exact cross-engine).
+
+    Scale shape: the unigram leg shuffles (source, word) partial counts;
+    the trigram leg hashes every window to a 60-bit md5-derived long
+    map-side (functions/text.py::shingle_counts_arrow — one Arrow pass,
+    multiplicities preserved so ``sum(c)`` is the total window count
+    without re-exploding positions) and shuffles (source, gh) pairs —
+    bytes bounded by distinct-grams-per-doc × 16, never window text.
+    countDistinct is the expensive exact path by design: this query IS
+    the exact diversity census; the sketched alternative for
+    cheap-and-approximate is the portable HLL (q_approx_distinct).
+    Both legs' aggregates join on the 20-row source key.
+
+    The two legs each scan the (source, text)-pruned parquet — a
+    DELIBERATE two-scan plan: checkpointing the tokenized corpus to
+    share one scan would write ~corpus bytes to local disk and read
+    them twice, which loses to a second pruned columnar scan at every
+    scale we measured.
+    """
+    from go_web_mapreduce_spark.functions.text import shingle_counts_arrow
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens("text")
+    uni = (
+        docs.select("source", F.explode(toks).alias("w"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.countDistinct("w").alias("n_distinct_tokens"),
+        )
+    )
+    tri = (
+        docs.filter(F.size(toks) >= DIVERSITY_NGRAM)
+        .select(
+            "source",
+            F.explode(shingle_counts_arrow(toks, DIVERSITY_NGRAM)).alias("g", "c"),
+        )
+        .select(
+            "source",
+            F.conv(F.substring(F.md5("g"), 1, 15), 16, 10).cast("bigint").alias("gh"),
+            "c",
+        )
+        .groupBy("source")
+        .agg(
+            F.sum("c").alias("n_trigrams"),
+            F.countDistinct("gh").alias("n_distinct_trigrams"),
+        )
+    )
+    return uni.join(tri, "source").select(
+        "source",
+        "n_tokens",
+        "n_distinct_tokens",
+        (
+            F.col("n_distinct_tokens").cast("double")
+            / F.col("n_tokens").cast("double")
+        ).alias("unigram_ttr"),
+        "n_trigrams",
+        "n_distinct_trigrams",
+        (
+            F.col("n_distinct_trigrams").cast("double")
+            / F.col("n_trigrams").cast("double")
+        ).alias("trigram_ttr"),
+    )
