@@ -63,6 +63,8 @@ HEADLINERS = {
     "q_substring_dedup": "ExactSubstr span stats: ONE scan + ONE Arrow kernel, global counts via window over the gram hash (no self-join)",
     "q_heavy_hitters_cms": "count-min sketch: fixed-size (j,bucket) partial agg, counter table broadcast to the probe join",
     "q_embed_quantize": "int8 quantization: pure codegen transform+fold, scale materialized as a column, single per-label exchange",
+    "q_ngram_diversity": "diversity census: two column-pruned legs (deliberate vs checkpointing tokens), 60-bit gram hashes, 20-row source join",
+    "q_source_overlap": "source leakage matrix: one distinct (source,gh) shuffle, in-row pair expansion bounded by the source dimension, sizes broadcast",
 }
 
 
