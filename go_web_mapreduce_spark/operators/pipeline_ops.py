@@ -972,3 +972,133 @@ def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "weight",
     )
     return sel.select("doc_id", "lang", "weight")
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance weights: hashed-ngram KL-ratio scoring against a target
+# ---------------------------------------------------------------------------
+
+DSIR_BUCKETS = 4096  # hashed-ngram feature dimension (2^12)
+DSIR_SALT = 11  # md5_bucket salt for the gram -> bucket hash
+DSIR_TARGET_LANG = "en"  # the "target distribution" slice of the corpus
+
+
+def _dsir_grams(toks):
+    """Unigrams + space-joined bigrams of a token array (array<string>).
+
+    Mirrored verbatim by the oracle's ``list_concat(tl, list_transform(
+    range(1, len(tl)), ...))``; docs under 2 tokens contribute unigrams
+    only, empty docs contribute nothing (and are restored by the final
+    left join with weight 0).
+    """
+    bigrams = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.concat(
+                F.element_at(toks, i), F.lit(" "), F.element_at(toks, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return F.concat(toks, bigrams)
+
+
+@query(
+    "q_dsir_weights",
+    oracle=f"""
+    WITH tk AS (
+      SELECT doc_id, lang,
+             list_filter(string_split(lower(text), ' '), t -> t <> '') AS tl
+      FROM documents
+    ),
+    gb AS (
+      SELECT doc_id, lang,
+             ('0x' || substr(md5('{DSIR_SALT}:' || g), 1, 8))::BIGINT
+               % {DSIR_BUCKETS} AS b
+      FROM (SELECT doc_id, lang,
+                   unnest(list_concat(tl, list_transform(range(1, len(tl)),
+                       i -> tl[i] || ' ' || tl[i+1]))) AS g
+            FROM tk) g_t
+    ),
+    bs AS (
+      SELECT b, SUM(CASE WHEN lang = '{DSIR_TARGET_LANG}' THEN 1 ELSE 0 END) AS t,
+             COUNT(*) AS r
+      FROM gb GROUP BY b
+    ),
+    tot AS (SELECT SUM(t) AS tt, SUM(r) AS tr FROM bs),
+    lam AS (
+      SELECT b,
+             ln((t + 1)::DOUBLE / ((SELECT tt FROM tot) + {DSIR_BUCKETS}))
+           - ln((r + 1)::DOUBLE / ((SELECT tr FROM tot) + {DSIR_BUCKETS})) AS lam
+      FROM bs
+    ),
+    dc AS (SELECT doc_id, b, COUNT(*) AS c FROM gb GROUP BY doc_id, b),
+    sc AS (
+      SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_grams, SUM(c * lam) AS logw
+      FROM dc JOIN lam USING (b) GROUP BY doc_id
+    )
+    SELECT d.doc_id, d.lang, d.source,
+           COALESCE(sc.n_grams, 0) AS n_grams,
+           COALESCE(sc.logw, 0.0) AS logw
+    FROM documents d LEFT JOIN sc USING (doc_id)
+    """,
+    description="DSIR data selection (Xie et al. 2023, 'Data Selection "
+    "for Language Models via Importance Resampling'): per-document "
+    "importance log-weight log p_target/p_raw under hashed-ngram "
+    f"({DSIR_BUCKETS}-bucket unigram+bigram, Laplace-smoothed) bag models, "
+    f"target = the lang='{DSIR_TARGET_LANG}' slice, raw = the whole corpus "
+    "— the published scale path for steering a 100 TB crawl toward a "
+    "target domain; compose with q_weighted_sample's A-ES machinery for "
+    "the resampling step. Plan: one gram scan feeds a 4096-key aggregation "
+    "(bucket stats, map-side partials) and a (doc_id, bucket) count; the "
+    "4096-row log-ratio table joins back as a BROADCAST, so nothing but "
+    "integer (doc_id, bucket, count) triples ever shuffles — no document "
+    "bodies past the first projection",
+)
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from go_web_mapreduce_spark.functions.hashing import md5_bucket
+
+    docs = load_table(spark, sf_dir, "documents")
+    grams = docs.select(
+        "doc_id",
+        "lang",
+        F.explode(_dsir_grams(tokens("text"))).alias("g"),
+    ).select(
+        "doc_id",
+        "lang",
+        md5_bucket(F.col("g"), DSIR_BUCKETS, salt=DSIR_SALT).alias("b"),
+    )
+    bs = grams.groupBy("b").agg(
+        F.sum(
+            F.when(F.col("lang") == DSIR_TARGET_LANG, F.lit(1)).otherwise(F.lit(0))
+        ).alias("t"),
+        F.count(F.lit(1)).alias("r"),
+    )
+    tot = bs.agg(F.sum("t").alias("tt"), F.sum("r").alias("tr"))
+    lam = bs.crossJoin(F.broadcast(tot)).select(
+        "b",
+        (
+            F.log((F.col("t") + 1).cast("double") / (F.col("tt") + DSIR_BUCKETS))
+            - F.log((F.col("r") + 1).cast("double") / (F.col("tr") + DSIR_BUCKETS))
+        ).alias("lam"),
+    )
+    dc = grams.groupBy("doc_id", "b").agg(F.count(F.lit(1)).alias("c"))
+    sc = (
+        dc.join(F.broadcast(lam), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_grams"),
+            F.sum(F.col("c") * F.col("lam")).alias("logw"),
+        )
+    )
+    return (
+        docs.select("doc_id", "lang", "source")
+        .join(sc, "doc_id", "left")
+        .select(
+            "doc_id",
+            "lang",
+            "source",
+            F.coalesce(F.col("n_grams"), F.lit(0)).alias("n_grams"),
+            F.coalesce(F.col("logw"), F.lit(0.0)).alias("logw"),
+        )
+    )

@@ -246,3 +246,31 @@ def test_weighted_sample_scale_invariant_and_salted(spark, sf_dir):
         r["doc_id"] for r in weighted_sample(docs, "weight", salt="s1").collect()
     }
     assert other != base
+
+
+def test_dsir_weights_semantics_and_plan(spark, sf_dir):
+    """DSIR log-weights: target-language docs must score higher on average
+    than the rest (the whole point of importance reweighting — their grams
+    dominate the target distribution), empty-gram docs come back with
+    weight exactly 0, every document survives the left join, and the
+    log-ratio table joins back as a broadcast (nothing but integer triples
+    shuffles — the 100 TB plan shape)."""
+    from go_web_mapreduce_spark.operators.pipeline_ops import (
+        DSIR_TARGET_LANG,
+        q_dsir_weights,
+    )
+    from go_web_mapreduce_spark.sources.tables import load_table
+
+    df = q_dsir_weights(spark, sf_dir)
+    rows = df.collect()
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    assert len(rows) == n_docs
+    tgt = [r["logw"] for r in rows if r["lang"] == DSIR_TARGET_LANG]
+    rest = [r["logw"] for r in rows if r["lang"] != DSIR_TARGET_LANG]
+    assert tgt and rest
+    assert sum(tgt) / len(tgt) > sum(rest) / len(rest)
+    for r in rows:
+        if r["n_grams"] == 0:
+            assert r["logw"] == 0.0
+    plan = P.executed_plan(df)
+    assert P.has_broadcast_join(plan)
