@@ -361,3 +361,101 @@ def q_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("centroid"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q_nearest_centroid — nearest-class-mean classification (confusion matrix)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_nearest_centroid",
+    oracle=f"""
+    WITH comp AS (
+        SELECT label,
+               unnest(list_transform(range(0, len(embedding)),
+                   i -> {{'pos': i, 'v': CAST(embedding[i+1] AS DOUBLE)}})) AS r
+        FROM embeddings
+    ),
+    cent AS (
+        SELECT label AS clabel, CAST(r['pos'] AS BIGINT) AS pos,
+               CAST(CAST(sum(CAST(r['v'] AS DECIMAL(18,{CENTROID_SCALE})))
+                         AS STRING) AS DOUBLE) / count(*) AS cv
+        FROM comp GROUP BY 1, 2
+    ),
+    centarr AS (
+        SELECT clabel, array_agg(cv ORDER BY pos) AS carr
+        FROM cent GROUP BY clabel
+    ),
+    dists AS (
+        SELECT e.vec_id, e.label, c.clabel,
+               list_reduce(list_transform(range(len(e.embedding)),
+                   i -> (e.embedding[i+1]::DOUBLE - c.carr[i+1])
+                      * (e.embedding[i+1]::DOUBLE - c.carr[i+1])),
+                   (x, y) -> x + y) AS d
+        FROM embeddings e CROSS JOIN centarr c
+    ),
+    pick AS (
+        SELECT vec_id, label, clabel AS pred_label, d FROM dists
+        QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d, clabel) = 1
+    )
+    SELECT label, pred_label, CAST(count(*) AS BIGINT) AS n,
+           CAST(CAST(sum(CAST(d AS DECIMAL(18,9))) AS STRING) AS DOUBLE)
+             / count(*) AS mean_sq_dist
+    FROM pick GROUP BY 1, 2
+    """,
+    description="nearest-class-mean classification: per-label centroids "
+    "from exact decimal component sums (the q_embedding_centroids "
+    "kernel), then each vector is assigned to its closest centroid by a "
+    "map-side left-fold squared-L2 against the BROADCAST centroid table "
+    "(labels x dim — a few KB at any corpus size) and the confusion "
+    "matrix is aggregated with decimal-exact mean distances; the 100 TB "
+    "plan is one scan + one broadcast + one tiny-key shuffle, no vector "
+    "ever leaves its partition; deterministic tie-break (distance, then "
+    "label) mirrored in both engines over bit-identical doubles",
+)
+def q_nearest_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    comp = emb.select("label", F.posexplode("embedding").alias("pos", "v"))
+    cent = comp.groupBy(
+        F.col("label").alias("clabel"), F.col("pos").cast("bigint").alias("pos")
+    ).agg(
+        (
+            dsum(F.col("v").cast("double"), CENTROID_SCALE) / F.count(F.lit(1))
+        ).alias("cv")
+    )
+    centarr = cent.groupBy("clabel").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "cv"))),
+            lambda s: s["cv"],
+        ).alias("carr")
+    )
+    vec = emb.select(
+        "vec_id",
+        "label",
+        F.transform("embedding", lambda x: x.cast("double")).alias("x"),
+    )
+    # broadcast cross join against the labels-sized centroid table — the
+    # deliberate probe-batch pattern (same as similarity.py:67), never a
+    # data-data cartesian
+    dists = vec.crossJoin(F.broadcast(centarr)).select(
+        "vec_id",
+        "label",
+        F.struct(
+            F.aggregate(
+                F.zip_with(
+                    F.col("x"), F.col("carr"), lambda x, c: (x - c) * (x - c)
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            ).alias("d"),
+            F.col("clabel"),
+        ).alias("s"),
+    )
+    pick = dists.groupBy("vec_id", "label").agg(F.min("s").alias("m"))
+    return pick.groupBy(
+        "label", F.col("m.clabel").alias("pred_label")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        (dsum(F.col("m.d"), 9) / F.count(F.lit(1))).alias("mean_sq_dist"),
+    )

@@ -121,3 +121,37 @@ def test_covariance_matches_numpy(spark, sf_dir):
                 scale = max(1.0, abs(C[i, j]))
                 assert abs(got[key] - C[i, j]) / scale < 1e-6, (flag, key)
         assert got["n"] == len(pts)
+
+
+def test_nearest_centroid_matches_numpy(spark, sf_dir):
+    """Confusion counts must equal a local numpy nearest-class-mean
+    classification exactly, and the diagonal must dominate (vectors sit
+    closest to their own class mean far more often than chance)."""
+    from go_web_mapreduce_spark.operators.ml import q_nearest_centroid
+    from go_web_mapreduce_spark.sources.tables import load_table
+
+    rows = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", "embedding"
+    ).collect()
+    X = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    y = np.array([r["label"] for r in rows])
+    labels = np.array(sorted(set(y.tolist())))
+    C = np.stack([X[y == lb].mean(axis=0) for lb in labels])
+    d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+    pred = labels[np.argmin(d2, axis=1)]
+
+    got = {
+        (r["label"], r["pred_label"]): (r["n"], r["mean_sq_dist"])
+        for r in q_nearest_centroid(spark, sf_dir).collect()
+    }
+    want = {}
+    for t, p, d in zip(y.tolist(), pred.tolist(), d2.min(axis=1).tolist()):
+        n, s = want.get((t, p), (0, 0.0))
+        want[(t, p)] = (n + 1, s + d)
+    assert set(got) == set(want)
+    for k, (n, s) in want.items():
+        assert got[k][0] == n, k
+        assert abs(got[k][1] - s / n) < 1e-6, k
+    diag = sum(n for (t, p), (n, _) in want.items() if t == p)
+    total = sum(n for (n, _) in want.values())
+    assert diag / total > 1.0 / len(labels)
