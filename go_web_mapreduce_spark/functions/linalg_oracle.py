@@ -41,6 +41,15 @@ extension mandate (SURVEY.md §2, LLM-data-pipeline operators).
 from __future__ import annotations
 
 SVD_SQUARINGS = 10  # 2^10 = 1024 effective power iterations
+# the top-k variant needs a deeper schedule: deflation errors compound
+# (a residual eps in v1 injects lam1*eps into the deflated matrix, which
+# the next component amplifies by 1/gap), and the Marchenko-Pastur bulk's
+# eigenvalue ratios tighten toward 1 as the corpus grows. 2^14 = 16384
+# effective iterations drive each component to machine precision through
+# ratio 0.999 (measured: all three components align with np.linalg.eigh
+# to < 5e-16 at sf0.01); each extra squaring is one more 64x64 matmul.
+SVD_TOPK_SQUARINGS = 14
+SVD_TOPK = 3
 # Newton-Schulz iterations for the logreg Hessian solve, with the
 # scale-invariant init X_0 = I/||H||_inf: the error spectral radius is
 # 1 - lambda_min/||H||_inf, and both lambda_min and ||H||_inf grow ~n with
@@ -111,6 +120,77 @@ def svd_oracle(dim: int, squarings: int = SVD_SQUARINGS) -> str:
     )
 
 
+def _power_ctes(p: str, src_cte: str, squarings: int) -> tuple[list[str], str]:
+    """CTEs for one max-rescaled repeated-squaring chain over matrix CTE
+    ``src_cte`` (long form ``(i, j, v)``), prefixed ``p``. Returns
+    ``(cte_list, final_matrix_cte)``."""
+    lines = [
+        f"{p}mx0 AS (SELECT MAX(ABS(v)) AS m FROM {src_cte})",
+        f"{p}m0 AS MATERIALIZED (SELECT i, j, {src_cte}.v / (SELECT m FROM {p}mx0) AS v "
+        f"FROM {src_cte})",
+    ]
+    prev = f"{p}m0"
+    for t in range(1, squarings + 1):
+        lines += [
+            f"{p}r{t} AS MATERIALIZED (SELECT a.i, b.j, SUM(a.v*b.v) AS v "
+            f"FROM {prev} a JOIN {prev} b ON a.j = b.i GROUP BY a.i, b.j)",
+            f"{p}x{t} AS (SELECT MAX(ABS(v)) AS m FROM {p}r{t})",
+            f"{p}m{t} AS MATERIALIZED (SELECT i, j, {p}r{t}.v / (SELECT m FROM {p}x{t}) AS v "
+            f"FROM {p}r{t})",
+        ]
+        prev = f"{p}m{t}"
+    return lines, prev
+
+
+def svd_topk_oracle(
+    dim: int, k: int = SVD_TOPK, squarings: int = SVD_TOPK_SQUARINGS
+) -> str:
+    """Oracle for ``q_svd_topk`` — the top-``k`` principal components by
+    repeated squaring with HOTELLING DEFLATION between components
+    (G_{c+1} = G_c − λ_c v_c v_cᵀ, λ_c the Rayleigh quotient on the
+    ORIGINAL Gram so explained-variance shares stay exact); each
+    component replays the q_svd_top_component extraction (argmax-diagonal
+    start column, L2 normalization, largest-|entry|-positive sign)."""
+    ctes, g = gram_ctes("", _EMB, dim)
+    ctes.append(f"tr AS (SELECT SUM(v) AS t FROM {g} WHERE i = j)")
+    cur = g
+    selects = []
+    for c in range(1, k + 1):
+        ctes.append(
+            f"jsel{c} AS (SELECT i AS jj FROM {cur} WHERE i = j "
+            f"ORDER BY v DESC, i ASC LIMIT 1)"
+        )
+        power, last = _power_ctes(f"c{c}", cur, squarings)
+        ctes += power
+        ctes += [
+            f"vraw{c} AS (SELECT i, v FROM {last} WHERE j = (SELECT jj FROM jsel{c}))",
+            f"vnrm{c} AS (SELECT SQRT(SUM(v*v)) AS n FROM vraw{c})",
+            f"vu{c} AS (SELECT i, v / (SELECT n FROM vnrm{c}) AS v FROM vraw{c})",
+            f"sgn{c} AS (SELECT CASE WHEN v < 0 THEN -1.0 ELSE 1.0 END AS s "
+            f"FROM vu{c} ORDER BY ABS(v) DESC, i ASC LIMIT 1)",
+            f"vf{c} AS MATERIALIZED (SELECT i, v * (SELECT s FROM sgn{c}) AS v "
+            f"FROM vu{c})",
+            f"ray{c} AS (SELECT SUM(a.v * g.v * b.v) AS lam "
+            f"FROM vf{c} a JOIN {g} g ON a.i = g.i JOIN vf{c} b ON g.j = b.i)",
+        ]
+        if c < k:
+            ctes.append(
+                f"gd{c + 1} AS MATERIALIZED (SELECT g.i, g.j, "
+                f"g.v - (SELECT lam FROM ray{c}) * (a.v * b.v) AS v "
+                f"FROM {cur} g JOIN vf{c} a ON a.i = g.i "
+                f"JOIN vf{c} b ON b.i = g.j)"
+            )
+            cur = f"gd{c + 1}"
+        selects.append(
+            f"SELECT {c}::BIGINT AS comp, (i - 1)::BIGINT AS component, "
+            f"v AS loading, "
+            f"SQRT(GREATEST((SELECT lam FROM ray{c}), 0.0)) AS singular_value, "
+            f"(SELECT lam FROM ray{c}) / (SELECT t FROM tr) AS explained_variance "
+            f"FROM vf{c}"
+        )
+    return "WITH " + ",\n".join(ctes) + "\n" + " UNION ALL ".join(selects)
+
+
 def logreg_oracle(
     dim: int,
     iters: int,
@@ -118,30 +198,47 @@ def logreg_oracle(
     plane: list[float],
     schulz: int = LOGREG_SCHULZ,
 ) -> str:
-    """Full oracle for ``q_ml_logreg`` — replays the distributed-Newton
-    fit exactly: md5-plane labels, bias-augmented long-form features,
+    """Full oracle for ``q_ml_logreg`` — the generic Newton fit replay
+    (:func:`logreg_core_oracle`) over embedding features with md5-plane
+    labels (left-fold dot against the literal plane, the same
+    accumulation order as the engine's F.aggregate fold)."""
+    pl = "[" + ", ".join(repr(float(v)) for v in plane) + "]"
+    feat_sql = (
+        f"SELECT id, emb, CASE WHEN "
+        f"list_reduce(list_transform(range(len(emb)), "
+        f"i -> emb[i+1]::DOUBLE * ({pl})[i+1]), (x, y) -> x + y) > 0 "
+        f"THEN 1.0 ELSE 0.0 END AS y FROM ({_EMB}) lab_t"
+    )
+    return logreg_core_oracle(dim, iters, l2, feat_sql, schulz)
+
+
+def logreg_core_oracle(
+    dim: int,
+    iters: int,
+    l2: float,
+    feat_sql: str,
+    schulz: int = LOGREG_SCHULZ,
+) -> str:
+    """Replay of ``operators/ml.logreg_fit`` over ANY feature source:
+    ``feat_sql`` must yield ``(id, emb, y)`` with ``emb`` a ``dim``-long
+    list and ``y`` in {0.0, 1.0}. Bias-augmented long-form features,
     stable sigmoid, per-iteration gradient/Hessian aggregation, and the
-    Hessian solve as ``schulz`` Newton-Schulz steps (the numerically
-    identical fixed-iteration algorithm ``operators/ml.logreg_fit`` runs
-    in driver-side numpy).
+    Hessian solve as ``schulz`` Newton-Schulz steps — the numerically
+    identical fixed-iteration algorithm the engine runs in driver-side
+    numpy on distributed partials.
 
     Every CTE is MATERIALIZED: the NS recurrence references each iterate
     twice (in H@X and in X@T), and an inlining CTE planner would otherwise
     recompute the chain exponentially.
     """
     a = dim + 1  # augmented dimension (last row/col = bias)
-    pl = "[" + ", ".join(repr(float(v)) for v in plane) + "]"
     ctes = [
+        f"feat AS MATERIALIZED ({feat_sql})",
         # bias-augmented long-form features (id, d, v), d 1-based, d=a -> 1
         f"xel AS MATERIALIZED (SELECT id, t.d, "
         f"CASE WHEN t.d = {a} THEN 1.0 ELSE emb[t.d]::DOUBLE END AS v "
-        f"FROM ({_EMB}) x_t, range(1, {a + 1}) t(d))",
-        # labels: left-fold dot with the literal ground-truth plane — the
-        # same accumulation order as the engine's F.aggregate fold
-        f"lab AS MATERIALIZED (SELECT id, CASE WHEN "
-        f"list_reduce(list_transform(range(len(emb)), "
-        f"i -> emb[i+1]::DOUBLE * ({pl})[i+1]), (x, y) -> x + y) > 0 "
-        f"THEN 1.0 ELSE 0.0 END AS y FROM ({_EMB}) l_t)",
+        f"FROM feat, range(1, {a + 1}) t(d))",
+        "lab AS MATERIALIZED (SELECT id, y FROM feat)",
         f"w0 AS MATERIALIZED (SELECT t.d, 0.0 AS v FROM range(1, {a + 1}) t(d))",
     ]
     w = "w0"

@@ -422,3 +422,104 @@ def triangle_stats(und: DataFrame) -> DataFrame:
         .otherwise(F.lit(0.0))
         .alias("closure_ratio"),
     )
+
+
+# ---------------------------------------------------------------------------
+# label propagation — synchronous community detection (fixed iterations)
+# ---------------------------------------------------------------------------
+
+LPA_ITERS = 4  # fixed — keeps the SQL oracle an exact unrolled twin
+
+
+_LPA_ITER_SQL = """
+    v{next} AS (
+        SELECT e.dst AS node, p.lab, SUM(e.w) AS s
+        FROM edges e JOIN l{cur} p ON p.node = e.src
+        GROUP BY 1, 2
+    ),
+    p{next} AS (
+        SELECT node, lab FROM v{next}
+        QUALIFY row_number() OVER (PARTITION BY node ORDER BY s DESC, lab ASC) = 1
+    ),
+    l{next} AS (
+        SELECT n.node, COALESCE(p.lab, n.node) AS lab
+        FROM nodes n LEFT JOIN p{next} p USING (node)
+    )"""
+
+
+def _lpa_oracle() -> str:
+    iter_ctes = ",".join(
+        _LPA_ITER_SQL.format(cur=i, next=i + 1) for i in range(LPA_ITERS)
+    )
+    return f"""
+    WITH li AS (
+        SELECT l_orderkey, l_partkey FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '{PR_YEAR}-01-01'
+          AND l_shipdate <  TIMESTAMP '{PR_YEAR + 1}-01-01'
+    ),
+    edges AS (
+        SELECT a.l_partkey AS src, b.l_partkey AS dst,
+               count(DISTINCT a.l_orderkey) AS w
+        FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+        WHERE a.l_partkey <> b.l_partkey
+        GROUP BY src, dst
+    ),
+    nodes AS (SELECT DISTINCT l_partkey AS node FROM li),
+    l0 AS (SELECT node, node AS lab FROM nodes),{iter_ctes}
+    SELECT node AS part_id, lab AS community FROM l{LPA_ITERS}
+    """
+
+
+@query(
+    "q_lpa_communities",
+    oracle=_lpa_oracle(),
+    description="named 'graph' workload, community detection: synchronous "
+    f"label propagation (Raghavan et al. 2007) over the {PR_YEAR} part "
+    f"co-purchase graph, fixed {LPA_ITERS} iterations unrolled as chained "
+    "CTEs in the oracle — per node the new label is the neighbor label "
+    "with the largest co-occurrence weight sum, ties to the smallest "
+    "label; every quantity is an exact integer (orders co-occurred), so "
+    "the hash check has no float surface at all. Per iteration: one "
+    "shuffle on src (labels join) + one on (node, label) votes — state "
+    "is O(|nodes|), the edge fan-out is bounded by TPC-H's <=7 lines per "
+    "order, and the static edge table is localCheckpoint-pinned exactly "
+    "like q_pagerank",
+)
+def q_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .where(
+            (F.col("l_shipdate") >= f"{PR_YEAR}-01-01")
+            & (F.col("l_shipdate") < f"{PR_YEAR + 1}-01-01")
+        )
+        .select("l_orderkey", "l_partkey")
+    )
+    a = li.select("l_orderkey", F.col("l_partkey").alias("src"))
+    b = li.select("l_orderkey", F.col("l_partkey").alias("dst"))
+    pairs = a.join(b, "l_orderkey").where(F.col("src") != F.col("dst"))
+    # integer weights on purpose (vs copurchase_edges' doubles): LPA's only
+    # arithmetic is this sum and its argmax ordering — keeping it in BIGINT
+    # makes every iteration exactly order-independent with no decimal cast
+    edges = pairs.groupBy("src", "dst").agg(
+        F.count_distinct("l_orderkey").alias("w")
+    ).localCheckpoint(eager=False)
+    nodes = li.select(F.col("l_partkey").alias("node")).distinct()
+    nodes = nodes.localCheckpoint(eager=False)
+    labels = nodes.select("node", F.col("node").alias("lab"))
+    for _ in range(LPA_ITERS):
+        votes = (
+            edges.join(labels, edges.src == labels.node)
+            .groupBy(F.col("dst").alias("vnode"), "lab")
+            .agg(F.sum("w").alias("s"))
+        )
+        pick = votes.groupBy("vnode").agg(
+            F.min(F.struct((-F.col("s")).alias("neg"), F.col("lab"))).alias("m")
+        )
+        labels = nodes.join(
+            pick, nodes.node == pick.vnode, "left"
+        ).select(
+            "node", F.coalesce(F.col("m.lab"), F.col("node")).alias("lab")
+        )
+    return labels.select(
+        F.col("node").alias("part_id"), F.col("lab").alias("community")
+    )

@@ -1245,6 +1245,47 @@ def q_svd_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q_svd_topk",
+    oracle=linalg_oracle.svd_topk_oracle(EMBEDDING_DIM),
+    description=f"top-{linalg_oracle.SVD_TOPK} principal components (the "
+    "PCA/LSA subspace of the embedding corpus): the q_svd_top_component "
+    "distributed Gram pass, then repeated squaring with Hotelling "
+    "deflation between components (G_c+1 = G_c − λ_c v_c v_cᵀ, λ_c the "
+    "Rayleigh quotient on the ORIGINAL Gram so explained-variance shares "
+    f"partition the trace); 2^{linalg_oracle.SVD_TOPK_SQUARINGS} "
+    "effective iterations per component drive each to machine precision "
+    "even through the Marchenko-Pastur bulk's 0.99+ eigenvalue ratios — "
+    "hash-verified because the DuckDB oracle replays the identical "
+    "schedule; eigh alignment and orthogonality asserted in "
+    "tests/test_ann.py",
+)
+def q_svd_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    g0 = gram_matrix(emb)
+    tr = float(np.trace(g0))
+    g = g0.copy()
+    rows = []
+    for c in range(1, linalg_oracle.SVD_TOPK + 1):
+        v, _, _ = top_component_power(
+            g, squarings=linalg_oracle.SVD_TOPK_SQUARINGS
+        )
+        lam = float(v @ g0 @ v)
+        sv = float(np.sqrt(max(lam, 0.0)))
+        explained = float(lam / tr) if tr > 0 else 0.0
+        rows += [
+            (c, int(i), float(v[i]), sv, explained) for i in range(len(v))
+        ]
+        g = g - lam * np.outer(v, v)
+    return emb.sparkSession.createDataFrame(
+        rows,
+        "comp bigint, component bigint, loading double, "
+        "singular_value double, explained_variance double",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Product quantization (PQ) — compressed-domain ANN (Jégou et al. 2011)
 # ---------------------------------------------------------------------------

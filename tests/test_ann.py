@@ -348,3 +348,34 @@ def test_ivfpq_persisted_search_equals_inline(spark, sf_dir, tmp_path):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "PartitionFilters: [isnotnull(cid" in plan, plan
+
+
+def test_svd_topk_matches_eigh_and_is_orthonormal(spark, sf_dir):
+    """All three deflated components must align with np.linalg.eigh's top
+    eigenvectors to machine precision, be mutually orthonormal, and carry
+    descending singular values with trace-partitioning explained shares."""
+    import numpy as np
+
+    from go_web_mapreduce_spark.functions.linalg_oracle import SVD_TOPK
+    from go_web_mapreduce_spark.operators.similarity import q_svd_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    x = np.array([r["embedding"] for r in emb.collect()], dtype=np.float64)
+    g = x.T @ x
+    ev, evec = np.linalg.eigh(g)
+
+    out = q_svd_topk(spark, sf_dir).orderBy("comp", "component").collect()
+    dim = x.shape[1]
+    assert len(out) == SVD_TOPK * dim
+    V = np.array([r["loading"] for r in out]).reshape(SVD_TOPK, dim)
+    svs = [out[c * dim]["singular_value"] for c in range(SVD_TOPK)]
+    shares = [out[c * dim]["explained_variance"] for c in range(SVD_TOPK)]
+
+    for c in range(SVD_TOPK):
+        ref = evec[:, -1 - c]
+        assert abs(float(V[c] @ ref)) > 1 - 1e-9, c
+        assert abs(svs[c] - float(np.sqrt(ev[-1 - c]))) / svs[c] < 1e-9, c
+    assert svs == sorted(svs, reverse=True)
+    gram_v = V @ V.T
+    assert np.max(np.abs(gram_v - np.eye(SVD_TOPK))) < 1e-9
+    assert abs(sum(shares) - float(ev[-SVD_TOPK:].sum() / ev.sum())) < 1e-9

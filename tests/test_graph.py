@@ -4,6 +4,7 @@ and the closed-form ML query (operators/ml.py::q_ml_linreg)."""
 from __future__ import annotations
 
 import numpy as np
+from pyspark.sql import functions as F
 
 from go_web_mapreduce_spark.operators.graph import (
     PR_DAMPING,
@@ -196,3 +197,31 @@ def test_jsonl_roundtrip_survives_hostile_strings(spark, tmp_path):
     df.write.mode("overwrite").json(path)
     back = spark.read.schema("doc_id long, text string, lang string").json(path)
     assert sorted(map(tuple, back.collect())) == sorted(hostile)
+
+
+def test_lpa_communities_properties(spark, sf_dir):
+    """LPA output must cover every part in the year exactly once, use only
+    node ids as community labels (labels originate as node ids and
+    propagation can only copy them), find real structure (more than one
+    community, fewer communities than nodes), and be deterministic
+    across runs (fixed iterations, integer-exact votes, no RNG)."""
+    from go_web_mapreduce_spark.operators.graph import PR_YEAR, q_lpa_communities
+    from go_web_mapreduce_spark.sources.tables import load_table
+
+    rows = q_lpa_communities(spark, sf_dir).collect()
+    got = {r["part_id"]: r["community"] for r in rows}
+    assert len(got) == len(rows)  # one row per node
+
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= f"{PR_YEAR}-01-01")
+        & (F.col("l_shipdate") < f"{PR_YEAR + 1}-01-01")
+    )
+    expect_nodes = {r["l_partkey"] for r in li.select("l_partkey").distinct().collect()}
+    assert set(got) == expect_nodes
+
+    assert set(got.values()) <= expect_nodes
+    n_comm = len(set(got.values()))
+    assert 1 < n_comm < len(got)
+
+    again = {r["part_id"]: r["community"] for r in q_lpa_communities(spark, sf_dir).collect()}
+    assert again == got
