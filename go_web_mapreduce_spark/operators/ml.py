@@ -459,3 +459,72 @@ def q_nearest_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         (dsum(F.col("m.d"), 9) / F.count(F.lit(1))).alias("mean_sq_dist"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q_quality_classifier — in-engine text-feature logistic regression
+# ---------------------------------------------------------------------------
+
+QC_DIM = 3  # [ln(1+tokens), avg word length / 10, en-stopword ratio]
+
+
+def _qc_feat_sql() -> str:
+    """DuckDB twin of the feature projection in q_quality_classifier."""
+    from go_web_mapreduce_spark.operators.text_analysis import (
+        STOPWORDS,
+        _sql_list,
+    )
+
+    sw = _sql_list(STOPWORDS["en"])
+    return f"""
+    SELECT doc_id AS id,
+           [ln((1 + len(tk))::DOUBLE),
+            (n_chars::DOUBLE / greatest(len(tk), 1)) / 10.0,
+            len(list_filter(tk, t -> list_contains({sw}, t)))::DOUBLE
+              / greatest(len(tk), 1)] AS emb,
+           CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y
+    FROM (SELECT doc_id, lang, n_chars,
+                 list_filter(string_split(lower(text), ' '), t -> t <> '') AS tk
+          FROM documents) qc_t
+    """
+
+
+@query(
+    "q_quality_classifier",
+    oracle=linalg_oracle.logreg_core_oracle(QC_DIM, ML_ITERS, ML_L2, _qc_feat_sql()),
+    description="fastText-style corpus quality/language classifier trained "
+    "IN-ENGINE: logistic regression over three text-derived surface "
+    "features (log token count, average word length, English-stopword "
+    "ratio) with label lang='en', fit by the same distributed-Newton + "
+    "Newton-Schulz machinery as q_ml_logreg — the classifier-training "
+    "step of a data-quality pipeline (score-and-filter is then a map-side "
+    "projection against the 4 learned weights). Features are exact "
+    "integer-derived IEEE expressions, so the whole fit hash-verifies "
+    "against the SQL replay (functions/linalg_oracle.logreg_core_oracle); "
+    "per iteration one mapInPandas scan yields dim²-sized partials — no "
+    "corpus collect at any scale",
+)
+def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from go_web_mapreduce_spark.functions.text import tokens
+    from go_web_mapreduce_spark.operators.text_analysis import (
+        STOPWORDS,
+        stopword_hits,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens("text")
+    n_tok = F.size(toks)
+    safe_n = F.greatest(n_tok, F.lit(1))
+    feats = F.array(
+        F.log((F.lit(1) + n_tok).cast("double")),
+        (F.col("n_chars").cast("double") / safe_n) / F.lit(10.0),
+        stopword_hits(toks, STOPWORDS["en"]).cast("double") / safe_n,
+    )
+    data = docs.select(
+        "doc_id",
+        feats.alias("features"),
+        F.when(F.col("lang") == "en", 1.0).otherwise(0.0).alias("label"),
+    )
+    w = logreg_fit(data, dim=QC_DIM, feat_col="features")
+    rows = [(i, w[i]) for i in range(len(w))]
+    return spark.createDataFrame(rows, "component bigint, weight double")

@@ -155,3 +155,68 @@ def test_nearest_centroid_matches_numpy(spark, sf_dir):
     diag = sum(n for (t, p), (n, _) in want.items() if t == p)
     total = sum(n for (n, _) in want.values())
     assert diag / total > 1.0 / len(labels)
+
+
+def test_quality_classifier_matches_local_fit(spark, sf_dir):
+    """The in-engine trained classifier must reproduce a local numpy fit of
+    the identical fixed-iteration objective on the identical features.
+    (The synthetic corpus deliberately carries no real language signal —
+    per-language stopword ratios are all ~0.06 — so this test pins the
+    training MACHINERY, not signal recovery; cross-engine parity of the
+    whole fit is the DuckDB oracle's job.)"""
+    from go_web_mapreduce_spark.functions.text import tokens
+    from go_web_mapreduce_spark.operators.ml import (
+        ML_ITERS,
+        ML_L2,
+        QC_DIM,
+        _ns_solve,
+        q_quality_classifier,
+    )
+    from go_web_mapreduce_spark.operators.text_analysis import (
+        STOPWORDS,
+        stopword_hits,
+    )
+    from go_web_mapreduce_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    w = {
+        r["component"]: r["weight"]
+        for r in q_quality_classifier(spark, sf_dir).collect()
+    }
+    assert len(w) == QC_DIM + 1 and all(np.isfinite(v) for v in w.values())
+
+    toks = tokens("text")
+    n_tok = F.size(toks)
+    safe_n = F.greatest(n_tok, F.lit(1))
+    feats = load_table(spark, sf_dir, "documents").select(
+        F.log((F.lit(1) + n_tok).cast("double")).alias("f0"),
+        ((F.col("n_chars").cast("double") / safe_n) / F.lit(10.0)).alias("f1"),
+        (stopword_hits(toks, STOPWORDS["en"]).cast("double") / safe_n).alias("f2"),
+        F.when(F.col("lang") == "en", 1.0).otherwise(0.0).alias("y"),
+    ).collect()
+    X = np.array([[r["f0"], r["f1"], r["f2"]] for r in feats])
+    y = np.array([r["y"] for r in feats])
+    Xa = np.hstack([X, np.ones((len(X), 1))])
+    wv = np.zeros(QC_DIM + 1)
+    for _ in range(ML_ITERS):
+        z = Xa @ wv
+        p = np.where(
+            z >= 0,
+            1.0 / (1.0 + np.exp(-np.abs(z))),
+            np.exp(-np.abs(z)) / (1.0 + np.exp(-np.abs(z))),
+        )
+        g = Xa.T @ (p - y)
+        H = (Xa * (p * (1.0 - p))[:, None]).T @ Xa
+        reg = np.full(QC_DIM + 1, ML_L2)
+        reg[-1] = 0.0
+        g = g + reg * wv
+        H = H + np.diag(reg)
+        wv = wv - _ns_solve(H, g)
+    got = np.array([w[i] for i in range(QC_DIM + 1)])
+    assert np.max(np.abs(got - wv)) < 1e-9
+
+    again = {
+        r["component"]: r["weight"]
+        for r in q_quality_classifier(spark, sf_dir).collect()
+    }
+    assert again == w
