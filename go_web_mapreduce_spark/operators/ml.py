@@ -528,3 +528,109 @@ def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = logreg_fit(data, dim=QC_DIM, feat_col="features")
     rows = [(i, w[i]) for i in range(len(w))]
     return spark.createDataFrame(rows, "component bigint, weight double")
+
+
+# ---------------------------------------------------------------------------
+# q_auc_eval — exact ROC-AUC of a quality signal (rank statistic)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_auc_eval",
+    oracle="""
+    WITH scored AS (
+      SELECT source,
+             len(list_filter(list_filter(string_split(lower(text), ' '),
+                     t -> t <> ''),
+                 t -> list_contains(['the','a','and','of','to','is','in'], t)))::DOUBLE
+               / greatest(len(list_filter(string_split(lower(text), ' '),
+                     t -> t <> '')), 1) AS s,
+             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+      FROM documents
+    ),
+    grp AS (
+      SELECT source, s, COUNT(*) AS n, SUM(y) AS p
+      FROM scored GROUP BY source, s
+    ),
+    ranked AS (
+      SELECT source, s, n, p,
+             SUM(n) OVER (PARTITION BY source ORDER BY s
+                          ROWS UNBOUNDED PRECEDING) - n AS below
+      FROM grp
+    ),
+    agg AS (
+      SELECT source,
+             SUM(p * (below + (n + 1) / 2.0)) AS sum_pos_ranks,
+             CAST(SUM(p) AS BIGINT) AS n_pos,
+             CAST(SUM(n) - SUM(p) AS BIGINT) AS n_neg
+      FROM ranked GROUP BY source
+    )
+    SELECT source,
+           CASE WHEN n_pos > 0 AND n_neg > 0
+                THEN (sum_pos_ranks - n_pos * (n_pos + 1) / 2.0)
+                     / (n_pos::DOUBLE * n_neg)
+                ELSE 0.5 END AS auc,
+           n_pos, n_neg
+    FROM agg
+    """,
+    description="exact ROC-AUC (Mann-Whitney U with midrank tie handling) "
+    "of the English-stopword-ratio quality signal against lang='en', per "
+    "source — the evaluation primitive behind every quality-filter "
+    "threshold choice. Every quantity is an exact integer or half-integer "
+    "(average ranks), so sums are bit-exact under ANY aggregation order "
+    "and the AUC hash-verifies with no decimal casts. Plan: one "
+    "(source, score) group-aggregate, then a cumulative window over the "
+    "DISTINCT score values per source — bounded by the score's value "
+    "space (ratios with denominator <= max doc length), not corpus rows — "
+    "then a per-source fold; nothing corpus-sized is ever sorted",
+)
+def q_auc_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from go_web_mapreduce_spark.functions.text import tokens
+    from go_web_mapreduce_spark.operators.text_analysis import (
+        STOPWORDS,
+        stopword_hits,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens("text")
+    scored = docs.select(
+        "source",
+        (
+            stopword_hits(toks, STOPWORDS["en"]).cast("double")
+            / F.greatest(F.size(toks), F.lit(1))
+        ).alias("s"),
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("y"),
+    )
+    grp = scored.groupBy("source", "s").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("y").alias("p")
+    )
+    w = (
+        W.partitionBy("source")
+        .orderBy("s")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    ranked = grp.withColumn("below", F.sum("n").over(w) - F.col("n"))
+    agg = ranked.groupBy("source").agg(
+        F.sum(
+            F.col("p") * (F.col("below") + (F.col("n") + 1) / F.lit(2.0))
+        ).alias("sum_pos_ranks"),
+        F.sum("p").alias("n_pos"),
+        (F.sum("n") - F.sum("p")).alias("n_neg"),
+    )
+    return agg.select(
+        "source",
+        F.when(
+            (F.col("n_pos") > 0) & (F.col("n_neg") > 0),
+            (
+                F.col("sum_pos_ranks")
+                - F.col("n_pos") * (F.col("n_pos") + 1) / F.lit(2.0)
+            )
+            / (F.col("n_pos").cast("double") * F.col("n_neg")),
+        )
+        .otherwise(F.lit(0.5))
+        .alias("auc"),
+        "n_pos",
+        "n_neg",
+    )

@@ -220,3 +220,55 @@ def test_quality_classifier_matches_local_fit(spark, sf_dir):
         for r in q_quality_classifier(spark, sf_dir).collect()
     }
     assert again == w
+
+
+def test_auc_eval_matches_numpy_rank_statistic(spark, sf_dir):
+    """Per-source AUC must equal a local midrank Mann-Whitney computation
+    exactly (both sides are integer/half-integer arithmetic), and sit in
+    [0, 1]."""
+    from go_web_mapreduce_spark.functions.text import tokens
+    from go_web_mapreduce_spark.operators.ml import q_auc_eval
+    from go_web_mapreduce_spark.operators.text_analysis import (
+        STOPWORDS,
+        stopword_hits,
+    )
+    from go_web_mapreduce_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    toks = tokens("text")
+    rows = load_table(spark, sf_dir, "documents").select(
+        "source",
+        (
+            stopword_hits(toks, STOPWORDS["en"]).cast("double")
+            / F.greatest(F.size(toks), F.lit(1))
+        ).alias("s"),
+        (F.col("lang") == "en").alias("y"),
+    ).collect()
+    by_src = {}
+    for r in rows:
+        by_src.setdefault(r["source"], []).append((r["s"], r["y"]))
+
+    got = {r["source"]: r for r in q_auc_eval(spark, sf_dir).collect()}
+    assert set(got) == set(by_src)
+    for src, pts in by_src.items():
+        scores = np.array([p[0] for p in pts])
+        y = np.array([p[1] for p in pts])
+        order = np.argsort(scores, kind="mergesort")
+        ranks = np.empty(len(scores))
+        sorted_s = scores[order]
+        i = 0
+        while i < len(sorted_s):
+            j = i
+            while j < len(sorted_s) and sorted_s[j] == sorted_s[i]:
+                j += 1
+            ranks[order[i:j]] = (i + 1 + j) / 2.0  # midrank, 1-based
+            i = j
+        np_ = int(y.sum())
+        nn = len(y) - np_
+        if np_ and nn:
+            want = (float(ranks[y].sum()) - np_ * (np_ + 1) / 2.0) / (np_ * nn)
+        else:
+            want = 0.5
+        assert got[src]["n_pos"] == np_ and got[src]["n_neg"] == nn, src
+        assert got[src]["auc"] == want, (src, got[src]["auc"], want)
+        assert 0.0 <= got[src]["auc"] <= 1.0
