@@ -1102,3 +1102,58 @@ def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("logw"), F.lit(0.0)).alias("logw"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# k-anonymity audit — privacy risk measurement before releasing a table
+# ---------------------------------------------------------------------------
+
+KANON_K = 5  # classes smaller than this are re-identification risks
+KANON_BAND = 1000  # account-balance band width (third quasi-identifier)
+
+
+@query(
+    "q_kanonymity",
+    oracle=f"""
+    WITH classes AS (
+      SELECT c_nationkey,
+             c_mktsegment,
+             CAST(floor(c_acctbal / {KANON_BAND}) AS BIGINT) AS bal_band,
+             COUNT(*) AS k
+      FROM customer GROUP BY 1, 2, 3
+    )
+    SELECT c_nationkey,
+           CAST(COUNT(*) AS BIGINT) AS n_classes,
+           CAST(MIN(k) AS BIGINT) AS min_k,
+           CAST(SUM(CASE WHEN k < {KANON_K} THEN 1 ELSE 0 END) AS BIGINT)
+             AS risky_classes,
+           CAST(SUM(CASE WHEN k < {KANON_K} THEN k ELSE 0 END) AS BIGINT)
+             AS risky_rows,
+           SUM(CASE WHEN k < {KANON_K} THEN k ELSE 0 END)::DOUBLE
+             / SUM(k) AS suppression_rate
+    FROM classes GROUP BY c_nationkey
+    """,
+    description="k-anonymity audit (Sweeney 2002) over the quasi-identifier "
+    "tuple (nation, market segment, account-balance band): per-nation "
+    "equivalence-class census — class count, smallest class, classes/rows "
+    f"below k={KANON_K}, and the suppression rate a k-anonymous release "
+    "would pay — the privacy-risk measurement that gates publishing a "
+    "table, next to q_pii_redact's column-level scrubbing. Two partial "
+    "aggregations (QI classes, then nation rollup), all-integer outputs "
+    "plus one exact division; nothing but (QI, count) pairs ever shuffles",
+)
+def q_kanonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    classes = cust.groupBy(
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / KANON_BAND).cast("bigint").alias("bal_band"),
+    ).agg(F.count(F.lit(1)).alias("k"))
+    risky = F.when(F.col("k") < KANON_K, F.col("k")).otherwise(F.lit(0))
+    return classes.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("n_classes"),
+        F.min("k").alias("min_k"),
+        F.sum(F.when(F.col("k") < KANON_K, 1).otherwise(0)).alias("risky_classes"),
+        F.sum(risky).alias("risky_rows"),
+        (F.sum(risky).cast("double") / F.sum("k")).alias("suppression_rate"),
+    )

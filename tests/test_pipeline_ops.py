@@ -274,3 +274,36 @@ def test_dsir_weights_semantics_and_plan(spark, sf_dir):
             assert r["logw"] == 0.0
     plan = P.executed_plan(df)
     assert P.has_broadcast_join(plan)
+
+
+def test_kanonymity_matches_bruteforce(spark, sf_dir):
+    """Per-nation k-anonymity metrics must equal a local brute-force census
+    of the same quasi-identifier classes."""
+    import math
+    from collections import Counter
+
+    from go_web_mapreduce_spark.operators.pipeline_ops import (
+        KANON_BAND,
+        KANON_K,
+        q_kanonymity,
+    )
+    from go_web_mapreduce_spark.sources.tables import load_table
+
+    rows = load_table(spark, sf_dir, "customer").select(
+        "c_nationkey", "c_mktsegment", "c_acctbal"
+    ).collect()
+    classes = Counter(
+        (r["c_nationkey"], r["c_mktsegment"], math.floor(float(r["c_acctbal"]) / KANON_BAND))
+        for r in rows
+    )
+    got = {r["c_nationkey"]: r for r in q_kanonymity(spark, sf_dir).collect()}
+    nations = {q[0] for q in classes}
+    assert set(got) == nations
+    for n in nations:
+        ks = [k for q, k in classes.items() if q[0] == n]
+        risky = [k for k in ks if k < KANON_K]
+        assert got[n]["n_classes"] == len(ks)
+        assert got[n]["min_k"] == min(ks)
+        assert got[n]["risky_classes"] == len(risky)
+        assert got[n]["risky_rows"] == sum(risky)
+        assert abs(got[n]["suppression_rate"] - sum(risky) / sum(ks)) < 1e-12

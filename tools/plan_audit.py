@@ -65,6 +65,10 @@ HEADLINERS = {
     "q_embed_quantize": "int8 quantization: pure codegen transform+fold, scale materialized as a column, single per-label exchange",
     "q_ngram_diversity": "diversity census: two column-pruned legs (deliberate vs checkpointing tokens), 60-bit gram hashes, 20-row source join",
     "q_source_overlap": "source leakage matrix: one distinct (source,gh) shuffle, in-row pair expansion bounded by the source dimension, sizes broadcast",
+    "q_dsir_weights": "DSIR weights: 4096-key bucket stats + (doc,bucket) counts off one gram scan, log-ratio table broadcast back, only integer triples shuffle",
+    "q_nearest_centroid": "nearest centroid: exact-decimal centroid agg, labels-x-dim table broadcast, map-side fold distances, tiny-key confusion agg",
+    "q_lpa_communities": "label propagation: checkpointed integer-weight edges, per-round src-join + (node,label) vote shuffles, struct-min argmax",
+    "q_auc_eval": "exact AUC: (source,score) partial agg, cumulative window over DISTINCT scores only, per-source fold - corpus never sorted",
 }
 
 
