@@ -800,3 +800,114 @@ def q_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("cnt").alias("cms_est"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q_jackknife_ci — deterministic (RNG-free) error bars for a corpus metric
+# ---------------------------------------------------------------------------
+
+JK_BUCKETS = 32  # leave-one-out folds; hash-assigned, so reproducible
+JK_Z = 1.96  # normal 95% interval half-width in SEs
+
+
+@query(
+    "q_jackknife_ci",
+    oracle=f"""
+    WITH bkt AS (
+      SELECT l_returnflag AS flag,
+             ('0x' || substr(md5('jk:' || l_orderkey::VARCHAR), 1, 8))::BIGINT
+               % {JK_BUCKETS} AS b,
+             CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS STRING)
+                  AS DOUBLE) AS s,
+             CAST(count(*) AS BIGINT) AS n
+      FROM lineitem GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT flag, CAST(CAST(sum(CAST(s AS DECIMAL(18,4))) AS STRING) AS DOUBLE) AS st,
+             CAST(sum(n) AS BIGINT) AS nt, CAST(count(*) AS BIGINT) AS nb
+      FROM bkt GROUP BY flag
+    ),
+    loo AS (
+      SELECT b.flag, (t.st - b.s) / (t.nt - b.n) AS m, t.st, t.nt, t.nb
+      FROM bkt b JOIN tot t ON t.flag = b.flag
+    ),
+    jk AS (
+      SELECT flag,
+             CAST(CAST(sum(CAST(m AS DECIMAL(18,8))) AS STRING) AS DOUBLE)
+               / nb AS mbar,
+             st, nt, nb
+      FROM loo GROUP BY flag, st, nt, nb
+    ),
+    se AS (
+      SELECT l.flag,
+             sqrt((l.nb - 1.0) / l.nb *
+                  CAST(CAST(sum(CAST((l.m - j.mbar) * (l.m - j.mbar)
+                                     AS DECIMAL(18,12))) AS STRING) AS DOUBLE))
+               AS jk_se,
+             j.mbar, l.st, l.nt
+      FROM loo l JOIN jk j ON j.flag = l.flag
+      GROUP BY l.flag, j.mbar, l.st, l.nt, l.nb
+    )
+    SELECT flag AS l_returnflag, st / nt AS mean_price, jk_se,
+           st / nt - {JK_Z} * jk_se AS ci_lo,
+           st / nt + {JK_Z} * jk_se AS ci_hi,
+           CAST(nt AS BIGINT) AS n
+    FROM se
+    """,
+    description="deterministic jackknife 95% CI for mean extended price "
+    f"per return flag: rows hash into {JK_BUCKETS} reproducible folds "
+    "(md5 of the order key — no RNG, identical folds on any cluster/"
+    "partitioning), leave-one-fold-out means give the delete-d jackknife "
+    "standard error — the error-bar primitive for any corpus statistic "
+    "where rerunning with a different seed is not acceptable. Plan: ONE "
+    "corpus aggregation to (flag, fold) decimal-exact partial sums "
+    f"(≤ {JK_BUCKETS} rows per flag), everything after is "
+    "dimension-sized; fold means and squared deviations go through "
+    "decimal casts so every engine sums them identically",
+)
+def q_jackknife_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from go_web_mapreduce_spark.functions.numeric import dsum
+
+    li = load_table(spark, sf_dir, "lineitem")
+    bkt = li.groupBy(
+        F.col("l_returnflag").alias("flag"),
+        (
+            F.conv(
+                F.substring(F.md5(F.concat(F.lit("jk:"), F.col("l_orderkey").cast("string"))), 1, 8),
+                16, 10,
+            ).cast("bigint")
+            % JK_BUCKETS
+        ).alias("b"),
+    ).agg(
+        dsum(F.col("l_extendedprice").cast("double")).alias("s"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    tot = bkt.groupBy("flag").agg(
+        dsum("s").alias("st"), F.sum("n").alias("nt"), F.count(F.lit(1)).alias("nb")
+    )
+    loo = bkt.join(tot, "flag").select(
+        "flag",
+        ((F.col("st") - F.col("s")) / (F.col("nt") - F.col("n"))).alias("m"),
+        "st", "nt", "nb",
+    )
+    jk = loo.groupBy("flag", "st", "nt", "nb").agg(
+        (dsum("m", 8) / F.col("nb")).alias("mbar")
+    ).select("flag", "mbar")
+    se = (
+        loo.join(jk, "flag")
+        .groupBy("flag", "mbar", "st", "nt", "nb")
+        .agg(
+            F.sqrt(
+                (F.col("nb") - 1.0) / F.col("nb")
+                * dsum((F.col("m") - F.col("mbar")) * (F.col("m") - F.col("mbar")), 12)
+            ).alias("jk_se")
+        )
+    )
+    return se.select(
+        F.col("flag").alias("l_returnflag"),
+        (F.col("st") / F.col("nt")).alias("mean_price"),
+        "jk_se",
+        (F.col("st") / F.col("nt") - JK_Z * F.col("jk_se")).alias("ci_lo"),
+        (F.col("st") / F.col("nt") + JK_Z * F.col("jk_se")).alias("ci_hi"),
+        F.col("nt").alias("n"),
+    )

@@ -317,3 +317,48 @@ def test_anomaly_mad_matches_numpy_reference(spark, sf_dir):
         mad = float(np.median(ad))
         n_out = int((ad > MAD_NSIGMA * (MAD_CONSISTENCY * mad)).sum())
         assert got[et] == (med, mad, len(vals), n_out), et
+
+
+def test_jackknife_ci_matches_numpy_reference(spark, sf_dir):
+    """Independent replay: fold sums recomputed locally (hashlib md5 fold
+    assignment + numpy leave-one-out means) must reproduce the Spark plan's
+    jackknife SE and interval to float precision, and the interval must
+    bracket the mean with a positive SE whenever more than one fold exists."""
+    import hashlib
+
+    import numpy as np
+
+    from go_web_mapreduce_spark.operators.analytics import (
+        JK_BUCKETS,
+        JK_Z,
+        q_jackknife_ci,
+    )
+    from go_web_mapreduce_spark.sources.tables import load_table
+
+    got = {r["l_returnflag"]: r for r in q_jackknife_ci(spark, sf_dir).collect()}
+    rows = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_orderkey", "l_extendedprice"
+    ).collect()
+    folds: dict[str, dict[int, list[float]]] = {}
+    for r in rows:
+        h = hashlib.md5(f"jk:{r['l_orderkey']}".encode()).hexdigest()
+        b = int(h[:8], 16) % JK_BUCKETS
+        folds.setdefault(r["l_returnflag"], {}).setdefault(b, []).append(
+            float(r["l_extendedprice"])
+        )
+    assert set(got) == set(folds) and len(got) > 0
+    for flag, by_b in folds.items():
+        s = np.array([sum(v) for v in by_b.values()])
+        n = np.array([len(v) for v in by_b.values()], dtype=np.float64)
+        st, nt, nb = s.sum(), n.sum(), len(by_b)
+        m = (st - s) / (nt - n)  # leave-one-fold-out means
+        se = float(np.sqrt((nb - 1.0) / nb * ((m - m.mean()) ** 2).sum()))
+        g = got[flag]
+        assert g["n"] == int(nt)
+        assert abs(g["mean_price"] - st / nt) < 1e-6 * abs(st / nt)
+        assert abs(g["jk_se"] - se) < 1e-6 * max(se, 1e-12)
+        assert abs(g["ci_lo"] - (st / nt - JK_Z * se)) < 1e-5
+        assert abs(g["ci_hi"] - (st / nt + JK_Z * se)) < 1e-5
+        if nb > 1:
+            assert g["jk_se"] > 0.0
+            assert g["ci_lo"] < g["mean_price"] < g["ci_hi"]
