@@ -911,3 +911,144 @@ def q_jackknife_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("st") / F.col("nt") + JK_Z * F.col("jk_se")).alias("ci_hi"),
         F.col("nt").alias("n"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q_bootstrap_ci — deterministic Poisson bootstrap (hash-derived weights)
+# ---------------------------------------------------------------------------
+
+BS_REPS = 32  # bootstrap replicates
+BS_Z = 1.96
+# Poisson(1) CDF at k = 0..6: a row's replicate weight is the number of
+# thresholds at or below its hash-uniform, i.e. the inverse-CDF draw capped
+# at 7 (P[w > 7] ~ 8e-5; the SAME cap applies in the oracle, so the capped
+# distribution is what both engines compute).
+BS_CDF = (
+    0.36787944117144233,
+    0.7357588823428847,
+    0.9196986029286058,
+    0.9810118431238463,
+    0.9963401531726563,
+    0.9994058151824183,
+    0.999916758850712,
+)
+
+_BS_ORACLE_W = " + ".join(
+    f"CASE WHEN u >= {t!r} THEN 1 ELSE 0 END" for t in BS_CDF
+)
+
+_BS_ORACLE = f"""
+WITH ur AS (
+  SELECT l_returnflag AS flag, l_extendedprice AS price,
+         ('0x' || substr(md5('bs:' || r::VARCHAR || ':' || l_orderkey::VARCHAR),
+                         1, 8))::BIGINT / 4294967296.0 AS u,
+         r
+  FROM lineitem CROSS JOIN (SELECT unnest(range({BS_REPS})) AS r) t
+),
+rep AS (
+  SELECT flag, r,
+         CAST(CAST(sum(CAST(price * ({_BS_ORACLE_W}) AS DECIMAL(18,4)))
+                   AS STRING) AS DOUBLE) AS s,
+         CAST(sum({_BS_ORACLE_W}) AS BIGINT) AS n
+  FROM ur GROUP BY 1, 2
+),
+tot AS (
+  SELECT l_returnflag AS flag,
+         CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS STRING)
+              AS DOUBLE) AS st,
+         CAST(count(*) AS BIGINT) AS nt
+  FROM lineitem GROUP BY 1
+),
+dev AS (
+  SELECT rep.flag, tot.st, tot.nt, rep.s / rep.n - tot.st / tot.nt AS d
+  FROM rep JOIN tot ON tot.flag = rep.flag
+),
+se AS (
+  SELECT flag, st, nt,
+         sqrt((CAST(CAST(sum(CAST(d * d AS DECIMAL(18,8))) AS STRING) AS DOUBLE)
+               - CAST(CAST(sum(CAST(d AS DECIMAL(18,8))) AS STRING) AS DOUBLE)
+                 * CAST(CAST(sum(CAST(d AS DECIMAL(18,8))) AS STRING) AS DOUBLE)
+                 / {BS_REPS}) / ({BS_REPS} - 1)) AS boot_se
+  FROM dev GROUP BY flag, st, nt
+)
+SELECT flag AS l_returnflag, st / nt AS mean_price, boot_se,
+       st / nt - {BS_Z} * boot_se AS ci_lo,
+       st / nt + {BS_Z} * boot_se AS ci_hi,
+       nt AS n
+FROM se
+"""
+
+
+def _bs_weight(r: int) -> "F.Column":
+    """Poisson(1) inverse-CDF weight for replicate ``r`` of the current row."""
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(f"bs:{r}:"), F.col("l_orderkey").cast("string"))),
+                1, 8,
+            ),
+            16, 10,
+        ).cast("bigint")
+        / F.lit(4294967296.0)
+    )
+    w = F.lit(0)
+    for t in BS_CDF:
+        w = w + F.when(u >= F.lit(t), 1).otherwise(0)
+    return w
+
+
+@query(
+    "q_bootstrap_ci",
+    oracle=_BS_ORACLE,
+    description="deterministic Poisson bootstrap SE/CI for mean extended "
+    f"price per return flag: each of {BS_REPS} replicates reweights every "
+    "row by a Poisson(1) draw derived from md5(replicate, order key) — the "
+    "classic resampling-without-materializing trick (Poisson bootstrap), "
+    "made RNG-free so any cluster/partitioning reproduces it bit-for-bit. "
+    "Plan: ONE corpus scan computing all replicate weighted sums as 2×"
+    f"{BS_REPS} aggregate columns (map-side partial agg, no explode, no "
+    f"{BS_REPS}x shuffle), then a stack() unpivot of the 3-row wide result "
+    "and dimension-sized variance math under the decimal-cast discipline. "
+    "The oracle replays the identical draws via an explode formulation — "
+    "scale-irrelevant there",
+)
+def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from go_web_mapreduce_spark.functions.numeric import dsum
+
+    li = load_table(spark, sf_dir, "lineitem")
+    aggs = [
+        dsum(F.col("l_extendedprice").cast("double")).alias("st"),
+        F.count(F.lit(1)).alias("nt"),
+    ]
+    for r in range(BS_REPS):
+        w = _bs_weight(r)
+        aggs.append(
+            dsum(F.col("l_extendedprice").cast("double") * w).alias(f"s_{r}")
+        )
+        aggs.append(F.sum(w).alias(f"n_{r}"))
+    wide = li.groupBy(F.col("l_returnflag").alias("flag")).agg(*aggs)
+
+    stack_args = ", ".join(f"s_{r}, n_{r}" for r in range(BS_REPS))
+    rep = wide.selectExpr(
+        "flag", "st", "nt", f"stack({BS_REPS}, {stack_args}) as (s, n)"
+    ).select(
+        "flag", "st", "nt",
+        (F.col("s") / F.col("n") - F.col("st") / F.col("nt")).alias("d"),
+    )
+    se = rep.groupBy("flag", "st", "nt").agg(
+        F.sqrt(
+            (
+                dsum(F.col("d") * F.col("d"), 8)
+                - dsum("d", 8) * dsum("d", 8) / BS_REPS
+            )
+            / (BS_REPS - 1)
+        ).alias("boot_se")
+    )
+    return se.select(
+        F.col("flag").alias("l_returnflag"),
+        (F.col("st") / F.col("nt")).alias("mean_price"),
+        "boot_se",
+        (F.col("st") / F.col("nt") - BS_Z * F.col("boot_se")).alias("ci_lo"),
+        (F.col("st") / F.col("nt") + BS_Z * F.col("boot_se")).alias("ci_hi"),
+        F.col("nt").alias("n"),
+    )

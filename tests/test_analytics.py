@@ -362,3 +362,59 @@ def test_jackknife_ci_matches_numpy_reference(spark, sf_dir):
         if nb > 1:
             assert g["jk_se"] > 0.0
             assert g["ci_lo"] < g["mean_price"] < g["ci_hi"]
+
+
+def test_bootstrap_ci_matches_numpy_reference(spark, sf_dir):
+    """Independent replay: Poisson weights recomputed locally from the same
+    md5 draws must reproduce every replicate's weighted sum/count and the
+    final bootstrap SE; the SE must be positive and the same order of
+    magnitude as the classic sd/sqrt(n) estimate."""
+    import bisect
+    import hashlib
+
+    import numpy as np
+
+    from go_web_mapreduce_spark.operators.analytics import (
+        BS_CDF,
+        BS_REPS,
+        BS_Z,
+        q_bootstrap_ci,
+    )
+    from go_web_mapreduce_spark.sources.tables import load_table
+
+    got = {r["l_returnflag"]: r for r in q_bootstrap_ci(spark, sf_dir).collect()}
+    rows = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_orderkey", "l_extendedprice"
+    ).collect()
+    by_flag: dict[str, list[tuple[int, float]]] = {}
+    for r in rows:
+        by_flag.setdefault(r["l_returnflag"], []).append(
+            (r["l_orderkey"], float(r["l_extendedprice"]))
+        )
+    assert set(got) == set(by_flag) and len(got) > 0
+    for flag, items in by_flag.items():
+        prices = np.array([p for _, p in items])
+        means = []
+        for rep in range(BS_REPS):
+            w = np.array([
+                bisect.bisect_right(
+                    BS_CDF,
+                    int(hashlib.md5(f"bs:{rep}:{k}".encode()).hexdigest()[:8], 16)
+                    / 4294967296.0,
+                )
+                for k, _ in items
+            ])
+            means.append(float((prices * w).sum() / w.sum()))
+        m = np.array(means)
+        full = float(prices.mean())
+        d = m - full
+        se = float(np.sqrt((np.sum(d * d) - d.sum() ** 2 / BS_REPS) / (BS_REPS - 1)))
+        g = got[flag]
+        assert g["n"] == len(items)
+        assert abs(g["mean_price"] - full) < 1e-6 * abs(full)
+        assert abs(g["boot_se"] - se) < 1e-5 * max(se, 1e-9)
+        assert g["boot_se"] > 0.0
+        classic = float(prices.std(ddof=1) / np.sqrt(len(prices)))
+        assert 0.2 * classic < g["boot_se"] < 5.0 * classic
+        assert abs(g["ci_lo"] - (full - BS_Z * se)) < 1e-4
+        assert abs(g["ci_hi"] - (full + BS_Z * se)) < 1e-4
