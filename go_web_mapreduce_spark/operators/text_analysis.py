@@ -1032,3 +1032,107 @@ def q_ngram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.col("n_trigrams").cast("double")
         ).alias("trigram_ttr"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q_chi2_tokens — chi-squared feature selection: discriminative tokens/lang
+# ---------------------------------------------------------------------------
+
+CHI2_TOPK = 5  # tokens reported per language
+CHI2_MIN_DF = 3  # ignore tokens seen in fewer docs (noise floor)
+
+
+@query(
+    "q_chi2_tokens",
+    oracle=f"""
+    WITH pres AS (
+      SELECT DISTINCT doc_id, lang, unnest({_TK}) AS token
+      FROM documents
+    ),
+    n AS (SELECT count(DISTINCT doc_id) AS n FROM documents),
+    lang_tot AS (SELECT lang, count(DISTINCT doc_id) AS nl FROM pres GROUP BY 1),
+    tok_tot AS (SELECT token, count(*) AS df FROM pres GROUP BY 1),
+    cell AS (
+      SELECT lang, token, count(*) AS a FROM pres GROUP BY 1, 2
+    ),
+    chi AS (
+      SELECT c.lang, c.token,
+             CAST(c.a AS DOUBLE) AS a, CAST(t.df - c.a AS DOUBLE) AS b,
+             CAST(l.nl - c.a AS DOUBLE) AS cc,
+             CAST(n.n - t.df - l.nl + c.a AS DOUBLE) AS d,
+             CAST(n.n AS DOUBLE) AS nn
+      FROM cell c JOIN tok_tot t ON t.token = c.token
+                  JOIN lang_tot l ON l.lang = c.lang
+                  CROSS JOIN n
+      WHERE t.df >= {CHI2_MIN_DF}
+    ),
+    scored AS (
+      SELECT lang, token,
+             nn * (a * d - b * cc) * (a * d - b * cc)
+               / ((a + b) * (cc + d) * (a + cc) * (b + d)) AS chi2,
+             row_number() OVER (
+               PARTITION BY lang
+               ORDER BY nn * (a * d - b * cc) * (a * d - b * cc)
+                        / ((a + b) * (cc + d) * (a + cc) * (b + d)) DESC,
+                        token
+             ) AS rk
+      FROM chi
+    )
+    SELECT lang, token, chi2, CAST(rk AS INT) AS rk
+    FROM scored WHERE rk <= {CHI2_TOPK}
+    """,
+    description="chi-squared feature selection: the top "
+    f"{CHI2_TOPK} tokens most associated with each language by the 2x2 "
+    "presence contingency test (document frequency, not occurrences) — the "
+    "classifier-feature / corpus-drift primitive. Plan: ONE distinct over "
+    "exploded (doc, lang, token) presence pairs feeds three reuse-shared "
+    "aggregations; language totals and the grand total broadcast (|langs| "
+    "rows), the token-total join shuffles on token (vocabulary-sized, not "
+    "corpus-sized), chi2 is pure integer-derived double math with one "
+    "fixed evaluation order so both engines produce identical bits, and "
+    "the per-language top-k is a vocabulary-sized window",
+)
+def q_chi2_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    pres = (
+        docs.select("doc_id", "lang", F.explode(tokens("text")).alias("token"))
+        .distinct()
+    )
+    n_docs = docs.select("doc_id").distinct().count()
+    lang_tot = pres.groupBy("lang").agg(F.countDistinct("doc_id").alias("nl"))
+    tok_tot = pres.groupBy("token").agg(F.count("*").alias("df"))
+    cell = pres.groupBy("lang", "token").agg(F.count("*").alias("a"))
+    chi = (
+        cell.join(tok_tot, "token")
+        .filter(F.col("df") >= CHI2_MIN_DF)
+        .join(F.broadcast(lang_tot), "lang")
+        .select(
+            "lang", "token",
+            F.col("a").cast("double").alias("a"),
+            (F.col("df") - F.col("a")).cast("double").alias("b"),
+            (F.col("nl") - F.col("a")).cast("double").alias("cc"),
+            (F.lit(n_docs) - F.col("df") - F.col("nl") + F.col("a"))
+            .cast("double").alias("d"),
+            F.lit(float(n_docs)).alias("nn"),
+        )
+    )
+    chi2 = (
+        F.col("nn")
+        * (F.col("a") * F.col("d") - F.col("b") * F.col("cc"))
+        * (F.col("a") * F.col("d") - F.col("b") * F.col("cc"))
+        / (
+            (F.col("a") + F.col("b"))
+            * (F.col("cc") + F.col("d"))
+            * (F.col("a") + F.col("cc"))
+            * (F.col("b") + F.col("d"))
+        )
+    )
+    w = Window.partitionBy("lang").orderBy(F.col("chi2").desc(), "token")
+    return (
+        chi.select("lang", "token", chi2.alias("chi2"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= CHI2_TOPK)
+        .select("lang", "token", "chi2", "rk")
+    )

@@ -272,3 +272,54 @@ def test_bpe_deep_training_matches_python_reference(spark, sf_dir, tmp_path):
         for f in fs
     ]
     assert ckpt_files, "no durable checkpoint files written"
+
+
+def test_chi2_tokens_matches_bruteforce(spark, sf_dir):
+    """Per-language top-k chi2 tokens must equal a local census over the
+    same presence pairs (2x2 contingency on document frequency)."""
+    from collections import Counter
+
+    from go_web_mapreduce_spark.operators.text_analysis import (
+        CHI2_MIN_DF,
+        CHI2_TOPK,
+        q_chi2_tokens,
+    )
+    from go_web_mapreduce_spark.sources.tables import load_table
+
+    rows = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "text"
+    ).collect()
+    pres = {
+        (r["doc_id"], r["lang"], t)
+        for r in rows
+        for t in set(r["text"].lower().split())
+        if t
+    }
+    n = len({r["doc_id"] for r in rows})
+    nl = Counter()
+    for d, l in {(d, l) for d, l, _ in pres}:
+        nl[l] += 1
+    df = Counter(t for _, _, t in pres)
+    cell = Counter((l, t) for _, l, t in pres)
+    scored: dict[str, list[tuple[float, str]]] = {}
+    for (l, t), a in cell.items():
+        if df[t] < CHI2_MIN_DF:
+            continue
+        b, c = df[t] - a, nl[l] - a
+        d_ = n - df[t] - nl[l] + a
+        chi2 = (
+            n * (a * d_ - b * c) ** 2
+            / ((a + b) * (c + d_) * (a + c) * (b + d_))
+        )
+        scored.setdefault(l, []).append((-chi2, t))
+    got = q_chi2_tokens(spark, sf_dir).collect()
+    by_lang: dict[str, list] = {}
+    for r in sorted(got, key=lambda r: r["rk"]):
+        by_lang.setdefault(r["lang"], []).append(r)
+    assert set(by_lang) == set(scored)
+    for l, want in scored.items():
+        want.sort()
+        top = want[:CHI2_TOPK]
+        assert [r["token"] for r in by_lang[l]] == [t for _, t in top]
+        for r, (negchi, _) in zip(by_lang[l], top):
+            assert abs(r["chi2"] - (-negchi)) < 1e-9 * max(-negchi, 1e-12)
