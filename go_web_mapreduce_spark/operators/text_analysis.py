@@ -1136,3 +1136,94 @@ def q_chi2_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= CHI2_TOPK)
         .select("lang", "token", "chi2", "rk")
     )
+
+
+# ---------------------------------------------------------------------------
+# q_zipf_fit — corpus-health check: OLS fit of the Zipf rank-frequency law
+# ---------------------------------------------------------------------------
+
+ZIPF_MAX_RANK = 1000  # fit the distribution head (standard Zipf practice)
+
+
+@query(
+    "q_zipf_fit",
+    oracle=f"""
+    WITH cnt AS (
+      SELECT token, count(*) AS c
+      FROM (SELECT unnest({_TK}) AS token FROM documents)
+      GROUP BY 1
+    ),
+    ranked AS (
+      SELECT c, row_number() OVER (ORDER BY c DESC, token) AS rk
+      FROM cnt
+    ),
+    pts AS (
+      SELECT ln(CAST(rk AS DOUBLE)) AS x, ln(CAST(c AS DOUBLE)) AS y
+      FROM ranked WHERE rk <= {ZIPF_MAX_RANK}
+    ),
+    s AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n,
+             CAST(CAST(sum(CAST(x AS DECIMAL(18,8))) AS STRING) AS DOUBLE) AS sx,
+             CAST(CAST(sum(CAST(y AS DECIMAL(18,8))) AS STRING) AS DOUBLE) AS sy,
+             CAST(CAST(sum(CAST(x * y AS DECIMAL(18,8))) AS STRING) AS DOUBLE) AS sxy,
+             CAST(CAST(sum(CAST(x * x AS DECIMAL(18,8))) AS STRING) AS DOUBLE) AS sxx,
+             CAST(CAST(sum(CAST(y * y AS DECIMAL(18,8))) AS STRING) AS DOUBLE) AS syy
+      FROM pts
+    )
+    SELECT CAST(n AS BIGINT) AS n_ranks,
+           (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope,
+           (sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n
+             AS intercept,
+           (n * sxy - sx * sy) * (n * sxy - sx * sy)
+             / ((n * sxx - sx * sx) * (n * syy - sy * sy)) AS r2
+    FROM s
+    """,
+    description="Zipf rank-frequency law fit over the corpus vocabulary: "
+    f"OLS of ln(freq) on ln(rank) for the top {ZIPF_MAX_RANK} ranks gives "
+    "the power-law slope (healthy natural text sits near -1), intercept, "
+    "and R-squared — the corpus-health / synthetic-text smoke alarm. Plan: "
+    "ONE token aggregation (vocabulary-sized output), a vocabulary-sized "
+    "ranking window, and a 5-moment single-row reduce under the "
+    "decimal-cast discipline (which also absorbs any cross-engine ln ulp "
+    "wobble before it can reach the hash)",
+)
+def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from go_web_mapreduce_spark.functions.numeric import dsum
+
+    docs = load_table(spark, sf_dir, "documents")
+    cnt = (
+        docs.select(F.explode(tokens("text")).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("c"))
+    )
+    w = Window.orderBy(F.col("c").desc(), "token")
+    pts = (
+        cnt.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= ZIPF_MAX_RANK)
+        .select(
+            F.log(F.col("rk").cast("double")).alias("x"),
+            F.log(F.col("c").cast("double")).alias("y"),
+        )
+    )
+    s = pts.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        dsum("x", 8).alias("sx"),
+        dsum("y", 8).alias("sy"),
+        dsum(F.col("x") * F.col("y"), 8).alias("sxy"),
+        dsum(F.col("x") * F.col("x"), 8).alias("sxx"),
+        dsum(F.col("y") * F.col("y"), 8).alias("syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    return s.select(
+        n.cast("bigint").alias("n_ranks"),
+        slope.alias("slope"),
+        ((sy - slope * sx) / n).alias("intercept"),
+        (
+            (n * sxy - sx * sy) * (n * sxy - sx * sy)
+            / ((n * sxx - sx * sx) * (n * syy - sy * sy))
+        ).alias("r2"),
+    )

@@ -323,3 +323,35 @@ def test_chi2_tokens_matches_bruteforce(spark, sf_dir):
         assert [r["token"] for r in by_lang[l]] == [t for _, t in top]
         for r, (negchi, _) in zip(by_lang[l], top):
             assert abs(r["chi2"] - (-negchi)) < 1e-9 * max(-negchi, 1e-12)
+
+
+def test_zipf_fit_matches_numpy_ols(spark, sf_dir):
+    """Slope/intercept/R2 must equal a local numpy OLS on the same
+    rank-frequency points, and the slope must be negative (frequency
+    decreasing in rank) with R2 in (0, 1]."""
+    from collections import Counter
+
+    import numpy as np
+
+    from go_web_mapreduce_spark.operators.text_analysis import (
+        ZIPF_MAX_RANK,
+        q_zipf_fit,
+    )
+    from go_web_mapreduce_spark.sources.tables import load_table
+
+    rows = load_table(spark, sf_dir, "documents").select("text").collect()
+    cnt = Counter(t for r in rows for t in r["text"].lower().split() if t)
+    ranked = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:ZIPF_MAX_RANK]
+    x = np.log(np.arange(1, len(ranked) + 1, dtype=np.float64))
+    y = np.log(np.array([c for _, c in ranked], dtype=np.float64))
+    slope, intercept = np.polyfit(x, y, 1)
+    r = np.corrcoef(x, y)[0, 1]
+    got = q_zipf_fit(spark, sf_dir).collect()
+    assert len(got) == 1
+    g = got[0]
+    assert g["n_ranks"] == len(ranked)
+    assert abs(g["slope"] - slope) < 1e-6 * abs(slope)
+    assert abs(g["intercept"] - intercept) < 1e-6 * max(abs(intercept), 1e-9)
+    assert abs(g["r2"] - r * r) < 1e-6
+    assert g["slope"] < 0.0
+    assert 0.0 < g["r2"] <= 1.0
