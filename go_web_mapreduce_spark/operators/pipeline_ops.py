@@ -1157,3 +1157,105 @@ def q_kanonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(risky).alias("risky_rows"),
         (F.sum(risky).cast("double") / F.sum("k")).alias("suppression_rate"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q_ks_drift — exact two-sample Kolmogorov–Smirnov drift test per source
+# ---------------------------------------------------------------------------
+
+KS_ALPHA = 0.05  # flag threshold on the asymptotic p approximation
+
+
+@query(
+    "q_ks_drift",
+    oracle=f"""
+    WITH sv AS (
+      SELECT source, n_chars AS v, count(*) AS c
+      FROM documents GROUP BY 1, 2
+    ),
+    gv AS (SELECT v, sum(c) AS g FROM sv GROUP BY 1),
+    src AS (SELECT source, sum(c) AS ns FROM sv GROUP BY 1),
+    tot AS (SELECT sum(c) AS n FROM sv),
+    grid AS (
+      SELECT s.source, s.ns, g.v, g.g, t.n, coalesce(x.c, 0) AS c
+      FROM src s CROSS JOIN gv g CROSS JOIN tot t
+      LEFT JOIN sv x ON x.source = s.source AND x.v = g.v
+    ),
+    cum AS (
+      SELECT source, ns, n,
+             sum(c) OVER (PARTITION BY source ORDER BY v) AS cs,
+             sum(g) OVER (PARTITION BY source ORDER BY v) AS cg
+      FROM grid
+    ),
+    d AS (
+      SELECT source, CAST(ns AS BIGINT) AS n_source,
+             max(abs(CAST(cs AS DOUBLE) / ns
+                     - CAST(cg - cs AS DOUBLE) / (n - ns))) AS d_stat,
+             CAST(ns AS DOUBLE) * (n - ns) / CAST(n AS DOUBLE) AS neff
+      FROM cum GROUP BY source, ns, n
+    )
+    SELECT source, n_source, d_stat,
+           d_stat * sqrt(neff) AS ks_lambda,
+           2.0 * exp(-2.0 * (d_stat * sqrt(neff)) * (d_stat * sqrt(neff)))
+             AS p_approx,
+           2.0 * exp(-2.0 * (d_stat * sqrt(neff)) * (d_stat * sqrt(neff)))
+             < {KS_ALPHA} AS drifted
+    FROM d
+    """,
+    description="exact two-sample Kolmogorov–Smirnov test of each source's "
+    "document-length distribution against the rest of the corpus: D = max "
+    "|CDF_source - CDF_rest| over the pooled value grid, with the "
+    "asymptotic significance (lambda, 2e^(-2 lambda^2)) and a drift flag "
+    f"at alpha={KS_ALPHA} — the distribution-shift alarm run before "
+    "mixing a new crawl into training data. Plan: ONE corpus aggregation "
+    "to (source, value) counts; the CDF grid is |values| x |sources| "
+    "(bounded by the stat's discretization, never corpus-sized), built by "
+    "broadcast cross join, cumulated by a per-source window, and reduced "
+    "to one row per source — every post-scan stage is dimension-sized",
+)
+def q_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sv = docs.groupBy("source", F.col("n_chars").alias("v")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    gv = sv.groupBy("v").agg(F.sum("c").alias("g"))
+    src = sv.groupBy("source").agg(F.sum("c").alias("ns"))
+    n_total = docs.count()
+    grid = (
+        src.crossJoin(F.broadcast(gv))
+        .join(sv, ["source", "v"], "left")
+        .select(
+            "source", "ns", "v", "g",
+            F.coalesce(F.col("c"), F.lit(0)).alias("c"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("source").orderBy("v")
+    cum = grid.select(
+        "source", "ns",
+        F.sum("c").over(w).alias("cs"),
+        F.sum("g").over(w).alias("cg"),
+    )
+    d = cum.groupBy("source", "ns").agg(
+        F.max(
+            F.abs(
+                F.col("cs").cast("double") / F.col("ns")
+                - (F.col("cg") - F.col("cs")).cast("double")
+                / (F.lit(n_total) - F.col("ns"))
+            )
+        ).alias("d_stat")
+    )
+    neff = F.col("ns").cast("double") * (F.lit(n_total) - F.col("ns")) / F.lit(
+        float(n_total)
+    )
+    lam = F.col("d_stat") * F.sqrt(neff)
+    p = 2.0 * F.exp(-2.0 * lam * lam)
+    return d.select(
+        "source",
+        F.col("ns").cast("bigint").alias("n_source"),
+        "d_stat",
+        lam.alias("ks_lambda"),
+        p.alias("p_approx"),
+        (p < KS_ALPHA).alias("drifted"),
+    )

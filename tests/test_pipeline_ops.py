@@ -307,3 +307,41 @@ def test_kanonymity_matches_bruteforce(spark, sf_dir):
         assert got[n]["risky_classes"] == len(risky)
         assert got[n]["risky_rows"] == sum(risky)
         assert abs(got[n]["suppression_rate"] - sum(risky) / sum(ks)) < 1e-12
+
+
+def test_ks_drift_matches_scipy_style_bruteforce(spark, sf_dir):
+    """Per-source D must equal a local exact two-sample KS computed over
+    the pooled grid (the scipy ks_2samp 'exact D' definition), and the
+    significance columns must follow from D deterministically."""
+    import math
+    from collections import Counter
+
+    from go_web_mapreduce_spark.operators.pipeline_ops import KS_ALPHA, q_ks_drift
+    from go_web_mapreduce_spark.sources.tables import load_table
+
+    rows = load_table(spark, sf_dir, "documents").select(
+        "source", "n_chars"
+    ).collect()
+    by_src: dict[str, list[int]] = {}
+    for r in rows:
+        by_src.setdefault(r["source"], []).append(r["n_chars"])
+    n = len(rows)
+    got = {r["source"]: r for r in q_ks_drift(spark, sf_dir).collect()}
+    assert set(got) == set(by_src)
+    grid = sorted({v for vs in by_src.values() for v in vs})
+    for src, vs in by_src.items():
+        rest = [v for s, vv in by_src.items() if s != src for v in vv]
+        c1, c2 = Counter(vs), Counter(rest)
+        cs = cg = 0
+        d = 0.0
+        for v in grid:
+            cs += c1[v]
+            cg += c2[v]
+            d = max(d, abs(cs / len(vs) - cg / len(rest)))
+        g = got[src]
+        assert g["n_source"] == len(vs)
+        assert abs(g["d_stat"] - d) < 1e-12
+        lam = d * math.sqrt(len(vs) * len(rest) / n)
+        assert abs(g["ks_lambda"] - lam) < 1e-9
+        assert abs(g["p_approx"] - 2.0 * math.exp(-2.0 * lam * lam)) < 1e-9
+        assert g["drifted"] == (2.0 * math.exp(-2.0 * lam * lam) < KS_ALPHA)
