@@ -400,3 +400,62 @@ def q_interval_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(F.col("i_end") - F.col("i_start")).alias("longest_us"),
         F.max("n_events").alias("max_events_per_island"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q_markov_transitions — event-type transition matrix within user sessions
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_markov_transitions",
+    oracle=f"""
+    WITH flagged AS (
+      SELECT user_id, event_id, event_type, epoch_us(ts) AS us,
+             CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w IS NULL
+                    OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > {SESSION_GAP_US}
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+    ), sess AS (
+      SELECT user_id, event_id, event_type, us,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS session_id
+      FROM flagged
+    ), pairs AS (
+      SELECT event_type AS from_type,
+             lead(event_type) OVER (PARTITION BY user_id, session_id
+                                    ORDER BY us, event_id) AS to_type
+      FROM sess
+    ), cnt AS (
+      SELECT from_type, to_type, count(*) AS n
+      FROM pairs WHERE to_type IS NOT NULL GROUP BY 1, 2
+    )
+    SELECT from_type, to_type, CAST(n AS BIGINT) AS n,
+           CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY from_type) AS p
+    FROM cnt
+    """,
+    description="first-order Markov transition matrix of event types within "
+    "user sessions (30-min gap rule): consecutive in-session event pairs "
+    "counted and row-normalized into transition probabilities — the "
+    "user-behavior / sequence-model prior every event pipeline derives. "
+    "Plan: ONE shuffle on user_id serves both the sessionizing lag and the "
+    "lead pairing (same window partitioning, Catalyst reuses the sort); "
+    "the matrix itself is |types|^2 rows, so the normalizing window is "
+    "dimension-sized",
+)
+def q_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sess = sessionize(load_table(spark, sf_dir, "events"))
+    w = W.partitionBy("user_id", "session_id").orderBy("_ts_us", "event_id")
+    pairs = sess.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"),
+    ).filter(F.col("to_type").isNotNull())
+    cnt = pairs.groupBy("from_type", "to_type").agg(F.count(F.lit(1)).alias("n"))
+    norm = W.partitionBy("from_type")
+    return cnt.select(
+        "from_type", "to_type",
+        F.col("n").cast("bigint").alias("n"),
+        (F.col("n").cast("double") / F.sum("n").over(norm)).alias("p"),
+    )

@@ -52,3 +52,50 @@ def test_asof_join_one_row_per_left(spark):
     )
     out = asof_join(purchases, clicks, on="user_id")
     assert out.count() == purchases.count()  # exactly one row per left row
+
+
+def test_markov_transitions_matches_bruteforce(spark, sf_dir):
+    """Transition counts/probabilities must equal a local replay of the
+    same 30-min sessionization and pairing; each from-row must sum to 1."""
+    from collections import Counter, defaultdict
+
+    from go_web_mapreduce_spark.operators.temporal import (
+        SESSION_GAP_US,
+        q_markov_transitions,
+    )
+    from go_web_mapreduce_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events").selectExpr(
+        "user_id", "event_id", "event_type", "ts_ns div 1000 as us"
+    ).collect()
+    by_user = defaultdict(list)
+    for r in ev:
+        by_user[r["user_id"]].append((r["us"], r["event_id"], r["event_type"]))
+    cnt = Counter()
+    for rows in by_user.values():
+        rows.sort()
+        prev_us = None
+        session: list[str] = []
+        sessions = []
+        for us, _, et in rows:
+            if prev_us is None or us - prev_us > SESSION_GAP_US:
+                session = []
+                sessions.append(session)
+            session.append(et)
+            prev_us = us
+        for s in sessions:
+            for a, b in zip(s, s[1:]):
+                cnt[(a, b)] += 1
+    got = {(r["from_type"], r["to_type"]): r for r in q_markov_transitions(spark, sf_dir).collect()}
+    assert set(got) == set(cnt) and len(got) > 0
+    from_tot = Counter()
+    for (a, _), n in cnt.items():
+        from_tot[a] += n
+    row_sum = defaultdict(float)
+    for key, n in cnt.items():
+        g = got[key]
+        assert g["n"] == n
+        assert abs(g["p"] - n / from_tot[key[0]]) < 1e-12
+        row_sum[key[0]] += g["p"]
+    for s in row_sum.values():
+        assert abs(s - 1.0) < 1e-9
