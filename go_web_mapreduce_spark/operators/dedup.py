@@ -303,6 +303,19 @@ def jaccard_pairs(
     postings explodes (boilerplate-heavy corpora pinned at the df cap) —
     use the prefix variant there.
     """
+    scored = _cooccurrence_scored(shingled, id_col, max_df)
+    jacc = F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter"))
+    return scored.select("doc_a", "doc_b", jacc.alias("jaccard")).filter(
+        F.col("jaccard") >= threshold
+    )
+
+
+def _cooccurrence_scored(
+    shingled: DataFrame, id_col: str = "doc_id", max_df: int = MAX_SHINGLE_DF
+) -> DataFrame:
+    """(doc_a, doc_b, inter, sz_a, sz_b) for every co-occurring pair — the
+    shared inverted-index core of :func:`jaccard_pairs` and
+    :func:`containment_pairs`; plan notes live on the former."""
     exploded = shingled.select(id_col, F.explode("shingles").alias("s"))
     posting = (
         exploded.groupBy("s")
@@ -339,15 +352,9 @@ def jaccard_pairs(
     )
     sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("sz").alias("sz_a"))
     sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("sz").alias("sz_b"))
-    jacc = F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter"))
     # sizes has one row per doc — not broadcastable at corpus scale; leave
     # the strategy to AQE (it broadcasts when the measured side is small)
-    return (
-        inter.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .select("doc_a", "doc_b", jacc.alias("jaccard"))
-        .filter(F.col("jaccard") >= threshold)
-    )
+    return inter.join(sa, "doc_a").join(sb, "doc_b")
 
 
 def jaccard_pairs_prefix(
@@ -1417,3 +1424,70 @@ def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("containment"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q_dedup_containment — asymmetric (quote-inclusion) near-dup pairs
+# ---------------------------------------------------------------------------
+
+CONTAIN_THRESHOLD = 0.8  # |A ∩ B| / min(|A|, |B|)
+
+
+def containment_pairs(
+    shingled: DataFrame,
+    id_col: str = "doc_id",
+    threshold: float = CONTAIN_THRESHOLD,
+    max_df: int = MAX_SHINGLE_DF,
+) -> DataFrame:
+    """Pairs where the smaller shingle set is mostly inside the larger:
+    containment = inter / min(sz_a, sz_b). Catches the asymmetric dups
+    jaccard structurally misses — a document quoted whole inside a much
+    longer one has jaccard ≈ |A|/|B| (arbitrarily small) but containment
+    ≈ 1. Same inverted-index co-occurrence core as :func:`jaccard_pairs`
+    (same single posting shuffle, same DF cap), different final score."""
+    scored = _cooccurrence_scored(shingled, id_col, max_df)
+    contain = F.col("inter") / F.least("sz_a", "sz_b")
+    jacc = F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter"))
+    return (
+        scored.select(
+            "doc_a", "doc_b",
+            contain.alias("containment"),
+            jacc.alias("jaccard"),
+        )
+        .filter(F.col("containment") >= threshold)
+    )
+
+
+@query(
+    "q_dedup_containment",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_TK} AS tk FROM documents),
+    sh AS (SELECT doc_id, unnest({_sh_sql()}) AS s FROM toks),
+    capped AS (
+      SELECT doc_id, s FROM (
+        SELECT doc_id, s, count(*) OVER (PARTITION BY s) AS df FROM sh
+      ) WHERE df <= {MAX_SHINGLE_DF}
+    ),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM capped GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+      FROM capped a JOIN capped b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           inter / least(sa.sz, sb.sz) AS containment,
+           inter / (sa.sz + sb.sz - inter) AS jaccard
+    FROM inter JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE inter / least(sa.sz, sb.sz) >= {CONTAIN_THRESHOLD}
+    """,
+    description="asymmetric containment near-dup pairs: inter / min(|A|,|B|) "
+    f">= {CONTAIN_THRESHOLD} over DF-capped shingle sets — catches a short "
+    "document quoted whole inside a long one, where jaccard ~ |A|/|B| stays "
+    "under any sane threshold (the quote-inclusion dups every crawl corpus "
+    "carries). Same single-shuffle inverted-index co-occurrence plan as "
+    "q_dedup_ngram_jaccard (the intersection falls out of the pair count; "
+    "no verify pass), reporting both scores so downstream policy can "
+    "distinguish symmetric from inclusion duplicates",
+)
+def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return containment_pairs(_shingled_docs(spark, sf_dir))

@@ -155,3 +155,54 @@ def test_vector_truth_contains_planted_above_threshold(vv):
             assert (a, b) in truth
         elif c <= VEC_THRESHOLD - 1e-9:
             assert (a, b) not in truth
+
+
+def test_containment_catches_inclusion_dups_jaccard_misses(spark):
+    """A short doc quoted verbatim inside a much longer one must surface as
+    a containment pair with jaccard far below the symmetric threshold, and
+    containment must equal the exact set ratio computed locally."""
+    from go_web_mapreduce_spark.functions.text import distinct_shingles_arrow, tokens
+    from go_web_mapreduce_spark.operators.dedup import (
+        CONTAIN_THRESHOLD,
+        JACCARD_THRESHOLD,
+        SHINGLE_K,
+        containment_pairs,
+        jaccard_pairs,
+    )
+    from pyspark.sql import functions as F
+
+    short = "alpha beta gamma delta epsilon zeta eta theta"
+    filler = " ".join(f"w{i} x{i} y{i}" for i in range(40))
+    docs = spark.createDataFrame(
+        [
+            (1, short),
+            (2, filler + " " + short + " " + filler.replace("w", "v")),
+            (3, "totally unrelated content nothing shared here at all okay"),
+        ],
+        ["doc_id", "text"],
+    )
+    shingled = docs.select(
+        "doc_id",
+        distinct_shingles_arrow(tokens("text"), SHINGLE_K).alias("shingles"),
+    )
+    got = containment_pairs(shingled).collect()
+    pairs = {(r["doc_a"], r["doc_b"]): r for r in got}
+    assert (1, 2) in pairs
+    r = pairs[(1, 2)]
+    # exact local replay of the same shingle sets
+    def shset(text):
+        tk = [t for t in text.lower().split() if t]
+        if len(tk) < SHINGLE_K:
+            return {" ".join(tk)}
+        return {" ".join(tk[i : i + SHINGLE_K]) for i in range(len(tk) - SHINGLE_K + 1)}
+
+    a, b = shset(short), shset(filler + " " + short + " " + filler.replace("w", "v"))
+    inter = len(a & b)
+    assert abs(r["containment"] - inter / min(len(a), len(b))) < 1e-12
+    assert abs(r["jaccard"] - inter / len(a | b)) < 1e-12
+    assert r["containment"] >= CONTAIN_THRESHOLD
+    assert r["jaccard"] < JACCARD_THRESHOLD  # jaccard alone would miss it
+    assert jaccard_pairs(shingled).filter(
+        (F.col("doc_a") == 1) & (F.col("doc_b") == 2)
+    ).count() == 0
+    assert (1, 3) not in pairs and (2, 3) not in pairs
