@@ -634,3 +634,105 @@ def q_auc_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_pos",
         "n_neg",
     )
+
+
+# ---------------------------------------------------------------------------
+# q_calibration — reliability bins + Brier score + ECE for a quality signal
+# ---------------------------------------------------------------------------
+
+CAL_BINS = 10
+
+_CAL_SCORED = """
+      SELECT len(list_filter(list_filter(string_split(lower(text), ' '),
+                     t -> t <> ''),
+                 t -> list_contains(['the','a','and','of','to','is','in'], t)))::DOUBLE
+               / greatest(len(list_filter(string_split(lower(text), ' '),
+                     t -> t <> '')), 1) AS s,
+             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+      FROM documents
+"""
+
+
+@query(
+    "q_calibration",
+    oracle=f"""
+    WITH scored AS ({_CAL_SCORED}),
+    binned AS (
+      SELECT CAST(least(floor(s * {CAL_BINS}), {CAL_BINS - 1}) AS INT) AS bin,
+             s, y
+      FROM scored
+    ),
+    per_bin AS (
+      SELECT bin, CAST(count(*) AS BIGINT) AS n,
+             CAST(CAST(sum(CAST(s AS DECIMAL(18,8))) AS STRING) AS DOUBLE)
+               / count(*) AS conf,
+             CAST(sum(y) AS DOUBLE) / count(*) AS acc
+      FROM binned GROUP BY 1
+    ),
+    gl AS (
+      SELECT CAST(CAST(sum(CAST((s - y) * (s - y) AS DECIMAL(18,8)))
+                  AS STRING) AS DOUBLE) / count(*) AS brier,
+             CAST(count(*) AS BIGINT) AS total
+      FROM binned
+    ),
+    ece AS (
+      SELECT CAST(CAST(sum(CAST(n * abs(acc - conf) AS DECIMAL(18,8)))
+                  AS STRING) AS DOUBLE) / (SELECT total FROM gl) AS ece
+      FROM per_bin
+    )
+    SELECT bin, n, conf, acc, abs(acc - conf) AS gap,
+           (SELECT brier FROM gl) AS brier,
+           (SELECT ece FROM ece) AS ece
+    FROM per_bin
+    """,
+    description="calibration diagnostics for the stopword-ratio quality "
+    f"signal against the lang=en label: {CAL_BINS} equal-width reliability "
+    "bins with per-bin confidence/accuracy/gap, plus the global Brier "
+    "score and expected calibration error on every row — the is-my-"
+    "quality-score-a-probability check run before using scores as "
+    "sampling weights. Plan: ONE corpus scan into bin partials "
+    f"(<= {CAL_BINS} rows), everything downstream is bin-sized; the "
+    "global Brier/ECE come from the same partials via a broadcast "
+    "one-row spine, all sums decimal-cast",
+)
+def q_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from go_web_mapreduce_spark.functions.numeric import dsum
+    from go_web_mapreduce_spark.functions.text import tokens
+    from go_web_mapreduce_spark.operators.text_analysis import (
+        STOPWORDS,
+        stopword_hits,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens("text")
+    scored = docs.select(
+        (
+            stopword_hits(toks, STOPWORDS["en"]).cast("double")
+            / F.greatest(F.size(toks), F.lit(1))
+        ).alias("s"),
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("y"),
+    )
+    binned = scored.select(
+        F.least(F.floor(F.col("s") * CAL_BINS), F.lit(CAL_BINS - 1))
+        .cast("int")
+        .alias("bin"),
+        "s", "y",
+    )
+    per_bin = binned.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        (dsum("s", 8) / F.count(F.lit(1))).alias("conf"),
+        (F.sum("y").cast("double") / F.count(F.lit(1))).alias("acc"),
+        dsum((F.col("s") - F.col("y")) * (F.col("s") - F.col("y")), 8).alias("_sq"),
+    )
+    glob = per_bin.agg(
+        (F.sum("_sq") / F.sum("n")).alias("brier"),
+        (
+            dsum(F.col("n") * F.abs(F.col("acc") - F.col("conf")), 8)
+            / F.sum("n")
+        ).alias("ece"),
+    )
+    return per_bin.crossJoin(F.broadcast(glob)).select(
+        "bin", "n", "conf", "acc",
+        F.abs(F.col("acc") - F.col("conf")).alias("gap"),
+        "brier", "ece",
+    )

@@ -272,3 +272,40 @@ def test_auc_eval_matches_numpy_rank_statistic(spark, sf_dir):
         assert got[src]["n_pos"] == np_ and got[src]["n_neg"] == nn, src
         assert got[src]["auc"] == want, (src, got[src]["auc"], want)
         assert 0.0 <= got[src]["auc"] <= 1.0
+
+
+def test_calibration_matches_bruteforce(spark, sf_dir):
+    """Per-bin confidence/accuracy and the global Brier/ECE must equal a
+    local replay of the same scoring; mass conservation across bins."""
+    from go_web_mapreduce_spark.operators.ml import CAL_BINS, q_calibration
+    from go_web_mapreduce_spark.operators.text_analysis import STOPWORDS
+    from go_web_mapreduce_spark.sources.tables import load_table
+
+    sw = set(STOPWORDS["en"])
+    rows = load_table(spark, sf_dir, "documents").select("text", "lang").collect()
+    binned: dict[int, list[tuple[float, int]]] = {}
+    for r in rows:
+        tk = [t for t in r["text"].lower().split() if t]
+        s = sum(t in sw for t in tk) / max(len(tk), 1)
+        y = 1 if r["lang"] == "en" else 0
+        b = min(int(s * CAL_BINS), CAL_BINS - 1)
+        binned.setdefault(b, []).append((s, y))
+    total = sum(len(v) for v in binned.values())
+    brier = sum((s - y) ** 2 for v in binned.values() for s, y in v) / total
+    got = {r["bin"]: r for r in q_calibration(spark, sf_dir).collect()}
+    assert set(got) == set(binned)
+    ece = 0.0
+    for b, v in binned.items():
+        conf = sum(s for s, _ in v) / len(v)
+        acc = sum(y for _, y in v) / len(v)
+        g = got[b]
+        assert g["n"] == len(v)
+        assert abs(g["conf"] - conf) < 1e-8
+        assert abs(g["acc"] - acc) < 1e-12
+        assert abs(g["gap"] - abs(acc - conf)) < 1e-8
+        ece += len(v) * abs(acc - conf)
+    ece /= total
+    for g in got.values():
+        assert abs(g["brier"] - brier) < 1e-8
+        assert abs(g["ece"] - ece) < 1e-8
+    assert sum(g["n"] for g in got.values()) == total
