@@ -1259,3 +1259,137 @@ def q_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         p.alias("p_approx"),
         (p < KS_ALPHA).alias("drifted"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q_negative_sampling — word2vec-style unigram^0.75 negative draws
+# ---------------------------------------------------------------------------
+
+NEG_N = 4  # negatives drawn per document
+
+# c^0.75 spelled as sqrt(sqrt(c*c*c)): sqrt is IEEE correctly-rounded in
+# every engine while pow() is not — this form is bit-identical cross-engine.
+_NEG_WT_SQL = "sqrt(sqrt(CAST(c AS DOUBLE) * c * c))"
+
+
+@query(
+    "q_negative_sampling",
+    oracle=f"""
+    WITH cnt AS (
+      SELECT token, count(*) AS c
+      FROM (SELECT unnest({{tk}}) AS token FROM documents) GROUP BY 1
+    ),
+    vocab AS (
+      SELECT token,
+             CAST(CAST(sum(CAST({_NEG_WT_SQL} AS DECIMAL(18,6)))
+                       OVER (ORDER BY token ROWS UNBOUNDED PRECEDING)
+                       - CAST({_NEG_WT_SQL} AS DECIMAL(18,6))
+                  AS STRING) AS DOUBLE) AS cp,
+             CAST(CAST(sum(CAST({_NEG_WT_SQL} AS DECIMAL(18,6)))
+                       OVER (ORDER BY token ROWS UNBOUNDED PRECEDING)
+                  AS STRING) AS DOUBLE) AS cm
+      FROM cnt
+    ),
+    tot AS (SELECT max(cm) AS w, count(*) AS nb FROM vocab),
+    seg AS (
+      SELECT token, cp, cm, b
+      FROM vocab, tot,
+           unnest(range(CAST(floor(cp / (w / nb)) AS BIGINT),
+                        least(CAST(floor(cm / (w / nb)) AS BIGINT), nb - 1) + 1))
+             AS t(b)
+    ),
+    draws AS (
+      SELECT doc_id, i,
+             ('0x' || substr(md5('neg:' || doc_id::VARCHAR || ':' || i::VARCHAR),
+                             1, 8))::BIGINT / 4294967296.0 * (SELECT w FROM tot)
+               AS u
+      FROM documents, (SELECT unnest(range({NEG_N})) AS i) t
+    )
+    SELECT d.doc_id, CAST(d.i AS INT) AS draw, s.token AS neg_token
+    FROM draws d
+    JOIN seg s
+      ON s.b = least(CAST(floor(d.u / ((SELECT w FROM tot) / (SELECT nb FROM tot)))
+                     AS BIGINT), (SELECT nb FROM tot) - 1)
+     AND s.cp <= d.u AND d.u < s.cm
+    """.replace("{tk}", "list_filter(string_split(lower(text), ' '), t -> t <> '')"),
+    description=f"word2vec-style negative sampling: {NEG_N} deterministic "
+    "draws per document from the unigram^0.75 distribution (Mikolov 2013), "
+    "RNG-free via md5(doc, draw) uniforms inverted through the vocabulary "
+    "CDF. The CDF is a decimal-exact cumulative (association-order-proof), "
+    "the 0.75 power is spelled sqrt(sqrt(c^3)) because sqrt is correctly-"
+    "rounded where pow is not, and the inverse lookup is a BUCKETED range "
+    "join: draws and vocabulary segments equi-join on a CDF bucket "
+    "(bucket count = vocabulary size, so O(1) segments per bucket), never "
+    "a nested-loop inequality join — the linear-cost inverse-CDF sampler "
+    "that survives a 100 TB vocabulary. Plan: one token count, a "
+    "vocabulary-sized window, one equi-join shuffle on bucket",
+)
+def q_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    cnt = (
+        docs.select(F.explode(tokens("text")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    wt = F.sqrt(F.sqrt(F.col("c").cast("double") * F.col("c") * F.col("c")))
+    wt_dec = wt.cast("decimal(18,6)")
+    w = W.orderBy("token").rowsBetween(W.unboundedPreceding, W.currentRow)
+    vocab = cnt.select(
+        "token",
+        (F.sum(wt_dec).over(w) - wt_dec).cast("double").alias("cp"),
+        F.sum(wt_dec).over(w).cast("double").alias("cm"),
+    ).localCheckpoint(eager=False)
+    tot_w, n_vocab = vocab.agg(F.max("cm"), F.count(F.lit(1))).first()
+    bw = F.lit(tot_w) / F.lit(n_vocab)
+    seg = vocab.select(
+        "token", "cp", "cm",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("cp") / bw).cast("bigint"),
+                F.least(
+                    F.floor(F.col("cm") / bw).cast("bigint"),
+                    F.lit(n_vocab - 1),
+                ),
+            )
+        ).alias("b"),
+    )
+    draws = docs.select(
+        "doc_id", F.explode(F.sequence(F.lit(0), F.lit(NEG_N - 1))).alias("i")
+    ).select(
+        "doc_id", "i",
+        (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit("neg:"),
+                            F.col("doc_id").cast("string"),
+                            F.lit(":"),
+                            F.col("i").cast("string"),
+                        )
+                    ),
+                    1, 8,
+                ),
+                16, 10,
+            ).cast("bigint")
+            / F.lit(4294967296.0)
+            * F.lit(tot_w)
+        ).alias("u"),
+    )
+    drawn = draws.withColumn(
+        "b",
+        F.least(
+            F.floor(F.col("u") / bw).cast("bigint"), F.lit(n_vocab - 1)
+        ),
+    )
+    return (
+        drawn.join(seg, "b")
+        .filter((F.col("cp") <= F.col("u")) & (F.col("u") < F.col("cm")))
+        .select(
+            "doc_id",
+            F.col("i").cast("int").alias("draw"),
+            F.col("token").alias("neg_token"),
+        )
+    )

@@ -345,3 +345,44 @@ def test_ks_drift_matches_scipy_style_bruteforce(spark, sf_dir):
         assert abs(g["ks_lambda"] - lam) < 1e-9
         assert abs(g["p_approx"] - 2.0 * math.exp(-2.0 * lam * lam)) < 1e-9
         assert g["drifted"] == (2.0 * math.exp(-2.0 * lam * lam) < KS_ALPHA)
+
+
+def test_negative_sampling_complete_and_distributed_correctly(spark, sf_dir):
+    """Every (doc, draw) slot must produce exactly one negative, the same
+    one on re-run (RNG-free), and the empirical draw distribution must
+    track unigram^0.75 (correlation > 0.9 against expected counts)."""
+    from collections import Counter
+
+    import numpy as np
+
+    from go_web_mapreduce_spark.operators.pipeline_ops import (
+        NEG_N,
+        q_negative_sampling,
+    )
+    from go_web_mapreduce_spark.sources.tables import load_table
+
+    got = q_negative_sampling(spark, sf_dir).collect()
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    assert len(got) == n_docs * NEG_N
+    assert len({(r["doc_id"], r["draw"]) for r in got}) == len(got)
+    again = q_negative_sampling(spark, sf_dir).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, again))
+    # distribution: expected counts proportional to c^0.75
+    texts = [r["text"] for r in docs.select("text").collect()]
+    cnt = Counter(t for x in texts for t in x.lower().split() if t)
+    toks = sorted(cnt)
+    wts = np.array([cnt[t] ** 0.75 for t in toks])
+    exp = wts / wts.sum() * len(got)
+    drawn = Counter(r["neg_token"] for r in got)
+    obs = np.array([drawn.get(t, 0) for t in toks], dtype=np.float64)
+    assert set(drawn) <= set(toks)
+    # per-token counts are Poisson-noisy at this draw budget; compare mass
+    # in 5 equal-expected-mass bins instead (3 sigma ~ 15% per bin)
+    order = np.argsort(-exp)
+    cum = np.cumsum(exp[order])
+    bin_of = np.minimum((cum / cum[-1] * 5).astype(int), 4)
+    for b in range(5):
+        sel = order[bin_of == b]
+        assert abs(obs[sel].sum() - exp[sel].sum()) < 0.25 * exp[sel].sum(), (
+            b, obs[sel].sum(), exp[sel].sum())
