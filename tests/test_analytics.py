@@ -369,13 +369,12 @@ def test_bootstrap_ci_matches_numpy_reference(spark, sf_dir):
     md5 draws must reproduce every replicate's weighted sum/count and the
     final bootstrap SE; the SE must be positive and the same order of
     magnitude as the classic sd/sqrt(n) estimate."""
-    import bisect
     import hashlib
 
     import numpy as np
 
     from go_web_mapreduce_spark.operators.analytics import (
-        BS_CDF,
+        BS_HEX,
         BS_REPS,
         BS_Z,
         q_bootstrap_ci,
@@ -393,20 +392,20 @@ def test_bootstrap_ci_matches_numpy_reference(spark, sf_dir):
         )
     assert set(got) == set(by_flag) and len(got) > 0
     for flag, items in by_flag.items():
-        prices = np.array([p for _, p in items])
+        prices = np.array([round(p * 100) for _, p in items], dtype=np.int64)
         means = []
         for rep in range(BS_REPS):
+            j, k4 = rep // 8, 4 * (rep % 8)
             w = np.array([
-                bisect.bisect_right(
-                    BS_CDF,
-                    int(hashlib.md5(f"bs:{rep}:{k}".encode()).hexdigest()[:8], 16)
-                    / 4294967296.0,
+                sum(
+                    hashlib.md5(f"bs{j}:{k}".encode()).hexdigest()[k4 : k4 + 4] >= h
+                    for h in BS_HEX
                 )
                 for k, _ in items
             ])
-            means.append(float((prices * w).sum() / w.sum()))
+            means.append(float((prices * w).sum()) / 100.0 / w.sum())
         m = np.array(means)
-        full = float(prices.mean())
+        full = float(prices.sum()) / 100.0 / len(prices)
         d = m - full
         se = float(np.sqrt((np.sum(d * d) - d.sum() ** 2 / BS_REPS) / (BS_REPS - 1)))
         g = got[flag]
@@ -414,7 +413,7 @@ def test_bootstrap_ci_matches_numpy_reference(spark, sf_dir):
         assert abs(g["mean_price"] - full) < 1e-6 * abs(full)
         assert abs(g["boot_se"] - se) < 1e-5 * max(se, 1e-9)
         assert g["boot_se"] > 0.0
-        classic = float(prices.std(ddof=1) / np.sqrt(len(prices)))
+        classic = float((prices / 100.0).std(ddof=1) / np.sqrt(len(prices)))
         assert 0.2 * classic < g["boot_se"] < 5.0 * classic
         assert abs(g["ci_lo"] - (full - BS_Z * se)) < 1e-4
         assert abs(g["ci_hi"] - (full + BS_Z * se)) < 1e-4
