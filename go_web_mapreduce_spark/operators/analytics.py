@@ -815,10 +815,10 @@ JK_Z = 1.96  # normal 95% interval half-width in SEs
     oracle=f"""
     WITH bkt AS (
       SELECT l_returnflag AS flag,
-             ('0x' || substr(md5('jk:' || l_orderkey::VARCHAR), 1, 8))::BIGINT
+             ('0x' || substr(md5('jk:' || l_orderkey::VARCHAR), 1, 4))::BIGINT
                % {JK_BUCKETS} AS b,
-             CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS STRING)
-                  AS DOUBLE) AS s,
+             CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+                           AS BIGINT)) AS DOUBLE) / 100.0 AS s,
              CAST(count(*) AS BIGINT) AS n
       FROM lineitem GROUP BY 1, 2
     ),
@@ -860,7 +860,7 @@ JK_Z = 1.96  # normal 95% interval half-width in SEs
     "partitioning), leave-one-fold-out means give the delete-d jackknife "
     "standard error — the error-bar primitive for any corpus statistic "
     "where rerunning with a different seed is not acceptable. Plan: ONE "
-    "corpus aggregation to (flag, fold) decimal-exact partial sums "
+    "corpus aggregation to (flag, fold) exact integer-cent partial sums "
     f"(≤ {JK_BUCKETS} rows per flag), everything after is "
     "dimension-sized; fold means and squared deviations go through "
     "decimal casts so every engine sums them identically",
@@ -869,17 +869,22 @@ def q_jackknife_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     from go_web_mapreduce_spark.functions.numeric import dsum
 
     li = load_table(spark, sf_dir, "lineitem")
+    # corpus-facing stage in exact integer cents + a 16-bit fold hash
+    # (65536 % JK_BUCKETS == 0, so no modulo bias); fan_out because the
+    # md5 work is CPU-bound on a byte-sized scan — see q_bootstrap_ci
+    p100 = (F.col("l_extendedprice").cast("decimal(18,2)") * 100).cast("bigint")
+    li = fan_out(li.select("l_returnflag", "l_orderkey", p100.alias("p100")))
     bkt = li.groupBy(
         F.col("l_returnflag").alias("flag"),
         (
             F.conv(
-                F.substring(F.md5(F.concat(F.lit("jk:"), F.col("l_orderkey").cast("string"))), 1, 8),
+                F.substring(F.md5(F.concat(F.lit("jk:"), F.col("l_orderkey").cast("string"))), 1, 4),
                 16, 10,
             ).cast("bigint")
             % JK_BUCKETS
         ).alias("b"),
     ).agg(
-        dsum(F.col("l_extendedprice").cast("double")).alias("s"),
+        (F.sum("p100").cast("double") / 100.0).alias("s"),
         F.count(F.lit(1)).alias("n"),
     )
     tot = bkt.groupBy("flag").agg(

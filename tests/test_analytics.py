@@ -342,13 +342,13 @@ def test_jackknife_ci_matches_numpy_reference(spark, sf_dir):
     folds: dict[str, dict[int, list[float]]] = {}
     for r in rows:
         h = hashlib.md5(f"jk:{r['l_orderkey']}".encode()).hexdigest()
-        b = int(h[:8], 16) % JK_BUCKETS
+        b = int(h[:4], 16) % JK_BUCKETS
         folds.setdefault(r["l_returnflag"], {}).setdefault(b, []).append(
             float(r["l_extendedprice"])
         )
     assert set(got) == set(folds) and len(got) > 0
     for flag, by_b in folds.items():
-        s = np.array([sum(v) for v in by_b.values()])
+        s = np.array([sum(round(x * 100) for x in v) for v in by_b.values()]) / 100.0
         n = np.array([len(v) for v in by_b.values()], dtype=np.float64)
         st, nt, nb = s.sum(), n.sum(), len(by_b)
         m = (st - s) / (nt - n)  # leave-one-fold-out means
