@@ -1227,3 +1227,89 @@ def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
             / ((n * sxx - sx * sx) * (n * syy - sy * sy))
         ).alias("r2"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q_cohens_kappa — inter-rater agreement between two independent quality raters
+# ---------------------------------------------------------------------------
+
+KAPPA_SW_MIN = 0.10  # rater A: en-stopword ratio floor
+KAPPA_WLEN_MAX = 5.5  # rater B: mean word length ceiling
+
+
+@query(
+    "q_cohens_kappa",
+    oracle=f"""
+    WITH rated AS (
+      SELECT source,
+             CASE WHEN len(list_filter(tk,
+                      t -> list_contains(['the','a','and','of','to','is','in'], t)))::DOUBLE
+                      / greatest(len(tk), 1) >= {KAPPA_SW_MIN}
+                  THEN 1 ELSE 0 END AS ra,
+             CASE WHEN len(list_aggregate(tk, 'string_agg', ''))::DOUBLE
+                      / greatest(len(tk), 1) <= {KAPPA_WLEN_MAX}
+                  THEN 1 ELSE 0 END AS rb
+      FROM (SELECT source, {_TK} AS tk FROM documents)
+    ),
+    m AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN ra = rb THEN 1 ELSE 0 END) AS BIGINT) AS agree,
+             CAST(sum(ra) AS BIGINT) AS a1, CAST(sum(rb) AS BIGINT) AS b1
+      FROM rated GROUP BY source
+    )
+    SELECT source, n,
+           CAST(agree AS DOUBLE) / n AS po,
+           (CAST(a1 AS DOUBLE) * b1 + CAST(n - a1 AS DOUBLE) * (n - b1))
+             / (CAST(n AS DOUBLE) * n) AS pe,
+           (CAST(agree AS DOUBLE) / n
+              - (CAST(a1 AS DOUBLE) * b1 + CAST(n - a1 AS DOUBLE) * (n - b1))
+                / (CAST(n AS DOUBLE) * n))
+             / (1.0 - (CAST(a1 AS DOUBLE) * b1
+                       + CAST(n - a1 AS DOUBLE) * (n - b1))
+                      / (CAST(n AS DOUBLE) * n)) AS kappa
+    FROM m
+    """,
+    description="Cohen's kappa per source between two independent binary "
+    "quality raters (stopword-ratio floor vs mean-word-length ceiling): "
+    "observed agreement corrected for the chance agreement implied by each "
+    "rater's marginals — the standard did-my-heuristics-actually-agree "
+    "statistic before trusting auto-labels. Plan: ONE scan computing both "
+    "verdicts per row, integer contingency partials per source (4 counts), "
+    "all kappa arithmetic on dimension-sized exact integers",
+)
+def q_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tk = tokens("text")
+    rated = docs.select(
+        "source",
+        F.when(
+            stopword_hits(tk, STOPWORDS["en"]).cast("double")
+            / F.greatest(F.size(tk), F.lit(1))
+            >= KAPPA_SW_MIN,
+            1,
+        ).otherwise(0).alias("ra"),
+        F.when(
+            F.length(F.array_join(tk, "")).cast("double")
+            / F.greatest(F.size(tk), F.lit(1))
+            <= KAPPA_WLEN_MAX,
+            1,
+        ).otherwise(0).alias("rb"),
+    )
+    m = rated.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("ra") == F.col("rb"), 1).otherwise(0)).alias("agree"),
+        F.sum("ra").alias("a1"),
+        F.sum("rb").alias("b1"),
+    )
+    po = F.col("agree").cast("double") / F.col("n")
+    pe = (
+        F.col("a1").cast("double") * F.col("b1")
+        + (F.col("n") - F.col("a1")).cast("double") * (F.col("n") - F.col("b1"))
+    ) / (F.col("n").cast("double") * F.col("n"))
+    return m.select(
+        "source",
+        F.col("n").cast("bigint").alias("n"),
+        po.alias("po"),
+        pe.alias("pe"),
+        ((po - pe) / (F.lit(1.0) - pe)).alias("kappa"),
+    )

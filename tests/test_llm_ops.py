@@ -355,3 +355,39 @@ def test_zipf_fit_matches_numpy_ols(spark, sf_dir):
     assert abs(g["r2"] - r * r) < 1e-6
     assert g["slope"] < 0.0
     assert 0.0 < g["r2"] <= 1.0
+
+
+def test_cohens_kappa_matches_bruteforce(spark, sf_dir):
+    """Kappa per source must equal a local census of the same two raters,
+    and sit in [-1, 1] with po consistent with the contingency table."""
+    from go_web_mapreduce_spark.operators.text_analysis import (
+        KAPPA_SW_MIN,
+        KAPPA_WLEN_MAX,
+        STOPWORDS,
+        q_cohens_kappa,
+    )
+    from go_web_mapreduce_spark.sources.tables import load_table
+
+    sw = set(STOPWORDS["en"])
+    rows = load_table(spark, sf_dir, "documents").select("source", "text").collect()
+    tab: dict[str, list[tuple[int, int]]] = {}
+    for r in rows:
+        tk = [t for t in r["text"].lower().split() if t]
+        ra = 1 if sum(t in sw for t in tk) / max(len(tk), 1) >= KAPPA_SW_MIN else 0
+        rb = 1 if sum(map(len, tk)) / max(len(tk), 1) <= KAPPA_WLEN_MAX else 0
+        tab.setdefault(r["source"], []).append((ra, rb))
+    got = {r["source"]: r for r in q_cohens_kappa(spark, sf_dir).collect()}
+    assert set(got) == set(tab)
+    for src, pairs in tab.items():
+        n = len(pairs)
+        agree = sum(a == b for a, b in pairs)
+        a1 = sum(a for a, _ in pairs)
+        b1 = sum(b for _, b in pairs)
+        po = agree / n
+        pe = (a1 * b1 + (n - a1) * (n - b1)) / (n * n)
+        g = got[src]
+        assert g["n"] == n
+        assert abs(g["po"] - po) < 1e-12
+        assert abs(g["pe"] - pe) < 1e-12
+        assert abs(g["kappa"] - (po - pe) / (1 - pe)) < 1e-9
+        assert -1.0 - 1e-9 <= g["kappa"] <= 1.0 + 1e-9
