@@ -1313,3 +1313,81 @@ def q_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
         pe.alias("pe"),
         ((po - pe) / (F.lit(1.0) - pe)).alias("kappa"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q_pmi_collocations — top bigram collocations by pointwise mutual information
+# ---------------------------------------------------------------------------
+
+PMI_MIN_C = 5  # ignore bigrams rarer than this (PMI's low-count pathology)
+PMI_TOPK = 20
+
+
+@query(
+    "q_pmi_collocations",
+    oracle=f"""
+    WITH toks AS (
+      SELECT {_TK} AS tk FROM documents
+    ), big AS (
+      SELECT unnest(list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1])) AS bg
+      FROM toks WHERE len(tk) >= 2
+    ), cnt AS (
+      SELECT bg, count(*) AS c FROM big GROUP BY bg
+    ), tot AS (SELECT sum(c) AS t FROM cnt),
+    pre AS (SELECT split_part(bg, ' ', 1) AS w1, sum(c) AS cw1 FROM cnt GROUP BY 1),
+    suf AS (SELECT split_part(bg, ' ', 2) AS w2, sum(c) AS cw2 FROM cnt GROUP BY 1),
+    scored AS (
+      SELECT cnt.bg, CAST(cnt.c AS BIGINT) AS c,
+             CAST(cnt.c AS DOUBLE) * (SELECT t FROM tot)
+               / (CAST(pre.cw1 AS DOUBLE) * suf.cw2) AS lift
+      FROM cnt
+      JOIN pre ON split_part(cnt.bg, ' ', 1) = pre.w1
+      JOIN suf ON split_part(cnt.bg, ' ', 2) = suf.w2
+      WHERE cnt.c >= {PMI_MIN_C}
+    )
+    SELECT bg, c, ln(lift) AS pmi
+    FROM scored
+    ORDER BY lift DESC, bg LIMIT {PMI_TOPK}
+    """,
+    description=f"top-{PMI_TOPK} bigram collocations by pointwise mutual "
+    "information (Church & Hanks 1990): PMI = ln(c(w1w2) T / (c(w1 .) "
+    f"c(. w2))), bigrams below count {PMI_MIN_C} excluded — the phrase-"
+    "mining / tokenizer-merge-candidate pass. The RANKING key is the "
+    "rational lift ratio (exact-integer division, bit-identical across "
+    "engines); ln is applied only to the reported value, where the "
+    "comparator's 6-significant-digit rounding absorbs any libm ulp "
+    "wobble. Plan: one bigram aggregation (vocabulary-sized), two "
+    "marginal re-aggregations joined back on prefix/suffix, top-k via "
+    "TakeOrdered — nothing corpus-sized after the first shuffle",
+)
+def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    bg = (
+        docs.select(tokens("text").alias("tk"))
+        .filter(F.size("tk") >= 2)
+        .select(F.explode(word_shingles(F.col("tk"), 2)).alias("bg"))
+    )
+    cnt = bg.groupBy("bg").agg(F.count(F.lit(1)).alias("c"))
+    total = cnt.agg(F.sum("c")).first()[0]
+    w1 = F.split(F.col("bg"), " ").getItem(0)
+    w2 = F.split(F.col("bg"), " ").getItem(1)
+    pre = cnt.groupBy(w1.alias("w1")).agg(F.sum("c").alias("cw1"))
+    suf = cnt.groupBy(w2.alias("w2")).agg(F.sum("c").alias("cw2"))
+    scored = (
+        cnt.filter(F.col("c") >= PMI_MIN_C)
+        .join(pre, w1 == pre.w1)
+        .join(suf, w2 == suf.w2)
+        .select(
+            "bg",
+            F.col("c").cast("bigint").alias("c"),
+            (
+                F.col("c").cast("double") * F.lit(float(total))
+                / (F.col("cw1").cast("double") * F.col("cw2"))
+            ).alias("lift"),
+        )
+    )
+    return (
+        scored.orderBy(F.col("lift").desc(), "bg")
+        .limit(PMI_TOPK)
+        .select("bg", "c", F.log("lift").alias("pmi"))
+    )

@@ -391,3 +391,43 @@ def test_cohens_kappa_matches_bruteforce(spark, sf_dir):
         assert abs(g["pe"] - pe) < 1e-12
         assert abs(g["kappa"] - (po - pe) / (1 - pe)) < 1e-9
         assert -1.0 - 1e-9 <= g["kappa"] <= 1.0 + 1e-9
+
+
+def test_pmi_collocations_matches_bruteforce(spark, sf_dir):
+    """Top-k PMI bigrams must equal a local census ranked by the same
+    rational lift, with pmi = ln(lift) and counts exact."""
+    import math
+    from collections import Counter
+
+    from go_web_mapreduce_spark.operators.text_analysis import (
+        PMI_MIN_C,
+        PMI_TOPK,
+        q_pmi_collocations,
+    )
+    from go_web_mapreduce_spark.sources.tables import load_table
+
+    rows = load_table(spark, sf_dir, "documents").select("text").collect()
+    cnt = Counter()
+    for r in rows:
+        tk = [t for t in r["text"].lower().split() if t]
+        for a, b in zip(tk, tk[1:]):
+            cnt[f"{a} {b}"] += 1
+    t = sum(cnt.values())
+    pre = Counter()
+    suf = Counter()
+    for bg, c in cnt.items():
+        a, b = bg.split(" ")
+        pre[a] += c
+        suf[b] += c
+    scored = [
+        (-(c * t / (pre[bg.split(' ')[0]] * suf[bg.split(' ')[1]])), bg, c)
+        for bg, c in cnt.items()
+        if c >= PMI_MIN_C
+    ]
+    scored.sort()
+    want = scored[:PMI_TOPK]
+    got = q_pmi_collocations(spark, sf_dir).collect()
+    assert [r["bg"] for r in got] == [bg for _, bg, _ in want]
+    for r, (neglift, _, c) in zip(got, want):
+        assert r["c"] == c
+        assert abs(r["pmi"] - math.log(-neglift)) < 1e-9
