@@ -736,3 +736,115 @@ def q_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.abs(F.col("acc") - F.col("conf")).alias("gap"),
         "brier", "ece",
     )
+
+
+# ---------------------------------------------------------------------------
+# q_embedding_separation — Fisher-style class separability in embedding space
+# ---------------------------------------------------------------------------
+
+SEP_SCALE = 9  # decimal scale for component sums (|v| <= 1-ish)
+
+
+@query(
+    "q_embedding_separation",
+    oracle=f"""
+    WITH comp AS (
+      SELECT label,
+             unnest(list_transform(range(0, len(embedding)),
+                 i -> {{'pos': i, 'v': CAST(embedding[i+1] AS DOUBLE)}})) AS r
+      FROM embeddings
+    ),
+    mom AS (
+      SELECT label, r['pos'] AS pos,
+             CAST(CAST(sum(CAST(r['v'] AS DECIMAL(18,{SEP_SCALE})))
+                       AS STRING) AS DOUBLE) AS s,
+             CAST(CAST(sum(CAST(r['v'] * r['v'] AS DECIMAL(18,{SEP_SCALE + 3})))
+                       AS STRING) AS DOUBLE) AS q,
+             CAST(count(*) AS BIGINT) AS n
+      FROM comp GROUP BY 1, 2
+    ),
+    mu AS (
+      SELECT label, pos, s / n AS m, q / n - (s / n) * (s / n) AS var_c, n
+      FROM mom
+    ),
+    disp AS (
+      SELECT label, max(n) AS n,
+             CAST(CAST(sum(CAST(var_c AS DECIMAL(18,12))) AS STRING) AS DOUBLE)
+               AS disp
+      FROM mu GROUP BY label
+    ),
+    pair AS (
+      SELECT a.label AS label_a, b.label AS label_b,
+             CAST(CAST(sum(CAST((a.m - b.m) * (a.m - b.m) AS DECIMAL(18,12)))
+                       AS STRING) AS DOUBLE) AS dist2
+      FROM mu a JOIN mu b ON a.pos = b.pos AND a.label < b.label
+      GROUP BY 1, 2
+    )
+    SELECT p.label_a, p.label_b, p.dist2,
+           da.disp AS disp_a, db.disp AS disp_b,
+           p.dist2 / (da.disp + db.disp) AS fisher,
+           da.n AS n_a, db.n AS n_b
+    FROM pair p JOIN disp da ON da.label = p.label_a
+                JOIN disp db ON db.label = p.label_b
+    """,
+    description="Fisher-style separability of every embedding label pair: "
+    "squared centroid distance over the sum of within-class dispersions "
+    "(trace of per-class variance), all derived from one pass of exact "
+    "decimal component moments — the are-these-classes-actually-separated "
+    "audit run before trusting embedding labels for curation or sampling. "
+    "Plan: ONE posexplode shuffle to (label, dim) moment partials "
+    "(labels x dim rows), then label-pair math on dimension-sized data; "
+    "no vector reaches the driver, the pair join is labels^2-sized",
+)
+def q_embedding_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from go_web_mapreduce_spark.functions.numeric import dsum
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    comp = emb.select(
+        "label", F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "v")
+    )
+    mom = comp.groupBy("label", "pos").agg(
+        dsum("v", SEP_SCALE).alias("s"),
+        dsum(F.col("v") * F.col("v"), SEP_SCALE + 3).alias("q"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    mu = mom.select(
+        "label", "pos",
+        (F.col("s") / F.col("n")).alias("m"),
+        (
+            F.col("q") / F.col("n")
+            - (F.col("s") / F.col("n")) * (F.col("s") / F.col("n"))
+        ).alias("var_c"),
+        "n",
+    )
+    disp = mu.groupBy("label").agg(
+        F.max("n").alias("n"), dsum("var_c", 12).alias("disp")
+    )
+    a = mu.select(F.col("label").alias("label_a"), "pos", F.col("m").alias("ma"))
+    b = mu.select(F.col("label").alias("label_b"), "pos", F.col("m").alias("mb"))
+    pair = (
+        a.join(b, (a.pos == b.pos) & (F.col("label_a") < F.col("label_b")))
+        .groupBy("label_a", "label_b")
+        .agg(
+            dsum(
+                (F.col("ma") - F.col("mb")) * (F.col("ma") - F.col("mb")), 12
+            ).alias("dist2")
+        )
+    )
+    da = disp.select(
+        F.col("label").alias("label_a"), F.col("disp").alias("disp_a"),
+        F.col("n").alias("n_a"),
+    )
+    db = disp.select(
+        F.col("label").alias("label_b"), F.col("disp").alias("disp_b"),
+        F.col("n").alias("n_b"),
+    )
+    return (
+        pair.join(F.broadcast(da), "label_a")
+        .join(F.broadcast(db), "label_b")
+        .select(
+            "label_a", "label_b", "dist2", "disp_a", "disp_b",
+            (F.col("dist2") / (F.col("disp_a") + F.col("disp_b"))).alias("fisher"),
+            "n_a", "n_b",
+        )
+    )

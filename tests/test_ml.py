@@ -309,3 +309,34 @@ def test_calibration_matches_bruteforce(spark, sf_dir):
         assert abs(g["brier"] - brier) < 1e-8
         assert abs(g["ece"] - ece) < 1e-8
     assert sum(g["n"] for g in got.values()) == total
+
+
+def test_embedding_separation_matches_numpy(spark, sf_dir):
+    """Pairwise Fisher ratios must equal a numpy replay: squared centroid
+    distance over summed within-class variance traces, all 45 pairs."""
+    import numpy as np
+
+    from go_web_mapreduce_spark.operators.ml import q_embedding_separation
+    from go_web_mapreduce_spark.sources.tables import load_table
+
+    rows = load_table(spark, sf_dir, "embeddings").select("label", "embedding").collect()
+    by_label: dict[int, list] = {}
+    for r in rows:
+        by_label.setdefault(r["label"], []).append(np.array(r["embedding"], dtype=np.float64))
+    mus = {l: np.mean(np.stack(v), axis=0) for l, v in by_label.items()}
+    disps = {
+        l: float(np.mean(((np.stack(v) - mus[l]) ** 2).sum(axis=1)))
+        for l, v in by_label.items()
+    }
+    got = {(r["label_a"], r["label_b"]): r for r in q_embedding_separation(spark, sf_dir).collect()}
+    labels = sorted(by_label)
+    assert len(got) == len(labels) * (len(labels) - 1) // 2
+    for i, la in enumerate(labels):
+        for lb in labels[i + 1:]:
+            g = got[(la, lb)]
+            d2 = float(((mus[la] - mus[lb]) ** 2).sum())
+            assert abs(g["dist2"] - d2) < 1e-6 * max(d2, 1e-9)
+            assert abs(g["disp_a"] - disps[la]) < 1e-6 * disps[la]
+            assert abs(g["disp_b"] - disps[lb]) < 1e-6 * disps[lb]
+            assert abs(g["fisher"] - d2 / (disps[la] + disps[lb])) < 1e-6
+            assert g["n_a"] == len(by_label[la]) and g["n_b"] == len(by_label[lb])
