@@ -1393,3 +1393,88 @@ def q_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("token").alias("neg_token"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q_js_divergence — unigram-distribution JS divergence of each source vs corpus
+# ---------------------------------------------------------------------------
+
+_JS_TK = "list_filter(string_split(lower(text), ' '), t -> t <> '')"
+
+
+@query(
+    "q_js_divergence",
+    oracle=f"""
+    WITH st AS (
+      SELECT source, token, count(*) AS c
+      FROM (SELECT source, unnest({_JS_TK}) AS token FROM documents)
+      GROUP BY 1, 2
+    ),
+    stot AS (SELECT source, sum(c) AS ts FROM st GROUP BY 1),
+    ct AS (SELECT token, sum(c) AS g FROM st GROUP BY 1),
+    tot AS (SELECT sum(c) AS t FROM st),
+    terms AS (
+      SELECT st.source,
+             CAST(st.c AS DOUBLE) / stot.ts AS p,
+             CAST(ct.g AS DOUBLE) / (SELECT t FROM tot) AS q
+      FROM st JOIN stot ON stot.source = st.source
+              JOIN ct ON ct.token = st.token
+    )
+    SELECT source,
+           0.5 * CAST(CAST(sum(CAST(p * ln(2.0 * p / (p + q))
+                                    AS DECIMAL(18,12))) AS STRING) AS DOUBLE)
+           + 0.5 * (ln(2.0)
+                    + CAST(CAST(sum(CAST(q * ln(q / (p + q))
+                                         AS DECIMAL(18,12))) AS STRING) AS DOUBLE))
+             AS js,
+           (0.5 * CAST(CAST(sum(CAST(p * ln(2.0 * p / (p + q))
+                                     AS DECIMAL(18,12))) AS STRING) AS DOUBLE)
+            + 0.5 * (ln(2.0)
+                     + CAST(CAST(sum(CAST(q * ln(q / (p + q))
+                                          AS DECIMAL(18,12))) AS STRING) AS DOUBLE)))
+             / ln(2.0) AS js_norm,
+           CAST(count(*) AS BIGINT) AS n_shared_tokens
+    FROM terms GROUP BY source
+    """,
+    description="Jensen-Shannon divergence between each source's unigram "
+    "distribution and the whole corpus — the content-drift twin of the "
+    "KS length test (q_ks_drift), bounded in [0, ln 2] and reported "
+    "normalized too. The absent-token mass is folded in algebraically "
+    "(sum over tokens the source lacks collapses to ln2 minus shared-"
+    "token corrections), so ONLY (source, token) rows that exist are ever "
+    "materialized — no sources x vocabulary grid. Plan: one (source, "
+    "token) aggregation, a vocabulary-sized token-marginal join, "
+    "decimal-cast term sums per source (which also absorb ln ulp wobble)",
+)
+def q_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+
+    from go_web_mapreduce_spark.functions.numeric import dsum
+
+    docs = load_table(spark, sf_dir, "documents")
+    st = (
+        docs.select("source", F.explode(tokens("text")).alias("token"))
+        .groupBy("source", "token")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    stot = st.groupBy("source").agg(F.sum("c").alias("ts"))
+    ct = st.groupBy("token").agg(F.sum("c").alias("g"))
+    total = st.agg(F.sum("c")).first()[0]
+    terms = (
+        st.join(F.broadcast(stot), "source")
+        .join(ct, "token")
+        .select(
+            "source",
+            (F.col("c").cast("double") / F.col("ts")).alias("p"),
+            (F.col("g").cast("double") / F.lit(float(total))).alias("q"),
+        )
+    )
+    p, q = F.col("p"), F.col("q")
+    t1 = dsum(p * F.log(2.0 * p / (p + q)), 12)
+    t2 = dsum(q * F.log(q / (p + q)), 12)
+    js = 0.5 * t1 + 0.5 * (F.lit(math.log(2.0)) + t2)
+    return terms.groupBy("source").agg(
+        js.alias("js"),
+        (js / math.log(2.0)).alias("js_norm"),
+        F.count(F.lit(1)).alias("n_shared_tokens"),
+    )

@@ -386,3 +386,40 @@ def test_negative_sampling_complete_and_distributed_correctly(spark, sf_dir):
         sel = order[bin_of == b]
         assert abs(obs[sel].sum() - exp[sel].sum()) < 0.25 * exp[sel].sum(), (
             b, obs[sel].sum(), exp[sel].sum())
+
+
+def test_js_divergence_matches_bruteforce(spark, sf_dir):
+    """Per-source JS vs corpus must equal a full local computation over the
+    COMPLETE vocabulary (including tokens the source lacks) — proving the
+    algebraic fold of absent-token mass — and sit in [0, ln 2]."""
+    import math
+    from collections import Counter
+
+    from go_web_mapreduce_spark.operators.pipeline_ops import q_js_divergence
+    from go_web_mapreduce_spark.sources.tables import load_table
+
+    rows = load_table(spark, sf_dir, "documents").select("source", "text").collect()
+    per_src: dict[str, Counter] = {}
+    corpus = Counter()
+    for r in rows:
+        tk = [t for t in r["text"].lower().split() if t]
+        per_src.setdefault(r["source"], Counter()).update(tk)
+        corpus.update(tk)
+    t = sum(corpus.values())
+    got = {r["source"]: r for r in q_js_divergence(spark, sf_dir).collect()}
+    assert set(got) == set(per_src)
+    for src, cnt in per_src.items():
+        ts = sum(cnt.values())
+        js = 0.0
+        for tok, g in corpus.items():  # full vocabulary, p may be 0
+            p = cnt.get(tok, 0) / ts
+            q = g / t
+            m = (p + q) / 2
+            if p > 0:
+                js += 0.5 * p * math.log(p / m)
+            js += 0.5 * q * math.log(q / m)
+        g = got[src]
+        assert abs(g["js"] - js) < 1e-9
+        assert abs(g["js_norm"] - js / math.log(2)) < 1e-9
+        assert 0.0 <= g["js"] <= math.log(2) + 1e-12
+        assert g["n_shared_tokens"] == len(cnt)
