@@ -1082,3 +1082,101 @@ def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("st") / F.col("nt") + BS_Z * F.col("boot_se")).alias("ci_hi"),
         F.col("nt").alias("n"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q_ab_ztest — hash-armed A/B comparison with a Welch z statistic
+# ---------------------------------------------------------------------------
+
+AB_Z_CRIT = 1.96  # two-sided 5%
+
+
+@query(
+    "q_ab_ztest",
+    oracle=f"""
+    WITH per_user AS (
+      SELECT event_type, user_id,
+             ('0x' || substr(md5('ab:' || user_id::VARCHAR), 1, 4))::BIGINT % 2
+               AS arm,
+             CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS x
+      FROM events GROUP BY 1, 2
+    ),
+    arm_stats AS (
+      SELECT event_type, arm,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(CAST(sum(CAST(x AS DECIMAL(18,4))) AS STRING) AS DOUBLE) AS sx,
+             CAST(CAST(sum(CAST(x * x AS DECIMAL(18,6))) AS STRING) AS DOUBLE) AS sxx
+      FROM per_user GROUP BY 1, 2
+    ),
+    wide AS (
+      SELECT a.event_type,
+             a.n AS n_a, b.n AS n_b,
+             a.sx / a.n AS mean_a, b.sx / b.n AS mean_b,
+             (a.sxx - a.sx * a.sx / a.n) / (a.n - 1) AS var_a,
+             (b.sxx - b.sx * b.sx / b.n) / (b.n - 1) AS var_b
+      FROM arm_stats a JOIN arm_stats b
+        ON a.event_type = b.event_type AND a.arm = 0 AND b.arm = 1
+    )
+    SELECT event_type, n_a, n_b, mean_a, mean_b,
+           (mean_a - mean_b) / sqrt(var_a / n_a + var_b / n_b) AS z,
+           abs((mean_a - mean_b) / sqrt(var_a / n_a + var_b / n_b))
+             > {AB_Z_CRIT} AS significant
+    FROM wide
+    """,
+    description="A/B experiment read-out per event type: users hash into "
+    "two arms (md5 — the RNG-free random assignment), the per-user value "
+    "total is the unit metric, and the arms compare by a Welch z statistic "
+    f"with a two-sided significance flag at z={AB_Z_CRIT} — the "
+    "experimentation primitive over the events stream. Plan: one "
+    "(type, user) aggregation (the only corpus-sized shuffle), then "
+    "(type, arm) decimal moment partials and a types-sized self-join; "
+    "variance from exact moments, no second pass",
+)
+def q_ab_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from go_web_mapreduce_spark.functions.numeric import dsum
+
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy(
+        "event_type", "user_id",
+        (
+            F.conv(
+                F.substring(F.md5(F.concat(F.lit("ab:"), F.col("user_id").cast("string"))), 1, 4),
+                16, 10,
+            ).cast("bigint")
+            % 2
+        ).alias("arm"),
+    ).agg(F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("x"))
+    arm_stats = per_user.groupBy("event_type", "arm").agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum("x", 4).alias("sx"),
+        dsum(F.col("x") * F.col("x"), 6).alias("sxx"),
+    )
+    a = arm_stats.filter(F.col("arm") == 0).select(
+        "event_type",
+        F.col("n").alias("n_a"), F.col("sx").alias("sxa"), F.col("sxx").alias("sxxa"),
+    )
+    b = arm_stats.filter(F.col("arm") == 1).select(
+        "event_type",
+        F.col("n").alias("n_b"), F.col("sx").alias("sxb"), F.col("sxx").alias("sxxb"),
+    )
+    wide = a.join(b, "event_type").select(
+        "event_type", "n_a", "n_b",
+        (F.col("sxa") / F.col("n_a")).alias("mean_a"),
+        (F.col("sxb") / F.col("n_b")).alias("mean_b"),
+        (
+            (F.col("sxxa") - F.col("sxa") * F.col("sxa") / F.col("n_a"))
+            / (F.col("n_a") - 1)
+        ).alias("var_a"),
+        (
+            (F.col("sxxb") - F.col("sxb") * F.col("sxb") / F.col("n_b"))
+            / (F.col("n_b") - 1)
+        ).alias("var_b"),
+    )
+    z = (F.col("mean_a") - F.col("mean_b")) / F.sqrt(
+        F.col("var_a") / F.col("n_a") + F.col("var_b") / F.col("n_b")
+    )
+    return wide.select(
+        "event_type", "n_a", "n_b", "mean_a", "mean_b",
+        z.alias("z"),
+        (F.abs(z) > AB_Z_CRIT).alias("significant"),
+    )

@@ -417,3 +417,46 @@ def test_bootstrap_ci_matches_numpy_reference(spark, sf_dir):
         assert 0.2 * classic < g["boot_se"] < 5.0 * classic
         assert abs(g["ci_lo"] - (full - BS_Z * se)) < 1e-4
         assert abs(g["ci_hi"] - (full + BS_Z * se)) < 1e-4
+
+
+def test_ab_ztest_matches_bruteforce(spark, sf_dir):
+    """Arm stats and the Welch z must equal a local replay of the same hash
+    assignment, and the synthetic no-effect data must be mostly
+    non-significant (the arms are random halves of identical traffic)."""
+    import hashlib
+    import math
+    from collections import defaultdict
+    from decimal import Decimal
+
+    from go_web_mapreduce_spark.operators.analytics import AB_Z_CRIT, q_ab_ztest
+    from go_web_mapreduce_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", "user_id", "value"
+    ).collect()
+    per = defaultdict(Decimal)
+    for r in ev:
+        per[(r["event_type"], r["user_id"])] += Decimal(str(round(r["value"], 4)))
+    arms: dict[str, dict[int, list[float]]] = defaultdict(lambda: {0: [], 1: []})
+    for (et, uid), x in per.items():
+        arm = int(hashlib.md5(f"ab:{uid}".encode()).hexdigest()[:4], 16) % 2
+        arms[et][arm].append(float(x))
+    got = {r["event_type"]: r for r in q_ab_ztest(spark, sf_dir).collect()}
+    assert set(got) == {et for et, d in arms.items() if d[0] and d[1]}
+    n_sig = 0
+    for et, d in arms.items():
+        if not (d[0] and d[1]):
+            continue
+        g = got[et]
+        assert g["n_a"] == len(d[0]) and g["n_b"] == len(d[1])
+        ma = sum(d[0]) / len(d[0])
+        mb = sum(d[1]) / len(d[1])
+        va = sum((x - ma) ** 2 for x in d[0]) / (len(d[0]) - 1)
+        vb = sum((x - mb) ** 2 for x in d[1]) / (len(d[1]) - 1)
+        z = (ma - mb) / math.sqrt(va / len(d[0]) + vb / len(d[1]))
+        assert abs(g["mean_a"] - ma) < 1e-6 * abs(ma)
+        assert abs(g["mean_b"] - mb) < 1e-6 * abs(mb)
+        assert abs(g["z"] - z) < 1e-6 * max(abs(z), 1e-9)
+        assert g["significant"] == (abs(z) > AB_Z_CRIT)
+        n_sig += bool(g["significant"])
+    assert n_sig <= 1  # null experiment: at most a lone false positive
