@@ -1180,3 +1180,104 @@ def q_ab_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
         z.alias("z"),
         (F.abs(z) > AB_Z_CRIT).alias("significant"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q_spearman — exact rank correlation between two per-order metrics
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_spearman",
+    oracle="""
+    WITH per_order AS (
+      SELECT l_orderkey AS k, l_returnflag AS flag,
+             CAST(count(*) AS BIGINT) AS n_items,
+             CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+                           AS BIGINT)) AS DOUBLE) / 100.0 AS total
+      FROM lineitem GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT flag,
+             CAST(rank() OVER (PARTITION BY flag ORDER BY n_items) AS DOUBLE)
+               + (CAST(count(*) OVER (PARTITION BY flag, n_items) AS DOUBLE) - 1) / 2
+               AS rx,
+             CAST(rank() OVER (PARTITION BY flag ORDER BY total) AS DOUBLE)
+               + (CAST(count(*) OVER (PARTITION BY flag, total) AS DOUBLE) - 1) / 2
+               AS ry
+      FROM per_order
+    ),
+    mom AS (
+      SELECT flag, CAST(count(*) AS BIGINT) AS n,
+             CAST(CAST(sum(CAST(rx AS DECIMAL(28,1))) AS STRING) AS DOUBLE) AS sx,
+             CAST(CAST(sum(CAST(ry AS DECIMAL(28,1))) AS STRING) AS DOUBLE) AS sy,
+             CAST(CAST(sum(CAST(rx * ry AS DECIMAL(28,2))) AS STRING) AS DOUBLE) AS sxy,
+             CAST(CAST(sum(CAST(rx * rx AS DECIMAL(28,2))) AS STRING) AS DOUBLE) AS sxx,
+             CAST(CAST(sum(CAST(ry * ry AS DECIMAL(28,2))) AS STRING) AS DOUBLE) AS syy
+      FROM ranked GROUP BY flag
+    )
+    SELECT flag AS l_returnflag, n,
+           (n * sxy - sx * sy)
+             / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) AS rho
+    FROM mom
+    """,
+    description="exact Spearman rank correlation per return flag between an "
+    "order's item count and its total value — the monotone-association "
+    "check run between any two quality/metadata signals before using one "
+    "as a proxy for the other. Midranks handle ties exactly (rank() plus "
+    "half the tie-group size), so rho is the textbook tie-corrected "
+    "Pearson-on-ranks; ranks are integers-or-halves, making every moment "
+    "sum decimal-exact. Plan: one (order, flag) aggregation, two "
+    "rank windows sharing the flag partitioning, a 5-moment reduce",
+)
+def q_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    li = load_table(spark, sf_dir, "lineitem")
+    p100 = (F.col("l_extendedprice").cast("decimal(18,2)") * 100).cast("bigint")
+    per_order = li.groupBy(
+        F.col("l_orderkey").alias("k"), F.col("l_returnflag").alias("flag")
+    ).agg(
+        F.count(F.lit(1)).alias("n_items"),
+        (F.sum(p100).cast("double") / 100.0).alias("total"),
+    )
+
+    def midrank(col: str) -> F.Column:
+        return (
+            F.rank().over(W.partitionBy("flag").orderBy(col)).cast("double")
+            + (
+                F.count(F.lit(1))
+                .over(W.partitionBy("flag", col))
+                .cast("double")
+                - 1
+            )
+            / 2
+        )
+
+    ranked = per_order.select(
+        "flag", midrank("n_items").alias("rx"), midrank("total").alias("ry")
+    )
+    # rank moments grow as n^3 — decimal(28,_) accumulators stay exact past
+    # 1e26 (dsum's (18,_) would overflow near sf1); the string hop is in
+    # the oracle, Spark's BigDecimal->double is correctly rounded already
+    def wsum(c, s):
+        return F.sum(c.cast(f"decimal(28,{s})")).cast("double")
+
+    mom = ranked.groupBy("flag").agg(
+        F.count(F.lit(1)).alias("n"),
+        wsum(F.col("rx"), 1).alias("sx"),
+        wsum(F.col("ry"), 1).alias("sy"),
+        wsum(F.col("rx") * F.col("ry"), 2).alias("sxy"),
+        wsum(F.col("rx") * F.col("rx"), 2).alias("sxx"),
+        wsum(F.col("ry") * F.col("ry"), 2).alias("syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
+    return mom.select(
+        F.col("flag").alias("l_returnflag"),
+        n.cast("bigint").alias("n"),
+        (
+            (n * sxy - sx * sy)
+            / (F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy))
+        ).alias("rho"),
+    )

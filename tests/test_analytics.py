@@ -460,3 +460,50 @@ def test_ab_ztest_matches_bruteforce(spark, sf_dir):
         assert g["significant"] == (abs(z) > AB_Z_CRIT)
         n_sig += bool(g["significant"])
     assert n_sig <= 1  # null experiment: at most a lone false positive
+
+
+def test_spearman_matches_scipy_style_reference(spark, sf_dir):
+    """Rho per flag must equal a local midrank Pearson (the scipy spearmanr
+    definition with tie correction) on the same per-order metrics."""
+    from collections import defaultdict
+
+    import numpy as np
+
+    from go_web_mapreduce_spark.operators.analytics import q_spearman
+    from go_web_mapreduce_spark.sources.tables import load_table
+
+    rows = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_returnflag", "l_extendedprice"
+    ).collect()
+    agg: dict = defaultdict(lambda: [0, 0])
+    for r in rows:
+        key = (r["l_returnflag"], r["l_orderkey"])
+        agg[key][0] += 1
+        agg[key][1] += round(r["l_extendedprice"] * 100)
+    by_flag: dict = defaultdict(list)
+    for (flag, _), (n_items, cents) in agg.items():
+        by_flag[flag].append((n_items, cents / 100.0))
+
+    def midranks(vals):
+        order = np.argsort(vals, kind="stable")
+        ranks = np.empty(len(vals))
+        sv = np.asarray(vals)[order]
+        i = 0
+        while i < len(sv):
+            j = i
+            while j < len(sv) and sv[j] == sv[i]:
+                j += 1
+            ranks[order[i:j]] = (i + 1 + j) / 2
+            i = j
+        return ranks
+
+    got = {r["l_returnflag"]: r for r in q_spearman(spark, sf_dir).collect()}
+    assert set(got) == set(by_flag)
+    for flag, pairs in by_flag.items():
+        rx = midranks([p[0] for p in pairs])
+        ry = midranks([p[1] for p in pairs])
+        rho = float(np.corrcoef(rx, ry)[0, 1])
+        g = got[flag]
+        assert g["n"] == len(pairs)
+        assert abs(g["rho"] - rho) < 1e-9
+        assert -1.0 - 1e-12 <= g["rho"] <= 1.0 + 1e-12
