@@ -459,3 +459,114 @@ def q_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("bigint").alias("n"),
         (F.col("n").cast("double") / F.sum("n").over(norm)).alias("p"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q_trend_mk — Mann-Kendall monotone-trend test on daily event volume
+# ---------------------------------------------------------------------------
+
+MK_Z_CRIT = 1.96
+
+
+@query(
+    "q_trend_mk",
+    oracle=f"""
+    WITH daily AS (
+      SELECT event_type, date_trunc('day', ts) AS day,
+             CAST(count(*) AS BIGINT) AS x
+      FROM events GROUP BY 1, 2
+    ),
+    s AS (
+      SELECT a.event_type,
+             CAST(sum(CASE WHEN b.x > a.x THEN 1
+                           WHEN b.x < a.x THEN -1 ELSE 0 END) AS BIGINT) AS s_stat
+      FROM daily a JOIN daily b
+        ON a.event_type = b.event_type AND a.day < b.day
+      GROUP BY 1
+    ),
+    nn AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n FROM daily GROUP BY 1
+    ),
+    ties AS (
+      SELECT event_type,
+             CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie_term
+      FROM (SELECT event_type, x, count(*) AS t FROM daily GROUP BY 1, 2)
+      GROUP BY 1
+    ),
+    z AS (
+      SELECT s.event_type, nn.n, s.s_stat,
+             (CAST(nn.n AS DOUBLE) * (nn.n - 1) * (2 * nn.n + 5)
+              - ties.tie_term) / 18.0 AS var_s
+      FROM s JOIN nn ON nn.event_type = s.event_type
+             JOIN ties ON ties.event_type = s.event_type
+    )
+    SELECT event_type, n AS n_days, s_stat, var_s,
+           CASE WHEN s_stat > 0 THEN (s_stat - 1.0) / sqrt(var_s)
+                WHEN s_stat < 0 THEN (s_stat + 1.0) / sqrt(var_s)
+                ELSE 0.0 END AS z,
+           abs(CASE WHEN s_stat > 0 THEN (s_stat - 1.0) / sqrt(var_s)
+                    WHEN s_stat < 0 THEN (s_stat + 1.0) / sqrt(var_s)
+                    ELSE 0.0 END) > {MK_Z_CRIT} AS trending
+    FROM z
+    """,
+    description="Mann-Kendall monotone-trend test per event type on daily "
+    "volumes: the non-parametric S statistic over all day pairs, the "
+    "tie-corrected variance, the continuity-corrected z, and a trend flag "
+    f"at |z| > {MK_Z_CRIT} — the is-this-metric-drifting monitor that "
+    "needs no distributional assumptions. Plan: ONE corpus aggregation to "
+    "daily counts (types x days rows); the pair join, tie census, and z "
+    "are all on that dimension-sized series (the day-pair self-join is "
+    "days^2 per type by definition of S, never corpus-sized)",
+)
+def q_trend_mk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.count(F.lit(1)).alias("x"))
+    a = daily.select("event_type", F.col("day").alias("da"), F.col("x").alias("xa"))
+    b = daily.select(
+        F.col("event_type").alias("et_b"), F.col("day").alias("db"),
+        F.col("x").alias("xb"),
+    )
+    s = (
+        a.join(b, (a.event_type == b.et_b) & (F.col("da") < F.col("db")))
+        .groupBy("event_type")
+        .agg(
+            F.sum(
+                F.when(F.col("xb") > F.col("xa"), 1)
+                .when(F.col("xb") < F.col("xa"), -1)
+                .otherwise(0)
+            ).alias("s_stat")
+        )
+    )
+    nn = daily.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    ties = (
+        daily.groupBy("event_type", "x")
+        .agg(F.count(F.lit(1)).alias("t"))
+        .groupBy("event_type")
+        .agg(
+            F.sum(
+                F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)
+            ).alias("tie_term")
+        )
+    )
+    var_s = (
+        F.col("n").cast("double") * (F.col("n") - 1) * (2 * F.col("n") + 5)
+        - F.col("tie_term")
+    ) / 18.0
+    base = s.join(nn, "event_type").join(ties, "event_type").select(
+        "event_type",
+        F.col("n").alias("n_days"),
+        F.col("s_stat").cast("bigint").alias("s_stat"),
+        var_s.alias("var_s"),
+    )
+    z = (
+        F.when(F.col("s_stat") > 0, (F.col("s_stat") - 1.0) / F.sqrt(F.col("var_s")))
+        .when(F.col("s_stat") < 0, (F.col("s_stat") + 1.0) / F.sqrt(F.col("var_s")))
+        .otherwise(F.lit(0.0))
+    )
+    return base.select(
+        "event_type", "n_days", "s_stat", "var_s",
+        z.alias("z"),
+        (F.abs(z) > MK_Z_CRIT).alias("trending"),
+    )

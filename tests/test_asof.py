@@ -99,3 +99,47 @@ def test_markov_transitions_matches_bruteforce(spark, sf_dir):
         row_sum[key[0]] += g["p"]
     for s in row_sum.values():
         assert abs(s - 1.0) < 1e-9
+
+
+def test_trend_mk_matches_bruteforce(spark, sf_dir):
+    """S, tie-corrected variance, and z per event type must equal a local
+    replay of the textbook Mann-Kendall computation on daily counts."""
+    import math
+    from collections import Counter
+
+    from go_web_mapreduce_spark.operators.temporal import MK_Z_CRIT, q_trend_mk
+    from go_web_mapreduce_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events").selectExpr(
+        "event_type", "date_trunc('day', ts) as day"
+    ).collect()
+    daily = Counter((r["event_type"], r["day"]) for r in ev)
+    by_type: dict[str, list[tuple]] = {}
+    for (et, day), x in daily.items():
+        by_type.setdefault(et, []).append((day, x))
+    got = {r["event_type"]: r for r in q_trend_mk(spark, sf_dir).collect()}
+    assert set(got) == set(by_type)
+    for et, series in by_type.items():
+        series.sort()
+        xs = [x for _, x in series]
+        n = len(xs)
+        s = sum(
+            (xs[j] > xs[i]) - (xs[j] < xs[i])
+            for i in range(n)
+            for j in range(i + 1, n)
+        )
+        tie = sum(
+            t * (t - 1) * (2 * t + 5) for t in Counter(xs).values()
+        )
+        var_s = (n * (n - 1) * (2 * n + 5) - tie) / 18.0
+        z = (
+            (s - 1) / math.sqrt(var_s)
+            if s > 0
+            else (s + 1) / math.sqrt(var_s) if s < 0 else 0.0
+        )
+        g = got[et]
+        assert g["n_days"] == n
+        assert g["s_stat"] == s
+        assert abs(g["var_s"] - var_s) < 1e-9
+        assert abs(g["z"] - z) < 1e-9
+        assert g["trending"] == (abs(z) > MK_Z_CRIT)
