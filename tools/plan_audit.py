@@ -69,6 +69,17 @@ HEADLINERS = {
     "q_nearest_centroid": "nearest centroid: exact-decimal centroid agg, labels-x-dim table broadcast, map-side fold distances, tiny-key confusion agg",
     "q_lpa_communities": "label propagation: checkpointed integer-weight edges, per-round src-join + (node,label) vote shuffles, struct-min argmax",
     "q_auc_eval": "exact AUC: (source,score) partial agg, cumulative window over DISTINCT scores only, per-source fold - corpus never sorted",
+    "q_jackknife_ci": "jackknife folds: one integer-cent corpus agg to (flag,fold), everything after fold-sized",
+    "q_bootstrap_ci": "Poisson bootstrap: ONE scan, 2x32 replicate sums as aggregate columns, stack unpivot of a 3-row result - no explode, no 32x shuffle",
+    "q_chi2_tokens": "chi2 selection: one distinct presence shuffle feeding three shared aggs, lang totals broadcast, vocab-sized window",
+    "q_ks_drift": "KS drift: (source,value) partials, CDF grid = values x sources via broadcast cross join, per-source window cumsum",
+    "q_negative_sampling": "inverse-CDF sampling: bucketed range join (bucket count = vocab size), one equi-join shuffle - no nested-loop inequality join",
+    "q_markov_transitions": "session transition matrix: ONE user_id exchange reused by the lag and lead windows, |types|^2 normalize window",
+    "q_dedup_containment": "containment pairs: same single posting-list shuffle as jaccard, intersection free from the pair count",
+    "q_js_divergence": "JS drift: (source,token) agg + vocab-marginal join, absent-token mass folded algebraically - no source x vocab grid",
+    "q_ab_ztest": "A/B read-out: one (type,user) corpus shuffle, then types x 2 decimal moments and a types-sized self-join",
+    "q_spearman": "Spearman: per-order agg, two midrank windows sharing the flag partitioning, 5-moment reduce",
+    "q_trend_mk": "Mann-Kendall: one corpus agg to daily counts, day-pair self-join on the dimension-sized series only",
 }
 
 
