@@ -570,3 +570,99 @@ def q_trend_mk(spark: SparkSession, sf_dir: str) -> DataFrame:
         z.alias("z"),
         (F.abs(z) > MK_Z_CRIT).alias("trending"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q_cusum_changepoint — CUSUM level-shift detection on daily event volume
+# ---------------------------------------------------------------------------
+
+CUSUM_CRIT = 1.358  # Brownian-bridge 5% critical value for max|S|/(sigma sqrt(n))
+
+
+@query(
+    "q_cusum_changepoint",
+    oracle=f"""
+    WITH daily AS (
+      SELECT event_type, date_trunc('day', ts) AS day,
+             CAST(count(*) AS BIGINT) AS x
+      FROM events GROUP BY 1, 2
+    ),
+    mom AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS DOUBLE) / count(*) AS m,
+             CAST(sum(x * x) AS DOUBLE) / count(*) AS m2
+      FROM daily GROUP BY 1
+    ),
+    cum AS (
+      SELECT d.event_type, d.day, mom.n, mom.m, mom.m2,
+             CAST(CAST(sum(CAST(d.x - mom.m AS DECIMAL(18,6)))
+                       OVER (PARTITION BY d.event_type ORDER BY d.day
+                             ROWS UNBOUNDED PRECEDING)
+                  AS STRING) AS DOUBLE) AS s
+      FROM daily d JOIN mom ON mom.event_type = d.event_type
+    ),
+    best AS (
+      SELECT event_type, n, m, m2, day, s,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY abs(s) DESC, day) AS rk
+      FROM cum
+    )
+    SELECT event_type, n AS n_days,
+           strftime(day, '%Y-%m-%d') AS cp_day,
+           abs(s) AS cusum_max,
+           abs(s) / (sqrt(m2 - m * m) * sqrt(CAST(n AS DOUBLE))) AS stat,
+           abs(s) / (sqrt(m2 - m * m) * sqrt(CAST(n AS DOUBLE)))
+             > {CUSUM_CRIT} AS shifted
+    FROM best WHERE rk = 1
+    """,
+    description="CUSUM level-shift detector per event type on the daily "
+    "volume series: the cumulative deviation from the series mean peaks at "
+    "the changepoint; max|S| normalized by sigma*sqrt(n) compares against "
+    f"the Brownian-bridge 5% critical value {CUSUM_CRIT} — the when-did-"
+    "the-pipeline-break locator that pairs with q_trend_mk's is-it-"
+    "drifting. Plan: ONE corpus aggregation to daily counts; the cumsum "
+    "is a decimal-exact window over the dimension-sized series (so both "
+    "engines associate identically and the argmax day cannot flip), the "
+    "argmax a types-sized row_number",
+)
+def q_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.count(F.lit(1)).alias("x"))
+    mom = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.sum("x").cast("double") / F.count(F.lit(1))).alias("m"),
+        (F.sum(F.col("x") * F.col("x")).cast("double") / F.count(F.lit(1))).alias("m2"),
+    )
+    w = (
+        W.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    cum = daily.join(F.broadcast(mom), "event_type").select(
+        "event_type", "day", "n", "m", "m2",
+        F.sum((F.col("x") - F.col("m")).cast("decimal(18,6)"))
+        .over(w)
+        .cast("double")
+        .alias("s"),
+    )
+    rk = F.row_number().over(
+        W.partitionBy("event_type").orderBy(F.abs(F.col("s")).desc(), "day")
+    )
+    stat = F.abs(F.col("s")) / (
+        F.sqrt(F.col("m2") - F.col("m") * F.col("m"))
+        * F.sqrt(F.col("n").cast("double"))
+    )
+    return (
+        cum.withColumn("rk", rk)
+        .filter(F.col("rk") == 1)
+        .select(
+            "event_type",
+            F.col("n").alias("n_days"),
+            F.date_format("day", "yyyy-MM-dd").alias("cp_day"),
+            F.abs(F.col("s")).alias("cusum_max"),
+            stat.alias("stat"),
+            (stat > CUSUM_CRIT).alias("shifted"),
+        )
+    )

@@ -143,3 +143,46 @@ def test_trend_mk_matches_bruteforce(spark, sf_dir):
         assert abs(g["var_s"] - var_s) < 1e-9
         assert abs(g["z"] - z) < 1e-9
         assert g["trending"] == (abs(z) > MK_Z_CRIT)
+
+
+def test_cusum_changepoint_matches_bruteforce(spark, sf_dir):
+    """The peak |cumulative deviation|, its day, and the normalized stat
+    must equal a local replay on the same daily series."""
+    import math
+    from collections import Counter
+
+    from go_web_mapreduce_spark.operators.temporal import (
+        CUSUM_CRIT,
+        q_cusum_changepoint,
+    )
+    from go_web_mapreduce_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events").selectExpr(
+        "event_type", "date_trunc('day', ts) as day"
+    ).collect()
+    daily = Counter((r["event_type"], r["day"]) for r in ev)
+    by_type: dict[str, list[tuple]] = {}
+    for (et, day), x in daily.items():
+        by_type.setdefault(et, []).append((day, x))
+    got = {r["event_type"]: r for r in q_cusum_changepoint(spark, sf_dir).collect()}
+    assert set(got) == set(by_type)
+    for et, series in by_type.items():
+        series.sort()
+        xs = [x for _, x in series]
+        n = len(xs)
+        m = sum(xs) / n
+        sd = math.sqrt(sum(x * x for x in xs) / n - m * m)
+        s = 0.0
+        best = (-1.0, None)
+        for day, x in series:
+            # decimal(18,6) quantization of each term, like the engine
+            s += round(x - m, 6)
+            if abs(s) > best[0] + 1e-12:
+                best = (abs(s), day)
+        g = got[et]
+        assert g["n_days"] == n
+        assert g["cp_day"] == best[1].strftime("%Y-%m-%d")
+        assert abs(g["cusum_max"] - best[0]) < 1e-6
+        stat = best[0] / (sd * math.sqrt(n))
+        assert abs(g["stat"] - stat) < 1e-6
+        assert g["shifted"] == (stat > CUSUM_CRIT)
