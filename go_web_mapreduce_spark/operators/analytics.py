@@ -1281,3 +1281,85 @@ def q_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy))
         ).alias("rho"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q_gini — revenue concentration per nation (Gini + top-decile share)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_gini",
+    oracle="""
+    WITH rev AS (
+      SELECT c.c_nationkey AS nation, o.o_custkey AS cust,
+             CAST(sum(CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100
+                           AS BIGINT)) AS BIGINT) AS cents
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+      GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT nation, cents,
+             row_number() OVER (PARTITION BY nation ORDER BY cents, cust) AS i,
+             count(*) OVER (PARTITION BY nation) AS n
+      FROM rev
+    ),
+    agg AS (
+      SELECT nation, CAST(max(n) AS BIGINT) AS n,
+             CAST(sum(cents) AS BIGINT) AS tot,
+             CAST(sum(i * cents) AS BIGINT) AS iwsum,
+             CAST(sum(CASE WHEN i > n - (n + 9) // 10 THEN cents ELSE 0 END)
+                  AS BIGINT) AS top_cents
+      FROM ranked GROUP BY nation
+    )
+    SELECT nation, n AS n_customers,
+           2.0 * iwsum / (CAST(n AS DOUBLE) * tot)
+             - (CAST(n AS DOUBLE) + 1.0) / n AS gini,
+           CAST(top_cents AS DOUBLE) / tot AS top_decile_share
+    FROM agg
+    """,
+    description="revenue-concentration audit per nation: the exact Gini "
+    "coefficient of per-customer order revenue (2 sum(i x_i)/(n sum x) - "
+    "(n+1)/n over the rank-sorted values) plus the top-decile revenue "
+    "share — the how-skewed-is-this-key profile that predicts shuffle hot "
+    "spots and informs salting, and the inequality census of any corpus "
+    "contribution. All mass in exact integer cents so the rank-weighted "
+    "sum is a plain BIGINT aggregate. Plan: one (nation, customer) "
+    "aggregation, a per-nation rank window, a nations-sized reduce",
+)
+def q_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    cents = (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("bigint")
+    rev = (
+        orders.select("o_custkey", cents.alias("cents"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy(
+            F.col("c_nationkey").alias("nation"), F.col("o_custkey").alias("cust")
+        )
+        .agg(F.sum("cents").alias("cents"))
+    )
+    wn = W.partitionBy("nation")
+    ranked = rev.select(
+        "nation", "cents",
+        F.row_number().over(wn.orderBy("cents", "cust")).alias("i"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    top = F.col("i") > F.col("n") - F.floor((F.col("n") + 9) / 10)
+    agg = ranked.groupBy("nation").agg(
+        F.max("n").cast("bigint").alias("n"),
+        F.sum("cents").cast("bigint").alias("tot"),
+        F.sum(F.col("i") * F.col("cents")).cast("bigint").alias("iwsum"),
+        F.sum(F.when(top, F.col("cents")).otherwise(0)).cast("bigint").alias("top_cents"),
+    )
+    return agg.select(
+        "nation",
+        F.col("n").alias("n_customers"),
+        (
+            2.0 * F.col("iwsum") / (F.col("n").cast("double") * F.col("tot"))
+            - (F.col("n").cast("double") + 1.0) / F.col("n")
+        ).alias("gini"),
+        (F.col("top_cents").cast("double") / F.col("tot")).alias("top_decile_share"),
+    )

@@ -507,3 +507,47 @@ def test_spearman_matches_scipy_style_reference(spark, sf_dir):
         assert g["n"] == len(pairs)
         assert abs(g["rho"] - rho) < 1e-9
         assert -1.0 - 1e-12 <= g["rho"] <= 1.0 + 1e-12
+
+
+def test_gini_matches_bruteforce(spark, sf_dir):
+    """Gini and top-decile share per nation must equal a local replay, obey
+    bounds (0 <= G < 1), and top-decile share must be >= 10% of mass
+    (the top decile can never hold less than a uniform share)."""
+    from collections import defaultdict
+
+    from go_web_mapreduce_spark.operators.analytics import q_gini
+    from go_web_mapreduce_spark.sources.tables import load_table
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_totalprice"
+    ).collect()
+    nation_of = {
+        r["c_custkey"]: r["c_nationkey"]
+        for r in load_table(spark, sf_dir, "customer").select(
+            "c_custkey", "c_nationkey"
+        ).collect()
+    }
+    rev: dict = defaultdict(int)
+    for r in orders:
+        rev[(nation_of[r["o_custkey"]], r["o_custkey"])] += round(
+            r["o_totalprice"] * 100
+        )
+    by_nation: dict = defaultdict(list)
+    for (nat, _), cents in rev.items():
+        by_nation[nat].append(cents)
+    got = {r["nation"]: r for r in q_gini(spark, sf_dir).collect()}
+    assert set(got) == set(by_nation)
+    for nat, vals in by_nation.items():
+        vals.sort()
+        n = len(vals)
+        tot = sum(vals)
+        iw = sum((i + 1) * x for i, x in enumerate(vals))
+        gini = 2.0 * iw / (n * tot) - (n + 1.0) / n
+        k = (n + 9) // 10
+        top = sum(vals[n - k:]) / tot
+        g = got[nat]
+        assert g["n_customers"] == n
+        assert abs(g["gini"] - gini) < 1e-9
+        assert abs(g["top_decile_share"] - top) < 1e-12
+        assert 0.0 <= g["gini"] < 1.0
+        assert g["top_decile_share"] >= k / n - 1e-12
