@@ -551,3 +551,35 @@ def test_gini_matches_bruteforce(spark, sf_dir):
         assert abs(g["top_decile_share"] - top) < 1e-12
         assert 0.0 <= g["gini"] < 1.0
         assert g["top_decile_share"] >= k / n - 1e-12
+
+
+def test_benford_matches_bruteforce(spark, sf_dir):
+    """Digit census, fractions, expectations, and chi2 must equal a local
+    replay; fractions must sum to 1 and cover only digits 1-9."""
+    import math
+    from collections import Counter
+
+    from go_web_mapreduce_spark.operators.analytics import q_benford
+    from go_web_mapreduce_spark.sources.tables import load_table
+
+    vals = [
+        r["o_totalprice"]
+        for r in load_table(spark, sf_dir, "orders").select("o_totalprice").collect()
+        if r["o_totalprice"] >= 1.0
+    ]
+    cnt = Counter(int(str(int(math.floor(v)))[0]) for v in vals)
+    t = sum(cnt.values())
+    got = {r["digit"]: r for r in q_benford(spark, sf_dir).collect()}
+    assert set(got) == set(cnt) and set(got) <= set(range(1, 10))
+    chi2 = sum(
+        (c / t - math.log10(1 + 1 / d)) ** 2 / math.log10(1 + 1 / d)
+        for d, c in cnt.items()
+    ) * t
+    assert abs(sum(r["frac"] for r in got.values()) - 1.0) < 1e-12
+    for d, c in cnt.items():
+        g = got[d]
+        assert g["n"] == c
+        assert abs(g["frac"] - c / t) < 1e-12
+        assert abs(g["expected"] - math.log10(1 + 1 / d)) < 1e-12
+        assert abs(g["deviation"] - (c / t - math.log10(1 + 1 / d))) < 1e-12
+        assert abs(g["chi2"] - chi2) < 1e-6
