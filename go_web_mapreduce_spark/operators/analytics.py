@@ -1442,3 +1442,77 @@ def q_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("frac") - F.col("expected")).alias("deviation"),
         "chi2",
     )
+
+
+# ---------------------------------------------------------------------------
+# q_winsorized_mean — robust location with tail clamping (5% / 95%)
+# ---------------------------------------------------------------------------
+
+WINSOR_LO = 0.05
+WINSOR_HI = 0.95
+
+
+@query(
+    "q_winsorized_mean",
+    oracle=f"""
+    WITH cuts AS (
+      SELECT event_type,
+             percentile_cont({WINSOR_LO}) WITHIN GROUP (ORDER BY value) AS lo,
+             percentile_cont({WINSOR_HI}) WITHIN GROUP (ORDER BY value) AS hi
+      FROM events GROUP BY event_type
+    ),
+    clamped AS (
+      SELECT e.event_type, c.lo, c.hi,
+             CASE WHEN e.value < c.lo THEN c.lo
+                  WHEN e.value > c.hi THEN c.hi
+                  ELSE e.value END AS w,
+             e.value,
+             CASE WHEN e.value < c.lo THEN 1 ELSE 0 END AS is_lo,
+             CASE WHEN e.value > c.hi THEN 1 ELSE 0 END AS is_hi
+      FROM events e JOIN cuts c USING (event_type)
+    )
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+           max(lo) AS lo, max(hi) AS hi,
+           CAST(CAST(sum(CAST(value AS DECIMAL(18,6))) AS STRING) AS DOUBLE)
+             / count(*) AS raw_mean,
+           CAST(CAST(sum(CAST(w AS DECIMAL(18,6))) AS STRING) AS DOUBLE)
+             / count(*) AS winsor_mean,
+           CAST(sum(is_lo) AS BIGINT) AS n_clamped_lo,
+           CAST(sum(is_hi) AS BIGINT) AS n_clamped_hi
+    FROM clamped GROUP BY event_type
+    """,
+    description="winsorized mean per event type: values clamped to the "
+    f"[{WINSOR_LO:.0%}, {WINSOR_HI:.0%}] percentiles before averaging, "
+    "reported beside the raw mean and the clamp counts — the robust "
+    "location estimate for heavy-tailed metrics (the MAD filter's "
+    "aggregate sibling: q_anomaly_mad flags rows, this repairs the "
+    "statistic). Plan: one exact-percentile pass whose per-group cuts "
+    "broadcast back onto the scan, one decimal-sum aggregation; at "
+    "100 TB swap F.percentile for approx_percentile, same shape",
+)
+def q_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from go_web_mapreduce_spark.functions.numeric import dsum
+
+    ev = load_table(spark, sf_dir, "events")
+    cuts = ev.groupBy("event_type").agg(
+        F.percentile("value", WINSOR_LO).alias("lo"),
+        F.percentile("value", WINSOR_HI).alias("hi"),
+    )
+    clamped = ev.join(F.broadcast(cuts), "event_type").select(
+        "event_type", "lo", "hi", "value",
+        F.when(F.col("value") < F.col("lo"), F.col("lo"))
+        .when(F.col("value") > F.col("hi"), F.col("hi"))
+        .otherwise(F.col("value"))
+        .alias("w"),
+        F.when(F.col("value") < F.col("lo"), 1).otherwise(0).alias("is_lo"),
+        F.when(F.col("value") > F.col("hi"), 1).otherwise(0).alias("is_hi"),
+    )
+    return clamped.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.max("lo").alias("lo"),
+        F.max("hi").alias("hi"),
+        (dsum("value", 6) / F.count(F.lit(1))).alias("raw_mean"),
+        (dsum("w", 6) / F.count(F.lit(1))).alias("winsor_mean"),
+        F.sum("is_lo").cast("bigint").alias("n_clamped_lo"),
+        F.sum("is_hi").cast("bigint").alias("n_clamped_hi"),
+    )

@@ -583,3 +583,39 @@ def test_benford_matches_bruteforce(spark, sf_dir):
         assert abs(g["expected"] - math.log10(1 + 1 / d)) < 1e-12
         assert abs(g["deviation"] - (c / t - math.log10(1 + 1 / d))) < 1e-12
         assert abs(g["chi2"] - chi2) < 1e-6
+
+
+def test_winsorized_mean_matches_numpy(spark, sf_dir):
+    """Cuts, clamp counts, and both means must equal a numpy replay with
+    linear-interpolation percentiles; the winsorized mean must sit inside
+    [lo, hi] and move toward the median relative to the raw mean."""
+    from collections import defaultdict
+
+    import numpy as np
+
+    from go_web_mapreduce_spark.operators.analytics import (
+        WINSOR_HI,
+        WINSOR_LO,
+        q_winsorized_mean,
+    )
+    from go_web_mapreduce_spark.sources.tables import load_table
+
+    rows = load_table(spark, sf_dir, "events").select("event_type", "value").collect()
+    by_type = defaultdict(list)
+    for r in rows:
+        by_type[r["event_type"]].append(r["value"])
+    got = {r["event_type"]: r for r in q_winsorized_mean(spark, sf_dir).collect()}
+    assert set(got) == set(by_type)
+    for et, vals in by_type.items():
+        v = np.asarray(vals)
+        lo = float(np.percentile(v, WINSOR_LO * 100))
+        hi = float(np.percentile(v, WINSOR_HI * 100))
+        w = np.clip(v, lo, hi)
+        g = got[et]
+        assert g["n"] == len(vals)
+        assert abs(g["lo"] - lo) < 1e-9 and abs(g["hi"] - hi) < 1e-9
+        assert g["n_clamped_lo"] == int((v < lo).sum())
+        assert g["n_clamped_hi"] == int((v > hi).sum())
+        assert abs(g["raw_mean"] - v.mean()) < 1e-6
+        assert abs(g["winsor_mean"] - w.mean()) < 1e-6
+        assert lo - 1e-9 <= g["winsor_mean"] <= hi + 1e-9
