@@ -1455,11 +1455,21 @@ WINSOR_HI = 0.95
 @query(
     "q_winsorized_mean",
     oracle=f"""
-    WITH cuts AS (
+    WITH census AS (
+      SELECT event_type, value, count(*) AS c FROM events GROUP BY 1, 2
+    ),
+    cum AS (
+      SELECT event_type, value,
+             sum(c) OVER (PARTITION BY event_type ORDER BY value
+                          ROWS UNBOUNDED PRECEDING) AS cm,
+             sum(c) OVER (PARTITION BY event_type) AS n
+      FROM census
+    ),
+    cuts AS (
       SELECT event_type,
-             percentile_cont({WINSOR_LO}) WITHIN GROUP (ORDER BY value) AS lo,
-             percentile_cont({WINSOR_HI}) WITHIN GROUP (ORDER BY value) AS hi
-      FROM events GROUP BY event_type
+             min(CASE WHEN cm >= ceil({WINSOR_LO} * n) THEN value END) AS lo,
+             min(CASE WHEN cm >= ceil({WINSOR_HI} * n) THEN value END) AS hi
+      FROM cum GROUP BY event_type
     ),
     clamped AS (
       SELECT e.event_type, c.lo, c.hi,
@@ -1486,17 +1496,38 @@ WINSOR_HI = 0.95
     "reported beside the raw mean and the clamp counts — the robust "
     "location estimate for heavy-tailed metrics (the MAD filter's "
     "aggregate sibling: q_anomaly_mad flags rows, this repairs the "
-    "statistic). Plan: one exact-percentile pass whose per-group cuts "
-    "broadcast back onto the scan, one decimal-sum aggregation; at "
-    "100 TB swap F.percentile for approx_percentile, same shape",
+    "statistic). Cuts are DISCRETE percentiles selected by explicit rank "
+    "over the (type, value) census — the cut is an actual 2-decimal data "
+    "value, so clamp comparisons cannot flip on interpolation ulp (the "
+    "continuous cut flipped a tie count at sf1). Plan: one census "
+    "aggregation (value-cardinality-sized), a dimension-sized cumulative "
+    "window, cuts broadcast back onto the scan, one decimal-sum pass; at "
+    "100 TB swap the census for approx_percentile, same shape",
 )
 def q_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     from go_web_mapreduce_spark.functions.numeric import dsum
 
+    from pyspark.sql import Window as W
+
     ev = load_table(spark, sf_dir, "events")
-    cuts = ev.groupBy("event_type").agg(
-        F.percentile("value", WINSOR_LO).alias("lo"),
-        F.percentile("value", WINSOR_HI).alias("hi"),
+    # DISCRETE percentiles by explicit rank selection over the value census:
+    # the cut is an actual data value (2 decimals, exactly representable),
+    # so the clamp comparisons are ulp-proof in both engines — interpolated
+    # percentile_cont cuts flipped a tie count by 50 rows at sf1
+    census = ev.groupBy("event_type", "value").agg(F.count(F.lit(1)).alias("c"))
+    wt = W.partitionBy("event_type")
+    cum = census.select(
+        "event_type", "value",
+        F.sum("c").over(wt.orderBy("value").rowsBetween(W.unboundedPreceding, W.currentRow)).alias("cm"),
+        F.sum("c").over(wt).alias("n"),
+    )
+    cuts = cum.groupBy("event_type").agg(
+        F.min(
+            F.when(F.col("cm") >= F.ceil(WINSOR_LO * F.col("n")), F.col("value"))
+        ).alias("lo"),
+        F.min(
+            F.when(F.col("cm") >= F.ceil(WINSOR_HI * F.col("n")), F.col("value"))
+        ).alias("hi"),
     )
     clamped = ev.join(F.broadcast(cuts), "event_type").select(
         "event_type", "lo", "hi", "value",

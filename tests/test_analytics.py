@@ -586,9 +586,9 @@ def test_benford_matches_bruteforce(spark, sf_dir):
 
 
 def test_winsorized_mean_matches_numpy(spark, sf_dir):
-    """Cuts, clamp counts, and both means must equal a numpy replay with
-    linear-interpolation percentiles; the winsorized mean must sit inside
-    [lo, hi] and move toward the median relative to the raw mean."""
+    """Cuts, clamp counts, and both means must equal a local replay of the
+    discrete rank-selection percentile; the winsorized mean must sit
+    inside [lo, hi]."""
     from collections import defaultdict
 
     import numpy as np
@@ -606,10 +606,13 @@ def test_winsorized_mean_matches_numpy(spark, sf_dir):
         by_type[r["event_type"]].append(r["value"])
     got = {r["event_type"]: r for r in q_winsorized_mean(spark, sf_dir).collect()}
     assert set(got) == set(by_type)
+    import math
+
     for et, vals in by_type.items():
         v = np.asarray(vals)
-        lo = float(np.percentile(v, WINSOR_LO * 100))
-        hi = float(np.percentile(v, WINSOR_HI * 100))
+        sv = np.sort(v)
+        lo = float(sv[math.ceil(WINSOR_LO * len(sv)) - 1])
+        hi = float(sv[math.ceil(WINSOR_HI * len(sv)) - 1])
         w = np.clip(v, lo, hi)
         g = got[et]
         assert g["n"] == len(vals)
