@@ -848,3 +848,117 @@ def q_embedding_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_a", "n_b",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q_pr_curve — exact precision-recall curve + average precision per source
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_pr_curve",
+    oracle="""
+    WITH scored AS (
+      SELECT source,
+             len(list_filter(list_filter(string_split(lower(text), ' '),
+                     t -> t <> ''),
+                 t -> list_contains(['the','a','and','of','to','is','in'], t)))::DOUBLE
+               / greatest(len(list_filter(string_split(lower(text), ' '),
+                     t -> t <> '')), 1) AS s,
+             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+      FROM documents
+    ),
+    grp AS (
+      SELECT source, s, CAST(count(*) AS BIGINT) AS n, CAST(sum(y) AS BIGINT) AS p
+      FROM scored GROUP BY source, s
+    ),
+    cum AS (
+      SELECT source, s,
+             sum(n) OVER w AS tp_fp, sum(p) OVER w AS tp,
+             sum(p) OVER (PARTITION BY source) AS npos
+      FROM grp
+      WINDOW w AS (PARTITION BY source ORDER BY s DESC
+                   ROWS UNBOUNDED PRECEDING)
+    ),
+    pts AS (
+      SELECT source, s AS threshold,
+             CAST(tp AS BIGINT) AS tp,
+             CAST(tp_fp - tp AS BIGINT) AS fp,
+             CAST(tp AS DOUBLE) / tp_fp AS precision,
+             CAST(tp AS DOUBLE) / npos AS recall,
+             CAST(tp - coalesce(lag(tp) OVER (PARTITION BY source ORDER BY s DESC), 0)
+                  AS DOUBLE) / npos AS d_recall
+      FROM cum WHERE npos > 0
+    ),
+    ap AS (
+      SELECT source,
+             CAST(CAST(sum(CAST(d_recall * precision AS DECIMAL(18,12)))
+                       AS STRING) AS DOUBLE) AS ap
+      FROM pts GROUP BY source
+    )
+    SELECT p.source, p.threshold, p.tp, p.fp, p.precision, p.recall, a.ap
+    FROM pts p JOIN ap a ON a.source = p.source
+    """,
+    description="exact precision-recall curve of the stopword-ratio quality "
+    "signal against the lang=en label, one point per DISTINCT score "
+    "threshold per source, plus average precision (the step-wise integral "
+    "sum((r_k - r_(k-1)) p_k) — scikit-learn's definition) on every row — "
+    "the threshold-free ranking-quality eval that complements q_auc_eval "
+    "when positives are rare. Plan: one (source, score) aggregation, "
+    "cumulative windows over DISTINCT scores only (bounded by the score's "
+    "value space, never corpus rows), a source-sized AP reduce joined "
+    "back; all counts exact integers, AP decimal-cast",
+)
+def q_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from go_web_mapreduce_spark.functions.numeric import dsum
+    from go_web_mapreduce_spark.functions.text import tokens
+    from go_web_mapreduce_spark.operators.text_analysis import (
+        STOPWORDS,
+        stopword_hits,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens("text")
+    scored = docs.select(
+        "source",
+        (
+            stopword_hits(toks, STOPWORDS["en"]).cast("double")
+            / F.greatest(F.size(toks), F.lit(1))
+        ).alias("s"),
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("y"),
+    )
+    grp = scored.groupBy("source", "s").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("y").alias("p")
+    )
+    w = (
+        W.partitionBy("source")
+        .orderBy(F.col("s").desc())
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    cum = grp.select(
+        "source", "s",
+        F.sum("n").over(w).alias("tp_fp"),
+        F.sum("p").over(w).alias("tp"),
+        F.sum("p").over(W.partitionBy("source")).alias("npos"),
+    ).filter(F.col("npos") > 0)
+    lag_tp = F.lag("tp").over(W.partitionBy("source").orderBy(F.col("s").desc()))
+    pts = cum.select(
+        "source",
+        F.col("s").alias("threshold"),
+        F.col("tp").cast("bigint").alias("tp"),
+        (F.col("tp_fp") - F.col("tp")).cast("bigint").alias("fp"),
+        (F.col("tp").cast("double") / F.col("tp_fp")).alias("precision"),
+        (F.col("tp").cast("double") / F.col("npos")).alias("recall"),
+        (
+            (F.col("tp") - F.coalesce(lag_tp, F.lit(0))).cast("double")
+            / F.col("npos")
+        ).alias("d_recall"),
+    )
+    ap = pts.groupBy("source").agg(
+        dsum(F.col("d_recall") * F.col("precision"), 12).alias("ap")
+    )
+    return pts.join(F.broadcast(ap), "source").select(
+        "source", "threshold", "tp", "fp", "precision", "recall", "ap"
+    )

@@ -340,3 +340,55 @@ def test_embedding_separation_matches_numpy(spark, sf_dir):
             assert abs(g["disp_b"] - disps[lb]) < 1e-6 * disps[lb]
             assert abs(g["fisher"] - d2 / (disps[la] + disps[lb])) < 1e-6
             assert g["n_a"] == len(by_label[la]) and g["n_b"] == len(by_label[lb])
+
+
+def test_pr_curve_matches_sklearn_style_reference(spark, sf_dir):
+    """Curve points and AP must equal a local replay of the scikit-learn
+    average-precision definition (step integral over distinct thresholds),
+    with precision/recall exact at every point."""
+    from collections import defaultdict
+
+    from go_web_mapreduce_spark.operators.ml import q_pr_curve
+    from go_web_mapreduce_spark.operators.text_analysis import STOPWORDS
+    from go_web_mapreduce_spark.sources.tables import load_table
+
+    sw = set(STOPWORDS["en"])
+    rows = load_table(spark, sf_dir, "documents").select(
+        "source", "text", "lang"
+    ).collect()
+    by_src = defaultdict(list)
+    for r in rows:
+        tk = [t for t in r["text"].lower().split() if t]
+        s = sum(t in sw for t in tk) / max(len(tk), 1)
+        by_src[r["source"]].append((s, 1 if r["lang"] == "en" else 0))
+    got = defaultdict(dict)
+    aps = {}
+    for r in q_pr_curve(spark, sf_dir).collect():
+        got[r["source"]][r["threshold"]] = r
+        aps[r["source"]] = r["ap"]
+    for src, pairs in by_src.items():
+        npos = sum(y for _, y in pairs)
+        if npos == 0:
+            assert src not in got
+            continue
+        # distinct thresholds descending
+        agg = defaultdict(lambda: [0, 0])
+        for s, y in pairs:
+            agg[s][0] += 1
+            agg[s][1] += y
+        tp = fp = 0
+        prev_tp = 0
+        ap = 0.0
+        for s in sorted(agg, reverse=True):
+            n, p = agg[s]
+            tp += p
+            fp += n - p
+            prec = tp / (tp + fp)
+            ap += (tp - prev_tp) / npos * prec
+            g = got[src][s]
+            assert g["tp"] == tp and g["fp"] == fp
+            assert abs(g["precision"] - prec) < 1e-12
+            assert abs(g["recall"] - tp / npos) < 1e-12
+            prev_tp = tp
+        assert abs(aps[src] - ap) < 1e-9
+        assert 0.0 <= aps[src] <= 1.0
