@@ -1551,3 +1551,60 @@ def q_cross_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.select(
         "source", "n_tokens", ce.alias("cross_entropy"), F.exp(ce).alias("perplexity")
     )
+
+
+# ---------------------------------------------------------------------------
+# q_group_split — leakage-safe train/valid/test split at the GROUP level
+# ---------------------------------------------------------------------------
+
+GROUP_SPLIT_MOD = 100
+GROUP_SPLIT_TRAIN = 80  # buckets [0,80) train, [80,90) valid, [90,100) test
+GROUP_SPLIT_VALID = 90
+
+
+@query(
+    "q_group_split",
+    oracle=f"""
+    WITH assigned AS (
+      SELECT user_id, event_id,
+             CASE
+               WHEN ('0x' || substr(md5('gs:' || user_id::VARCHAR), 1, 4))::BIGINT
+                    % {GROUP_SPLIT_MOD} < {GROUP_SPLIT_TRAIN} THEN 'train'
+               WHEN ('0x' || substr(md5('gs:' || user_id::VARCHAR), 1, 4))::BIGINT
+                    % {GROUP_SPLIT_MOD} < {GROUP_SPLIT_VALID} THEN 'valid'
+               ELSE 'test' END AS split
+      FROM events
+    )
+    SELECT split,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM assigned GROUP BY split
+    """,
+    description="leakage-safe split: EVERY event of a user lands in the "
+    "same train/valid/test bucket because the md5 bucket is a function of "
+    "the user alone (80/10/10) — the group-level sibling of the row-level "
+    "q_train_test_split, preventing the same entity from appearing on "
+    "both sides of an evaluation (the leakage a row split silently "
+    "allows). Plan: map-side split assignment, one (split, user) "
+    "aggregation; reproducible on any cluster/partitioning",
+)
+def q_group_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("gs:"), F.col("user_id").cast("string"))), 1, 4),
+            16, 10,
+        ).cast("bigint")
+        % GROUP_SPLIT_MOD
+    )
+    assigned = ev.select(
+        "user_id", "event_id",
+        F.when(bucket < GROUP_SPLIT_TRAIN, "train")
+        .when(bucket < GROUP_SPLIT_VALID, "valid")
+        .otherwise("test")
+        .alias("split"),
+    )
+    return assigned.groupBy("split").agg(
+        F.countDistinct("user_id").cast("bigint").alias("n_users"),
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+    )

@@ -460,3 +460,47 @@ def test_cross_entropy_matches_bruteforce(spark, sf_dir):
         assert abs(g["cross_entropy"] - h) < 1e-9
         assert abs(g["perplexity"] - math.exp(h)) < 1e-6 * math.exp(h)
         assert g["cross_entropy"] > 0
+
+
+def test_group_split_no_user_straddles_splits(spark, sf_dir):
+    """The leakage property itself: recompute the per-event split locally
+    and assert every user's events share one split; totals conserve; the
+    80/10/10 targets hold within binomial bounds at 1000 users."""
+    import hashlib
+    import math
+    from collections import defaultdict
+
+    from go_web_mapreduce_spark.operators.pipeline_ops import (
+        GROUP_SPLIT_MOD,
+        GROUP_SPLIT_TRAIN,
+        GROUP_SPLIT_VALID,
+        q_group_split,
+    )
+    from go_web_mapreduce_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events").select("user_id").collect()
+    users = {r["user_id"] for r in ev}
+    split_of = {}
+    for u in users:
+        b = int(hashlib.md5(f"gs:{u}".encode()).hexdigest()[:4], 16) % GROUP_SPLIT_MOD
+        split_of[u] = (
+            "train" if b < GROUP_SPLIT_TRAIN
+            else "valid" if b < GROUP_SPLIT_VALID else "test"
+        )
+    want_users = defaultdict(set)
+    want_events = defaultdict(int)
+    for r in ev:
+        s = split_of[r["user_id"]]
+        want_users[s].add(r["user_id"])
+        want_events[s] += 1
+    got = {r["split"]: r for r in q_group_split(spark, sf_dir).collect()}
+    assert set(got) == set(want_users)
+    for s in got:
+        assert got[s]["n_users"] == len(want_users[s])
+        assert got[s]["n_events"] == want_events[s]
+    assert sum(r["n_events"] for r in got.values()) == len(ev)
+    assert sum(r["n_users"] for r in got.values()) == len(users)
+    n = len(users)
+    p = GROUP_SPLIT_TRAIN / GROUP_SPLIT_MOD
+    sigma = math.sqrt(p * (1 - p) * n)
+    assert abs(got["train"]["n_users"] - p * n) < 4 * sigma + 1
