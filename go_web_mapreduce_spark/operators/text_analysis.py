@@ -1391,3 +1391,98 @@ def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(PMI_TOPK)
         .select("bg", "c", F.log("lift").alias("pmi"))
     )
+
+
+# ---------------------------------------------------------------------------
+# q_self_bleu — corpus diversity via clipped n-gram precision per source
+# ---------------------------------------------------------------------------
+
+SELF_BLEU_MAX_N = 3
+
+
+_SB_GRAM_BRANCHES = "\n      UNION ALL\n".join(
+    f"""      SELECT source, {n} AS n, unnest(
+        list_transform(range(1, len(tk) - {n - 2}),
+                       i -> {" || ' ' || ".join(f"tk[i+{k}]" if k else "tk[i]" for k in range(n))})
+      ) AS gram
+      FROM toks WHERE len(tk) >= {n}"""
+    for n in range(1, SELF_BLEU_MAX_N + 1)
+)
+
+
+@query(
+    "q_self_bleu",
+    oracle=f"""
+    WITH toks AS (SELECT source, {_TK} AS tk FROM documents),
+    grams AS (
+{_SB_GRAM_BRANCHES}
+    ),
+    sg AS (
+      SELECT source, n, gram, count(*) AS c FROM grams GROUP BY 1, 2, 3
+    ),
+    tot AS (SELECT n, gram, sum(c) AS g FROM sg GROUP BY 1, 2),
+    prec AS (
+      SELECT sg.source, sg.n,
+             CAST(sum(least(sg.c, tot.g - sg.c)) AS DOUBLE)
+               / sum(sg.c) AS p
+      FROM sg JOIN tot ON tot.n = sg.n AND tot.gram = sg.gram
+      GROUP BY 1, 2
+    )
+    SELECT source,
+           max(CASE WHEN n = 1 THEN p END) AS p1,
+           max(CASE WHEN n = 2 THEN p END) AS p2,
+           max(CASE WHEN n = 3 THEN p END) AS p3,
+           exp((ln(max(CASE WHEN n = 1 THEN p END))
+                + ln(max(CASE WHEN n = 2 THEN p END))
+                + ln(max(CASE WHEN n = 3 THEN p END))) / 3.0) AS self_bleu
+    FROM prec GROUP BY source
+    """,
+    description="self-BLEU per source against the rest of the corpus: "
+    "clipped n-gram precision (n=1..3, reference counts = corpus minus "
+    "self) combined by geometric mean — the mode-collapse / synthetic-"
+    "text diagnostic (Zhu 2018): a source whose n-grams are mostly "
+    "reproduced elsewhere scores near 1. All precisions are exact "
+    "integer ratios (clipping in integers); ln/exp only in the final "
+    "scalar. Plan: one union of three explode scans to (source, n, gram) "
+    "counts, a vocabulary-sized marginal join, a sources x 3 reduce — "
+    "no pairwise source comparison anywhere (the rest-count is the "
+    "corpus marginal minus self)",
+)
+def q_self_bleu(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("source", tokens("text").alias("tk"))
+    legs = []
+    for n in range(1, SELF_BLEU_MAX_N + 1):
+        grams = (
+            toks.filter(F.size("tk") >= n)
+            .select(
+                "source",
+                F.lit(n).alias("n"),
+                F.explode(word_shingles(F.col("tk"), n)).alias("gram"),
+            )
+            if n > 1
+            else toks.select(
+                "source", F.lit(1).alias("n"), F.explode("tk").alias("gram")
+            )
+        )
+        legs.append(grams)
+    grams = legs[0].unionAll(legs[1]).unionAll(legs[2])
+    sg = grams.groupBy("source", "n", "gram").agg(F.count(F.lit(1)).alias("c"))
+    tot = sg.groupBy("n", "gram").agg(F.sum("c").alias("g"))
+    prec = (
+        sg.join(tot, ["n", "gram"])
+        .groupBy("source", "n")
+        .agg(
+            (
+                F.sum(F.least(F.col("c"), F.col("g") - F.col("c"))).cast("double")
+                / F.sum("c")
+            ).alias("p")
+        )
+    )
+    p = lambda k: F.max(F.when(F.col("n") == k, F.col("p")))  # noqa: E731
+    return prec.groupBy("source").agg(
+        p(1).alias("p1"),
+        p(2).alias("p2"),
+        p(3).alias("p3"),
+        F.exp((F.log(p(1)) + F.log(p(2)) + F.log(p(3))) / 3.0).alias("self_bleu"),
+    )

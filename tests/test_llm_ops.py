@@ -431,3 +431,43 @@ def test_pmi_collocations_matches_bruteforce(spark, sf_dir):
     for r, (neglift, _, c) in zip(got, want):
         assert r["c"] == c
         assert abs(r["pmi"] - math.log(-neglift)) < 1e-9
+
+
+def test_self_bleu_matches_bruteforce(spark, sf_dir):
+    """Clipped n-gram precisions and the geometric mean must equal a local
+    replay; every precision lies in [0, 1]; a source made of corpus-common
+    text scores high (sanity: the synthetic corpus is highly self-similar)."""
+    import math
+    from collections import Counter, defaultdict
+
+    from go_web_mapreduce_spark.operators.text_analysis import (
+        SELF_BLEU_MAX_N,
+        q_self_bleu,
+    )
+    from go_web_mapreduce_spark.sources.tables import load_table
+
+    rows = load_table(spark, sf_dir, "documents").select("source", "text").collect()
+    per = {n: defaultdict(Counter) for n in range(1, SELF_BLEU_MAX_N + 1)}
+    for r in rows:
+        tk = [t for t in r["text"].lower().split() if t]
+        for n in range(1, SELF_BLEU_MAX_N + 1):
+            for i in range(len(tk) - n + 1):
+                per[n][r["source"]][" ".join(tk[i : i + n])] += 1
+    got = {r["source"]: r for r in q_self_bleu(spark, sf_dir).collect()}
+    srcs = {r["source"] for r in rows}
+    assert set(got) == srcs
+    for src in srcs:
+        ps = []
+        for n in range(1, SELF_BLEU_MAX_N + 1):
+            tot = Counter()
+            for s2 in srcs:
+                tot.update(per[n][s2])
+            mine = per[n][src]
+            clipped = sum(min(c, tot[g] - c) for g, c in mine.items())
+            p = clipped / sum(mine.values())
+            ps.append(p)
+            g = got[src][f"p{n}"]
+            assert abs(g - p) < 1e-12
+            assert 0.0 <= g <= 1.0
+        want = math.exp(sum(map(math.log, ps)) / 3)
+        assert abs(got[src]["self_bleu"] - want) < 1e-9
