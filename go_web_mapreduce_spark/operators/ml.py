@@ -962,3 +962,106 @@ def q_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pts.join(F.broadcast(ap), "source").select(
         "source", "threshold", "tp", "fp", "precision", "recall", "ap"
     )
+
+
+# ---------------------------------------------------------------------------
+# q_mcnemar — paired comparison of the two quality raters against truth
+# ---------------------------------------------------------------------------
+
+
+from go_web_mapreduce_spark.operators.text_analysis import (  # noqa: E402
+    KAPPA_SW_MIN as _MCN_SW_MIN,
+)
+from go_web_mapreduce_spark.operators.text_analysis import (  # noqa: E402
+    KAPPA_WLEN_MAX as _MCN_WLEN_MAX,
+)
+
+
+@query(
+    "q_mcnemar",
+    oracle=f"""
+    WITH rated AS (
+      SELECT source,
+             CASE WHEN len(list_filter(tk,
+                      t -> list_contains(['the','a','and','of','to','is','in'], t)))::DOUBLE
+                      / greatest(len(tk), 1) >= {_MCN_SW_MIN}
+                  THEN 1 ELSE 0 END AS ra,
+             CASE WHEN len(list_aggregate(tk, 'string_agg', ''))::DOUBLE
+                      / greatest(len(tk), 1) <= {_MCN_WLEN_MAX}
+                  THEN 1 ELSE 0 END AS rb,
+             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+      FROM (SELECT source, lang,
+                   list_filter(string_split(lower(text), ' '), t -> t <> '') AS tk
+            FROM documents)
+    ),
+    cells AS (
+      SELECT source,
+             CAST(sum(CASE WHEN ra = y AND rb <> y THEN 1 ELSE 0 END) AS BIGINT) AS b,
+             CAST(sum(CASE WHEN ra <> y AND rb = y THEN 1 ELSE 0 END) AS BIGINT) AS c,
+             CAST(count(*) AS BIGINT) AS n
+      FROM rated GROUP BY source
+    )
+    SELECT source, n, b, c,
+           CASE WHEN b + c > 0
+                THEN (abs(CAST(b AS DOUBLE) - c) - 1.0)
+                     * (abs(CAST(b AS DOUBLE) - c) - 1.0) / (b + c)
+                ELSE 0.0 END AS mcnemar_chi2,
+           b > c AS a_better
+    FROM cells
+    """,
+    description="McNemar's paired test per source between the two binary "
+    "quality raters of q_cohens_kappa, judged against the lang=en truth: "
+    "only the DISCORDANT counts matter (b = A right & B wrong, c = the "
+    "reverse), chi2 = (|b-c|-1)^2/(b+c) with continuity correction — the "
+    "statistically-sound way to declare one classifier better than "
+    "another on the same rows (paired design; a two-proportion z on the "
+    "same data would be wrong). Plan: ONE scan computing both verdicts "
+    "and the truth per row, integer discordance partials per source",
+)
+def q_mcnemar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from go_web_mapreduce_spark.functions.text import tokens
+    from go_web_mapreduce_spark.operators.text_analysis import (
+        KAPPA_SW_MIN,
+        KAPPA_WLEN_MAX,
+        STOPWORDS,
+        stopword_hits,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    tk = tokens("text")
+    rated = docs.select(
+        "source",
+        F.when(
+            stopword_hits(tk, STOPWORDS["en"]).cast("double")
+            / F.greatest(F.size(tk), F.lit(1))
+            >= KAPPA_SW_MIN,
+            1,
+        ).otherwise(0).alias("ra"),
+        F.when(
+            F.length(F.array_join(tk, "")).cast("double")
+            / F.greatest(F.size(tk), F.lit(1))
+            <= KAPPA_WLEN_MAX,
+            1,
+        ).otherwise(0).alias("rb"),
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("y"),
+    )
+    cells = rated.groupBy("source").agg(
+        F.sum(
+            F.when((F.col("ra") == F.col("y")) & (F.col("rb") != F.col("y")), 1).otherwise(0)
+        ).cast("bigint").alias("b"),
+        F.sum(
+            F.when((F.col("ra") != F.col("y")) & (F.col("rb") == F.col("y")), 1).otherwise(0)
+        ).cast("bigint").alias("c"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    chi2 = F.when(
+        F.col("b") + F.col("c") > 0,
+        (F.abs(F.col("b").cast("double") - F.col("c")) - 1.0)
+        * (F.abs(F.col("b").cast("double") - F.col("c")) - 1.0)
+        / (F.col("b") + F.col("c")),
+    ).otherwise(F.lit(0.0))
+    return cells.select(
+        "source", "n", "b", "c",
+        chi2.alias("mcnemar_chi2"),
+        (F.col("b") > F.col("c")).alias("a_better"),
+    )

@@ -392,3 +392,40 @@ def test_pr_curve_matches_sklearn_style_reference(spark, sf_dir):
             prev_tp = tp
         assert abs(aps[src] - ap) < 1e-9
         assert 0.0 <= aps[src] <= 1.0
+
+
+def test_mcnemar_matches_bruteforce(spark, sf_dir):
+    """Discordant cells and the continuity-corrected chi2 must equal a
+    local replay of both raters against the lang truth."""
+    from go_web_mapreduce_spark.operators.ml import q_mcnemar
+    from go_web_mapreduce_spark.operators.text_analysis import (
+        KAPPA_SW_MIN,
+        KAPPA_WLEN_MAX,
+        STOPWORDS,
+    )
+    from go_web_mapreduce_spark.sources.tables import load_table
+
+    sw = set(STOPWORDS["en"])
+    rows = load_table(spark, sf_dir, "documents").select(
+        "source", "text", "lang"
+    ).collect()
+    cells: dict[str, list[int]] = {}
+    for r in rows:
+        tk = [t for t in r["text"].lower().split() if t]
+        ra = 1 if sum(t in sw for t in tk) / max(len(tk), 1) >= KAPPA_SW_MIN else 0
+        rb = 1 if sum(map(len, tk)) / max(len(tk), 1) <= KAPPA_WLEN_MAX else 0
+        y = 1 if r["lang"] == "en" else 0
+        b, c, n = cells.setdefault(r["source"], [0, 0, 0])
+        cells[r["source"]] = [
+            b + (ra == y and rb != y),
+            c + (ra != y and rb == y),
+            n + 1,
+        ]
+    got = {r["source"]: r for r in q_mcnemar(spark, sf_dir).collect()}
+    assert set(got) == set(cells)
+    for src, (b, c, n) in cells.items():
+        g = got[src]
+        assert (g["b"], g["c"], g["n"]) == (b, c, n)
+        chi2 = ((abs(b - c) - 1.0) ** 2 / (b + c)) if b + c else 0.0
+        assert abs(g["mcnemar_chi2"] - chi2) < 1e-12
+        assert g["a_better"] == (b > c)
