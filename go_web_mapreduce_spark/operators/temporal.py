@@ -666,3 +666,106 @@ def q_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
             (stat > CUSUM_CRIT).alias("shifted"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q_kaplan_meier — survival curve of user activity lifetimes with censoring
+# ---------------------------------------------------------------------------
+
+KM_CENSOR_DAYS = 3  # users last seen within this of window end are censored
+
+
+@query(
+    "q_kaplan_meier",
+    oracle=f"""
+    WITH life AS (
+      SELECT user_id,
+             (max(epoch_us(ts)) - min(epoch_us(ts))) // 86400000000 AS t,
+             CASE WHEN max(epoch_us(ts))
+                       < (SELECT max(epoch_us(ts)) FROM events)
+                         - {KM_CENSOR_DAYS} * 86400000000
+                  THEN 1 ELSE 0 END AS died
+      FROM events GROUP BY user_id
+    ),
+    steps AS (
+      SELECT t, CAST(sum(died) AS BIGINT) AS d,
+             CAST(count(*) - sum(died) AS BIGINT) AS c,
+             CAST(count(*) AS BIGINT) AS leaving
+      FROM life GROUP BY t
+    ),
+    risk AS (
+      SELECT t, d, c,
+             (SELECT count(*) FROM life)
+               - coalesce(sum(leaving) OVER (ORDER BY t
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS n_risk
+      FROM steps
+    ),
+    surv AS (
+      SELECT t, d, c, n_risk,
+             max(CASE WHEN d >= n_risk THEN 1 ELSE 0 END)
+               OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) AS hit_zero,
+             CAST(CAST(sum(CAST(CASE WHEN d > 0 AND d < n_risk
+                                     THEN ln(1.0 - CAST(d AS DOUBLE) / n_risk)
+                                     ELSE 0.0 END AS DECIMAL(18,12)))
+                       OVER (ORDER BY t ROWS UNBOUNDED PRECEDING)
+                  AS STRING) AS DOUBLE) AS lsum
+      FROM risk
+    )
+    SELECT CAST(t AS BIGINT) AS t_days, CAST(n_risk AS BIGINT) AS n_risk,
+           d AS n_events, c AS n_censored,
+           CASE WHEN hit_zero = 1 THEN 0.0 ELSE exp(lsum) END AS survival
+    FROM surv
+    """,
+    description="Kaplan-Meier survival of user activity lifetime (days "
+    "from first to last event), with users last seen within "
+    f"{KM_CENSOR_DAYS} days of the observation-window end treated as "
+    "censored (still alive) — the churn/retention estimator that handles "
+    "the users-you-haven't-lost-yet correctly where a naive lifetime "
+    "histogram is biased low. The product-limit estimator runs in log "
+    "space under a decimal-cast cumulative (association-proof), with the "
+    "d = n_risk terminal step handled by an explicit zero flag. Plan: "
+    "one (user) aggregation, then everything on the distinct-duration "
+    "grid (bounded by the observation window in days, never user count)",
+)
+def q_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "us", F.expr("ts_ns div 1000")
+    )
+    window_end = ev.agg(F.max("us")).first()[0]
+    life = ev.groupBy("user_id").agg(
+        ((F.max("us") - F.min("us")) / F.lit(86400000000)).cast("bigint").alias("t"),
+        F.when(
+            F.max("us") < F.lit(window_end - KM_CENSOR_DAYS * 86400000000), 1
+        ).otherwise(0).alias("died"),
+    )
+    n_users = life.count()
+    steps = life.groupBy("t").agg(
+        F.sum("died").cast("bigint").alias("d"),
+        (F.count(F.lit(1)) - F.sum("died")).cast("bigint").alias("c"),
+        F.count(F.lit(1)).alias("leaving"),
+    )
+    w = W.orderBy("t")
+    prior = F.coalesce(
+        F.sum("leaving").over(w.rowsBetween(W.unboundedPreceding, -1)), F.lit(0)
+    )
+    risk = steps.select(
+        "t", "d", "c", (F.lit(n_users) - prior).alias("n_risk")
+    )
+    wc = W.orderBy("t").rowsBetween(W.unboundedPreceding, W.currentRow)
+    lterm = F.when(
+        (F.col("d") > 0) & (F.col("d") < F.col("n_risk")),
+        F.log(1.0 - F.col("d").cast("double") / F.col("n_risk")),
+    ).otherwise(F.lit(0.0))
+    surv = risk.select(
+        "t", "d", "c", "n_risk",
+        F.max(F.when(F.col("d") >= F.col("n_risk"), 1).otherwise(0)).over(wc).alias("hit_zero"),
+        F.sum(lterm.cast("decimal(18,12)")).over(wc).cast("double").alias("lsum"),
+    )
+    return surv.select(
+        F.col("t").cast("bigint").alias("t_days"),
+        "n_risk",
+        F.col("d").alias("n_events"),
+        F.col("c").alias("n_censored"),
+        F.when(F.col("hit_zero") == 1, 0.0).otherwise(F.exp("lsum")).alias("survival"),
+    )

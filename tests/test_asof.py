@@ -186,3 +186,76 @@ def test_cusum_changepoint_matches_bruteforce(spark, sf_dir):
         stat = best[0] / (sd * math.sqrt(n))
         assert abs(g["stat"] - stat) < 1e-6
         assert g["shifted"] == (stat > CUSUM_CRIT)
+
+
+def test_kaplan_meier_matches_lifelines_style_reference(spark, sf_dir):
+    """Risk sets, event/censor counts, and the product-limit curve must
+    equal a local replay of the textbook KM estimator; survival must be
+    monotone non-increasing starting at <= 1."""
+    import math
+    from collections import defaultdict
+
+    from go_web_mapreduce_spark.operators.temporal import (
+        KM_CENSOR_DAYS,
+        q_kaplan_meier,
+    )
+    from go_web_mapreduce_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events").selectExpr(
+        "user_id", "ts_ns div 1000 as us"
+    ).collect()
+    span = defaultdict(lambda: [None, None])
+    for r in ev:
+        s = span[r["user_id"]]
+        s[0] = r["us"] if s[0] is None else min(s[0], r["us"])
+        s[1] = r["us"] if s[1] is None else max(s[1], r["us"])
+    window_end = max(s[1] for s in span.values())
+    lives = [
+        (
+            (last - first) // 86400000000,
+            1 if last < window_end - KM_CENSOR_DAYS * 86400000000 else 0,
+        )
+        for first, last in span.values()
+    ]
+    steps = defaultdict(lambda: [0, 0])
+    for t, died in lives:
+        steps[t][0] += died
+        steps[t][1] += 1 - died
+    got = {r["t_days"]: r for r in q_kaplan_meier(spark, sf_dir).collect()}
+    assert set(got) == set(steps)
+    at_risk = len(lives)
+    s = 1.0
+    prev_s = 1.0 + 1e-15
+    for t in sorted(steps):
+        d, c = steps[t]
+        g = got[t]
+        assert g["n_risk"] == at_risk
+        assert g["n_events"] == d and g["n_censored"] == c
+        if d >= at_risk:
+            s = 0.0
+        elif d > 0:
+            # mirror the engine's decimal(18,12) quantization per step
+            s_log = math.log(s) if s > 0 else float("-inf")
+            s = math.exp(
+                sum(
+                    round(math.log(1 - dd / nn), 12)
+                    for dd, nn in _km_steps_upto(steps, t, len(lives))
+                )
+            )
+        assert abs(g["survival"] - s) < 1e-9, (t, g["survival"], s)
+        assert g["survival"] <= prev_s + 1e-12
+        prev_s = g["survival"]
+        at_risk -= d + c
+
+
+def _km_steps_upto(steps, t_max, n_total):
+    at_risk = n_total
+    out = []
+    for t in sorted(steps):
+        if t > t_max:
+            break
+        d, c = steps[t]
+        if 0 < d < at_risk:
+            out.append((d, at_risk))
+        at_risk -= d + c
+    return out
