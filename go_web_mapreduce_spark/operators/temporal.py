@@ -769,3 +769,96 @@ def q_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c").alias("n_censored"),
         F.when(F.col("hit_zero") == 1, 0.0).otherwise(F.exp("lsum")).alias("survival"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q_lift_association — market-basket lift of event-type pairs within sessions
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_lift_association",
+    oracle=f"""
+    WITH flagged AS (
+      SELECT user_id, event_id, event_type, epoch_us(ts) AS us,
+             CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w IS NULL
+                    OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > {SESSION_GAP_US}
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+    ), sess AS (
+      SELECT DISTINCT user_id, event_type,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS session_id
+      FROM flagged
+    ), nb AS (SELECT count(DISTINCT (user_id, session_id)) AS n
+              FROM sess),
+    item AS (
+      SELECT event_type, count(*) AS c FROM sess GROUP BY 1
+    ),
+    pair AS (
+      SELECT a.event_type AS ante, b.event_type AS cons, count(*) AS cp
+      FROM sess a JOIN sess b
+        ON a.user_id = b.user_id AND a.session_id = b.session_id
+       AND a.event_type < b.event_type
+      GROUP BY 1, 2
+    )
+    SELECT pair.ante, pair.cons,
+           CAST(pair.cp AS BIGINT) AS n_sessions,
+           CAST(pair.cp AS DOUBLE) / (SELECT n FROM nb) AS support,
+           CAST(pair.cp AS DOUBLE) / ia.c AS confidence,
+           CAST(pair.cp AS DOUBLE) * (SELECT n FROM nb)
+             / (CAST(ia.c AS DOUBLE) * ic.c) AS lift
+    FROM pair JOIN item ia ON ia.event_type = pair.ante
+              JOIN item ic ON ic.event_type = pair.cons
+    """,
+    description="market-basket association over 30-min user sessions: for "
+    "every event-type pair, session-level support, confidence "
+    "P(cons|ante), and lift P(both)/(P(a)P(b)) — the do-these-behaviors-"
+    "co-occur miner (lift > 1 = genuine association, < 1 = substitution), "
+    "with the session as the basket. All ratios exact-integer-derived. "
+    "Plan: one user_id shuffle sessionizes, DISTINCT collapses each "
+    "basket to its type set (bounded by |types| per session), the pair "
+    "join is within-basket only — pair volume <= sessions x |types|^2, "
+    "never events^2; marginals are a types-sized table",
+)
+def q_lift_association(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sess = (
+        sessionize(load_table(spark, sf_dir, "events"))
+        .select("user_id", "session_id", "event_type")
+        .distinct()
+    )
+    n_baskets = sess.select("user_id", "session_id").distinct().count()
+    item = sess.groupBy("event_type").agg(F.count(F.lit(1)).alias("c"))
+    a = sess.select("user_id", "session_id", F.col("event_type").alias("ante"))
+    b = sess.select(
+        F.col("user_id").alias("u2"), F.col("session_id").alias("s2"),
+        F.col("event_type").alias("cons"),
+    )
+    pair = (
+        a.join(
+            b,
+            (a.user_id == b.u2)
+            & (a.session_id == b.s2)
+            & (F.col("ante") < F.col("cons")),
+        )
+        .groupBy("ante", "cons")
+        .agg(F.count(F.lit(1)).alias("cp"))
+    )
+    ia = item.select(F.col("event_type").alias("ante"), F.col("c").alias("ca"))
+    ic = item.select(F.col("event_type").alias("cons"), F.col("c").alias("cc"))
+    return (
+        pair.join(F.broadcast(ia), "ante")
+        .join(F.broadcast(ic), "cons")
+        .select(
+            "ante", "cons",
+            F.col("cp").cast("bigint").alias("n_sessions"),
+            (F.col("cp").cast("double") / F.lit(float(n_baskets))).alias("support"),
+            (F.col("cp").cast("double") / F.col("ca")).alias("confidence"),
+            (
+                F.col("cp").cast("double") * F.lit(float(n_baskets))
+                / (F.col("ca").cast("double") * F.col("cc"))
+            ).alias("lift"),
+        )
+    )

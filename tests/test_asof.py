@@ -259,3 +259,49 @@ def _km_steps_upto(steps, t_max, n_total):
             out.append((d, at_risk))
         at_risk -= d + c
     return out
+
+
+def test_lift_association_matches_bruteforce(spark, sf_dir):
+    """Pair supports/confidences/lifts must equal a local basket census of
+    the same sessionization; lift symmetry: lift(a,b) is order-free."""
+    from collections import Counter, defaultdict
+
+    from go_web_mapreduce_spark.operators.temporal import (
+        SESSION_GAP_US,
+        q_lift_association,
+    )
+    from go_web_mapreduce_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events").selectExpr(
+        "user_id", "event_id", "event_type", "ts_ns div 1000 as us"
+    ).collect()
+    by_user = defaultdict(list)
+    for r in ev:
+        by_user[r["user_id"]].append((r["us"], r["event_id"], r["event_type"]))
+    baskets = []
+    for rows in by_user.values():
+        rows.sort()
+        prev = None
+        cur: set = set()
+        for us, _, et in rows:
+            if prev is None or us - prev > SESSION_GAP_US:
+                cur = set()
+                baskets.append(cur)
+            cur.add(et)
+            prev = us
+    n = len(baskets)
+    item = Counter(t for b in baskets for t in b)
+    pair = Counter()
+    for b in baskets:
+        ts = sorted(b)
+        for i, x in enumerate(ts):
+            for y in ts[i + 1:]:
+                pair[(x, y)] += 1
+    got = {(r["ante"], r["cons"]): r for r in q_lift_association(spark, sf_dir).collect()}
+    assert set(got) == set(pair) and len(got) > 0
+    for (x, y), cp in pair.items():
+        g = got[(x, y)]
+        assert g["n_sessions"] == cp
+        assert abs(g["support"] - cp / n) < 1e-12
+        assert abs(g["confidence"] - cp / item[x]) < 1e-12
+        assert abs(g["lift"] - cp * n / (item[x] * item[y])) < 1e-9
