@@ -862,3 +862,104 @@ def q_lift_association(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lift"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q_autocorrelation — ACF of the daily volume series per event type
+# ---------------------------------------------------------------------------
+
+ACF_MAX_LAG = 7
+
+
+@query(
+    "q_autocorrelation",
+    oracle=f"""
+    WITH daily AS (
+      SELECT event_type, date_trunc('day', ts) AS day,
+             CAST(count(*) AS BIGINT) AS x
+      FROM events GROUP BY 1, 2
+    ),
+    idx AS (
+      SELECT event_type, x,
+             row_number() OVER (PARTITION BY event_type ORDER BY day) AS i
+      FROM daily
+    ),
+    mom AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS DOUBLE) / count(*) AS m
+      FROM idx GROUP BY 1
+    ),
+    lagk AS (
+      SELECT a.event_type, l.lag, mom.n, mom.m,
+             CAST(CAST(sum(CAST((a.x - mom.m) * (b.x - mom.m)
+                                AS DECIMAL(18,6))) AS STRING) AS DOUBLE) AS cov_num
+      FROM idx a
+      CROSS JOIN (SELECT unnest(range(1, {ACF_MAX_LAG + 1})) AS lag) l
+      JOIN idx b ON b.event_type = a.event_type AND b.i = a.i + l.lag
+      JOIN mom ON mom.event_type = a.event_type
+      GROUP BY 1, 2, 3, 4
+    ),
+    var0 AS (
+      SELECT idx.event_type,
+             CAST(CAST(sum(CAST((idx.x - mom.m) * (idx.x - mom.m)
+                                AS DECIMAL(18,6))) AS STRING) AS DOUBLE) AS var_num
+      FROM idx JOIN mom ON mom.event_type = idx.event_type
+      GROUP BY 1
+    )
+    SELECT l.event_type, CAST(l.lag AS INT) AS lag, l.n AS n_days,
+           l.cov_num / v.var_num AS acf,
+           abs(l.cov_num / v.var_num) > 1.96 / sqrt(CAST(l.n AS DOUBLE))
+             AS significant
+    FROM lagk l JOIN var0 v ON v.event_type = l.event_type
+    """,
+    description=f"autocorrelation function (lags 1..{ACF_MAX_LAG}) of each "
+    "event type's daily volume, with the +-1.96/sqrt(n) white-noise band "
+    "flag — the seasonality/memory detector that tells a pipeline whether "
+    "daily counts are independent (and a forecast is pointless) or "
+    "weekly-periodic (and capacity should follow). Uses the standard "
+    "biased ACF estimator (covariance at lag over lag-0 variance, same "
+    "denominator n). Plan: ONE corpus aggregation to the daily grid; the "
+    "lag self-join and moment sums run on the days x types series "
+    "(dimension-sized), decimal-cast so both engines sum identically",
+)
+def q_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from go_web_mapreduce_spark.functions.numeric import dsum
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.count(F.lit(1)).alias("x"))
+    idx = daily.select(
+        "event_type", "x",
+        F.row_number().over(W.partitionBy("event_type").orderBy("day")).alias("i"),
+    )
+    mom = idx.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.sum("x").cast("double") / F.count(F.lit(1))).alias("m"),
+    )
+    lags = spark.range(1, ACF_MAX_LAG + 1).select(F.col("id").cast("int").alias("lag"))
+    a = idx.crossJoin(F.broadcast(lags))
+    b = idx.select(
+        F.col("event_type").alias("et2"), F.col("x").alias("x2"), F.col("i").alias("i2")
+    )
+    lagk = (
+        a.join(b, (a.event_type == b.et2) & (F.col("i2") == F.col("i") + F.col("lag")))
+        .join(F.broadcast(mom), "event_type")
+        .groupBy("event_type", "lag", "n", "m")
+        .agg(
+            dsum((F.col("x") - F.col("m")) * (F.col("x2") - F.col("m")), 6).alias("cov_num")
+        )
+    )
+    var0 = (
+        idx.join(F.broadcast(mom), "event_type")
+        .groupBy("event_type")
+        .agg(dsum((F.col("x") - F.col("m")) * (F.col("x") - F.col("m")), 6).alias("var_num"))
+    )
+    acf = F.col("cov_num") / F.col("var_num")
+    return lagk.join(F.broadcast(var0), "event_type").select(
+        "event_type",
+        F.col("lag").cast("int").alias("lag"),
+        F.col("n").cast("bigint").alias("n_days"),
+        acf.alias("acf"),
+        (F.abs(acf) > 1.96 / F.sqrt(F.col("n").cast("double"))).alias("significant"),
+    )

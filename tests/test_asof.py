@@ -305,3 +305,43 @@ def test_lift_association_matches_bruteforce(spark, sf_dir):
         assert abs(g["support"] - cp / n) < 1e-12
         assert abs(g["confidence"] - cp / item[x]) < 1e-12
         assert abs(g["lift"] - cp * n / (item[x] * item[y])) < 1e-9
+
+
+def test_autocorrelation_matches_numpy(spark, sf_dir):
+    """ACF per (type, lag) must equal the textbook biased estimator
+    computed locally; lag-0 would be 1 by construction (denominator is
+    the same sum), and every |acf| <= 1 + eps."""
+    from collections import Counter
+
+    import numpy as np
+
+    from go_web_mapreduce_spark.operators.temporal import (
+        ACF_MAX_LAG,
+        q_autocorrelation,
+    )
+    from go_web_mapreduce_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events").selectExpr(
+        "event_type", "date_trunc('day', ts) as day"
+    ).collect()
+    daily = Counter((r["event_type"], r["day"]) for r in ev)
+    by_type: dict[str, list] = {}
+    for (et, day), x in daily.items():
+        by_type.setdefault(et, []).append((day, x))
+    got = {(r["event_type"], r["lag"]): r for r in q_autocorrelation(spark, sf_dir).collect()}
+    for et, series in by_type.items():
+        series.sort()
+        x = np.array([v for _, v in series], dtype=np.float64)
+        n = len(x)
+        d = x - x.mean()
+        var = float((d * d).sum())
+        for lag in range(1, ACF_MAX_LAG + 1):
+            if lag >= n:
+                assert (et, lag) not in got
+                continue
+            acf = float((d[:-lag] * d[lag:]).sum()) / var
+            g = got[(et, lag)]
+            assert g["n_days"] == n
+            assert abs(g["acf"] - acf) < 1e-6
+            assert abs(g["acf"]) <= 1 + 1e-9
+            assert g["significant"] == (abs(acf) > 1.96 / np.sqrt(n))
