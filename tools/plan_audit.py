@@ -80,6 +80,18 @@ HEADLINERS = {
     "q_ab_ztest": "A/B read-out: one (type,user) corpus shuffle, then types x 2 decimal moments and a types-sized self-join",
     "q_spearman": "Spearman: per-order agg, two midrank windows sharing the flag partitioning, 5-moment reduce",
     "q_trend_mk": "Mann-Kendall: one corpus agg to daily counts, day-pair self-join on the dimension-sized series only",
+    "q_cross_entropy": "unigram-LM shift: (source,token) agg + vocab-marginal join, smoothing constant folded out of the join",
+    "q_cusum_changepoint": "CUSUM: one corpus agg, decimal-exact cumulative window on the daily series, types-sized argmax",
+    "q_gini": "Gini: (nation,customer) agg, per-nation rank window, integer-cent rank-weighted sums",
+    "q_benford": "Benford: ONE scan to a 9-row digit census via string head; 9-row arithmetic after",
+    "q_winsorized_mean": "winsorized mean: value census + dimension-sized rank selection, cuts broadcast back, one decimal pass",
+    "q_pr_curve": "PR curve: (source,score) partials, cumulative windows over DISTINCT scores, source-sized AP reduce",
+    "q_self_bleu": "self-BLEU: three explode scans to (source,n,gram) counts, marginal join, sources x 3 reduce - no pairwise sources",
+    "q_kaplan_meier": "KM survival: one user agg, then everything on the distinct-duration grid; log-space decimal cumulative",
+    "q_lift_association": "basket lift: one user_id sessionize shuffle, within-basket pair join bounded by sessions x types^2",
+    "q_autocorrelation": "ACF: one corpus agg to the daily grid; lag self-join and moments on the dimension-sized series",
+    "q_mcnemar": "McNemar: ONE scan computing both verdicts + truth, integer discordance partials per source",
+    "q_group_split": "group split: map-side bucket from md5(user), one (split,user) agg",
 }
 
 
