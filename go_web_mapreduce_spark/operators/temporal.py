@@ -963,3 +963,81 @@ def q_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
         acf.alias("acf"),
         (F.abs(acf) > 1.96 / F.sqrt(F.col("n").cast("double"))).alias("significant"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q_theil_sen — robust trend slope: median of pairwise slopes
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_theil_sen",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, date_trunc('day', ts) AS day,
+             CAST(count(*) AS BIGINT) AS x
+      FROM events GROUP BY 1, 2
+    ),
+    idx AS (
+      SELECT event_type, x,
+             row_number() OVER (PARTITION BY event_type ORDER BY day) AS i
+      FROM daily
+    ),
+    slopes AS (
+      SELECT a.event_type,
+             CAST(b.x - a.x AS DOUBLE) / (b.i - a.i) AS s
+      FROM idx a JOIN idx b
+        ON a.event_type = b.event_type AND b.i > a.i
+    ),
+    ranked AS (
+      SELECT event_type, s,
+             row_number() OVER (PARTITION BY event_type ORDER BY s) AS r,
+             count(*) OVER (PARTITION BY event_type) AS m
+      FROM slopes
+    )
+    SELECT event_type, CAST(max(m) AS BIGINT) AS n_pairs,
+           (max(CASE WHEN r = (m + 1) // 2 THEN s END)
+            + max(CASE WHEN r = m // 2 + 1 THEN s END)) / 2.0 AS slope
+    FROM ranked GROUP BY event_type
+    """,
+    description="Theil-Sen robust trend slope per event type on daily "
+    "volumes: the median of all pairwise slopes (up to 29% outlier "
+    "breakdown where OLS has 0) — the magnitude companion to "
+    "q_trend_mk's direction test. The median is hand-rolled as the "
+    "average of the two explicitly rank-selected middle slopes ((lo + "
+    "hi)/2 of identical doubles), NOT percentile_cont, whose "
+    "interpolation arithmetic differs across engines by an ulp. Plan: "
+    "one corpus aggregation to the daily grid; the O(days^2) pair join "
+    "and rank window run on the dimension-sized series only (that "
+    "quadratic is the estimator's definition, never corpus-sized)",
+)
+def q_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.count(F.lit(1)).alias("x"))
+    idx = daily.select(
+        "event_type", "x",
+        F.row_number().over(W.partitionBy("event_type").orderBy("day")).alias("i"),
+    )
+    a = idx.select("event_type", F.col("x").alias("xa"), F.col("i").alias("ia"))
+    b = idx.select(
+        F.col("event_type").alias("et2"), F.col("x").alias("xb"), F.col("i").alias("ib")
+    )
+    slopes = a.join(
+        b, (a.event_type == F.col("et2")) & (F.col("ib") > F.col("ia"))
+    ).select(
+        "event_type",
+        ((F.col("xb") - F.col("xa")).cast("double") / (F.col("ib") - F.col("ia"))).alias("s"),
+    )
+    ranked = slopes.select(
+        "event_type", "s",
+        F.row_number().over(W.partitionBy("event_type").orderBy("s")).alias("r"),
+        F.count(F.lit(1)).over(W.partitionBy("event_type")).alias("m"),
+    )
+    lo = F.max(F.when(F.col("r") == F.floor((F.col("m") + 1) / 2), F.col("s")))
+    hi = F.max(F.when(F.col("r") == F.floor(F.col("m") / 2) + 1, F.col("s")))
+    return ranked.groupBy("event_type").agg(
+        F.max("m").cast("bigint").alias("n_pairs"),
+        ((lo + hi) / 2.0).alias("slope"),
+    )

@@ -345,3 +345,34 @@ def test_autocorrelation_matches_numpy(spark, sf_dir):
             assert abs(g["acf"] - acf) < 1e-6
             assert abs(g["acf"]) <= 1 + 1e-9
             assert g["significant"] == (abs(acf) > 1.96 / np.sqrt(n))
+
+
+def test_theil_sen_matches_numpy_reference(spark, sf_dir):
+    """The slope must equal the median of all pairwise slopes computed
+    locally (statistics.median semantics: mean of two middles at even n)."""
+    import statistics
+    from collections import Counter
+
+    from go_web_mapreduce_spark.operators.temporal import q_theil_sen
+    from go_web_mapreduce_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events").selectExpr(
+        "event_type", "date_trunc('day', ts) as day"
+    ).collect()
+    daily = Counter((r["event_type"], r["day"]) for r in ev)
+    by_type: dict[str, list] = {}
+    for (et, day), x in daily.items():
+        by_type.setdefault(et, []).append((day, x))
+    got = {r["event_type"]: r for r in q_theil_sen(spark, sf_dir).collect()}
+    assert set(got) == set(by_type)
+    for et, series in by_type.items():
+        series.sort()
+        xs = [x for _, x in series]
+        slopes = [
+            (xs[j] - xs[i]) / (j - i)
+            for i in range(len(xs))
+            for j in range(i + 1, len(xs))
+        ]
+        g = got[et]
+        assert g["n_pairs"] == len(slopes)
+        assert abs(g["slope"] - statistics.median(slopes)) < 1e-12
