@@ -1041,3 +1041,106 @@ def q_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("m").cast("bigint").alias("n_pairs"),
         ((lo + hi) / 2.0).alias("slope"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q_seasonal_profile — day-of-week seasonality strength per event type
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_seasonal_profile",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, date_trunc('day', ts) AS day,
+             CAST(count(*) AS BIGINT) AS x
+      FROM events GROUP BY 1, 2
+    ),
+    dow AS (
+      SELECT event_type, isodow(day) AS dw, x FROM daily
+    ),
+    prof AS (
+      SELECT event_type, dw, CAST(count(*) AS BIGINT) AS n_days,
+             CAST(sum(x) AS DOUBLE) / count(*) AS dow_mean
+      FROM dow GROUP BY 1, 2
+    ),
+    gm AS (
+      SELECT event_type,
+             CAST(sum(x) AS DOUBLE) / count(*) AS g_mean,
+             CAST(CAST(sum(CAST(x * x AS DECIMAL(18,2))) AS STRING) AS DOUBLE)
+               / count(*) AS g_m2,
+             CAST(count(*) AS BIGINT) AS n
+      FROM dow GROUP BY 1
+    ),
+    resid AS (
+      SELECT d.event_type,
+             CAST(CAST(sum(CAST((d.x - p.dow_mean) * (d.x - p.dow_mean)
+                                AS DECIMAL(18,6))) AS STRING) AS DOUBLE)
+               / max(g.n) AS resid_var
+      FROM dow d JOIN prof p ON p.event_type = d.event_type AND p.dw = d.dw
+                 JOIN gm g ON g.event_type = d.event_type
+      GROUP BY d.event_type
+    )
+    SELECT p.event_type, CAST(p.dw AS INT) AS dow, p.n_days, p.dow_mean,
+           p.dow_mean - g.g_mean AS seasonal_component,
+           1.0 - r.resid_var / (g.g_m2 - g.g_mean * g.g_mean)
+             AS seasonal_strength
+    FROM prof p JOIN gm g ON g.event_type = p.event_type
+                JOIN resid r ON r.event_type = p.event_type
+    """,
+    description="day-of-week seasonal profile per event type: the mean "
+    "volume and seasonal component per weekday, plus seasonal strength "
+    "1 - var(residual)/var(total) (the fraction of daily-volume variance "
+    "the weekly cycle explains — the classic STL strength statistic) on "
+    "every row; strength near 0 says don't bother with weekly capacity "
+    "planning, near 1 says the cycle dominates. Plan: one corpus "
+    "aggregation to the daily grid; profile, moments, and residuals all "
+    "on the types x 7 / types x days dimension tables, decimal-cast",
+)
+def q_seasonal_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from go_web_mapreduce_spark.functions.numeric import dsum
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.count(F.lit(1)).alias("x"))
+    # ISO day-of-week (1=Mon..7=Sun): Spark weekday() is 0=Mon, DuckDB
+    # isodow() is 1=Mon — aligned here (dayofweek() disagrees across engines)
+    dow = daily.select(
+        "event_type", (F.weekday("day") + 1).alias("dw"), "x"
+    )
+    prof = dow.groupBy("event_type", "dw").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        (F.sum("x").cast("double") / F.count(F.lit(1))).alias("dow_mean"),
+    )
+    glob = dow.groupBy("event_type").agg(
+        (F.sum("x").cast("double") / F.count(F.lit(1))).alias("g_mean"),
+        (dsum(F.col("x").cast("double") * F.col("x"), 2) / F.count(F.lit(1))).alias("g_m2"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    resid = (
+        dow.join(prof.select("event_type", "dw", "dow_mean"), ["event_type", "dw"])
+        .join(F.broadcast(glob.select("event_type", "n")), "event_type")
+        .groupBy("event_type")
+        .agg(
+            (
+                dsum((F.col("x") - F.col("dow_mean")) * (F.col("x") - F.col("dow_mean")), 6)
+                / F.max("n")
+            ).alias("resid_var")
+        )
+    )
+    return (
+        prof.join(F.broadcast(glob), "event_type")
+        .join(F.broadcast(resid), "event_type")
+        .select(
+            "event_type",
+            F.col("dw").cast("int").alias("dow"),
+            "n_days", "dow_mean",
+            (F.col("dow_mean") - F.col("g_mean")).alias("seasonal_component"),
+            (
+                1.0
+                - F.col("resid_var")
+                / (F.col("g_m2") - F.col("g_mean") * F.col("g_mean"))
+            ).alias("seasonal_strength"),
+        )
+    )

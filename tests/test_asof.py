@@ -376,3 +376,51 @@ def test_theil_sen_matches_numpy_reference(spark, sf_dir):
         g = got[et]
         assert g["n_pairs"] == len(slopes)
         assert abs(g["slope"] - statistics.median(slopes)) < 1e-12
+
+
+def test_seasonal_profile_matches_bruteforce(spark, sf_dir):
+    """Weekday means, seasonal components, and the STL-style strength must
+    equal a local replay; components sum to ~0 weighted by day counts and
+    strength lies in [0, 1]."""
+    from collections import Counter, defaultdict
+
+    from go_web_mapreduce_spark.operators.temporal import q_seasonal_profile
+    from go_web_mapreduce_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events").selectExpr(
+        "event_type", "date_trunc('day', ts) as day"
+    ).collect()
+    daily = Counter((r["event_type"], r["day"]) for r in ev)
+    by_type: dict[str, list] = defaultdict(list)
+    for (et, day), x in daily.items():
+        by_type[et].append((day.isoweekday(), x))
+    got = defaultdict(dict)
+    for r in q_seasonal_profile(spark, sf_dir).collect():
+        got[r["event_type"]][r["dow"]] = r
+    assert set(got) == set(by_type)
+    for et, rows in by_type.items():
+        xs = [x for _, x in rows]
+        n = len(xs)
+        g_mean = sum(xs) / n
+        g_var = sum(x * x for x in xs) / n - g_mean**2
+        by_dw = defaultdict(list)
+        for dw, x in rows:
+            by_dw[dw].append(x)
+        assert set(got[et]) == set(by_dw)
+        resid = 0.0
+        for dw, vals in by_dw.items():
+            m = sum(vals) / len(vals)
+            resid += sum((x - m) ** 2 for x in vals)
+        resid /= n
+        strength = 1.0 - resid / g_var
+        wsum = 0.0
+        for dw, vals in by_dw.items():
+            m = sum(vals) / len(vals)
+            g = got[et][dw]
+            assert g["n_days"] == len(vals)
+            assert abs(g["dow_mean"] - m) < 1e-9
+            assert abs(g["seasonal_component"] - (m - g_mean)) < 1e-9
+            assert abs(g["seasonal_strength"] - strength) < 1e-6
+            assert -1e-9 <= g["seasonal_strength"] <= 1.0 + 1e-9
+            wsum += g["seasonal_component"] * len(vals)
+        assert abs(wsum) < 1e-6
