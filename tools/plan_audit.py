@@ -92,6 +92,8 @@ HEADLINERS = {
     "q_autocorrelation": "ACF: one corpus agg to the daily grid; lag self-join and moments on the dimension-sized series",
     "q_mcnemar": "McNemar: ONE scan computing both verdicts + truth, integer discordance partials per source",
     "q_group_split": "group split: map-side bucket from md5(user), one (split,user) agg",
+    "q_theil_sen": "Theil-Sen: one corpus agg; the definitional days^2 pair join runs on the dimension-sized series",
+    "q_seasonal_profile": "seasonality: one corpus agg to the daily grid; profile/moments/residuals on types x 7 tables",
 }
 
 
