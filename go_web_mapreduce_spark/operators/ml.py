@@ -1065,3 +1065,153 @@ def q_mcnemar(spark: SparkSession, sf_dir: str) -> DataFrame:
         chi2.alias("mcnemar_chi2"),
         (F.col("b") > F.col("c")).alias("a_better"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q_conformal_threshold — split-conformal per-class thresholds + coverage
+# ---------------------------------------------------------------------------
+
+CONF_ALPHA = 0.1  # target miscoverage: coverage guarantee >= 1 - alpha
+
+
+@query(
+    "q_conformal_threshold",
+    oracle=f"""
+    WITH split AS (
+      SELECT vec_id, label, embedding,
+             ('0x' || substr(md5('cf:' || vec_id::VARCHAR), 1, 4))::BIGINT % 2
+               AS half
+      FROM embeddings
+    ),
+    comp AS (
+      SELECT label,
+             unnest(list_transform(range(0, len(embedding)),
+                 i -> {{'pos': i, 'v': CAST(embedding[i+1] AS DOUBLE)}})) AS r
+      FROM split WHERE half = 0
+    ),
+    cent AS (
+      SELECT label, CAST(r['pos'] AS BIGINT) AS pos,
+             CAST(CAST(sum(CAST(r['v'] AS DECIMAL(18,{CENTROID_SCALE})))
+                       AS STRING) AS DOUBLE) / count(*) AS cv
+      FROM comp GROUP BY 1, 2
+    ),
+    centarr AS (
+      SELECT label, array_agg(cv ORDER BY pos) AS carr FROM cent GROUP BY label
+    ),
+    scored AS (
+      SELECT s.vec_id, s.label, s.half,
+             list_reduce(list_transform(range(len(s.embedding)),
+                 i -> (s.embedding[i+1]::DOUBLE - c.carr[i+1])
+                    * (s.embedding[i+1]::DOUBLE - c.carr[i+1])),
+                 (x, y) -> x + y) AS nc
+      FROM split s JOIN centarr c ON c.label = s.label
+    ),
+    cal AS (
+      SELECT label, nc,
+             row_number() OVER (PARTITION BY label ORDER BY nc, vec_id) AS r,
+             count(*) OVER (PARTITION BY label) AS n
+      FROM scored WHERE half = 0
+    ),
+    thr AS (
+      SELECT label, CAST(max(n) AS BIGINT) AS n_cal,
+             max(CASE WHEN r = CAST(ceil((max_n + 1) * {1 - CONF_ALPHA})
+                                    AS BIGINT) THEN nc END) AS threshold
+      FROM (SELECT label, nc, r, n, max(n) OVER (PARTITION BY label) AS max_n
+            FROM cal)
+      GROUP BY label
+    ),
+    ev AS (
+      SELECT s.label, t.n_cal, t.threshold,
+             CAST(count(*) AS BIGINT) AS n_eval,
+             CAST(sum(CASE WHEN s.nc <= t.threshold THEN 1 ELSE 0 END)
+                  AS BIGINT) AS covered
+      FROM scored s JOIN thr t ON t.label = s.label
+      WHERE s.half = 1
+      GROUP BY 1, 2, 3
+    )
+    SELECT label, n_cal, n_eval, threshold,
+           CAST(covered AS DOUBLE) / n_eval AS coverage
+    FROM ev
+    """,
+    description="split-conformal prediction per class (Vovk; Angelopoulos "
+    "2021 tutorial form): vectors hash-split into calibration/eval halves, "
+    "the nonconformity score is squared L2 to the OWN-class centroid "
+    "trained on calibration only, the class threshold is the "
+    f"ceil((n+1)(1-{CONF_ALPHA}))-th smallest calibration score (an "
+    "ACTUAL score value by rank selection — the same ulp-proof discipline "
+    "as q_winsorized_mean), and held-out coverage is reported (guaranteed "
+    ">= 1-alpha in expectation by exchangeability) — the "
+    "distribution-free uncertainty primitive for abstention/routing in a "
+    "curation pipeline. Plan: centroids from decimal component sums, "
+    "scores via a broadcast labels x dim table (one scan, vectors never "
+    "shuffle), thresholds by per-label rank windows on calibration "
+    "scores only",
+)
+def q_conformal_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from go_web_mapreduce_spark.functions.numeric import dsum
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    half = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("cf:"), F.col("vec_id").cast("string"))), 1, 4),
+            16, 10,
+        ).cast("bigint")
+        % 2
+    )
+    split = emb.select("vec_id", "label", "embedding", half.alias("half"))
+    comp = split.filter(F.col("half") == 0).select(
+        "label", F.posexplode("embedding").alias("pos", "v")
+    )
+    cent = comp.groupBy("label", F.col("pos").cast("bigint").alias("pos")).agg(
+        (dsum(F.col("v").cast("double"), CENTROID_SCALE) / F.count(F.lit(1))).alias("cv")
+    )
+    centarr = cent.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "cv"))), lambda s: s["cv"]
+        ).alias("carr")
+    )
+    scored = split.join(F.broadcast(centarr), "label").select(
+        "vec_id", "label", "half",
+        F.aggregate(
+            F.zip_with(
+                F.transform("embedding", lambda x: x.cast("double")),
+                F.col("carr"),
+                lambda x, c: (x - c) * (x - c),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ).alias("nc"),
+    )
+    wl = W.partitionBy("label")
+    cal = scored.filter(F.col("half") == 0).select(
+        "label", "nc",
+        F.row_number().over(wl.orderBy("nc", "vec_id")).alias("r"),
+        F.count(F.lit(1)).over(wl).alias("n"),
+    )
+    thr = cal.groupBy("label").agg(
+        F.max("n").cast("bigint").alias("n_cal"),
+        F.max(
+            F.when(
+                F.col("r")
+                == F.ceil((F.col("n") + 1) * F.lit(1 - CONF_ALPHA)).cast("bigint"),
+                F.col("nc"),
+            )
+        ).alias("threshold"),
+    )
+    ev = (
+        scored.filter(F.col("half") == 1)
+        .join(F.broadcast(thr), "label")
+        .groupBy("label", "n_cal", "threshold")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_eval"),
+            F.sum(
+                F.when(F.col("nc") <= F.col("threshold"), 1).otherwise(0)
+            ).cast("bigint").alias("covered"),
+        )
+    )
+    return ev.select(
+        "label", "n_cal", "n_eval", "threshold",
+        (F.col("covered").cast("double") / F.col("n_eval")).alias("coverage"),
+    )

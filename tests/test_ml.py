@@ -429,3 +429,55 @@ def test_mcnemar_matches_bruteforce(spark, sf_dir):
         chi2 = ((abs(b - c) - 1.0) ** 2 / (b + c)) if b + c else 0.0
         assert abs(g["mcnemar_chi2"] - chi2) < 1e-12
         assert g["a_better"] == (b > c)
+
+
+def test_conformal_threshold_matches_numpy_and_covers(spark, sf_dir):
+    """Thresholds must equal the rank-selected calibration quantile in a
+    numpy replay, held-out coverage must match exactly, and aggregate
+    coverage must sit near the 1-alpha guarantee (binomial slack)."""
+    import hashlib
+    import math
+
+    import numpy as np
+
+    from go_web_mapreduce_spark.operators.ml import (
+        CONF_ALPHA,
+        q_conformal_threshold,
+    )
+    from go_web_mapreduce_spark.sources.tables import load_table
+
+    rows = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", "embedding"
+    ).collect()
+    cal, ev = {}, {}
+    for r in rows:
+        h = int(hashlib.md5(f"cf:{r['vec_id']}".encode()).hexdigest()[:4], 16) % 2
+        (cal if h == 0 else ev).setdefault(r["label"], []).append(
+            (r["vec_id"], np.array(r["embedding"], dtype=np.float64))
+        )
+    got = {r["label"]: r for r in q_conformal_threshold(spark, sf_dir).collect()}
+    tot_cov = tot_n = 0
+    for label, items in cal.items():
+        mu = np.mean(np.stack([v for _, v in items]), axis=0)
+        scores = sorted(
+            (float(((v - mu) ** 2).sum()), vid) for vid, v in items
+        )
+        n = len(scores)
+        r_idx = math.ceil((n + 1) * (1 - CONF_ALPHA))
+        g = got[label]
+        assert g["n_cal"] == n
+        if r_idx > n:
+            assert g["threshold"] is None
+        else:
+            thr = scores[r_idx - 1][0]
+            assert abs(g["threshold"] - thr) < 1e-9 * max(thr, 1e-12)
+            evs = [float(((v - mu) ** 2).sum()) for _, v in ev.get(label, [])]
+            covered = sum(s <= g["threshold"] for s in evs)
+            assert g["n_eval"] == len(evs)
+            assert abs(g["coverage"] - covered / len(evs)) < 1e-12
+            tot_cov += covered
+            tot_n += len(evs)
+    # exchangeability guarantee: aggregate coverage >= 1 - alpha - slack
+    assert tot_cov / tot_n >= 1 - CONF_ALPHA - 3 * math.sqrt(
+        CONF_ALPHA * (1 - CONF_ALPHA) / tot_n
+    )
