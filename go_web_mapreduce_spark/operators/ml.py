@@ -1079,15 +1079,15 @@ CONF_ALPHA = 0.1  # target miscoverage: coverage guarantee >= 1 - alpha
     oracle=f"""
     WITH split AS (
       SELECT vec_id, label, embedding,
-             ('0x' || substr(md5('cf:' || vec_id::VARCHAR), 1, 4))::BIGINT % 2
-               AS half
+             ('0x' || substr(md5('cf:' || vec_id::VARCHAR), 1, 4))::BIGINT % 4
+               AS part
       FROM embeddings
     ),
     comp AS (
       SELECT label,
              unnest(list_transform(range(0, len(embedding)),
                  i -> {{'pos': i, 'v': CAST(embedding[i+1] AS DOUBLE)}})) AS r
-      FROM split WHERE half = 0
+      FROM split WHERE part <= 1
     ),
     cent AS (
       SELECT label, CAST(r['pos'] AS BIGINT) AS pos,
@@ -1099,7 +1099,7 @@ CONF_ALPHA = 0.1  # target miscoverage: coverage guarantee >= 1 - alpha
       SELECT label, array_agg(cv ORDER BY pos) AS carr FROM cent GROUP BY label
     ),
     scored AS (
-      SELECT s.vec_id, s.label, s.half,
+      SELECT s.vec_id, s.label, s.part,
              list_reduce(list_transform(range(len(s.embedding)),
                  i -> (s.embedding[i+1]::DOUBLE - c.carr[i+1])
                     * (s.embedding[i+1]::DOUBLE - c.carr[i+1])),
@@ -1110,7 +1110,7 @@ CONF_ALPHA = 0.1  # target miscoverage: coverage guarantee >= 1 - alpha
       SELECT label, nc,
              row_number() OVER (PARTITION BY label ORDER BY nc, vec_id) AS r,
              count(*) OVER (PARTITION BY label) AS n
-      FROM scored WHERE half = 0
+      FROM scored WHERE part = 2
     ),
     thr AS (
       SELECT label, CAST(max(n) AS BIGINT) AS n_cal,
@@ -1126,7 +1126,7 @@ CONF_ALPHA = 0.1  # target miscoverage: coverage guarantee >= 1 - alpha
              CAST(sum(CASE WHEN s.nc <= t.threshold THEN 1 ELSE 0 END)
                   AS BIGINT) AS covered
       FROM scored s JOIN thr t ON t.label = s.label
-      WHERE s.half = 1
+      WHERE s.part = 3
       GROUP BY 1, 2, 3
     )
     SELECT label, n_cal, n_eval, threshold,
@@ -1134,9 +1134,12 @@ CONF_ALPHA = 0.1  # target miscoverage: coverage guarantee >= 1 - alpha
     FROM ev
     """,
     description="split-conformal prediction per class (Vovk; Angelopoulos "
-    "2021 tutorial form): vectors hash-split into calibration/eval halves, "
-    "the nonconformity score is squared L2 to the OWN-class centroid "
-    "trained on calibration only, the class threshold is the "
+    "2021 tutorial form): vectors hash-split three ways — centroids fit on "
+    "the training part, the threshold calibrates on a DISJOINT part "
+    "(calibrating on fitting points breaks exchangeability; measured "
+    "coverage 0.40 vs 0.9 before this separation), coverage evaluates on "
+    "a third. The nonconformity score is squared L2 to the OWN-class "
+    "centroid, the class threshold is the "
     f"ceil((n+1)(1-{CONF_ALPHA}))-th smallest calibration score (an "
     "ACTUAL score value by rank selection — the same ulp-proof discipline "
     "as q_winsorized_mean), and held-out coverage is reported (guaranteed "
@@ -1153,15 +1156,21 @@ def q_conformal_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
     from go_web_mapreduce_spark.functions.numeric import dsum
 
     emb = load_table(spark, sf_dir, "embeddings")
-    half = (
+    part = (
         F.conv(
             F.substring(F.md5(F.concat(F.lit("cf:"), F.col("vec_id").cast("string"))), 1, 4),
             16, 10,
         ).cast("bigint")
-        % 2
+        % 4
     )
-    split = emb.select("vec_id", "label", "embedding", half.alias("half"))
-    comp = split.filter(F.col("half") == 0).select(
+    # PROPER split conformal needs THREE disjoint parts: the model (the
+    # centroids) fits on parts 0-1, the threshold calibrates on part 2,
+    # coverage evaluates on part 3. Calibrating on the fitting points
+    # breaks exchangeability (in-sample scores are biased small) and the
+    # coverage guarantee with it — measured 0.40 vs the 0.9 target before
+    # this fix; the guarantee holds after (tests).
+    split = emb.select("vec_id", "label", "embedding", part.alias("part"))
+    comp = split.filter(F.col("part") <= 1).select(
         "label", F.posexplode("embedding").alias("pos", "v")
     )
     cent = comp.groupBy("label", F.col("pos").cast("bigint").alias("pos")).agg(
@@ -1173,7 +1182,7 @@ def q_conformal_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("carr")
     )
     scored = split.join(F.broadcast(centarr), "label").select(
-        "vec_id", "label", "half",
+        "vec_id", "label", "part",
         F.aggregate(
             F.zip_with(
                 F.transform("embedding", lambda x: x.cast("double")),
@@ -1185,7 +1194,7 @@ def q_conformal_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("nc"),
     )
     wl = W.partitionBy("label")
-    cal = scored.filter(F.col("half") == 0).select(
+    cal = scored.filter(F.col("part") == 2).select(
         "label", "nc",
         F.row_number().over(wl.orderBy("nc", "vec_id")).alias("r"),
         F.count(F.lit(1)).over(wl).alias("n"),
@@ -1201,7 +1210,7 @@ def q_conformal_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("threshold"),
     )
     ev = (
-        scored.filter(F.col("half") == 1)
+        scored.filter(F.col("part") == 3)
         .join(F.broadcast(thr), "label")
         .groupBy("label", "n_cal", "threshold")
         .agg(

@@ -449,16 +449,17 @@ def test_conformal_threshold_matches_numpy_and_covers(spark, sf_dir):
     rows = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", "label", "embedding"
     ).collect()
-    cal, ev = {}, {}
+    train, cal, ev = {}, {}, {}
     for r in rows:
-        h = int(hashlib.md5(f"cf:{r['vec_id']}".encode()).hexdigest()[:4], 16) % 2
-        (cal if h == 0 else ev).setdefault(r["label"], []).append(
+        h = int(hashlib.md5(f"cf:{r['vec_id']}".encode()).hexdigest()[:4], 16) % 4
+        bucket = train if h <= 1 else cal if h == 2 else ev
+        bucket.setdefault(r["label"], []).append(
             (r["vec_id"], np.array(r["embedding"], dtype=np.float64))
         )
     got = {r["label"]: r for r in q_conformal_threshold(spark, sf_dir).collect()}
     tot_cov = tot_n = 0
     for label, items in cal.items():
-        mu = np.mean(np.stack([v for _, v in items]), axis=0)
+        mu = np.mean(np.stack([v for _, v in train[label]]), axis=0)
         scores = sorted(
             (float(((v - mu) ** 2).sum()), vid) for vid, v in items
         )
