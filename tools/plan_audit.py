@@ -94,6 +94,7 @@ HEADLINERS = {
     "q_group_split": "group split: map-side bucket from md5(user), one (split,user) agg",
     "q_theil_sen": "Theil-Sen: one corpus agg; the definitional days^2 pair join runs on the dimension-sized series",
     "q_seasonal_profile": "seasonality: one corpus agg to the daily grid; profile/moments/residuals on types x 7 tables",
+    "q_conformal_threshold": "conformal: centroids from decimal sums, broadcast scoring scan, per-label rank threshold on calibration only",
 }
 
 
