@@ -1307,13 +1307,13 @@ def q_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg AS (
       SELECT nation, CAST(max(n) AS BIGINT) AS n,
              CAST(sum(cents) AS BIGINT) AS tot,
-             CAST(sum(i * cents) AS BIGINT) AS iwsum,
+             sum(CAST(i AS DECIMAL(28,0)) * cents) AS iwsum,
              CAST(sum(CASE WHEN i > n - (n + 9) // 10 THEN cents ELSE 0 END)
                   AS BIGINT) AS top_cents
       FROM ranked GROUP BY nation
     )
     SELECT nation, n AS n_customers,
-           2.0 * iwsum / (CAST(n AS DOUBLE) * tot)
+           2.0 * CAST(iwsum AS DOUBLE) / (CAST(n AS DOUBLE) * tot)
              - (CAST(n AS DOUBLE) + 1.0) / n AS gini,
            CAST(top_cents AS DOUBLE) / tot AS top_decile_share
     FROM agg
@@ -1323,8 +1323,10 @@ def q_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(n+1)/n over the rank-sorted values) plus the top-decile revenue "
     "share — the how-skewed-is-this-key profile that predicts shuffle hot "
     "spots and informs salting, and the inequality census of any corpus "
-    "contribution. All mass in exact integer cents so the rank-weighted "
-    "sum is a plain BIGINT aggregate. Plan: one (nation, customer) "
+    "contribution. All mass in exact integer cents; the rank-weighted "
+    "sum accumulates in DECIMAL(28,0) (it grows ~cents*n^2/2 per nation "
+    "and would wrap a BIGINT around sf~50-100). Plan: one (nation, "
+    "customer) "
     "aggregation, a per-nation rank window, a nations-sized reduce",
 )
 def q_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1351,14 +1353,19 @@ def q_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = ranked.groupBy("nation").agg(
         F.max("n").cast("bigint").alias("n"),
         F.sum("cents").cast("bigint").alias("tot"),
-        F.sum(F.col("i") * F.col("cents")).cast("bigint").alias("iwsum"),
+        # rank-weighted sum grows ~cents*n^2/2 per nation: a bigint wraps
+        # silently around sf~50-100 (and even the per-row i*cents product
+        # can exceed int64), so multiply AND accumulate in decimal(28,0)
+        # like q_spearman's rank moments; drop to double only in the ratio
+        F.sum(F.col("i").cast("decimal(28,0)") * F.col("cents")).alias("iwsum"),
         F.sum(F.when(top, F.col("cents")).otherwise(0)).cast("bigint").alias("top_cents"),
     )
     return agg.select(
         "nation",
         F.col("n").alias("n_customers"),
         (
-            2.0 * F.col("iwsum") / (F.col("n").cast("double") * F.col("tot"))
+            2.0 * F.col("iwsum").cast("double")
+            / (F.col("n").cast("double") * F.col("tot"))
             - (F.col("n").cast("double") + 1.0) / F.col("n")
         ).alias("gini"),
         (F.col("top_cents").cast("double") / F.col("tot")).alias("top_decile_share"),

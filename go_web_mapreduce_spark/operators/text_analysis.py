@@ -1432,9 +1432,13 @@ _SB_GRAM_BRANCHES = "\n      UNION ALL\n".join(
            max(CASE WHEN n = 1 THEN p END) AS p1,
            max(CASE WHEN n = 2 THEN p END) AS p2,
            max(CASE WHEN n = 3 THEN p END) AS p3,
-           exp((ln(max(CASE WHEN n = 1 THEN p END))
-                + ln(max(CASE WHEN n = 2 THEN p END))
-                + ln(max(CASE WHEN n = 3 THEN p END))) / 3.0) AS self_bleu
+           CASE WHEN least(max(CASE WHEN n = 1 THEN p END),
+                           max(CASE WHEN n = 2 THEN p END),
+                           max(CASE WHEN n = 3 THEN p END)) = 0 THEN 0.0
+                ELSE exp((ln(max(CASE WHEN n = 1 THEN p END))
+                          + ln(max(CASE WHEN n = 2 THEN p END))
+                          + ln(max(CASE WHEN n = 3 THEN p END))) / 3.0)
+           END AS self_bleu
     FROM prec GROUP BY source
     """,
     description="self-BLEU per source against the rest of the corpus: "
@@ -1484,5 +1488,10 @@ def q_self_bleu(spark: SparkSession, sf_dir: str) -> DataFrame:
         p(1).alias("p1"),
         p(2).alias("p2"),
         p(3).alias("p3"),
-        F.exp((F.log(p(1)) + F.log(p(2)) + F.log(p(3))) / 3.0).alias("self_bleu"),
+        # a clipped precision can be exactly 0 (every n-gram at some order
+        # unique to the source): the geometric mean is then 0 by definition,
+        # and guarding avoids ln(0) — DuckDB raises, Spark yields NULL
+        F.when(F.least(p(1), p(2), p(3)) == 0, F.lit(0.0))
+        .otherwise(F.exp((F.log(p(1)) + F.log(p(2)) + F.log(p(3))) / 3.0))
+        .alias("self_bleu"),
     )
