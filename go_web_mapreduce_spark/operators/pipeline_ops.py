@@ -1059,20 +1059,40 @@ def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     from go_web_mapreduce_spark.functions.hashing import md5_bucket
 
     docs = load_table(spark, sf_dir, "documents")
+    # materialize the token array in its own projection BEFORE the bigram
+    # transform: a non-lambda subexpression inside an HOF lambda body is
+    # re-evaluated per iteration (the Catalyst pitfall in README/BASELINE),
+    # so inlining tokens("text") re-tokenized each doc once per bigram —
+    # O(len^2) per document (measured 7.6 s -> 0.6 s for the gram explode
+    # at sf0.1)
     grams = docs.select(
+        "doc_id", "lang", tokens("text").alias("tk")
+    ).select(
         "doc_id",
         "lang",
-        F.explode(_dsir_grams(tokens("text"))).alias("g"),
+        F.explode(_dsir_grams(F.col("tk"))).alias("g"),
     ).select(
         "doc_id",
         "lang",
         md5_bucket(F.col("g"), DSIR_BUCKETS, salt=DSIR_SALT).alias("b"),
     )
-    bs = grams.groupBy("b").agg(
+    # ONE corpus gram pass: the (doc, lang, bucket) count table is the
+    # common ancestor of both the 4096-bucket stats and the per-doc scores
+    # (lang is functional on doc_id, so grouping by it adds no rows).
+    # Catalyst does not dedupe repeated subplans — without the pin the
+    # tokenize+explode+md5 of every gram ran once per consumer (measured
+    # 3x, 7.5 s -> 2.9 s at sf0.1). The pinned table is (doc, bucket)-
+    # sized, far below the exploded gram stream.
+    dcl = (
+        grams.groupBy("doc_id", "lang", "b")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=False)
+    )
+    bs = dcl.groupBy("b").agg(
         F.sum(
-            F.when(F.col("lang") == DSIR_TARGET_LANG, F.lit(1)).otherwise(F.lit(0))
+            F.when(F.col("lang") == DSIR_TARGET_LANG, F.col("c")).otherwise(F.lit(0))
         ).alias("t"),
-        F.count(F.lit(1)).alias("r"),
+        F.sum("c").alias("r"),
     )
     tot = bs.agg(F.sum("t").alias("tt"), F.sum("r").alias("tr"))
     lam = bs.crossJoin(F.broadcast(tot)).select(
@@ -1082,7 +1102,7 @@ def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             - F.log((F.col("r") + 1).cast("double") / (F.col("tr") + DSIR_BUCKETS))
         ).alias("lam"),
     )
-    dc = grams.groupBy("doc_id", "b").agg(F.count(F.lit(1)).alias("c"))
+    dc = dcl.select("doc_id", "b", "c")
     sc = (
         dc.join(F.broadcast(lam), "b")
         .groupBy("doc_id")
