@@ -1628,3 +1628,84 @@ def q_group_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("user_id").cast("bigint").alias("n_users"),
         F.count(F.lit(1)).cast("bigint").alias("n_events"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q_dp_histogram — differentially-private histogram release (Laplace)
+# ---------------------------------------------------------------------------
+
+DP_EPSILON = 1.0  # privacy budget; Laplace scale b = sensitivity / epsilon
+DP_SALT = "dp"  # domain-separation prefix for the per-cell noise draw
+_DP_2POW48 = float(1 << 48)
+
+
+@query(
+    "q_dp_histogram",
+    oracle=f"""
+    WITH cells AS (
+      SELECT event_type, date_trunc('day', ts) AS day,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    draw AS (
+      SELECT event_type, day, n,
+             (('0x' || substr(md5('{DP_SALT}:' || event_type || ':'
+                                  || strftime(day, '%Y-%m-%d')), 1, 12))::BIGINT
+              + 0.5) / {_DP_2POW48!r} AS u
+      FROM cells
+    ),
+    noised AS (
+      SELECT event_type, day, n, u,
+             CASE WHEN u < 0.5
+                  THEN ln(2.0 * u) / {DP_EPSILON}
+                  ELSE -ln(2.0 * (1.0 - u)) / {DP_EPSILON}
+             END AS lap
+      FROM draw
+    )
+    SELECT event_type, day, n, n + lap AS noisy_n,
+           CAST({DP_EPSILON} AS DOUBLE) AS epsilon,
+           ln(1.0 / 0.05) / {DP_EPSILON} AS err_bound_95
+    FROM noised
+    """,
+    description=f"differentially-private histogram release (Dwork 2006) of "
+    "the (event_type, day) count grid: Laplace(1/epsilon) noise per cell "
+    f"at event-level sensitivity 1, epsilon={DP_EPSILON}, plus the 95% "
+    "absolute-error bound b*ln(1/0.05) — the privacy-preserving census a "
+    "pipeline publishes instead of raw counts. The noise is a "
+    "content-addressed inverse-CDF draw: a 48-bit md5 uniform u = "
+    "(k+0.5)/2^48 whose ln argument (2u below the median, 2(1-u) above — "
+    "both exact in IEEE double by construction) is bit-identical across "
+    "engines, so the only cross-engine surface is one libm ln ulp, "
+    "absorbed by the comparator's 6-significant-digit rounding. No RNG "
+    "anywhere: re-running the release on any cluster reproduces the same "
+    "noise, and a rerelease does NOT spend extra budget. Plan: one corpus "
+    "aggregation to the (type, day) grid; noise is map-side arithmetic on "
+    "the dimension-sized grid",
+)
+def q_dp_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    cells = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    key = F.concat(
+        F.lit(f"{DP_SALT}:"),
+        F.col("event_type"),
+        F.lit(":"),
+        F.date_format("day", "yyyy-MM-dd"),
+    )
+    u = (
+        F.conv(F.substring(F.md5(key), 1, 12), 16, 10).cast("bigint") + 0.5
+    ) / F.lit(_DP_2POW48)
+    lap = F.when(u < 0.5, F.log(2.0 * u) / DP_EPSILON).otherwise(
+        -F.log(2.0 * (1.0 - u)) / DP_EPSILON
+    )
+    import math
+
+    return cells.select(
+        "event_type",
+        "day",
+        "n",
+        (F.col("n") + lap).alias("noisy_n"),
+        F.lit(DP_EPSILON).cast("double").alias("epsilon"),
+        F.lit(math.log(1.0 / 0.05) / DP_EPSILON).alias("err_bound_95"),
+    )

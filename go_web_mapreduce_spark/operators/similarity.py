@@ -2101,3 +2101,95 @@ def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         (dsum("mse", 12) / F.count(F.lit(1))).alias("avg_mse"),
         F.max("mse").alias("max_mse"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q_contrastive_pairs — (anchor, positive, hard negative) mining for
+# contrastive / embedding training
+# ---------------------------------------------------------------------------
+
+CP_K = 8  # exact-neighborhood size examined per anchor
+CP_POS_T = SEMANTIC_COS  # >= this cosine: semantic duplicate -> positive
+CP_NEG_K = 2  # hard negatives kept per anchor
+
+
+@query(
+    "q_contrastive_pairs",
+    oracle=f"""
+    WITH scored AS (
+      SELECT a.vec_id AS vec_id, b.vec_id AS nbr,
+             {_cos_sql("a.embedding", "b.embedding")} AS score
+      FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+    ),
+    top AS (
+      SELECT vec_id, nbr, score,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY score DESC, nbr) AS rnk
+      FROM scored
+      QUALIFY rnk <= {CP_K}
+    ),
+    pos AS (
+      SELECT vec_id, nbr AS pos_id, score AS pos_score,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY score DESC, nbr) AS pr
+      FROM top WHERE score >= {CP_POS_T}
+      QUALIFY pr = 1
+    ),
+    neg AS (
+      SELECT vec_id, nbr AS neg_id, score AS neg_score,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY score DESC, nbr) AS nr
+      FROM top WHERE score < {CP_POS_T}
+      QUALIFY nr <= {CP_NEG_K}
+    )
+    SELECT p.vec_id AS anchor, p.pos_id, p.pos_score,
+           n.neg_id, n.neg_score, CAST(n.nr AS INT) AS neg_rank
+    FROM pos p JOIN neg n ON n.vec_id = p.vec_id
+    """,
+    description=f"hard-negative mining for contrastive training (the "
+    "SimCLR/DPR data-prep step): from each anchor's exact top-"
+    f"{CP_K} cosine neighborhood, the positive is the single nearest "
+    f"semantic duplicate (score >= {CP_POS_T}) and the hard negatives are "
+    f"the {CP_NEG_K} closest NON-duplicates (score < {CP_POS_T}) — the "
+    "near-misses that teach an embedding model the decision boundary, "
+    "emitted as (anchor, positive, negative) training triples. Anchors "
+    "with no in-threshold positive in the neighborhood yield no triples "
+    "(nothing to contrast against). Plan: the knn_graph block grid "
+    "(shuffle carries n*B*k local-top-k candidates, never n^2/2 pairs) "
+    "followed by two dimension-sized window ranks and a per-anchor join; "
+    "scores reuse the bit-parity sequential-fold cosine, so the float "
+    "threshold classifies identically in both engines. The IVF-bucketed "
+    "knn_graph_ivf drops in unchanged as the 100 TB scale path",
+)
+def q_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    kn = knn_graph(load_table(spark, sf_dir, "embeddings"), k=CP_K)
+    w = W.partitionBy("vec_id").orderBy(F.col("score").desc(), F.col("nbr"))
+    pos = (
+        kn.filter(F.col("score") >= CP_POS_T)
+        .withColumn("pr", F.row_number().over(w))
+        .filter(F.col("pr") == 1)
+        .select(
+            "vec_id",
+            F.col("nbr").alias("pos_id"),
+            F.col("score").alias("pos_score"),
+        )
+    )
+    neg = (
+        kn.filter(F.col("score") < CP_POS_T)
+        .withColumn("nr", F.row_number().over(w))
+        .filter(F.col("nr") <= CP_NEG_K)
+        .select(
+            "vec_id",
+            F.col("nbr").alias("neg_id"),
+            F.col("score").alias("neg_score"),
+            F.col("nr").cast("int").alias("neg_rank"),
+        )
+    )
+    return pos.join(neg, "vec_id").select(
+        F.col("vec_id").alias("anchor"),
+        "pos_id",
+        "pos_score",
+        "neg_id",
+        "neg_score",
+        "neg_rank",
+    )

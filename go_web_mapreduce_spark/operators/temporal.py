@@ -1144,3 +1144,84 @@ def q_seasonal_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("seasonal_strength"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q_ewma — exponentially weighted moving average of the daily value series
+# ---------------------------------------------------------------------------
+
+EWMA_ALPHA = 0.3  # smoothing factor: weight of the newest observation
+
+
+@query(
+    "q_ewma",
+    oracle=f"""
+    WITH daily AS (
+      SELECT event_type, date_trunc('day', ts) AS day,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) AS STRING) AS DOUBLE)
+               / count(*) AS m
+      FROM events GROUP BY 1, 2
+    ),
+    pref AS (
+      SELECT event_type, day, n, m,
+             list(m) OVER (PARTITION BY event_type ORDER BY day
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS arr
+      FROM daily
+    )
+    SELECT event_type, day, n AS n_events, m AS mean_value,
+           list_reduce(CAST(arr AS DOUBLE[]),
+                       (acc, x) -> acc * CAST({1 - EWMA_ALPHA} AS DOUBLE)
+                                 + CAST({EWMA_ALPHA} AS DOUBLE) * x) AS ewma,
+           m - list_reduce(CAST(arr AS DOUBLE[]),
+                       (acc, x) -> acc * CAST({1 - EWMA_ALPHA} AS DOUBLE)
+                                 + CAST({EWMA_ALPHA} AS DOUBLE) * x)
+             AS deviation
+    FROM pref
+    """,
+    description=f"exponentially weighted moving average (alpha="
+    f"{EWMA_ALPHA}) of each event type's daily mean value, initialized at "
+    "the first observation, plus the day's deviation from the smoothed "
+    "level — the classic drift/level monitor for pipeline health metrics "
+    "(throughput, quality score, reject rate) that weights recent days "
+    "geometrically more. The recurrence is evaluated as an explicit "
+    "left-to-right fold over the prefix of the series, ONE documented "
+    "operation order both engines express identically (F.aggregate / "
+    "list_reduce), so the float stream is bit-identical and hash-verifies "
+    "with no decimal detour; the daily means themselves come from exact "
+    "decimal sums. Plan: one corpus aggregation to the (type, day) grid; "
+    "the prefix arrays and folds run on the days x types series "
+    "(dimension-sized). At 100 TB the grid is still tiny (types x days); "
+    "the O(len^2) prefix arrays are bounded by the series length, never "
+    "corpus rows",
+)
+def q_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        (dsum(F.col("value"), 2) / F.count(F.lit(1))).alias("m"),
+    )
+    w = (
+        W.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    pref = daily.select(
+        "event_type", "day", "n", "m", F.collect_list("m").over(w).alias("arr")
+    )
+    fold = F.aggregate(
+        F.expr("slice(arr, 2, size(arr) - 1)"),
+        F.element_at("arr", 1),
+        lambda acc, x: acc * F.lit(1 - EWMA_ALPHA) + F.lit(EWMA_ALPHA) * x,
+    )
+    return pref.select(
+        "event_type",
+        "day",
+        F.col("n").alias("n_events"),
+        F.col("m").alias("mean_value"),
+        fold.alias("ewma"),
+        (F.col("m") - fold).alias("deviation"),
+    )
