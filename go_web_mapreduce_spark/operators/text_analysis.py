@@ -764,6 +764,20 @@ def _bpe_train_oracle(k: int) -> str:
     """k unrolled CTE levels replaying the exact Spark iteration: encode →
     (count pairs → argmax → rewrite) × k. chr(1)-wrapped symbols make the
     rewrite a non-overlapping replace in both engines."""
+    ctes = _bpe_vocab_ctes(k, rewrite_last=False)
+    selects = " UNION ALL ".join(
+        f"SELECT {i} AS step, l || r AS pair, cnt FROM b{i}"
+        for i in range(1, k + 1)
+    )
+    return "WITH " + ",\n    ".join(ctes) + "\n    " + selects
+
+
+def _bpe_vocab_ctes(k: int, rewrite_last: bool) -> list[str]:
+    """The shared CTE chain of the BPE replay: word freq → chr(1)-encoded
+    vocab v1 → k rounds of (pair count p{i} → argmax b{i} → rewrite
+    v{i+1}). ``rewrite_last=True`` additionally applies merge k, yielding
+    v{k+1} = the trained tokenizer applied to the whole vocabulary (what
+    q_bpe_encode censuses)."""
     s = "chr(1)"
     ctes = [
         """words AS (
@@ -792,7 +806,7 @@ def _bpe_train_oracle(k: int) -> str:
             f"b{i} AS (SELECT l, r, cnt FROM p{i} "
             f"ORDER BY cnt DESC, l, r LIMIT 1)"
         )
-        if i < k:
+        if i < k or rewrite_last:
             ctes.append(
                 f"""v{i + 1} AS (
         SELECT replace(enc, {s}||b.l||{s}||{s}||b.r||{s},
@@ -800,11 +814,7 @@ def _bpe_train_oracle(k: int) -> str:
         FROM v{i}, b{i} b
     )"""
             )
-    selects = " UNION ALL ".join(
-        f"SELECT {i} AS step, l || r AS pair, cnt FROM b{i}"
-        for i in range(1, k + 1)
-    )
-    return "WITH " + ",\n    ".join(ctes) + "\n    " + selects
+    return ctes
 
 
 @query(
@@ -921,6 +931,72 @@ def bpe_train(
             vocab = vocab.localCheckpoint(eager=False)
 
     return merges, vocab
+
+
+# ---------------------------------------------------------------------------
+# q_bpe_encode — apply the trained merge table: subword census of the corpus
+# ---------------------------------------------------------------------------
+
+
+def _bpe_encode_oracle(k: int) -> str:
+    s = "chr(1)"
+    ctes = _bpe_vocab_ctes(k, rewrite_last=True)
+    ctes.append(
+        f"""sym AS (
+        SELECT unnest(string_split(trim(enc, {s}), {s}||{s})) AS symbol, wf
+        FROM v{k + 1}
+    )"""
+    )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"""
+    SELECT symbol, CAST(sum(wf) AS BIGINT) AS cnt,
+           length(symbol) > 1 AS merged
+    FROM sym GROUP BY symbol
+    ORDER BY cnt DESC, symbol LIMIT {BPE_TOP}"""
+    )
+
+
+@query(
+    "q_bpe_encode",
+    oracle=_bpe_encode_oracle(BPE_TRAIN_STEPS),
+    description=f"the trained BPE tokenizer APPLIED: after the "
+    f"{BPE_TRAIN_STEPS}-merge training loop, every distinct word's symbol "
+    "sequence is the corpus encoding — this query censuses the resulting "
+    f"subword vocabulary (top-{BPE_TOP} symbols by corpus-weighted "
+    "frequency, merged symbols flagged), i.e. the token-frequency table a "
+    "tokenizer ships with. Completes the tokenizer story: q_bpe_merge_step "
+    "(one statistics pass) → q_bpe_train (the merge loop) → q_bpe_encode "
+    "(the learned table applied + vocabulary census). Encoding happens on "
+    "the WORD-FREQUENCY table (vocab-sized — encode once per distinct "
+    "word, weight by frequency), never per corpus occurrence: the same "
+    "trick that makes training O(vocab) per round makes encoding O(vocab) "
+    "total, with the corpus-sized work being exactly one wordcount "
+    "shuffle. Hash-verified against the unrolled CTE replay extended by "
+    "the final rewrite",
+)
+def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    freq = (
+        docs.select(F.explode(tokens("text")).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("wf"))
+    )
+    _, vocab = bpe_train(freq, BPE_TRAIN_STEPS)
+    sym = vocab.select(
+        F.explode(
+            F.split(F.btrim("enc", F.lit(_BPE_SEP)), _BPE_SEP * 2)
+        ).alias("symbol"),
+        "wf",
+    )
+    return (
+        sym.groupBy("symbol")
+        .agg(F.sum("wf").alias("cnt"))
+        .select("symbol", "cnt", (F.length("symbol") > 1).alias("merged"))
+        .orderBy(F.col("cnt").desc(), "symbol")
+        .limit(BPE_TOP)
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -1502,4 +1578,144 @@ def q_self_bleu(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.least(p(1), p(2), p(3)) == 0, F.lit(0.0))
         .otherwise(F.exp((F.log(p(1)) + F.log(p(2)) + F.log(p(3))) / 3.0))
         .alias("self_bleu"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_keyword_rake — RAKE keyword extraction over the corpus
+# ---------------------------------------------------------------------------
+
+RAKE_MAX_LEN = 3  # candidate phrases longer than this are discarded
+RAKE_TOPK = 20
+# RAKE delimits candidate phrases at stopwords; use the full multilingual
+# list so the phrase segmentation matches the corpus's language mix
+_RAKE_STOPS = sorted(set(ALL_STOPWORDS))
+_RAKE_STOPS_SQL = ", ".join(f"'{w}'" for w in _RAKE_STOPS)
+
+
+@query(
+    "q_keyword_rake",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_TK} AS tk FROM documents),
+    pos AS (
+      SELECT doc_id, i, tk[i] AS w,
+             CASE WHEN tk[i] IN ({_RAKE_STOPS_SQL}) THEN 1 ELSE 0 END AS s
+      FROM toks, unnest(range(1, len(tk) + 1)) AS t(i)
+    ),
+    seg AS (
+      SELECT doc_id, i, w, s,
+             sum(s) OVER (PARTITION BY doc_id ORDER BY i) AS grp
+      FROM pos
+    ),
+    phr0 AS (
+      SELECT doc_id, grp, string_agg(w, ' ' ORDER BY i) AS phrase,
+             count(*) AS nw
+      FROM seg WHERE s = 0 GROUP BY doc_id, grp
+    ),
+    phr AS (
+      SELECT phrase, nw, count(*) AS pcnt
+      FROM phr0 WHERE nw <= {RAKE_MAX_LEN} GROUP BY phrase, nw
+    ),
+    pw AS (
+      SELECT phrase, nw, pcnt, j, string_split(phrase, ' ')[j] AS w
+      FROM phr, unnest(range(1, nw + 1)) AS t(j)
+    ),
+    ws AS (
+      SELECT w, sum(pcnt) AS freq, sum(pcnt * nw) AS deg
+      FROM pw GROUP BY w
+    ),
+    scored AS (
+      SELECT phrase, max(nw) AS nw, max(pcnt) AS pcnt,
+             list_reduce(
+               list_prepend(CAST(0.0 AS DOUBLE),
+                            list(CAST(deg AS DOUBLE) / freq ORDER BY j)),
+               (a, b) -> a + b) AS score
+      FROM pw JOIN ws USING (w) GROUP BY phrase
+    )
+    SELECT phrase, CAST(nw AS INT) AS n_words,
+           CAST(pcnt AS BIGINT) AS phrase_freq, score
+    FROM scored ORDER BY score DESC, phrase LIMIT {RAKE_TOPK}
+    """,
+    description=f"RAKE keyword extraction (Rose et al. 2010): candidate "
+    "phrases are maximal stopword-free token runs (capped at "
+    f"{RAKE_MAX_LEN} words), each word scored deg/freq over all candidate "
+    "occurrences (deg = co-occurrence-weighted degree, freq = occurrence "
+    f"count), phrase score = sum of member word scores; top-{RAKE_TOPK} "
+    "phrases — the unsupervised keyword/topic surfacing pass of a corpus "
+    "exploration pipeline. The per-phrase sum folds member scores in "
+    "PHRASE WORD ORDER from an explicit 0.0 init (F.aggregate / "
+    "list_reduce over an ORDER BY j list), one documented operation order "
+    "both engines execute bit-identically. Plan: one posexplode + per-doc "
+    "running-sum window segments phrases; everything after runs on the "
+    "distinct-phrase table (vocabulary-sized): word stats are one re-agg, "
+    "the scoring join is vocab x phrase-words, top-k is "
+    "TakeOrderedAndProject",
+)
+def q_keyword_rake(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    pos = docs.select(
+        "doc_id", F.posexplode(tokens("text")).alias("i", "w")
+    ).select(
+        "doc_id",
+        "i",
+        "w",
+        F.when(F.col("w").isin(_RAKE_STOPS), F.lit(1)).otherwise(F.lit(0)).alias("s"),
+    )
+    wdoc = (
+        W.partitionBy("doc_id").orderBy("i").rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    seg = pos.withColumn("grp", F.sum("s").over(wdoc))
+    phr0 = (
+        seg.filter(F.col("s") == 0)
+        .groupBy("doc_id", "grp")
+        .agg(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("i", "w"))),
+                    lambda x: x["w"],
+                ),
+            ).alias("phrase"),
+            F.count(F.lit(1)).alias("nw"),
+        )
+    )
+    phr = (
+        phr0.filter(F.col("nw") <= RAKE_MAX_LEN)
+        .groupBy("phrase", "nw")
+        .agg(F.count(F.lit(1)).alias("pcnt"))
+    )
+    pw = phr.select(
+        "phrase", "nw", "pcnt", F.posexplode(F.split("phrase", " ")).alias("j0", "w")
+    )
+    ws = pw.groupBy("w").agg(
+        F.sum("pcnt").alias("freq"),
+        F.sum(F.col("pcnt") * F.col("nw")).alias("deg"),
+    )
+    scored = (
+        pw.join(ws, "w")
+        .groupBy("phrase")
+        .agg(
+            F.max("nw").alias("nw"),
+            F.max("pcnt").alias("pcnt"),
+            F.aggregate(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("j0", "deg", "freq"))),
+                    lambda x: x["deg"].cast("double") / x["freq"],
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            ).alias("score"),
+        )
+    )
+    return (
+        scored.select(
+            "phrase",
+            F.col("nw").cast("int").alias("n_words"),
+            F.col("pcnt").cast("bigint").alias("phrase_freq"),
+            "score",
+        )
+        .orderBy(F.col("score").desc(), "phrase")
+        .limit(RAKE_TOPK)
     )
