@@ -523,3 +523,127 @@ def q_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     return labels.select(
         F.col("node").alias("part_id"), F.col("lab").alias("community")
     )
+
+
+# ---------------------------------------------------------------------------
+# HITS hubs & authorities over the part co-purchase graph
+# ---------------------------------------------------------------------------
+
+HITS_ITERS = 3  # fixed — keeps the SQL oracle an exact unrolled twin
+
+_HITS_ITER_SQL = """
+    ar{next} AS (
+        SELECT n.node, coalesce(
+                 CAST(CAST(sum(CAST(p.h * e.w AS DECIMAL(28,12))) AS STRING)
+                      AS DOUBLE), 0.0) AS v
+        FROM nodes n
+        LEFT JOIN edges e ON e.dst = n.node
+        LEFT JOIN h{cur} p ON p.node = e.src
+        GROUP BY n.node
+    ),
+    a{next} AS (
+        SELECT node, v / (SELECT max(v) FROM ar{next}) AS a FROM ar{next}
+    ),
+    hr{next} AS (
+        SELECT n.node, coalesce(
+                 CAST(CAST(sum(CAST(q.a * e.w AS DECIMAL(28,12))) AS STRING)
+                      AS DOUBLE), 0.0) AS v
+        FROM nodes n
+        LEFT JOIN edges e ON e.src = n.node
+        LEFT JOIN a{next} q ON q.node = e.dst
+        GROUP BY n.node
+    ),
+    h{next} AS (
+        SELECT node, v / (SELECT max(v) FROM hr{next}) AS h FROM hr{next}
+    )"""
+
+
+def _hits_oracle() -> str:
+    iter_ctes = ",".join(
+        _HITS_ITER_SQL.format(cur=i, next=i + 1) for i in range(HITS_ITERS)
+    )
+    return f"""
+    WITH li AS (
+        SELECT l_orderkey, l_partkey FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '{PR_YEAR}-01-01'
+          AND l_shipdate <  TIMESTAMP '{PR_YEAR + 1}-01-01'
+    ),
+    edges AS (
+        SELECT a.l_partkey AS src, b.l_partkey AS dst,
+               CAST(count(DISTINCT a.l_orderkey) AS DOUBLE) AS w
+        FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+        WHERE a.l_partkey <> b.l_partkey
+        GROUP BY src, dst
+    ),
+    nodes AS (SELECT DISTINCT l_partkey AS node FROM li),
+    h0 AS (SELECT node, 1.0 AS h FROM nodes),{iter_ctes}
+    SELECT a.node AS part_id, a.a AS authority, h.h AS hub
+    FROM a{HITS_ITERS} a JOIN h{HITS_ITERS} h ON h.node = a.node
+    """
+
+
+@query(
+    "q_hits",
+    oracle=_hits_oracle(),
+    description="HITS hubs & authorities (Kleinberg 1999) over the part "
+    f"co-purchase graph, fixed {HITS_ITERS} mutual-reinforcement rounds "
+    "(authority = in-weighted hub mass, hub = out-weighted authority "
+    "mass), MAX-normalized each half-step — max-normalization instead of "
+    "L2 keeps every operation inside the decimal-cast sum discipline "
+    "(no sqrt), so all scores are bit-identical to the unrolled CTE "
+    "oracle. Completes the graph family (PageRank = eigenvector on the "
+    "walk matrix; HITS = singular pair on the adjacency). Plan per "
+    "half-step: one src- or dst-keyed join + groupBy shuffle with "
+    "decimal-exact partial aggregation; the normalizing max is a "
+    "1-row broadcast; edge table pinned once (the pagerank discipline). "
+    "State is O(|nodes|), never driver-side",
+)
+def q_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .where(
+            (F.col("l_shipdate") >= f"{PR_YEAR}-01-01")
+            & (F.col("l_shipdate") < f"{PR_YEAR + 1}-01-01")
+        )
+        .select("l_orderkey", "l_partkey")
+    )
+    nodes = (
+        li.select(F.col("l_partkey").alias("node"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    edges = copurchase_edges(li).localCheckpoint(eager=False)
+
+    def half_step(scores: DataFrame, col: str, key: str, other: str) -> DataFrame:
+        """One mutual-reinforcement half-step: new[key-side node] =
+        max-normalized Σ w · scores[other-side node]."""
+        raw = (
+            nodes.join(edges, nodes.node == edges[key], "left")
+            .join(
+                scores.select(F.col("node").alias("_sn"), F.col(col).alias("_sv")),
+                F.col(other) == F.col("_sn"),
+                "left",
+            )
+            .groupBy(nodes.node)
+            .agg(
+                F.coalesce(
+                    F.sum((F.col("_sv") * F.col("w")).cast("decimal(28,12)"))
+                    .cast("double"),
+                    F.lit(0.0),
+                ).alias("v")
+            )
+            .localCheckpoint(eager=False)  # referenced twice (max + ratio)
+        )
+        mx = raw.agg(F.max("v").alias("m"))
+        return raw.crossJoin(F.broadcast(mx)).select(
+            "node", (F.col("v") / F.col("m")).alias(col)
+        )
+
+    h = nodes.select("node", F.lit(1.0).alias("h"))
+    for _ in range(HITS_ITERS):
+        a = half_step(h, "h", "dst", "src").withColumnRenamed("h", "a")
+        h = half_step(a, "a", "src", "dst").withColumnRenamed("a", "h")
+    return (
+        a.join(h, "node")
+        .select(F.col("node").alias("part_id"), F.col("a").alias("authority"), F.col("h").alias("hub"))
+    )

@@ -1719,3 +1719,76 @@ def q_keyword_rake(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("score").desc(), "phrase")
         .limit(RAKE_TOPK)
     )
+
+
+# ---------------------------------------------------------------------------
+# q_char_entropy — character-level entropy census (gibberish/junk detector)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_char_entropy",
+    oracle="""
+    WITH dc AS (
+      SELECT doc_id, source, ch, count(*) AS c
+      FROM (SELECT doc_id, source, unnest(string_split(lower(text), ''))
+              AS ch
+            FROM documents)
+      GROUP BY 1, 2, 3
+    ),
+    ent AS (
+      SELECT doc_id, source,
+             CAST(sum(c) AS BIGINT) AS n,
+             ln(CAST(sum(c) AS DOUBLE))
+             - CAST(CAST(sum(CAST(c * ln(CAST(c AS DOUBLE))
+                              AS DECIMAL(18,8))) AS STRING) AS DOUBLE)
+               / sum(c) AS h
+      FROM dc GROUP BY 1, 2
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(CAST(sum(CAST(h AS DECIMAL(18,8))) AS STRING) AS DOUBLE)
+             / count(*) AS avg_entropy,
+           min(h) AS min_entropy,
+           max(h) AS max_entropy
+    FROM ent GROUP BY source
+    """,
+    description="character-level Shannon entropy per document (nats), "
+    "aggregated per source (mean/min/max) — the gibberish, binary-junk, "
+    "and repeated-filler detector of corpus quality filtering (natural "
+    "prose sits ~2.8-3.2 nats; base64/hex blobs higher, repeated filler "
+    "near 0), complementing the token-level q_quality_score and "
+    "q_repetition_filter gates. H = ln n - sum(c ln c)/n from the "
+    "(doc, char) census; the per-term c*ln(c) values land in decimal-cast "
+    "sums (the dsum ulp discipline), so the only libm surface is one ln "
+    "per distinct count. Plan: one map-side-combined (doc, char) "
+    "aggregation — alphabet-bounded groups, the same volume class as "
+    "wordcount — then doc-sized and source-sized reduces; nothing "
+    "corpus-sized shuffles twice",
+)
+def q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from go_web_mapreduce_spark.functions.numeric import dsum
+
+    docs = load_table(spark, sf_dir, "documents")
+    dc = (
+        docs.select(
+            "doc_id", "source",
+            F.explode(F.split(F.lower("text"), "")).alias("ch"),
+        )
+        .groupBy("doc_id", "source", "ch")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    ent = dc.groupBy("doc_id", "source").agg(
+        F.sum("c").cast("bigint").alias("n"),
+        (
+            F.log(F.sum("c").cast("double"))
+            - dsum(F.col("c") * F.log(F.col("c").cast("double")), 8)
+            / F.sum("c")
+        ).alias("h"),
+    )
+    return ent.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        (dsum("h", 8) / F.count(F.lit(1))).alias("avg_entropy"),
+        F.min("h").alias("min_entropy"),
+        F.max("h").alias("max_entropy"),
+    )

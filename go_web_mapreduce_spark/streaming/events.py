@@ -656,3 +656,66 @@ def q_stream_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         ["hour", "event_type"],
     )
+
+
+# ---------------------------------------------------------------------------
+# q_stream_topk — streaming per-window leaderboard (top users per hour)
+# ---------------------------------------------------------------------------
+
+STREAM_TOPK = 3
+
+
+@query(
+    "q_stream_topk",
+    oracle=f"""
+    WITH hourly AS (
+      SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+             user_id, CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    )
+    SELECT hour, user_id, n,
+           CAST(row_number() OVER (PARTITION BY hour
+                                   ORDER BY n DESC, user_id) AS INT) AS rnk
+    FROM hourly
+    QUALIFY rnk <= {STREAM_TOPK}
+    """,
+    description=f"streaming leaderboard: top-{STREAM_TOPK} users per hour "
+    "by event count — the live heavy-contributor monitor. The STREAM "
+    "maintains the (hour-window, user) count state (the only part that "
+    "must be incremental); the rank is a batch view over the sink table, "
+    "the standard Structured-Streaming top-k split since window functions "
+    "cannot run inside a streaming agg — at scale the sink is a Delta/"
+    "parquet table and the leaderboard view ranks only the windows a "
+    "micro-batch touched. Oracle-equal to the batch equivalent",
+)
+def q_stream_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    name = f"topk_stream_{next(_counter)}"
+    agg = (
+        stream_events(spark, sf_dir)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "user_id")
+        .agg(F.count("*").alias("n"))
+    )
+    with scoped_shuffle_partitions(spark, STREAM_STATE_PARTITIONS):
+        q = (
+            agg.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    wnd = W.partitionBy("hour").orderBy(F.col("n").desc(), "user_id")
+    return (
+        spark.table(name)
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+            "user_id",
+            "n",
+        )
+        .withColumn("rnk", F.row_number().over(wnd).cast("int"))
+        .filter(F.col("rnk") <= STREAM_TOPK)
+    )

@@ -178,3 +178,98 @@ def test_keyword_rake_matches_bruteforce(spark, sf_dir):
         assert r["n_words"] == nw
         assert r["phrase_freq"] == c
         assert r["score"] == pytest.approx(s, abs=1e-12)
+
+
+def test_char_entropy_matches_local_replay(spark, sf_dir):
+    from go_web_mapreduce_spark.operators.text_analysis import q_char_entropy
+
+    docs = load_table(spark, sf_dir, "documents").select("source", "text").collect()
+    per_source: dict = defaultdict(list)
+    for r in docs:
+        cnt = Counter(r["text"].lower())
+        n = sum(cnt.values())
+        h = math.log(n) - sum(c * math.log(c) for c in cnt.values()) / n
+        per_source[r["source"]].append(h)
+    got = {r["source"]: r for r in q_char_entropy(spark, sf_dir).collect()}
+    assert set(got) == set(per_source)
+    for src, hs in per_source.items():
+        r = got[src]
+        assert r["n_docs"] == len(hs)
+        assert r["avg_entropy"] == pytest.approx(sum(hs) / len(hs), abs=1e-6)
+        assert r["min_entropy"] == pytest.approx(min(hs), abs=1e-6)
+        assert r["max_entropy"] == pytest.approx(max(hs), abs=1e-6)
+        # natural prose lives in a sane band
+        assert 1.0 < r["avg_entropy"] < 5.0
+
+
+def test_hits_matches_numpy_replay(spark, sf_dir):
+    import numpy as np
+
+    from go_web_mapreduce_spark.operators.graph import (
+        HITS_ITERS,
+        PR_YEAR,
+        q_hits,
+    )
+
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .where(
+            (F.col("l_shipdate") >= f"{PR_YEAR}-01-01")
+            & (F.col("l_shipdate") < f"{PR_YEAR + 1}-01-01")
+        )
+        .select("l_orderkey", "l_partkey")
+        .collect()
+    )
+    by_order: dict = defaultdict(set)
+    for r in li:
+        by_order[r["l_orderkey"]].add(r["l_partkey"])
+    from itertools import permutations
+
+    w: Counter = Counter()
+    for parts in by_order.values():
+        for s, d in permutations(parts, 2):
+            w[(s, d)] += 1
+    nodes = sorted({p for parts in by_order.values() for p in parts})
+    idx = {p: i for i, p in enumerate(nodes)}
+    A = np.zeros((len(nodes), len(nodes)))
+    for (s, d), c in w.items():
+        A[idx[s], idx[d]] = c
+    h = np.ones(len(nodes))
+    for _ in range(HITS_ITERS):
+        a = A.T @ h
+        a = a / a.max()
+        h = A @ a
+        h = h / h.max()
+    got = {r["part_id"]: r for r in q_hits(spark, sf_dir).collect()}
+    assert set(got) == set(nodes)
+    for p in nodes:
+        assert got[p]["authority"] == pytest.approx(a[idx[p]], abs=1e-9)
+        assert got[p]["hub"] == pytest.approx(h[idx[p]], abs=1e-9)
+    # scores are max-normalized into (0, 1]
+    assert max(r["authority"] for r in got.values()) == pytest.approx(1.0)
+    assert max(r["hub"] for r in got.values()) == pytest.approx(1.0)
+
+
+def test_stream_topk_matches_batch(spark, sf_dir):
+    from go_web_mapreduce_spark.streaming.events import (
+        STREAM_TOPK,
+        q_stream_topk,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select("ts", "user_id").collect()
+    cnt: Counter = Counter()
+    for r in ev:
+        cnt[(r["ts"].strftime("%Y-%m-%d %H:00:00"), r["user_id"])] += 1
+    want = set()
+    by_hour: dict = defaultdict(list)
+    for (hour, uid), n in cnt.items():
+        by_hour[hour].append((uid, n))
+    for hour, rows in by_hour.items():
+        rows.sort(key=lambda un: (-un[1], un[0]))
+        for rnk, (uid, n) in enumerate(rows[:STREAM_TOPK], start=1):
+            want.add((hour, uid, n, rnk))
+    got = {
+        (r["hour"], r["user_id"], r["n"], r["rnk"])
+        for r in q_stream_topk(spark, sf_dir).collect()
+    }
+    assert got == want
