@@ -1662,7 +1662,8 @@ _DP_2POW48 = float(1 << 48)
              END AS lap
       FROM draw
     )
-    SELECT event_type, day, n, n + lap AS noisy_n,
+    SELECT event_type, strftime(day, '%Y-%m-%d') AS day, n,
+           n + lap AS noisy_n,
            CAST({DP_EPSILON} AS DOUBLE) AS epsilon,
            ln(1.0 / 0.05) / {DP_EPSILON} AS err_bound_95
     FROM noised
@@ -1703,7 +1704,7 @@ def q_dp_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return cells.select(
         "event_type",
-        "day",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
         "n",
         (F.col("n") + lap).alias("noisy_n"),
         F.lit(DP_EPSILON).cast("double").alias("epsilon"),

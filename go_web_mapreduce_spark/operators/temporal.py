@@ -1170,7 +1170,8 @@ EWMA_ALPHA = 0.3  # smoothing factor: weight of the newest observation
                AS arr
       FROM daily
     )
-    SELECT event_type, day, n AS n_events, m AS mean_value,
+    SELECT event_type, strftime(day, '%Y-%m-%d') AS day,
+           n AS n_events, m AS mean_value,
            list_reduce(CAST(arr AS DOUBLE[]),
                        (acc, x) -> acc * CAST({1 - EWMA_ALPHA} AS DOUBLE)
                                  + CAST({EWMA_ALPHA} AS DOUBLE) * x) AS ewma,
@@ -1219,7 +1220,7 @@ def q_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return pref.select(
         "event_type",
-        "day",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
         F.col("n").alias("n_events"),
         F.col("m").alias("mean_value"),
         fold.alias("ewma"),

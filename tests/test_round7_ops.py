@@ -21,7 +21,7 @@ def test_ewma_matches_local_replay(spark, sf_dir):
     ev = load_table(spark, sf_dir, "events").select("event_type", "ts", "value").collect()
     daily: dict = defaultdict(list)
     for r in ev:
-        daily[(r["event_type"], r["ts"].date())].append(r["value"])
+        daily[(r["event_type"], r["ts"].strftime("%Y-%m-%d"))].append(r["value"])
     series: dict = defaultdict(list)
     for (et, day), vals in sorted(daily.items()):
         # exact decimal-cents mean, like the engine's dsum discipline
@@ -36,7 +36,7 @@ def test_ewma_matches_local_replay(spark, sf_dir):
     got = q_ewma(spark, sf_dir).collect()
     assert len(got) == len(want)
     for r in got:
-        n, m, acc = want[(r["event_type"], r["day"].date())]
+        n, m, acc = want[(r["event_type"], str(r["day"]))]
         assert r["n_events"] == n
         assert r["mean_value"] == pytest.approx(m, abs=1e-12)
         assert r["ewma"] == pytest.approx(acc, abs=1e-9)
