@@ -2108,7 +2108,12 @@ def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
 # contrastive / embedding training
 # ---------------------------------------------------------------------------
 
-CP_K = 8  # exact-neighborhood size examined per anchor
+# exact-neighborhood size examined per anchor. 16, not 8: a corpus where a
+# document has ~D near-verbatim copies needs K > D + NEG_K or the whole
+# neighborhood is positives and no triple can be mined — the 10x planted
+# scale corpus (make_scale_corpus) is exactly that regime (K=8 mined ZERO
+# triples at sf1; K=16 leaves >= 6 non-duplicate slots)
+CP_K = 16
 CP_POS_T = SEMANTIC_COS  # >= this cosine: semantic duplicate -> positive
 CP_NEG_K = 2  # hard negatives kept per anchor
 
@@ -2162,8 +2167,88 @@ CP_NEG_K = 2  # hard negatives kept per anchor
     "knn_graph_ivf drops in unchanged as the 100 TB scale path",
 )
 def q_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    kn = knn_graph(load_table(spark, sf_dir, "embeddings"), k=CP_K)
+    # kn feeds BOTH the positive and the negative leg — pin it or the
+    # whole block-grid kNN build executes once per consumer
+    kn = knn_graph(load_table(spark, sf_dir, "embeddings"), k=CP_K).localCheckpoint(
+        eager=False
+    )
     w = W.partitionBy("vec_id").orderBy(F.col("score").desc(), F.col("nbr"))
+    pos = (
+        kn.filter(F.col("score") >= CP_POS_T)
+        .withColumn("pr", F.row_number().over(w))
+        .filter(F.col("pr") == 1)
+        .select(
+            "vec_id",
+            F.col("nbr").alias("pos_id"),
+            F.col("score").alias("pos_score"),
+        )
+    )
+    neg = (
+        kn.filter(F.col("score") < CP_POS_T)
+        .withColumn("nr", F.row_number().over(w))
+        .filter(F.col("nr") <= CP_NEG_K)
+        .select(
+            "vec_id",
+            F.col("nbr").alias("neg_id"),
+            F.col("score").alias("neg_score"),
+            F.col("nr").cast("int").alias("neg_rank"),
+        )
+    )
+    return pos.join(neg, "vec_id").select(
+        F.col("vec_id").alias("anchor"),
+        "pos_id",
+        "pos_score",
+        "neg_id",
+        "neg_score",
+        "neg_rank",
+    )
+
+
+_CP_POSNEG_SQL = f"""
+    pos AS (
+      SELECT vec_id, nbr AS pos_id, score AS pos_score,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY score DESC, nbr) AS pr
+      FROM top WHERE score >= {CP_POS_T}
+      QUALIFY pr = 1
+    ),
+    neg AS (
+      SELECT vec_id, nbr AS neg_id, score AS neg_score,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY score DESC, nbr) AS nr
+      FROM top WHERE score < {CP_POS_T}
+      QUALIFY nr <= {CP_NEG_K}
+    )
+    SELECT p.vec_id AS anchor, p.pos_id, p.pos_score,
+           n.neg_id, n.neg_score, CAST(n.nr AS INT) AS neg_rank
+    FROM pos p JOIN neg n ON n.vec_id = p.vec_id"""
+
+
+@query(
+    "q_contrastive_pairs_ivf",
+    oracle="WITH top AS (\n"
+    + ann_oracle.knn_graph_ivf_oracle(
+        dim=EMBEDDING_DIM, k=IVF_CENTROIDS, iters=10,
+        cap=IVF_TRAIN_SAMPLE_CAP, aprobe=KNN_IVF_APROBE, graph_k=CP_K,
+    )
+    + "),\n"
+    + _CP_POSNEG_SQL,
+    description="hard-negative mining on the IVF-bucketed kNN graph — the "
+    "100 TB SCALE PATH of q_contrastive_pairs: identical positive/negative "
+    "classification over each anchor's top-16 neighborhood, but the "
+    "neighborhood comes from knn_graph_ivf (work n·(n/C)·aprobe·d, a 1/C "
+    "fraction of the exact grid whose measured exponent is ~1.3 by "
+    "definition). Same unrolled-Lloyd + fold-cosine oracle machinery as "
+    "q_knn_graph_ivf, hash-verified; triples differ from the exact miner "
+    "only where IVF misses a true neighbor (the measured recall curve in "
+    "SCALE.md prices that)",
+)
+def q_contrastive_pairs_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # pinned for the same two-consumer reason as q_contrastive_pairs
+    kn = knn_graph_ivf(
+        load_table(spark, sf_dir, "embeddings"), k=CP_K
+    ).localCheckpoint(eager=False)
+    w = W.partitionBy("vec_id").orderBy(F.col("score").desc(), "nbr")
     pos = (
         kn.filter(F.col("score") >= CP_POS_T)
         .withColumn("pr", F.row_number().over(w))
