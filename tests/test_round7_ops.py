@@ -273,3 +273,26 @@ def test_stream_topk_matches_batch(spark, sf_dir):
         for r in q_stream_topk(spark, sf_dir).collect()
     }
     assert got == want
+
+
+def test_contrastive_ivf_thresholds_and_coverage(spark, sf_dir):
+    """The IVF miner must obey the same pos/neg threshold contract as the
+    exact miner, and cover a solid fraction of the anchors the exact
+    miner found triples for (IVF misses only where a true neighbor falls
+    outside the probed lists — the measured recall curve)."""
+    from go_web_mapreduce_spark.operators.similarity import (
+        CP_POS_T,
+        q_contrastive_pairs,
+        q_contrastive_pairs_ivf,
+    )
+
+    exact = q_contrastive_pairs(spark, sf_dir).collect()
+    ivf = q_contrastive_pairs_ivf(spark, sf_dir).collect()
+    assert ivf, "IVF miner returned no triples"
+    assert all(r["pos_score"] >= CP_POS_T > r["neg_score"] for r in ivf)
+    exact_anchors = {r["anchor"] for r in exact}
+    ivf_anchors = {r["anchor"] for r in ivf}
+    # coverage floor: at the default aprobe/C operating point the probed
+    # candidate fraction finds a positive for most anchors the exact
+    # miner served (floor far below measured, like tests/test_ann.py)
+    assert len(ivf_anchors & exact_anchors) >= 0.5 * len(exact_anchors)
