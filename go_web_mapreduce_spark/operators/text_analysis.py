@@ -1652,37 +1652,30 @@ _RAKE_STOPS_SQL = ", ".join(f"'{w}'" for w in _RAKE_STOPS)
     "TakeOrderedAndProject",
 )
 def q_keyword_rake(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window as W
-
     docs = load_table(spark, sf_dir, "documents")
-    pos = docs.select(
-        "doc_id", F.posexplode(tokens("text")).alias("i", "w")
-    ).select(
-        "doc_id",
-        "i",
-        "w",
-        F.when(F.col("w").isin(_RAKE_STOPS), F.lit(1)).otherwise(F.lit(0)).alias("s"),
+    # phrase segmentation is a MAP-SIDE regex pass, not a per-doc window:
+    # rebuild the normalized token string and cut it at stopwords with one
+    # alternation regex (leading boundary captured, trailing boundary a
+    # lookahead so adjacent stopwords still match) — the oracle keeps the
+    # independent posexplode + running-sum-window formulation, so the two
+    # plans cross-check each other. The window plan measured 136 s at sf10
+    # (linear, but a corpus-sized per-doc shuffle); this one never
+    # shuffles anything before the distinct-phrase aggregation.
+    stop_alt = "|".join(_RAKE_STOPS)
+    segs = F.split(
+        F.regexp_replace(
+            F.concat_ws(" ", tokens("text")),
+            f"(^| )(?:{stop_alt})(?=( |$))",
+            "$1|",
+        ),
+        r"\|",
     )
-    wdoc = (
-        W.partitionBy("doc_id").orderBy("i").rowsBetween(W.unboundedPreceding, W.currentRow)
-    )
-    seg = pos.withColumn("grp", F.sum("s").over(wdoc))
-    phr0 = (
-        seg.filter(F.col("s") == 0)
-        .groupBy("doc_id", "grp")
-        .agg(
-            F.concat_ws(
-                " ",
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("i", "w"))),
-                    lambda x: x["w"],
-                ),
-            ).alias("phrase"),
-            F.count(F.lit(1)).alias("nw"),
-        )
-    )
+    phr0 = docs.select(F.explode(segs).alias("seg")).select(
+        F.trim(F.col("seg")).alias("phrase")
+    ).filter(F.col("phrase") != "")
     phr = (
-        phr0.filter(F.col("nw") <= RAKE_MAX_LEN)
+        phr0.withColumn("nw", F.size(F.split("phrase", " ")))
+        .filter(F.col("nw") <= RAKE_MAX_LEN)
         .groupBy("phrase", "nw")
         .agg(F.count(F.lit(1)).alias("pcnt"))
     )
