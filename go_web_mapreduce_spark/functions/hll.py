@@ -129,24 +129,45 @@ def hll_estimate_sql_duckdb(s_present: str, n_buckets: str) -> str:
     )
 
 
+# the LC table as ONE string literal: F.lit(<4096-elem list>) builds the
+# array with 4096 py4j round-trips — measured ~2 s of plan-construction
+# time PER QUERY COMPILE (the q_approx_distinct bench hotspot, round 8).
+# from_json(lit(str)) is a single Literal node; the parse runs per ROW but
+# every consumer evaluates it on dimension-sized rows (one per group), and
+# Jackson's strtod is correctly-rounded, so repr() round-trips each double
+# exactly — bit-identical to the old array literal.
+_LC_JSON = "[" + ",".join(repr(x) for x in HLL_LC_TABLE) + "]"
+
+
 def hll_estimate_col(s_present: Column, n_buckets: Column) -> Column:
     """Spark twin of :func:`hll_estimate_sql_duckdb` — same constants, same
-    literal LC table (one array Literal node), same branch condition."""
+    literal LC table (one JSON-string Literal node), same branch
+    condition."""
     v = F.lit(HLL_M) - n_buckets
     s = s_present + v.cast("bigint") * F.lit(1 << HLL_SCALE_POW)
     raw = F.lit(float(HLL_RAW_NUM)) / s
-    lc = F.element_at(F.lit(HLL_LC_TABLE), v.cast("int"))
+    lc = F.element_at(
+        F.from_json(F.lit(_LC_JSON), "array<double>"), v.cast("int")
+    )
     return F.when(
         (v > 0) & (raw <= F.lit(float(HLL_LC_THRESHOLD))), lc
     ).otherwise(raw)
 
 
-def hll_registers(df, group_cols: list[str], value: Column):
+def hll_registers(df, group_cols: list[str], value: Column, counts: bool = False):
     """Group -> (group_cols..., bucket, M) register table: the mergeable
     sketch state. Partial-aggregated max; at most 4096 rows per group
-    survive the shuffle no matter the input size."""
+    survive the shuffle no matter the input size.
+
+    ``counts=True`` adds a per-(group, bucket) row count ``cnt`` to the same
+    aggregation, so per-group totals (``sum(cnt)``) ride the register pass
+    for free instead of costing the consumer a second corpus scan — count is
+    as partial-aggregation-friendly as max."""
     m = F.md5(value.cast("string"))
     word_sql = _rank_sql(f"substr(__hll_md5, 4, {HLL_RANK_HEX})")
+    aggs = [F.max("rank").alias("M")]
+    if counts:
+        aggs.append(F.count(F.lit(1)).alias("cnt"))
     out = (
         df.select(*group_cols, m.alias("__hll_md5"))
         .select(
@@ -157,7 +178,7 @@ def hll_registers(df, group_cols: list[str], value: Column):
             F.expr(word_sql).alias("rank"),
         )
         .groupBy(*group_cols, "bucket")
-        .agg(F.max("rank").alias("M"))
+        .agg(*aggs)
     )
     return out
 

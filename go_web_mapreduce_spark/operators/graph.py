@@ -531,30 +531,39 @@ def q_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 HITS_ITERS = 3  # fixed — keeps the SQL oracle an exact unrolled twin
 
+# each CTE is referenced EXACTLY ONCE by the next one (the normalizing max
+# rides a window function instead of a scalar subquery): a CTE referenced
+# k times can be inlined k ways by the planner, which across the unrolled
+# iteration chain turns the co-purchase join k^iters-exponential — observed
+# as a wedged DuckDB when the zero-guard briefly made it 3 references
 _HITS_ITER_SQL = """
     ar{next} AS (
-        SELECT n.node, coalesce(
-                 CAST(CAST(sum(CAST(p.h * e.w AS DECIMAL(28,12))) AS STRING)
-                      AS DOUBLE), 0.0) AS v
-        FROM nodes n
-        LEFT JOIN edges e ON e.dst = n.node
-        LEFT JOIN h{cur} p ON p.node = e.src
-        GROUP BY n.node
+        SELECT node, v, max(v) OVER () AS m FROM (
+            SELECT n.node, coalesce(
+                     CAST(CAST(sum(CAST(p.h * e.w AS DECIMAL(28,12))) AS STRING)
+                          AS DOUBLE), 0.0) AS v
+            FROM nodes n
+            LEFT JOIN edges e ON e.dst = n.node
+            LEFT JOIN h{cur} p ON p.node = e.src
+            GROUP BY n.node) t
     ),
     a{next} AS (
-        SELECT node, v / (SELECT max(v) FROM ar{next}) AS a FROM ar{next}
+        SELECT node, CASE WHEN m = 0 THEN 0.0 ELSE v / m END AS a
+        FROM ar{next}
     ),
     hr{next} AS (
-        SELECT n.node, coalesce(
-                 CAST(CAST(sum(CAST(q.a * e.w AS DECIMAL(28,12))) AS STRING)
-                      AS DOUBLE), 0.0) AS v
-        FROM nodes n
-        LEFT JOIN edges e ON e.src = n.node
-        LEFT JOIN a{next} q ON q.node = e.dst
-        GROUP BY n.node
+        SELECT node, v, max(v) OVER () AS m FROM (
+            SELECT n.node, coalesce(
+                     CAST(CAST(sum(CAST(q.a * e.w AS DECIMAL(28,12))) AS STRING)
+                          AS DOUBLE), 0.0) AS v
+            FROM nodes n
+            LEFT JOIN edges e ON e.src = n.node
+            LEFT JOIN a{next} q ON q.node = e.dst
+            GROUP BY n.node) t
     ),
     h{next} AS (
-        SELECT node, v / (SELECT max(v) FROM hr{next}) AS h FROM hr{next}
+        SELECT node, CASE WHEN m = 0 THEN 0.0 ELSE v / m END AS h
+        FROM hr{next}
     )"""
 
 
@@ -627,7 +636,12 @@ def q_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy(nodes.node)
             .agg(
                 F.coalesce(
+                    # decimal→STRING→double, symmetric with the oracle's
+                    # round-trip (functions/numeric.py): both engines then
+                    # take the exact-decimal-string → strtod path, so the
+                    # cast stays bit-identical even past 2^53 unscaled
                     F.sum((F.col("_sv") * F.col("w")).cast("decimal(28,12)"))
+                    .cast("string")
                     .cast("double"),
                     F.lit(0.0),
                 ).alias("v")
@@ -635,8 +649,14 @@ def q_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
             .localCheckpoint(eager=False)  # referenced twice (max + ratio)
         )
         mx = raw.agg(F.max("v").alias("m"))
+        # m == 0 (window has nodes but zero co-purchase edges) would yield
+        # NaN scores with engine-divergent NaN semantics — emit 0.0 instead,
+        # mirrored in the oracle CTE
         return raw.crossJoin(F.broadcast(mx)).select(
-            "node", (F.col("v") / F.col("m")).alias(col)
+            "node",
+            F.when(F.col("m") == 0.0, F.lit(0.0))
+            .otherwise(F.col("v") / F.col("m"))
+            .alias(col),
         )
 
     h = nodes.select("node", F.lit(1.0).alias("h"))

@@ -1668,20 +1668,24 @@ _DP_2POW48 = float(1 << 48)
            ln(1.0 / 0.05) / {DP_EPSILON} AS err_bound_95
     FROM noised
     """,
-    description=f"differentially-private histogram release (Dwork 2006) of "
-    "the (event_type, day) count grid: Laplace(1/epsilon) noise per cell "
-    f"at event-level sensitivity 1, epsilon={DP_EPSILON}, plus the 95% "
-    "absolute-error bound b*ln(1/0.05) — the privacy-preserving census a "
-    "pipeline publishes instead of raw counts. The noise is a "
-    "content-addressed inverse-CDF draw: a 48-bit md5 uniform u = "
-    "(k+0.5)/2^48 whose ln argument (2u below the median, 2(1-u) above — "
-    "both exact in IEEE double by construction) is bit-identical across "
-    "engines, so the only cross-engine surface is one libm ln ulp, "
-    "absorbed by the comparator's 6-significant-digit rounding. No RNG "
-    "anywhere: re-running the release on any cluster reproduces the same "
-    "noise, and a rerelease does NOT spend extra budget. Plan: one corpus "
-    "aggregation to the (type, day) grid; noise is map-side arithmetic on "
-    "the dimension-sized grid",
+    description=f"REPRODUCIBLE SIMULATION of a Laplace histogram release "
+    "(Dwork 2006) over the (event_type, day) count grid, built for "
+    "engine-parity testing — NOT a usable DP mechanism as registered: the "
+    "noise is a deterministic function of the PUBLIC cell key (salt "
+    f"'{DP_SALT}' + event_type + day), so anyone can recompute it, and the "
+    "raw count n is emitted alongside noisy_n, so the release here is "
+    "effectively epsilon=infinity. A real deployment must (a) make the "
+    "salt a secret key (the draw then becomes a PRF, giving the standard "
+    "Laplace mechanism) and (b) withhold n and every u/lap intermediate. "
+    f"Mechanics are the real ones: Laplace(1/epsilon) per cell at "
+    f"event-level sensitivity 1, epsilon={DP_EPSILON}, 95% error bound "
+    "b*ln(1/0.05). The draw is content-addressed inverse-CDF: a 48-bit "
+    "md5 uniform u = (k+0.5)/2^48 whose ln argument (2u below the median, "
+    "2(1-u) above — both exact in IEEE double by construction) is "
+    "bit-identical across engines, so the only cross-engine surface is "
+    "one libm ln ulp, absorbed by the comparator's 6-significant-digit "
+    "rounding. Plan: one corpus aggregation to the (type, day) grid; "
+    "noise is map-side arithmetic on the dimension-sized grid",
 )
 def q_dp_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")

@@ -25,7 +25,7 @@ from pyspark.sql import functions as F
 from go_web_mapreduce_spark.functions.numeric import davg, dsum
 from go_web_mapreduce_spark.functions.text import token_count, tokens
 from go_web_mapreduce_spark.registry import query
-from go_web_mapreduce_spark.sources.tables import load_table
+from go_web_mapreduce_spark.sources.tables import fan_out, load_table
 
 
 # ---------------------------------------------------------------------------
@@ -817,14 +817,24 @@ def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     linear-counting table), not ``approx_count_distinct``: same O()s, but
     every step is reproducible in ANSI SQL, so the estimate itself is
     hash-verified against DuckDB instead of rows-only. (Spark's native
-    HLL++ remains the zero-dependency production alternative; its accuracy
+    HLL++ is the zero-dependency production alternative — registered as
+    the rows-only ``q_approx_distinct_native`` variant below; its accuracy
     vs this implementation is pinned in tests/test_analytics.py.)
+
+    TWO corpus passes total (was four in rounds 2-7 — the 13.7 s bench
+    hotspot): the register pass now also counts rows per (group, bucket)
+    (``counts=True``), so per-group n — and from it the sample gate — fall
+    out of the register table's 3-row rollup instead of two further
+    count(*) scans; that rollup is localCheckpoint-pinned because three
+    consumers (estimate, gate broadcast, final n column) would otherwise
+    each re-run the register subtree. Values are bit-identical to the
+    4-pass form: n, gate, registers are the same numbers wherever computed.
 
     Percentiles: a deterministic bottom-1024-by-md5 sample per group (a
     KMV-style uniform sample with no RNG state), then the nearest-rank
     element — sampling error ~1.5 percentile points at k=1024. The sample
     selection is GATED map-side (the q_reservoir_per_key RESERVOIR_GATE
-    pattern, made count-adaptive): a cheap per-group count sets a 60-bit
+    pattern, made count-adaptive): the per-group count sets a 60-bit
     hash threshold keeping ~16k expected survivors per group, so the
     per-group window sorts a bounded set at any corpus size instead of
     every row. The gate is integer arithmetic replicated verbatim in the
@@ -836,11 +846,42 @@ def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     from go_web_mapreduce_spark.functions import hll as _hll
 
     li = load_table(spark, sf_dir, "lineitem")
-    regs = _hll.hll_registers(li, ["l_returnflag"], F.col("l_orderkey"))
-    est = _hll.hll_estimate_from_registers(regs, ["l_returnflag"]).select(
-        "l_returnflag", F.col("approx").alias("approx_orders")
+    # Both passes are md5-per-row CPU-bound on a byte-small scan: Spark
+    # sizes scan splits by bytes, so sf0.1 lineitem arrives as 3
+    # partitions and the hash kernels run 3-of-32 cores. fan_out widens
+    # the projected narrow columns first (no-op at cluster scale where
+    # the scan is already thousands of splits).
+    # PASS 1 — registers + per-bucket row counts in one scan/shuffle
+    regs = _hll.hll_registers(
+        fan_out(li.select("l_returnflag", "l_orderkey")),
+        ["l_returnflag"],
+        F.col("l_orderkey"),
+        counts=True,
     )
-    keyed = li.select(
+    stats = (
+        regs.groupBy("l_returnflag")
+        .agg(
+            F.sum(F.expr(_hll.hll_term_sql_spark("M"))).alias("_s"),
+            F.count(F.lit(1)).alias("_nb"),
+            F.sum("cnt").alias("n"),
+        )
+        .localCheckpoint(eager=False)  # 3 rows, three consumers below
+    )
+    est = stats.select(
+        "l_returnflag",
+        _hll.hll_estimate_col(F.col("_s"), F.col("_nb")).alias("approx_orders"),
+        "n",
+        F.expr(
+            f"CASE WHEN n <= {16 * 1024} THEN CAST({1 << 60} AS BIGINT) "
+            f"ELSE (CAST({1 << 60} AS BIGINT) div n) * {16 * 1024} END"
+        ).alias("gate"),
+    )
+    # PASS 2 — gated percentile sample (gate rides the broadcast of est)
+    keyed = fan_out(
+        li.select(
+            "l_returnflag", "l_extendedprice", "l_orderkey", "l_linenumber"
+        )
+    ).select(
         "l_returnflag",
         "l_extendedprice",
         F.md5(
@@ -851,13 +892,9 @@ def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("k"),
     )
-    gates = li.groupBy("l_returnflag").agg(
-        F.expr(
-            f"CASE WHEN count(*) <= {16 * 1024} THEN CAST({1 << 60} AS BIGINT) "
-            f"ELSE (CAST({1 << 60} AS BIGINT) div count(*)) * {16 * 1024} END"
-        ).alias("gate")
-    )
-    gated = keyed.join(F.broadcast(gates), "l_returnflag").filter(
+    gated = keyed.join(
+        F.broadcast(est.select("l_returnflag", "gate")), "l_returnflag"
+    ).filter(
         F.conv(F.substring("k", 1, 15), 16, 10).cast("long") < F.col("gate")
     )
     samp = (
@@ -886,11 +923,38 @@ def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("price_p95"),
     )
-    nn = li.groupBy("l_returnflag").agg(F.count("*").alias("n"))
-    return (
-        est.join(pct, "l_returnflag")
-        .join(nn, "l_returnflag")
-        .select("l_returnflag", "approx_orders", "price_p50", "price_p95", "n")
+    return est.join(pct, "l_returnflag").select(
+        "l_returnflag", "approx_orders", "price_p50", "price_p95", "n"
+    )
+
+
+@query(
+    "q_approx_distinct_native",
+    oracle=None,  # engine-internal sketches: rows-only by construction
+    variant_of="q_approx_distinct",
+    description="production alternate of q_approx_distinct: Spark-native "
+    "HLL++ approx_count_distinct + approx_percentile + count in ONE "
+    "whole-stage-codegen pass — the form a cluster deployment runs (no "
+    "md5/hex string ops, binary sketch states merged map-side). Rows-only "
+    "because DuckDB cannot reproduce engine-internal sketch estimates; "
+    "the native estimator's accuracy vs the hash-verified portable HLL is "
+    "cross-pinned in tests/test_analytics.py",
+)
+def q_approx_distinct_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same answer shape as q_approx_distinct, one corpus pass, all JVM
+    built-ins: HLL++ (Heule 2013) for the distinct estimate, G-K quantile
+    sketch (accuracy 10000) for the percentiles. This is the plan to run
+    when the consumer doesn't need cross-engine bit-parity — both sketches
+    are fixed-size algebraic states, so shuffle volume is O(groups)
+    regardless of corpus size."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_orderkey", rsd=0.016)
+        .cast("double")
+        .alias("approx_orders"),
+        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("price_p50"),
+        F.percentile_approx("l_extendedprice", 0.95, 10000).alias("price_p95"),
+        F.count(F.lit(1)).alias("n"),
     )
 
 

@@ -17,6 +17,8 @@ implementations cannot drift.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -1590,6 +1592,12 @@ RAKE_TOPK = 20
 # RAKE delimits candidate phrases at stopwords; use the full multilingual
 # list so the phrase segmentation matches the corpus's language mix
 _RAKE_STOPS = sorted(set(ALL_STOPWORDS))
+# the stopwords interpolate into both a regex alternation (stop_alt) and a
+# SQL IN-list; a future entry with a metacharacter or apostrophe would
+# silently corrupt either, so fail loudly at import instead
+assert all(re.fullmatch(r"[a-z0-9]+", w) for w in _RAKE_STOPS), (
+    "RAKE stopwords must be [a-z0-9]+ — regex/SQL interpolation assumes it"
+)
 _RAKE_STOPS_SQL = ", ".join(f"'{w}'" for w in _RAKE_STOPS)
 
 

@@ -32,9 +32,10 @@ def _duck_con(tdir, tables):
 
 
 def test_gini_iwsum_survives_bigint_overflow(spark, tmp_path):
-    """11 customers at the decimal(18,2) price ceiling: sum(i*cents) ~ 6e19
-    > 2^63, where the old BIGINT accumulator wrapped (Spark) or errored on
-    the cast (DuckDB). Both engines must agree with the exact int replay."""
+    """50 customers at cents = 8e15 each: sum(i*cents) = 1275 * 8e15
+    ~ 1.02e19 > 2^63, where the old BIGINT accumulator wrapped (Spark) or
+    errored on the cast (DuckDB). Both engines must agree with the exact
+    int replay."""
     from go_web_mapreduce_spark.queries import REGISTRY
     from go_web_mapreduce_spark.operators.analytics import q_gini
 

@@ -63,7 +63,6 @@ def test_dp_histogram_noise_is_reproducible_and_calibrated(spark, sf_dir):
     # should land within wide tolerance of both
     med = errs[n // 2]
     assert 0.4 * b * math.log(2) < med < 2.0 * b * math.log(2)
-    within = sum(e <= v["err_bound_95"] for e, v in zip(errs, rows1.values()))
     # err_bound_95 is constant; ~95% of cells inside (allow 85%+)
     frac = sum(abs(v["noisy_n"] - v["n"]) <= v["err_bound_95"] for v in rows1.values()) / n
     assert frac >= 0.85
