@@ -25,6 +25,7 @@ bit-identical and even the float values hash-match.
 from __future__ import annotations
 
 import hashlib
+import math
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
@@ -140,11 +141,38 @@ def q_similarity_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knn_join(emb, emb.filter(F.col("vec_id") < KNN_PROBES))
 
 
+GRID_BLOCK_ROWS = 2048  # target rows per grid block — sizes one kernel task
+GRID_MIN_BLOCKS = 16
+GRID_MAX_BLOCKS = 256
+
+
+def grid_num_blocks(corpus: DataFrame, num_blocks: int | None) -> int:
+    """Adaptive block count for the exact all-pairs / kNN block grids.
+
+    A FIXED block count is a scale bug, found the hard way: at sf10 (200k
+    vectors) 16 blocks means 12.5k-row blocks whose (block_i, block_j)
+    kernels are ~2e10-FLOP single-core tasks — the whole cluster waits on a
+    handful of stragglers (observed: one worker pinned for 40+ minutes).
+    Sizing blocks to ~GRID_BLOCK_ROWS rows keeps each kernel task
+    O(BLOCK_ROWS² · dims) regardless of corpus size; the task count grows
+    as B(B+1)/2, which is exactly the units the scheduler needs to keep
+    every core busy. The count() here is one cheap aggregate job (parquet
+    footers serve it without a data scan). Block count never changes
+    RESULTS — the grid computes the same exact pair set and the same
+    dimension-sequential float64 scores for any B."""
+    if num_blocks is not None:
+        return num_blocks
+    n = corpus.count()
+    return int(
+        min(GRID_MAX_BLOCKS, max(GRID_MIN_BLOCKS, math.ceil(n / GRID_BLOCK_ROWS)))
+    )
+
+
 def embedding_near_dup_pairs(
     corpus: DataFrame,
     threshold: float = NEAR_DUP_COS,
     id_col: str = "vec_id",
-    num_blocks: int = 16,
+    num_blocks: int | None = None,
 ) -> DataFrame:
     """Exact all-pairs cosine near-dup: every (a, b) with ``id_a < id_b`` and
     ``cos(a, b) >= threshold``.
@@ -157,9 +185,11 @@ def embedding_near_dup_pairs(
     (block_i, block_j) row is scored as one vectorized numpy product inside
     ``mapInPandas``. No ``collect()``, no broadcast: peak memory anywhere is
     two blocks, and shuffle volume is corpus_bytes × (B+1)/2 — the inherent
-    replication of exact all-pairs (at 100 TB you raise ``num_blocks`` so a
-    block fits a task, and the replication factor is the price of exactness;
-    the sub-quadratic scale path is ``ann_lsh_buckets`` + per-bucket exact
+    replication of exact all-pairs (``num_blocks`` now ADAPTS to corpus
+    size via :func:`grid_num_blocks` so a block always fits a task — the
+    round-8 fix after fixed B=16 produced 40-minute straggler kernels at
+    sf10; the replication factor is the price of exactness; the
+    sub-quadratic scale path is ``ann_lsh_buckets`` + per-bucket exact
     verification).
 
     Bit-parity discipline: products and accumulations run in float64
@@ -169,6 +199,7 @@ def embedding_near_dup_pairs(
     """
     import numpy as np
 
+    num_blocks = grid_num_blocks(corpus, num_blocks)
     packed = (
         corpus.select(
             F.pmod(F.hash(F.col(id_col)), F.lit(num_blocks)).alias("blk"),
@@ -260,7 +291,7 @@ def knn_graph(
     corpus: DataFrame,
     k: int = KNN_K,
     id_col: str = "vec_id",
-    num_blocks: int = 16,
+    num_blocks: int | None = None,
 ) -> DataFrame:
     """Exact k-nearest-neighbor GRAPH: every vector's top-k cosine
     neighbors over the whole corpus — the semantic-dedup / clustering
@@ -270,10 +301,10 @@ def knn_graph(
     Same distributed block grid as :func:`embedding_near_dup_pairs`, but
     instead of thresholded pairs each (block_i, block_j) kernel emits only
     each vector's LOCAL top-k against the partner block, in both
-    orientations. Shuffle volume is n·B·k candidate rows (20k vectors ×
-    16 blocks × 3 = ~1M at sf0.1) instead of the n²/2 a materialize-
-    then-rank plan would carry; the final window rank per vector runs on
-    that bounded candidate set. Exactness: local selection uses the same
+    orientations. Shuffle volume is n·B·k candidate rows instead of the
+    n²/2 a materialize-then-rank plan would carry; the final window rank
+    per vector runs on that bounded candidate set. B adapts to corpus
+    size (grid_num_blocks) so each kernel task stays O(BLOCK_ROWS²·dims). Exactness: local selection uses the same
     total order as the global rank (score desc, id asc), so every global
     top-k element survives its local cut — the standard top-k union
     argument, tie-safe.
@@ -284,6 +315,7 @@ def knn_graph(
     """
     import numpy as np
 
+    num_blocks = grid_num_blocks(corpus, num_blocks)
     packed = (
         corpus.select(
             F.pmod(F.hash(F.col(id_col)), F.lit(num_blocks)).alias("blk"),
@@ -2118,6 +2150,42 @@ CP_POS_T = SEMANTIC_COS  # >= this cosine: semantic duplicate -> positive
 CP_NEG_K = 2  # hard negatives kept per anchor
 
 
+def _mine_contrastive(kn: DataFrame) -> DataFrame:
+    """Positive/hard-negative classification over a pinned kNN table —
+    shared by the exact miner and both IVF twins (identical mining, the
+    twins differ only in where the neighborhood comes from)."""
+    w = W.partitionBy("vec_id").orderBy(F.col("score").desc(), F.col("nbr"))
+    pos = (
+        kn.filter(F.col("score") >= CP_POS_T)
+        .withColumn("pr", F.row_number().over(w))
+        .filter(F.col("pr") == 1)
+        .select(
+            "vec_id",
+            F.col("nbr").alias("pos_id"),
+            F.col("score").alias("pos_score"),
+        )
+    )
+    neg = (
+        kn.filter(F.col("score") < CP_POS_T)
+        .withColumn("nr", F.row_number().over(w))
+        .filter(F.col("nr") <= CP_NEG_K)
+        .select(
+            "vec_id",
+            F.col("nbr").alias("neg_id"),
+            F.col("score").alias("neg_score"),
+            F.col("nr").cast("int").alias("neg_rank"),
+        )
+    )
+    return pos.join(neg, "vec_id").select(
+        F.col("vec_id").alias("anchor"),
+        "pos_id",
+        "pos_score",
+        "neg_id",
+        "neg_score",
+        "neg_rank",
+    )
+
+
 @query(
     "q_contrastive_pairs",
     oracle=f"""
@@ -2172,36 +2240,7 @@ def q_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     kn = knn_graph(load_table(spark, sf_dir, "embeddings"), k=CP_K).localCheckpoint(
         eager=False
     )
-    w = W.partitionBy("vec_id").orderBy(F.col("score").desc(), F.col("nbr"))
-    pos = (
-        kn.filter(F.col("score") >= CP_POS_T)
-        .withColumn("pr", F.row_number().over(w))
-        .filter(F.col("pr") == 1)
-        .select(
-            "vec_id",
-            F.col("nbr").alias("pos_id"),
-            F.col("score").alias("pos_score"),
-        )
-    )
-    neg = (
-        kn.filter(F.col("score") < CP_POS_T)
-        .withColumn("nr", F.row_number().over(w))
-        .filter(F.col("nr") <= CP_NEG_K)
-        .select(
-            "vec_id",
-            F.col("nbr").alias("neg_id"),
-            F.col("score").alias("neg_score"),
-            F.col("nr").cast("int").alias("neg_rank"),
-        )
-    )
-    return pos.join(neg, "vec_id").select(
-        F.col("vec_id").alias("anchor"),
-        "pos_id",
-        "pos_score",
-        "neg_id",
-        "neg_score",
-        "neg_rank",
-    )
+    return _mine_contrastive(kn)
 
 
 _CP_POSNEG_SQL = f"""
@@ -2248,33 +2287,33 @@ def q_contrastive_pairs_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     kn = knn_graph_ivf(
         load_table(spark, sf_dir, "embeddings"), k=CP_K
     ).localCheckpoint(eager=False)
-    w = W.partitionBy("vec_id").orderBy(F.col("score").desc(), "nbr")
-    pos = (
-        kn.filter(F.col("score") >= CP_POS_T)
-        .withColumn("pr", F.row_number().over(w))
-        .filter(F.col("pr") == 1)
-        .select(
-            "vec_id",
-            F.col("nbr").alias("pos_id"),
-            F.col("score").alias("pos_score"),
-        )
+    return _mine_contrastive(kn)
+
+
+@query(
+    "q_contrastive_pairs_ivf_scaled",
+    oracle="WITH top AS (\n"
+    + ann_oracle.knn_graph_ivf_oracle(
+        dim=EMBEDDING_DIM, k=KNN_IVF_SCALED_CENTROIDS, iters=10,
+        cap=IVF_TRAIN_SAMPLE_CAP, aprobe=KNN_IVF_APROBE, graph_k=CP_K,
     )
-    neg = (
-        kn.filter(F.col("score") < CP_POS_T)
-        .withColumn("nr", F.row_number().over(w))
-        .filter(F.col("nr") <= CP_NEG_K)
-        .select(
-            "vec_id",
-            F.col("nbr").alias("neg_id"),
-            F.col("score").alias("neg_score"),
-            F.col("nr").cast("int").alias("neg_rank"),
-        )
-    )
-    return pos.join(neg, "vec_id").select(
-        F.col("vec_id").alias("anchor"),
-        "pos_id",
-        "pos_score",
-        "neg_id",
-        "neg_score",
-        "neg_rank",
-    )
+    + "),\n"
+    + _CP_POSNEG_SQL,
+    description="the contrastive miner's SCALE configuration: identical "
+    "mining over the C=256 IVF kNN graph. The C=32 twin measured exp "
+    "1.619 sf1→sf10 — the same fixed-C wall q_knn_graph_ivf hit (bucket "
+    "work is n·(n/C)·aprobe·d, quadratic whenever C is a constant), and "
+    "the same cure: C grows ~√n (SCALE.md). Same unrolled-Lloyd oracle, "
+    "hash-verified",
+    variant_of="q_contrastive_pairs_ivf",
+)
+def q_contrastive_pairs_ivf_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C=256 point of the C-must-scale-with-n rule, mirroring
+    q_knn_graph_ivf_scaled — registered after the C=32 twin left its band
+    at sf10 (exp 0.45 sf0.1→sf1, then 1.619 sf1→sf10)."""
+    kn = knn_graph_ivf(
+        load_table(spark, sf_dir, "embeddings"),
+        k=CP_K,
+        num_centroids=KNN_IVF_SCALED_CENTROIDS,
+    ).localCheckpoint(eager=False)
+    return _mine_contrastive(kn)

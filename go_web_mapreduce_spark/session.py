@@ -29,6 +29,28 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
 @contextmanager
+def scoped_conf(spark: SparkSession, **pairs: str):
+    """Temporarily set session confs (keys with dots passed via a dict is
+    clumsy in Python — callers use the ``**{"spark....": "v"}`` form).
+    Restores previous values (or unsets) on exit."""
+    prev: dict[str, str | None] = {}
+    for k, v in pairs.items():
+        try:
+            prev[k] = spark.conf.get(k)
+        except Exception:  # unset key
+            prev[k] = None
+        spark.conf.set(k, v)
+    try:
+        yield
+    finally:
+        for k, old in prev.items():
+            if old is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, old)
+
+
+@contextmanager
 def scoped_shuffle_partitions(spark: SparkSession, n: int):
     """Temporarily set spark.sql.shuffle.partitions.
 
