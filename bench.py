@@ -113,6 +113,12 @@ def main() -> None:
     warm_df.select("a").limit(5).crossJoin(
         warm_df.select("b").distinct().limit(5)
     ).write.mode("overwrite").format("noop").save()
+    # ...and the from_json array<double> parser (round 8: the HLL
+    # linear-counting table ships as one JSON string literal — the first
+    # from_json evaluation pays Jackson parser init)
+    warm_df.select(
+        F.element_at(F.from_json(F.lit("[1.0,2.0]"), "array<double>"), 1)
+    ).limit(1).write.mode("overwrite").format("noop").save()
 
     per_query: dict[str, float] = {}
     total = 0.0
