@@ -667,3 +667,121 @@ def q_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
         a.join(h, "node")
         .select(F.col("node").alias("part_id"), F.col("a").alias("authority"), F.col("h").alias("hub"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Adamic–Adar link prediction over the part co-purchase graph
+# ---------------------------------------------------------------------------
+
+AA_TOP = 20  # emitted predictions — full (score, pa, pb) total order
+
+
+@query(
+    "q_adamic_adar",
+    oracle=f"""
+    WITH li AS (
+        SELECT l_orderkey, l_partkey FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '{PR_YEAR}-01-01'
+          AND l_shipdate <  TIMESTAMP '{PR_YEAR + 1}-01-01'
+    ),
+    und AS (
+        SELECT x.l_partkey AS pa, y.l_partkey AS pb
+        FROM li x JOIN li y ON x.l_orderkey = y.l_orderkey
+        WHERE x.l_partkey < y.l_partkey
+        GROUP BY pa, pb
+    ),
+    adj AS (
+        SELECT pa AS node, pb AS nb FROM und
+        UNION ALL
+        SELECT pb AS node, pa AS nb FROM und
+    ),
+    deg AS (SELECT node, count(*) AS d FROM adj GROUP BY node),
+    scored AS (
+        SELECT l.nb AS pa, r.nb AS pb,
+               CAST(count(*) AS BIGINT) AS n_common,
+               CAST(CAST(sum(CAST(1.0 / ln(CAST(g.d AS DOUBLE))
+                                  AS DECIMAL(28,12))) AS STRING) AS DOUBLE)
+                 AS aa_score
+        FROM adj l
+        JOIN adj r ON r.node = l.node AND l.nb < r.nb
+        JOIN deg g ON g.node = l.node
+        GROUP BY l.nb, r.nb
+    )
+    SELECT s.pa, s.pb, s.n_common, s.aa_score
+    FROM scored s
+    LEFT JOIN und u ON u.pa = s.pa AND u.pb = s.pb
+    WHERE u.pa IS NULL
+    ORDER BY s.aa_score DESC, s.pa, s.pb
+    LIMIT {AA_TOP}
+    """,
+    description="link prediction: Adamic–Adar (Adamic & Adar 2003, "
+    "'Friends and neighbors on the Web') over the one-ship-year part "
+    "co-purchase graph — for every non-adjacent pair, score = Σ over "
+    f"common neighbors z of 1/ln(deg(z)), the top-{AA_TOP} by (score, pa, "
+    "pb) total order. Every common-neighbor center has degree ≥ 2 by "
+    "construction (it touches both endpoints), so ln(deg) ≥ ln 2 and the "
+    "term is always finite. Floats: each 1/ln(d) is the identical IEEE "
+    "expression in both engines (one libm ln ulp absorbed by the "
+    "DECIMAL(28,12) per-term rounding), the sum is exact decimal, and "
+    "the result rides the shared STRING→DOUBLE round-trip. Plan: distinct "
+    "undirected edges (one shuffle; fan-out bounded by ≤7 lines/order), "
+    "degree as one count, wedges as ONE self-join of the adjacency list "
+    "keyed on the center, pair aggregation, anti-join to drop existing "
+    "edges. Never corpus²: wedge volume is Σ deg², and at web scale the "
+    "standard hub mitigation is a degree cap on centers — a single WHERE "
+    "on the deg join — documented, not needed at TPC-H degrees (max 17 "
+    "at sf0.1)",
+)
+def q_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Completes the graph family's link-prediction corner (PageRank =
+    global centrality, HITS = spectral pair, LPA = communities, triangles
+    = local clustering; this = missing-edge scoring). Reference scope: the
+    reference's graph surface is whatever user JS computed over k/v pairs
+    (views.go:53-59); this is the extension-mandate shape for it."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .where(
+            (F.col("l_shipdate") >= f"{PR_YEAR}-01-01")
+            & (F.col("l_shipdate") < f"{PR_YEAR + 1}-01-01")
+        )
+        .select("l_orderkey", "l_partkey")
+    )
+    a = li.select("l_orderkey", F.col("l_partkey").alias("pa"))
+    b = li.select("l_orderkey", F.col("l_partkey").alias("pb"))
+    und = (
+        a.join(b, "l_orderkey")
+        .where(F.col("pa") < F.col("pb"))
+        .select("pa", "pb")
+        .distinct()
+        # referenced three times (adjacency both ways + the anti-join) —
+        # pin it so the lineitem self-join runs once
+        .localCheckpoint(eager=False)
+    )
+    adj = und.select(F.col("pa").alias("node"), F.col("pb").alias("nb")).unionAll(
+        und.select(F.col("pb").alias("node"), F.col("pa").alias("nb"))
+    )
+    deg = adj.groupBy("node").agg(F.count(F.lit(1)).alias("d"))
+    term = adj.join(deg, "node").select(
+        "node",
+        "nb",
+        (F.lit(1.0) / F.log(F.col("d").cast("double"))).alias("t"),
+    )
+    left = term.select("node", F.col("nb").alias("pa"), "t")
+    right = adj.select("node", F.col("nb").alias("pb"))
+    scored = (
+        left.join(right, "node")
+        .where(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(
+            F.count(F.lit(1)).alias("n_common"),
+            F.sum(F.col("t").cast("decimal(28,12)"))
+            .cast("string")
+            .cast("double")
+            .alias("aa_score"),
+        )
+    )
+    return (
+        scored.join(und, ["pa", "pb"], "left_anti")
+        .orderBy(F.desc("aa_score"), "pa", "pb")
+        .limit(AA_TOP)
+    )

@@ -1,0 +1,67 @@
+"""Tests for the round-8 additions: Adamic–Adar link prediction,
+passage-level dedup, multinomial naive Bayes, perceptual-hash image dedup."""
+
+from __future__ import annotations
+
+import math
+from collections import defaultdict
+from itertools import combinations
+
+import pytest
+from pyspark.sql import functions as F
+
+from go_web_mapreduce_spark.sources.tables import load_table
+
+
+def test_adamic_adar_matches_pure_python_replay(spark, sf_dir):
+    from go_web_mapreduce_spark.operators.graph import AA_TOP, PR_YEAR, q_adamic_adar
+
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .where(
+            (F.col("l_shipdate") >= f"{PR_YEAR}-01-01")
+            & (F.col("l_shipdate") < f"{PR_YEAR + 1}-01-01")
+        )
+        .select("l_orderkey", "l_partkey")
+        .collect()
+    )
+    by_order: dict = defaultdict(set)
+    for r in li:
+        by_order[r["l_orderkey"]].add(r["l_partkey"])
+    und: set = set()
+    for parts in by_order.values():
+        for a, b in combinations(sorted(parts), 2):
+            und.add((a, b))
+    nbrs: dict = defaultdict(set)
+    for a, b in und:
+        nbrs[a].add(b)
+        nbrs[b].add(a)
+    scores: dict = {}
+    for z, nz in nbrs.items():
+        for a, b in combinations(sorted(nz), 2):
+            if (a, b) in und:
+                continue
+            n, s = scores.get((a, b), (0, 0.0))
+            scores[(a, b)] = (n + 1, s + 1.0 / math.log(len(nz)))
+    expect = sorted(
+        ((v[1], k[0], k[1], v[0]) for k, v in scores.items()),
+        key=lambda t: (-t[0], t[1], t[2]),
+    )[:AA_TOP]
+
+    got = q_adamic_adar(spark, sf_dir).collect()
+    assert len(got) == min(AA_TOP, len(scores))
+    for row, (s, pa, pb, n) in zip(got, expect):
+        assert (row["pa"], row["pb"], row["n_common"]) == (pa, pb, n)
+        assert row["aa_score"] == pytest.approx(s, rel=1e-9)
+    # no predicted pair may already be an edge
+    assert all((r["pa"], r["pb"]) not in und for r in got)
+
+
+def test_adamic_adar_centers_have_degree_at_least_two(spark, sf_dir):
+    # every common-neighbor term is 1/ln(d) with d >= 2, so each pair's
+    # score is at most n_common / ln(2) and strictly positive
+    from go_web_mapreduce_spark.operators.graph import q_adamic_adar
+
+    for r in q_adamic_adar(spark, sf_dir).collect():
+        assert r["n_common"] >= 1
+        assert 0.0 < r["aa_score"] <= r["n_common"] / math.log(2) + 1e-9
