@@ -1491,3 +1491,100 @@ def containment_pairs(
 )
 def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return containment_pairs(_shingled_docs(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# passage-level exact dedup (CCNet-style keep-first line/paragraph dedup)
+# ---------------------------------------------------------------------------
+
+PASSAGE_TOKENS = 16  # non-overlapping passage width, in tokens
+
+_PASSAGE_TK = "list_filter(string_split(lower(text), ' '), t -> t <> '')"
+
+
+@query(
+    "q_passage_dedup",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, source, {_PASSAGE_TK} AS tk FROM documents
+    ), inst AS (
+      SELECT doc_id, source,
+             CAST((s - 1) // {PASSAGE_TOKENS} AS BIGINT) AS pos,
+             len(list_slice(tk, s, s + {PASSAGE_TOKENS - 1})) AS n_tokens,
+             md5(array_to_string(list_slice(tk, s, s + {PASSAGE_TOKENS - 1}),
+                                 ' ')) AS h
+      FROM (SELECT doc_id, source, tk,
+                   unnest(range(1, greatest(len(tk), 1) + 1,
+                                {PASSAGE_TOKENS})) AS s
+            FROM t)
+      WHERE len(list_slice(tk, s, s + {PASSAGE_TOKENS - 1})) > 0
+    ), winner AS (
+      SELECT h, doc_id AS w_doc, pos AS w_pos FROM inst
+      QUALIFY row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) = 1
+    )
+    SELECT i.source,
+           CAST(count(*) AS BIGINT) AS n_passages,
+           CAST(count(DISTINCT i.h) AS BIGINT) AS distinct_passages,
+           CAST(sum(CASE WHEN i.doc_id = w.w_doc AND i.pos = w.w_pos
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(sum(i.n_tokens) AS BIGINT) AS tokens_total,
+           CAST(sum(CASE WHEN i.doc_id = w.w_doc AND i.pos = w.w_pos
+                         THEN i.n_tokens ELSE 0 END) AS BIGINT) AS tokens_kept
+    FROM inst i JOIN winner w ON w.h = i.h
+    GROUP BY i.source
+    """,
+    description=f"passage-level exact dedup (the CCNet/C4 line-dedup shape, "
+    f"Wenzek 2020): documents split into non-overlapping "
+    f"{PASSAGE_TOKENS}-token passages, each passage kept only at its first "
+    "corpus occurrence — the global (doc_id, pos) minimum per content hash "
+    "— and dropped everywhere else; per-source census of instances, "
+    "distinct passages, kept instances, and token retention. All-integer "
+    "output: zero float surface. Plan: map-side explode (no shuffle) → "
+    "one groupBy on the passage hash with map-side partial min (the "
+    "winner table is distinct-passage-sized) → hash-equi join back. "
+    "Boilerplate passages make a skewed join key at corpus scale — AQE "
+    "skew-join splits them (proven in tests/test_sinks_skew.py); the "
+    "winner side stays one row per hash regardless",
+)
+def q_passage_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Passage dedup differs from q_dedup_exact (whole-document) and
+    q_chunk_documents (chunking without dedup): the unit is the passage and
+    the policy is keep-FIRST by global (doc_id, pos) order — the rule CCNet
+    applies to lines so a duplicated paragraph survives exactly once
+    corpus-wide. Reference parity: the reference's data plane has no dedup
+    at all (extension mandate)."""
+    docs = load_table(spark, sf_dir, "documents")
+    tk = tokens("text")
+    starts = F.sequence(
+        F.lit(1), F.greatest(F.size(tk), F.lit(1)), F.lit(PASSAGE_TOKENS)
+    )
+    passage = F.slice(F.col("tk"), F.col("s"), PASSAGE_TOKENS)
+    inst = (
+        docs.select("doc_id", "source", tk.alias("tk"), F.explode(starts).alias("s"))
+        .select(
+            "doc_id",
+            "source",
+            ((F.col("s") - 1) / PASSAGE_TOKENS).cast("long").alias("pos"),
+            F.size(passage).alias("n_tokens"),
+            F.md5(F.array_join(passage, " ")).alias("h"),
+        )
+        .where(F.col("n_tokens") > 0)
+    )
+    winner = inst.groupBy("h").agg(
+        F.min(F.struct("doc_id", "pos")).alias("w")
+    )
+    kept = F.when(
+        (F.col("doc_id") == F.col("w.doc_id")) & (F.col("pos") == F.col("w.pos")),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    return (
+        inst.join(winner, "h")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_passages"),
+            F.count_distinct("h").alias("distinct_passages"),
+            F.sum(kept).alias("n_kept"),
+            F.sum("n_tokens").cast("long").alias("tokens_total"),
+            F.sum(F.col("n_tokens") * kept).cast("long").alias("tokens_kept"),
+        )
+    )

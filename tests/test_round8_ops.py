@@ -65,3 +65,41 @@ def test_adamic_adar_centers_have_degree_at_least_two(spark, sf_dir):
     for r in q_adamic_adar(spark, sf_dir).collect():
         assert r["n_common"] >= 1
         assert 0.0 < r["aa_score"] <= r["n_common"] / math.log(2) + 1e-9
+
+
+def test_passage_dedup_matches_pure_python_replay(spark, sf_dir):
+    from go_web_mapreduce_spark.operators.dedup import PASSAGE_TOKENS, q_passage_dedup
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    ).collect()
+    first: dict = {}
+    stats: dict = defaultdict(lambda: [0, set(), 0, 0, 0])
+    inst = []
+    for r in sorted(docs, key=lambda r: r["doc_id"]):
+        tk = [t for t in r["text"].lower().split(" ") if t]
+        for pos, s in enumerate(range(0, max(len(tk), 1), PASSAGE_TOKENS)):
+            p = tk[s : s + PASSAGE_TOKENS]
+            if not p:
+                continue
+            key = " ".join(p)
+            inst.append((r["doc_id"], pos, r["source"], key, len(p)))
+            first.setdefault(key, (r["doc_id"], pos))
+    for doc_id, pos, source, key, n in inst:
+        st = stats[source]
+        st[0] += 1
+        st[1].add(key)
+        st[3] += n
+        if first[key] == (doc_id, pos):
+            st[2] += 1
+            st[4] += n
+    got = {r["source"]: r for r in q_passage_dedup(spark, sf_dir).collect()}
+    assert set(got) == set(stats)
+    for src, st in stats.items():
+        g = got[src]
+        assert (
+            g["n_passages"], g["distinct_passages"], g["n_kept"],
+            g["tokens_total"], g["tokens_kept"],
+        ) == (st[0], len(st[1]), st[2], st[3], st[4])
+    # exactly one kept instance per distinct passage corpus-wide
+    assert sum(st[2] for st in stats.values()) == len(first)
