@@ -1224,3 +1224,136 @@ def q_conformal_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
         "label", "n_cal", "n_eval", "threshold",
         (F.col("covered").cast("double") / F.col("n_eval")).alias("coverage"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q_naive_bayes — multinomial naive Bayes language classifier
+# ---------------------------------------------------------------------------
+
+NB_TEST_MOD = 5  # doc_id % 5 == 0 is the held-out test fold
+
+_NB_TK = "list_filter(string_split(lower(text), ' '), t -> t <> '')"
+
+
+@query(
+    "q_naive_bayes",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, lang, unnest({_NB_TK}) AS w FROM documents
+    ),
+    train AS (SELECT * FROM toks WHERE doc_id % {NB_TEST_MOD} <> 0),
+    cwc AS (SELECT lang AS c, w, count(*) AS cnt FROM train GROUP BY c, w),
+    tot AS (SELECT c, sum(cnt) AS total FROM cwc GROUP BY c),
+    vocab AS (SELECT count(DISTINCT w) AS v FROM train),
+    prior AS (
+      SELECT lang AS c, count(*) AS n_docs,
+             sum(count(*)) OVER () AS n_train
+      FROM documents WHERE doc_id % {NB_TEST_MOD} <> 0 GROUP BY lang
+    ),
+    tw AS (
+      SELECT doc_id, lang, w, count(*) AS n FROM toks
+      WHERE doc_id % {NB_TEST_MOD} = 0 GROUP BY doc_id, lang, w
+    ),
+    scored AS (
+      SELECT tw.doc_id, tw.lang, p.c,
+             ln(CAST(p.n_docs AS DOUBLE) / CAST(p.n_train AS DOUBLE))
+             + CAST(CAST(sum(CAST(
+                 tw.n * ln(CAST(coalesce(cwc.cnt, 0) + 1 AS DOUBLE)
+                           / CAST(t.total + v.v AS DOUBLE))
+               AS DECIMAL(28,12))) AS STRING) AS DOUBLE) AS score
+      FROM tw
+      JOIN prior p ON true
+      JOIN tot t ON t.c = p.c
+      JOIN vocab v ON true
+      LEFT JOIN cwc ON cwc.c = p.c AND cwc.w = tw.w
+      GROUP BY tw.doc_id, tw.lang, p.c, p.n_docs, p.n_train
+    ),
+    pred AS (
+      SELECT doc_id, lang, c AS predicted FROM scored
+      QUALIFY row_number() OVER (PARTITION BY doc_id
+                                 ORDER BY score DESC, c ASC) = 1
+    )
+    SELECT lang, predicted, CAST(count(*) AS BIGINT) AS n
+    FROM pred GROUP BY lang, predicted
+    """,
+    description="multinomial naive Bayes language classifier trained "
+    "IN-ENGINE (the generative counterpart to q_quality_classifier's "
+    "discriminative fit): per-class token likelihoods with Laplace "
+    "smoothing α=1 from the doc_id%5≠0 folds, argmax of ln P(c) + "
+    "Σ n_w·ln P(w|c) on the held-out fold, emitted as the 5×5 integer "
+    "confusion matrix — zero float surface in the output, and the scores "
+    "themselves follow the decimal-cast sum discipline (each term is the "
+    "identical IEEE ln of an exact-integer ratio, DECIMAL(28,12)-rounded "
+    "before the order-independent sum; class argmax compares identical "
+    "doubles, ties to the smaller class label). Plan: one explode + "
+    "(class, word) groupBy for the model (vocab×5 rows, map-side "
+    "combined), 5-row priors/totals broadcast, test word counts left-join "
+    "the model on (word, class) — unknown words smooth to cnt 0 — then a "
+    "doc-keyed argmax. Model size is vocabulary-bounded, never corpus²",
+)
+def q_naive_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generative text classification over the same surface tokens the
+    dedup/tokenizer families use (functions/text.py::tokens). Extension
+    mandate: a corpus pipeline's lang-ID model trained on the corpus
+    itself (q_lang_id is the heuristic scorer; this is the learned one)."""
+    from go_web_mapreduce_spark.functions.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", "lang", F.explode(tokens("text")).alias("w")
+    )
+    is_test = F.col("doc_id") % NB_TEST_MOD == 0
+    train = toks.where(~is_test)
+    cwc = train.groupBy(F.col("lang").alias("c"), "w").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    tot = cwc.groupBy("c").agg(F.sum("cnt").alias("total"))
+    vocab = train.agg(F.count_distinct("w").alias("v"))
+    prior = (
+        docs.where(~is_test)
+        .groupBy(F.col("lang").alias("c"))
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    n_train = docs.where(~is_test).agg(F.count(F.lit(1)).alias("n_train"))
+    tw = toks.where(is_test).groupBy("doc_id", "lang", "w").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    term = (
+        tw.crossJoin(F.broadcast(prior))
+        .join(F.broadcast(tot), "c")
+        .crossJoin(F.broadcast(vocab))
+        .join(cwc, ["c", "w"], "left")
+        .select(
+            "doc_id",
+            "lang",
+            "c",
+            "n_docs",
+            (
+                F.col("n")
+                * F.log(
+                    (F.coalesce(F.col("cnt"), F.lit(0)) + 1).cast("double")
+                    / (F.col("total") + F.col("v")).cast("double")
+                )
+            ).cast("decimal(28,12)").alias("t"),
+        )
+    )
+    scored = (
+        term.groupBy("doc_id", "lang", "c", "n_docs")
+        .agg(F.sum("t").cast("string").cast("double").alias("s"))
+        .crossJoin(F.broadcast(n_train))
+        .select(
+            "doc_id",
+            "lang",
+            "c",
+            (
+                F.log(F.col("n_docs").cast("double") / F.col("n_train").cast("double"))
+                + F.col("s")
+            ).alias("score"),
+        )
+    )
+    pred = scored.groupBy("doc_id", "lang").agg(
+        F.min(F.struct((-F.col("score")).alias("neg"), F.col("c"))).alias("m")
+    )
+    return pred.groupBy("lang", F.col("m.c").alias("predicted")).agg(
+        F.count(F.lit(1)).alias("n")
+    )

@@ -103,3 +103,48 @@ def test_passage_dedup_matches_pure_python_replay(spark, sf_dir):
         ) == (st[0], len(st[1]), st[2], st[3], st[4])
     # exactly one kept instance per distinct passage corpus-wide
     assert sum(st[2] for st in stats.values()) == len(first)
+
+
+def test_naive_bayes_matches_pure_python_replay(spark, sf_dir):
+    from go_web_mapreduce_spark.operators.ml import NB_TEST_MOD, q_naive_bayes
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "text"
+    ).collect()
+    cwc: dict = defaultdict(lambda: defaultdict(int))
+    n_docs: dict = defaultdict(int)
+    vocab: set = set()
+    test = []
+    for r in docs:
+        tk = [t for t in r["text"].lower().split(" ") if t]
+        if r["doc_id"] % NB_TEST_MOD == 0:
+            test.append((r["lang"], tk))
+        else:
+            n_docs[r["lang"]] += 1
+            for w in tk:
+                cwc[r["lang"]][w] += 1
+                vocab.add(w)
+    total = {c: sum(ws.values()) for c, ws in cwc.items()}
+    n_train = sum(n_docs.values())
+    v = len(vocab)
+    confusion: dict = defaultdict(int)
+    for lang, tk in test:
+        best = None
+        for c in sorted(n_docs):
+            s = math.log(n_docs[c] / n_train)
+            counts: dict = defaultdict(int)
+            for w in tk:
+                counts[w] += 1
+            for w, n in counts.items():
+                # replicate the DECIMAL(28,12) per-term rounding
+                t = n * math.log((cwc[c].get(w, 0) + 1) / (total[c] + v))
+                s += round(t, 12)
+            if best is None or s > best[0] + 1e-12:
+                best = (s, c)
+        confusion[(lang, best[1])] += 1
+    got = {
+        (r["lang"], r["predicted"]): r["n"]
+        for r in q_naive_bayes(spark, sf_dir).collect()
+    }
+    assert got == dict(confusion)
+    assert sum(got.values()) == len(test)
