@@ -1325,3 +1325,102 @@ def q_media_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("keep").alias("n_unique"),
         F.sum(F.col("keep") * F.col("s")).alias("keeper_pixel_sum"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q_image_dedup_phash — perceptual-hash (aHash) image dedup over real decodes
+# ---------------------------------------------------------------------------
+
+PHASH_GRID = 8  # sampled grid: PHASH_GRID² pixels → that many hash bits
+
+# g(j) for grid cell j (row j//8, col j%8): the pixel sampled at
+# (2·row, 2·col), channels summed — byte index 96·row + 6·col + k in the
+# tiled document bytes (pixel (r, c) channel k lives at (r·16 + c)·3 + k)
+_PHASH_G_SQL = (
+    "list_transform(range(0, {n}), j -> "
+    "  ascii(substr(text, ((96*(j//{g}) + 6*(j%{g})) % len) + 1, 1))"
+    "+ ascii(substr(text, ((96*(j//{g}) + 6*(j%{g}) + 1) % len) + 1, 1))"
+    "+ ascii(substr(text, ((96*(j//{g}) + 6*(j%{g}) + 2) % len) + 1, 1)))"
+).format(n=PHASH_GRID * PHASH_GRID, g=PHASH_GRID)
+
+
+@query(
+    "q_image_dedup_phash",
+    oracle=f"""
+    WITH gl AS (
+      SELECT doc_id, source, {_PHASH_G_SQL} AS gs
+      FROM (SELECT doc_id, source, text, octet_length(encode(text)) AS len
+            FROM documents WHERE {_ASCII_DOCS_SQL})
+    ), hashed AS (
+      SELECT doc_id, source,
+             array_to_string(list_transform(gs, g ->
+               CASE WHEN {PHASH_GRID * PHASH_GRID} * g >= list_sum(gs)
+                    THEN '1' ELSE '0' END), '') AS h
+      FROM gl
+    ), spread AS (
+      SELECT h, count(DISTINCT source) AS ns FROM hashed GROUP BY h
+    )
+    SELECT i.source,
+           CAST(count(*) AS BIGINT) AS n_images,
+           CAST(count(DISTINCT i.h) AS BIGINT) AS distinct_hashes,
+           CAST(count(*) - count(DISTINCT i.h) AS BIGINT) AS n_dup_within,
+           CAST(sum(CASE WHEN s.ns >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_shared_hash
+    FROM hashed i JOIN spread s ON s.h = i.h
+    GROUP BY i.source
+    """,
+    description=f"perceptual-hash image dedup (average hash, the "
+    "block-mean flavor of Zauner 2010's pHash family) over REAL decoded "
+    "pixels: every synthesized BMP/PNG/GIF is decoded by the from-scratch "
+    f"codecs, a {PHASH_GRID}×{PHASH_GRID} grid is sampled at stride 2, "
+    "grayscale = R+G+B (exact integers), and bit j = (64·g_j >= Σg) — "
+    "identical images hash equal regardless of container format, which "
+    "is precisely what byte-level exact dedup (q_dedup_exact) cannot do "
+    "for media. Per-source census: images, distinct perceptual hashes, "
+    "within-source duplicates, and images whose hash recurs in ≥2 "
+    "sources. The oracle recomputes every bit from first principles over "
+    "the tiled document bytes, so a single decoder or sampling offset "
+    "bug hash-mismatches. Plan: decode + hash are one Arrow-batched "
+    "mapInPandas over the fanned-out corpus scan (no shuffle), then one "
+    "hash-keyed groupBy (map-side combined) and one source-keyed rollup; "
+    "hash keys are 64-bit-equivalent strings, so the shuffle carries "
+    "(hash, source) pairs — linear in the image count at any scale",
+)
+def q_image_dedup_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-dup detection joins the dedup family's multimodal corner:
+    aHash collapses re-encodes of the same pixels (BMP vs PNG vs GIF here;
+    JPEG re-compression in the wild would flip only sub-threshold bits).
+    Reference parity: none — extension mandate (multimodal pipeline ops)."""
+
+    def run(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            hashes = []
+            for mime, payload in zip(pdf["mime"], pdf["payload"]):
+                px = decode_payload(mime, bytes(payload)).astype("int64")
+                g = px[:: 2, :: 2][:PHASH_GRID, :PHASH_GRID].sum(axis=2)
+                bits = (PHASH_GRID * PHASH_GRID * g >= g.sum()).astype("uint8")
+                hashes.append("".join("1" if b else "0" for b in bits.ravel()))
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "source": pdf["source"], "h": hashes}
+            )
+
+    media = synthesize_image_table(load_table(spark, sf_dir, "documents"))
+    hashed = media.select("doc_id", "source", "mime", "payload").mapInPandas(
+        run, "doc_id bigint, source string, h string"
+    )
+    spread = hashed.groupBy("h").agg(
+        F.count_distinct("source").alias("ns")
+    )
+    return (
+        hashed.join(spread, "h")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_images"),
+            F.count_distinct("h").alias("distinct_hashes"),
+            (F.count(F.lit(1)) - F.count_distinct("h")).alias("n_dup_within"),
+            F.sum(F.when(F.col("ns") >= 2, 1).otherwise(0)).alias("n_shared_hash"),
+        )
+    )

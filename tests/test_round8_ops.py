@@ -148,3 +148,60 @@ def test_naive_bayes_matches_pure_python_replay(spark, sf_dir):
     }
     assert got == dict(confusion)
     assert sum(got.values()) == len(test)
+
+
+def test_image_phash_is_container_invariant_and_matches_replay(spark, sf_dir):
+    import numpy as np
+
+    from go_web_mapreduce_spark.operators.multimodal import (
+        IMG_H,
+        IMG_W,
+        PHASH_GRID,
+        decode_payload,
+        encode_bmp,
+        encode_gif,
+        encode_png,
+        q_image_dedup_phash,
+    )
+
+    # same pixels through all three containers -> identical perceptual hash
+    def ahash(px):
+        g = px.astype("int64")[::2, ::2][:PHASH_GRID, :PHASH_GRID].sum(axis=2)
+        return tuple((PHASH_GRID * PHASH_GRID * g >= g.sum()).ravel())
+
+    raw = b"the quick brown fox jumps over the lazy dog 0123456789 " * 14
+    n_px = IMG_W * IMG_H * 3
+    px = np.frombuffer((raw * 2)[:n_px], np.uint8).reshape(IMG_H, IMG_W, 3)
+    h_bmp = ahash(decode_payload("image/bmp", encode_bmp(px)))
+    h_png = ahash(decode_payload("image/png", encode_png(px)))
+    h_gif = ahash(decode_payload("image/gif", encode_gif(px)))
+    assert h_bmp == h_png == h_gif
+    # flipping bright pixels to dark must change the hash
+    px2 = px.copy()
+    px2[0, 0:8] = 255
+    assert ahash(px2) != h_bmp
+
+    # per-source census matches a pure-python replay over the tiled bytes
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    ).collect()
+    by_src: dict = defaultdict(list)
+    for r in docs:
+        raw = r["text"].encode("utf-8")
+        if not raw or len(raw) != len(r["text"]):
+            continue
+        reps = -(-n_px // len(raw))
+        px = np.frombuffer((raw * reps)[:n_px], np.uint8).reshape(IMG_H, IMG_W, 3)
+        by_src[r["source"]].append(ahash(px))
+    spread: dict = defaultdict(set)
+    for src, hs in by_src.items():
+        for h in hs:
+            spread[h].add(src)
+    got = {r["source"]: r for r in q_image_dedup_phash(spark, sf_dir).collect()}
+    assert set(got) == set(by_src)
+    for src, hs in by_src.items():
+        g = got[src]
+        assert g["n_images"] == len(hs)
+        assert g["distinct_hashes"] == len(set(hs))
+        assert g["n_dup_within"] == len(hs) - len(set(hs))
+        assert g["n_shared_hash"] == sum(1 for h in hs if len(spread[h]) >= 2)
