@@ -1554,3 +1554,90 @@ def q_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("is_lo").cast("bigint").alias("n_clamped_lo"),
         F.sum("is_hi").cast("bigint").alias("n_clamped_hi"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q_profile_table — per-column data-profiling census (the ingest health check)
+# ---------------------------------------------------------------------------
+
+# canonical cross-engine string representation per column: integers via
+# plain cast, doubles through DECIMAL(18,2) (both engines print the exact
+# scaled form, e.g. '1234.50'), timestamps via an explicit format string —
+# min/max/distinct/length are then defined over the SAME text in both
+# engines, the standard profiling convention
+_PROFILE_COLS_SPARK = {
+    "o_orderkey": lambda: F.col("o_orderkey").cast("string"),
+    "o_custkey": lambda: F.col("o_custkey").cast("string"),
+    "o_orderstatus": lambda: F.col("o_orderstatus"),
+    "o_totalprice": lambda: F.col("o_totalprice").cast("decimal(18,2)").cast("string"),
+    "o_orderdate": lambda: F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss"),
+    "o_orderpriority": lambda: F.col("o_orderpriority"),
+}
+_PROFILE_COLS_SQL = {
+    "o_orderkey": "CAST(o_orderkey AS STRING)",
+    "o_custkey": "CAST(o_custkey AS STRING)",
+    "o_orderstatus": "o_orderstatus",
+    "o_totalprice": "CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS STRING)",
+    "o_orderdate": "strftime(o_orderdate, '%Y-%m-%d %H:%M:%S')",
+    "o_orderpriority": "o_orderpriority",
+}
+
+
+def _profile_oracle() -> str:
+    parts = []
+    for name, expr in _PROFILE_COLS_SQL.items():
+        parts.append(f"""
+    SELECT '{name}' AS column_name,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(*) - count(v) AS BIGINT) AS n_null,
+           CAST(count(DISTINCT v) AS BIGINT) AS n_distinct,
+           min(v) AS min_v, max(v) AS max_v,
+           CAST(sum(length(v)) AS DOUBLE) / count(v) AS avg_len
+    FROM (SELECT {expr} AS v FROM orders) t_{name}""")
+        # length sums are exact integers, so avg_len is one IEEE division of
+        # identical operands — no decimal detour needed
+    return " UNION ALL ".join(parts)
+
+
+@query(
+    "q_profile_table",
+    oracle=_profile_oracle(),
+    description="per-column data-profiling census of the orders table — "
+    "row count, null count, distinct count, lexicographic min/max, and "
+    "mean rendered length over a CANONICAL cross-engine string "
+    "representation per column (ints plain, doubles through "
+    "DECIMAL(18,2), timestamps through one explicit format) — the "
+    "schema-drift / ingest-health check every pipeline runs before "
+    "training data is trusted. Plan: one single-row aggregate per "
+    "column, unioned — each scan is column-pruned to exactly its column "
+    "(parquet projection) with map-side partial aggregation, so the six "
+    "profiles parallelize independently and nothing corpus-sized "
+    "shuffles except the per-column DISTINCT. At 100 TB swap "
+    "count_distinct for approx_count_distinct (the q_approx_distinct_native "
+    "pattern) — same plan, bounded state",
+)
+def q_profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Profiling belongs to the engine, not a notebook: the reference's
+    operator surface has no census (extension mandate — pipeline ops)."""
+    orders = load_table(spark, sf_dir, "orders")
+    profiles = []
+    for name, make in _PROFILE_COLS_SPARK.items():
+        v = make().alias("v")
+        profiles.append(
+            orders.select(v).agg(
+                F.lit(name).alias("column_name"),
+                F.count(F.lit(1)).alias("n_rows"),
+                (F.count(F.lit(1)) - F.count("v")).alias("n_null"),
+                F.count_distinct("v").alias("n_distinct"),
+                F.min("v").alias("min_v"),
+                F.max("v").alias("max_v"),
+                (F.sum(F.length("v")).cast("double") / F.count("v")).alias("avg_len"),
+            ).select(
+                "column_name", "n_rows", "n_null", "n_distinct",
+                "min_v", "max_v", "avg_len",
+            )
+        )
+    out = profiles[0]
+    for p in profiles[1:]:
+        out = out.unionAll(p)
+    return out

@@ -205,3 +205,29 @@ def test_image_phash_is_container_invariant_and_matches_replay(spark, sf_dir):
         assert g["distinct_hashes"] == len(set(hs))
         assert g["n_dup_within"] == len(hs) - len(set(hs))
         assert g["n_shared_hash"] == sum(1 for h in hs if len(spread[h]) >= 2)
+
+
+def test_profile_table_matches_pandas_census(spark, sf_dir):
+    from go_web_mapreduce_spark.operators.analytics import q_profile_table
+
+    orders = load_table(spark, sf_dir, "orders").collect()
+    canon = {
+        "o_orderkey": lambda r: str(r["o_orderkey"]),
+        "o_custkey": lambda r: str(r["o_custkey"]),
+        "o_orderstatus": lambda r: r["o_orderstatus"],
+        "o_totalprice": lambda r: f"{r['o_totalprice']:.2f}",
+        "o_orderdate": lambda r: r["o_orderdate"].strftime("%Y-%m-%d %H:%M:%S"),
+        "o_orderpriority": lambda r: r["o_orderpriority"],
+    }
+    got = {r["column_name"]: r for r in q_profile_table(spark, sf_dir).collect()}
+    assert set(got) == set(canon)
+    for name, fn in canon.items():
+        vals = [fn(r) for r in orders if r[name] is not None]
+        g = got[name]
+        assert g["n_rows"] == len(orders)
+        assert g["n_null"] == len(orders) - len(vals)
+        assert g["n_distinct"] == len(set(vals))
+        assert (g["min_v"], g["max_v"]) == (min(vals), max(vals))
+        assert g["avg_len"] == pytest.approx(
+            sum(len(v) for v in vals) / len(vals), rel=1e-12
+        )
