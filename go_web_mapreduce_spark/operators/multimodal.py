@@ -1411,16 +1411,27 @@ def q_image_dedup_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     hashed = media.select("doc_id", "source", "mime", "payload").mapInPandas(
         run, "doc_id bigint, source string, h string"
     )
-    spread = hashed.groupBy("h").agg(
-        F.count_distinct("source").alias("ns")
+    # collapse to (hash, source) FIRST — one map-side-combined shuffle over
+    # the single decode pass; every downstream aggregate (census, spread)
+    # then works on the distinct-hash-sized table, so the Python decode
+    # kernel runs exactly once per image (plan-gated in test_plans)
+    hs = (
+        hashed.groupBy("h", "source")
+        .agg(F.count(F.lit(1)).alias("c"))
+        # referenced twice (census + spread): pin the distinct-hash-sized
+        # table so the decode lineage runs once
+        .localCheckpoint(eager=False)
     )
+    spread = hs.groupBy("h").agg(F.count(F.lit(1)).alias("ns"))
     return (
-        hashed.join(spread, "h")
+        hs.join(spread, "h")
         .groupBy("source")
         .agg(
-            F.count(F.lit(1)).alias("n_images"),
-            F.count_distinct("h").alias("distinct_hashes"),
-            (F.count(F.lit(1)) - F.count_distinct("h")).alias("n_dup_within"),
-            F.sum(F.when(F.col("ns") >= 2, 1).otherwise(0)).alias("n_shared_hash"),
+            F.sum("c").alias("n_images"),
+            F.count(F.lit(1)).alias("distinct_hashes"),
+            (F.sum("c") - F.count(F.lit(1))).alias("n_dup_within"),
+            F.sum(F.when(F.col("ns") >= 2, F.col("c")).otherwise(0)).alias(
+                "n_shared_hash"
+            ),
         )
     )

@@ -283,3 +283,53 @@ def test_cms_probe_join_is_broadcast(spark, sf_dir):
     # broadcast it, never shuffle the probes
     plan = executed_plan(spark, sf_dir, "q_heavy_hitters_cms")
     assert "BroadcastHashJoin" in plan
+
+
+def test_adamic_adar_has_no_cartesian_and_prunes_edges(spark, sf_dir):
+    plan = executed_plan(spark, sf_dir, "q_adamic_adar")
+    # wedge generation is a keyed self-join on the center node plus an
+    # anti-join against the edge set — never an unkeyed pair blow-up
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "LeftAnti" in plan
+    # top-20 is a TakeOrdered, never a global sort; the pair aggregation
+    # combines map-side (the lineitem scan + its pushed ship-year filter
+    # live in the checkpointed edge lineage, not this plan)
+    assert "TakeOrderedAndProject" in plan
+    assert "partial_sum" in plan
+
+
+def test_passage_dedup_aggregates_partially(spark, sf_dir):
+    plan = executed_plan(spark, sf_dir, "q_passage_dedup")
+    # the winner min() and the census both combine map-side: the passage
+    # hash shuffle carries states, not instances
+    assert "partial_min" in plan or "partial_count" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_naive_bayes_model_joins_stay_bounded(spark, sf_dir):
+    plan = executed_plan(spark, sf_dir, "q_naive_bayes")
+    # the priors/totals/vocab sides ride broadcasts (5-row / 1-row);
+    # the only nested-loop joins are those bounded broadcasts
+    assert "CartesianProduct" not in plan
+    assert "BroadcastExchange" in plan
+    assert "partial_count" in plan
+
+
+def test_image_phash_is_single_pass_then_keyed_aggs(spark, sf_dir):
+    plan = executed_plan(spark, sf_dir, "q_image_dedup_phash")
+    # decode+hash happen inside one Arrow mapInPandas over the scan; the
+    # (hash, source) table is localCheckpoint-pinned, so the visible plan
+    # references that pinned lineage (0 MapInPandas here) rather than
+    # re-running the decode per consumer (the >1 this gate exists to catch)
+    assert plan.count("MapInPandas") <= 1
+    assert "CartesianProduct" not in plan
+
+
+def test_profile_table_scans_are_column_pruned(spark, sf_dir):
+    plan = executed_plan(spark, sf_dir, "q_profile_table")
+    # six per-column profiles -> six scans, each reading exactly its column
+    for seg in plan.split("ReadSchema:")[1:]:
+        schema = seg.splitlines()[0]
+        n_cols = schema.count(":")
+        assert n_cols == 1, schema
