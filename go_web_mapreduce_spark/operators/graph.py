@@ -761,7 +761,13 @@ def q_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
         und.select(F.col("pb").alias("node"), F.col("pa").alias("nb"))
     )
     deg = adj.groupBy("node").agg(F.count(F.lit(1)).alias("d"))
-    term = adj.join(deg, "node").select(
+    # a degree-1 node can never be a wedge center (no second neighbor), so
+    # its 1/ln(1) term is unreachable — but ANSI mode evaluates the
+    # projection eagerly, so filter BEFORE the division (caught by the
+    # sf10 decade: the first degree-1 node appears there). Also prunes the
+    # wedge self-join input. The oracle only ever divides on joined wedge
+    # rows (centers), so it needs no guard.
+    term = adj.join(deg, "node").where(F.col("d") >= 2).select(
         "node",
         "nb",
         (F.lit(1.0) / F.log(F.col("d").cast("double"))).alias("t"),

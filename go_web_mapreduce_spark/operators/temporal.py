@@ -1226,3 +1226,107 @@ def q_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         fold.alias("ewma"),
         (F.col("m") - fold).alias("deviation"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q_holt_forecast — Holt's linear-trend method (double exponential smoothing)
+# ---------------------------------------------------------------------------
+
+# stated as literals on BOTH sides, never computed (float(1-0.3) is a
+# different double than the literal 0.7 — the PR_TELEPORT lesson)
+HOLT_ALPHA = "0.5"   # level smoothing
+HOLT_1MA = "0.5"
+HOLT_BETA = "0.3"    # trend smoothing
+HOLT_1MB = "0.7"
+HOLT_HORIZON = 3     # forecast days ahead
+
+# one Holt update, shared textually by both engines: the level expression
+# is repeated inside the trend line so the operation order is identical
+_HOLT_L = "({a} * x.l + {ma} * (acc.l + acc.b))"
+_HOLT_STEP_SPARK = (
+    "named_struct("
+    f"'l', {_HOLT_L}, "
+    f"'b', {{b}} * ({_HOLT_L} - acc.l) + {{mb}} * acc.b)"
+).format(a=HOLT_ALPHA, ma=HOLT_1MA, b=HOLT_BETA, mb=HOLT_1MB)
+
+
+@query(
+    "q_holt_forecast",
+    # the fold is a recursive CTE on scalar (l, b) columns rather than a
+    # list_reduce over a struct accumulator: DuckDB evaluates struct_pack
+    # fields sequentially and REBINDS the accumulator in place between
+    # fields, so a two-field state where b reads acc.l sees the already-
+    # updated level — plain SQL columns in one SELECT have no such hazard
+    oracle=f"""
+    WITH RECURSIVE daily AS (
+      SELECT event_type, date_trunc('day', ts) AS day,
+             CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) AS STRING) AS DOUBLE)
+               / count(*) AS m
+      FROM events GROUP BY 1, 2
+    ),
+    seq AS (
+      SELECT event_type, m,
+             row_number() OVER (PARTITION BY event_type ORDER BY day) AS i,
+             count(*) OVER (PARTITION BY event_type) AS n_days
+      FROM daily
+    ),
+    fit AS (
+      SELECT event_type, i, n_days, m AS l, CAST(0.0 AS DOUBLE) AS b
+      FROM seq WHERE i = 1
+      UNION ALL
+      SELECT s.event_type, s.i, s.n_days,
+             ({HOLT_ALPHA} * s.m + {HOLT_1MA} * (f.l + f.b)) AS l,
+             ({HOLT_BETA} * (({HOLT_ALPHA} * s.m + {HOLT_1MA} * (f.l + f.b))
+                             - f.l) + {HOLT_1MB} * f.b) AS b
+      FROM fit f JOIN seq s ON s.event_type = f.event_type AND s.i = f.i + 1
+    )
+    SELECT event_type, CAST(n_days AS BIGINT) AS n_days,
+           l AS level, b AS trend,
+           l + 1 * b AS fc_1,
+           l + 2 * b AS fc_2,
+           l + 3 * b AS fc_3
+    FROM fit WHERE i = n_days
+    """,
+    description="forecasting joins the temporal family: Holt's "
+    "linear-trend method (Holt 1957 / Hyndman fpp3 ch. 8) over each event "
+    f"type's daily-mean series — alpha={HOLT_ALPHA}, beta={HOLT_BETA}, "
+    "initialized at (first observation, zero trend) — emitting the final "
+    "level, trend, and the h=1..3-day-ahead forecasts level + h*trend. "
+    "The recurrence is one explicit left-to-right fold with a struct "
+    "(level, trend) accumulator, the SAME textual update expression in "
+    "both engines (the level formula is repeated inside the trend line so "
+    "even the operation order matches), so the float stream is "
+    "bit-identical and hash-verifies with no decimal detour; daily means "
+    "come from exact decimal sums. Plan: one corpus aggregation to the "
+    "(type, day) grid, then everything runs on the dimension-sized "
+    "series — the q_ewma shape with a 2-component state",
+)
+def q_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg((dsum(F.col("value"), 2) / F.count(F.lit(1))).alias("m"))
+    series = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.expr("transform(array_sort(collect_list(struct(day, m))), s -> s.m)")
+        .alias("arr"),
+    )
+    fitted = series.select(
+        "event_type",
+        "n_days",
+        F.expr(
+            "aggregate(transform(arr, m -> named_struct('l', m, 'b', "
+            "cast(0.0 as double))), "
+            "cast(null as struct<l: double, b: double>), "
+            f"(acc, x) -> if(acc is null, x, {_HOLT_STEP_SPARK})) "
+        ).alias("st"),
+    )
+    return fitted.select(
+        "event_type",
+        "n_days",
+        F.col("st.l").alias("level"),
+        F.col("st.b").alias("trend"),
+        (F.col("st.l") + 1 * F.col("st.b")).alias("fc_1"),
+        (F.col("st.l") + 2 * F.col("st.b")).alias("fc_2"),
+        (F.col("st.l") + 3 * F.col("st.b")).alias("fc_3"),
+    )

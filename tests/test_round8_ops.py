@@ -231,3 +231,34 @@ def test_profile_table_matches_pandas_census(spark, sf_dir):
         assert g["avg_len"] == pytest.approx(
             sum(len(v) for v in vals) / len(vals), rel=1e-12
         )
+
+
+def test_holt_forecast_matches_pure_python_replay(spark, sf_dir):
+    from go_web_mapreduce_spark.operators.temporal import q_holt_forecast
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.date_trunc("day", "ts").alias("day"), "value"
+    ).collect()
+    daily: dict = defaultdict(lambda: defaultdict(lambda: [0, 0]))
+    for r in ev:
+        cell = daily[r["event_type"]][r["day"]]
+        # replicate the DECIMAL(18,2)-exact sum: accumulate cents
+        cell[0] += round(r["value"] * 100)
+        cell[1] += 1
+    got = {r["event_type"]: r for r in q_holt_forecast(spark, sf_dir).collect()}
+    assert set(got) == set(daily)
+    for et, days in daily.items():
+        series = [
+            (days[d][0] / 100) / days[d][1] for d in sorted(days)
+        ]
+        l, b = series[0], 0.0
+        for m in series[1:]:
+            l2 = 0.5 * m + 0.5 * (l + b)
+            b = 0.3 * (l2 - l) + 0.7 * b
+            l = l2
+        g = got[et]
+        assert g["n_days"] == len(series)
+        assert g["level"] == pytest.approx(l, rel=1e-12)
+        assert g["trend"] == pytest.approx(b, rel=1e-9)
+        for h in (1, 2, 3):
+            assert g[f"fc_{h}"] == pytest.approx(l + h * b, rel=1e-9)
