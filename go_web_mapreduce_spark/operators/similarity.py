@@ -2194,7 +2194,7 @@ def _mine_contrastive(kn: DataFrame) -> DataFrame:
              {_cos_sql("a.embedding", "b.embedding")} AS score
       FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
     ),
-    top AS (
+    top AS MATERIALIZED (
       SELECT vec_id, nbr, score,
              row_number() OVER (PARTITION BY vec_id
                                 ORDER BY score DESC, nbr) AS rnk
@@ -2265,7 +2265,7 @@ _CP_POSNEG_SQL = f"""
 
 @query(
     "q_contrastive_pairs_ivf",
-    oracle="WITH top AS (\n"
+    oracle="WITH top AS MATERIALIZED (\n"
     + ann_oracle.knn_graph_ivf_oracle(
         dim=EMBEDDING_DIM, k=IVF_CENTROIDS, iters=10,
         cap=IVF_TRAIN_SAMPLE_CAP, aprobe=KNN_IVF_APROBE, graph_k=CP_K,
@@ -2292,7 +2292,7 @@ def q_contrastive_pairs_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_contrastive_pairs_ivf_scaled",
-    oracle="WITH top AS (\n"
+    oracle="WITH top AS MATERIALIZED (\n"
     + ann_oracle.knn_graph_ivf_oracle(
         dim=EMBEDDING_DIM, k=KNN_IVF_SCALED_CENTROIDS, iters=10,
         cap=IVF_TRAIN_SAMPLE_CAP, aprobe=KNN_IVF_APROBE, graph_k=CP_K,
