@@ -95,6 +95,12 @@ HEADLINERS = {
     "q_theil_sen": "Theil-Sen: one corpus agg; the definitional days^2 pair join runs on the dimension-sized series",
     "q_seasonal_profile": "seasonality: one corpus agg to the daily grid; profile/moments/residuals on types x 7 tables",
     "q_conformal_threshold": "conformal: centroids from decimal sums, broadcast scoring scan, per-label rank threshold on calibration only",
+    "q_adamic_adar": "link prediction: checkpointed distinct edges, center-keyed wedge self-join, anti-join vs edges, TakeOrdered top-20",
+    "q_passage_dedup": "passage keep-first dedup: map-side explode, one hash groupBy with partial min, equi-join back",
+    "q_naive_bayes": "naive Bayes: (class,word) model groupBy map-side combined, 5-row prior/total/vocab broadcasts, doc-keyed argmax",
+    "q_image_dedup_phash": "perceptual image dedup: one decode+hash mapInPandas, pinned (hash,source) census, source rollup",
+    "q_profile_table": "table profiler: one column-pruned single-row aggregate per column, unioned; per-column DISTINCT is the only wide agg",
+    "q_holt_forecast": "Holt forecast: one corpus agg to the (type,day) grid, fold + forecasts on the dimension-sized series",
 }
 
 
