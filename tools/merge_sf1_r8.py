@@ -24,6 +24,10 @@ provenance_counts = {"carried_r7": 0, "rerun_r8": 0, "new_r8": 0, "replay": 0}
 
 for path, tag in (
     ("/tmp/sf1_rerun_r8.json", "rerun_r8"),
+    # the C=256 contrastive re-run AFTER the AS MATERIALIZED oracle fix
+    # (the first pass aborted out-of-disk on DuckDB's per-reference CTE
+    # inlining) — later layer wins over the FAIL row above
+    ("/tmp/sf1_ivfscaled_r8.json", "rerun_r8"),
     ("/tmp/sf1_newops_r8.json", "new_r8"),
     ("/tmp/semantic_replay_r8.json", "replay"),
 ):
@@ -45,7 +49,11 @@ provenance_counts["carried_r7"] = sum(
 
 summary = {"ok": 0, "rows_only": 0, "fail": 0}
 for rec in out_queries.values():
-    if rec.get("err"):
+    if rec.get("err") == "no_oracle":
+        # oracle-less by construction (q_approx_distinct_native) — the
+        # driver's rows-only category
+        summary["rows_only"] += 1
+    elif rec.get("err"):
         summary["fail"] += 1
     elif rec.get("hash_match"):
         summary["ok"] += 1
