@@ -791,3 +791,105 @@ def q_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("aa_score"), "pa", "pb")
         .limit(AA_TOP)
     )
+
+
+# ---------------------------------------------------------------------------
+# item-item collaborative filtering over the co-purchase graph
+# ---------------------------------------------------------------------------
+
+CF_TOP = 3  # recommendations kept per item
+
+
+@query(
+    "q_item_cf",
+    oracle=f"""
+    WITH li AS (
+        SELECT l_orderkey, l_partkey FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '{PR_YEAR}-01-01'
+          AND l_shipdate <  TIMESTAMP '{PR_YEAR + 1}-01-01'
+    ),
+    baskets AS (SELECT DISTINCT l_orderkey, l_partkey FROM li),
+    deg AS (SELECT l_partkey AS item, count(*) AS d FROM baskets GROUP BY 1),
+    co AS (
+        SELECT a.l_partkey AS item, b.l_partkey AS rec,
+               count(*) AS w
+        FROM baskets a JOIN baskets b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+        GROUP BY 1, 2
+    ),
+    scored AS (
+        SELECT c.item, c.rec, CAST(c.w AS BIGINT) AS w,
+               c.w / (sqrt(CAST(da.d AS DOUBLE)) * sqrt(CAST(db.d AS DOUBLE)))
+                 AS cosine,
+               row_number() OVER (
+                 PARTITION BY c.item
+                 ORDER BY c.w / (sqrt(CAST(da.d AS DOUBLE))
+                                 * sqrt(CAST(db.d AS DOUBLE))) DESC,
+                          c.rec
+               ) AS rk
+        FROM co c JOIN deg da ON da.item = c.item
+                  JOIN deg db ON db.item = c.rec
+    )
+    SELECT item, rec, w, cosine, CAST(rk AS INT) AS rk
+    FROM scored WHERE rk <= {CF_TOP}
+    """,
+    description="item-to-item collaborative filtering (Linden/Smith/York "
+    "2003, the Amazon recommender shape) over one ship-year of order "
+    f"baskets: per item the top-{CF_TOP} co-purchased items by cosine on "
+    "the binary basket vectors — w(a,b) / sqrt(|a|·|b|), where w counts "
+    "shared baskets and |a| is the item's basket degree. Every input to "
+    "the score is an exact integer and sqrt/÷ are correctly-rounded IEEE "
+    "ops on identical operands, so scores are bit-identical cross-engine "
+    "with no decimal detour; ties break on the recommended item id. "
+    "Plan: one distinct over (order, part) pairs, one degree census, the "
+    "basket self-join (fan-out bounded by ≤7 lines/order — pair volume "
+    "is linear in baskets, never items²), a vocabulary-sized window for "
+    "the per-item top-k. The classic scale trade vs ALS/embedding "
+    "factorization: no training, one shuffle per stage",
+)
+def q_item_cf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recommendation joins the graph family (AA predicts missing edges;
+    this ranks existing co-purchase strength). Extension mandate — the
+    reference's data plane computes whatever user JS maps/reduces emit
+    (views.go:53-59); this is the canonical basket workload for it."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .where(
+            (F.col("l_shipdate") >= f"{PR_YEAR}-01-01")
+            & (F.col("l_shipdate") < f"{PR_YEAR + 1}-01-01")
+        )
+        .select("l_orderkey", "l_partkey")
+    )
+    baskets = li.distinct().localCheckpoint(eager=False)
+    deg = baskets.groupBy(F.col("l_partkey").alias("item")).agg(
+        F.count(F.lit(1)).alias("d")
+    )
+    a = baskets.select("l_orderkey", F.col("l_partkey").alias("item"))
+    b = baskets.select("l_orderkey", F.col("l_partkey").alias("rec"))
+    co = (
+        a.join(b, "l_orderkey")
+        .where(F.col("item") != F.col("rec"))
+        .groupBy("item", "rec")
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    da = deg.select(F.col("item"), F.col("d").alias("da"))
+    db = deg.select(F.col("item").alias("rec"), F.col("d").alias("db"))
+    scored = (
+        co.join(da, "item")
+        .join(db, "rec")
+        .select(
+            "item",
+            "rec",
+            "w",
+            (
+                F.col("w")
+                / (F.sqrt(F.col("da").cast("double")) * F.sqrt(F.col("db").cast("double")))
+            ).alias("cosine"),
+        )
+    )
+    w = W.partitionBy("item").orderBy(F.desc("cosine"), "rec")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= CF_TOP)
+        .select("item", "rec", "w", "cosine", "rk")
+    )

@@ -1793,3 +1793,92 @@ def q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("h").alias("min_entropy"),
         F.max("h").alias("max_entropy"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q_ctfidf_terms — class-based TF-IDF (distinctive terms per source)
+# ---------------------------------------------------------------------------
+
+CTFIDF_TOPK = 5
+
+
+@query(
+    "q_ctfidf_terms",
+    oracle=f"""
+    WITH toks AS (
+      SELECT source, unnest({_TK}) AS token FROM documents
+    ),
+    cls AS (SELECT source, token, count(*) AS tf FROM toks GROUP BY 1, 2),
+    ctot AS (SELECT source, sum(tf) AS tc FROM cls GROUP BY 1),
+    wtot AS (SELECT token, sum(tf) AS fw FROM cls GROUP BY 1),
+    g AS (SELECT sum(tf) AS total, count(DISTINCT source) AS nc FROM cls),
+    scored AS (
+      SELECT c.source, c.token, CAST(c.tf AS BIGINT) AS tf,
+             (CAST(c.tf AS DOUBLE) / CAST(t.tc AS DOUBLE))
+               * ln(1 + (CAST(g.total AS DOUBLE) / CAST(g.nc AS DOUBLE))
+                        / CAST(w.fw AS DOUBLE)) AS score,
+             row_number() OVER (
+               PARTITION BY c.source
+               ORDER BY (CAST(c.tf AS DOUBLE) / CAST(t.tc AS DOUBLE))
+                        * ln(1 + (CAST(g.total AS DOUBLE) / CAST(g.nc AS DOUBLE))
+                             / CAST(w.fw AS DOUBLE)) DESC,
+                        c.token
+             ) AS rk
+      FROM cls c JOIN ctot t ON t.source = c.source
+                 JOIN wtot w ON w.token = c.token
+                 CROSS JOIN g
+    )
+    SELECT source, token, tf, score, CAST(rk AS INT) AS rk
+    FROM scored WHERE rk <= {CTFIDF_TOPK}
+    """,
+    description=f"class-based TF-IDF (c-TF-IDF, Grootendorst 2022 — the "
+    "BERTopic topic-labeling statistic): each SOURCE is one class "
+    "pseudo-document, score = (tf_w,c / tokens_c) · ln(1 + A / f_w) with "
+    f"A the mean class token count, the top-{CTFIDF_TOPK} most "
+    "distinctive terms per source — what q_chi2_tokens answers with a "
+    "presence test, this answers with occurrence mass (boilerplate-heavy "
+    "terms rank differently under the two). Every input is an exact "
+    "integer and the score is one fixed-order IEEE expression (single "
+    "libm ln, used only through the comparator's 6-significant-digit "
+    "rounding; ordering compares identical doubles), so it hash-verifies "
+    "with no decimal detour. Plan: one explode to (source, token) counts "
+    "(map-side combined), class totals broadcast-sized, the token-total "
+    "join vocabulary-sized, grand totals a 1-row cross join, top-k a "
+    "vocabulary-sized window — same scale shape as q_chi2_tokens",
+)
+def q_ctfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    cls = (
+        docs.select("source", F.explode(tokens("text")).alias("token"))
+        .groupBy("source", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        # feeds three aggregations + the score join — pin the
+        # (source, token) census so the corpus explode runs once
+        .localCheckpoint(eager=False)
+    )
+    ctot = cls.groupBy("source").agg(F.sum("tf").alias("tc"))
+    wtot = cls.groupBy("token").agg(F.sum("tf").alias("fw"))
+    g = cls.agg(
+        F.sum("tf").alias("total"), F.count_distinct("source").alias("nc")
+    )
+    score = (
+        F.col("tf").cast("double") / F.col("tc").cast("double")
+    ) * F.log(
+        F.lit(1)
+        + (F.col("total").cast("double") / F.col("nc").cast("double"))
+        / F.col("fw").cast("double")
+    )
+    scored = (
+        cls.join(F.broadcast(ctot), "source")
+        .join(wtot, "token")
+        .crossJoin(F.broadcast(g))
+        .select("source", "token", "tf", score.alias("score"))
+    )
+    w = Window.partitionBy("source").orderBy(F.desc("score"), "token")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= CTFIDF_TOPK)
+        .select("source", "token", "tf", "score", "rk")
+    )

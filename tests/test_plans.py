@@ -333,3 +333,20 @@ def test_profile_table_scans_are_column_pruned(spark, sf_dir):
         schema = seg.splitlines()[0]
         n_cols = schema.count(":")
         assert n_cols == 1, schema
+
+
+def test_item_cf_pairs_are_keyed_and_topk_is_windowed(spark, sf_dir):
+    plan = executed_plan(spark, sf_dir, "q_item_cf")
+    # basket pairs come from the orderkey-keyed self-join (bounded fan-out),
+    # never an unkeyed blow-up; per-item top-k is a vocabulary-sized window
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "partial_count" in plan
+
+
+def test_ctfidf_census_is_pinned_and_totals_broadcast(spark, sf_dir):
+    plan = executed_plan(spark, sf_dir, "q_ctfidf_terms")
+    # the (source, token) census is localCheckpoint-pinned (one corpus
+    # explode); class totals and the 1-row grand total ride broadcasts
+    assert "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan

@@ -262,3 +262,76 @@ def test_holt_forecast_matches_pure_python_replay(spark, sf_dir):
         assert g["trend"] == pytest.approx(b, rel=1e-9)
         for h in (1, 2, 3):
             assert g[f"fc_{h}"] == pytest.approx(l + h * b, rel=1e-9)
+
+
+def test_item_cf_matches_pure_python_replay(spark, sf_dir):
+    from go_web_mapreduce_spark.operators.graph import CF_TOP, PR_YEAR, q_item_cf
+
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .where(
+            (F.col("l_shipdate") >= f"{PR_YEAR}-01-01")
+            & (F.col("l_shipdate") < f"{PR_YEAR + 1}-01-01")
+        )
+        .select("l_orderkey", "l_partkey")
+        .collect()
+    )
+    baskets: dict = defaultdict(set)
+    for r in li:
+        baskets[r["l_orderkey"]].add(r["l_partkey"])
+    deg: dict = defaultdict(int)
+    co: dict = defaultdict(int)
+    for parts in baskets.values():
+        for p in parts:
+            deg[p] += 1
+        for a in parts:
+            for b in parts:
+                if a != b:
+                    co[(a, b)] += 1
+    ranked: dict = defaultdict(list)
+    for (a, b), w in co.items():
+        ranked[a].append((-(w / (math.sqrt(deg[a]) * math.sqrt(deg[b]))), b, w))
+    got = defaultdict(list)
+    for r in q_item_cf(spark, sf_dir).collect():
+        got[r["item"]].append((r["rk"], r["rec"], r["w"], r["cosine"]))
+    assert set(got) == set(ranked)
+    for item, cands in ranked.items():
+        cands.sort()
+        mine = sorted(got[item])
+        assert len(mine) == min(CF_TOP, len(cands))
+        for (rk, rec, w, cos), (negcos, erec, ew) in zip(mine, cands):
+            assert (rec, w) == (erec, ew)
+            assert cos == pytest.approx(-negcos, rel=1e-12)
+
+
+def test_ctfidf_matches_pure_python_replay(spark, sf_dir):
+    from go_web_mapreduce_spark.operators.text_analysis import (
+        CTFIDF_TOPK,
+        q_ctfidf_terms,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("source", "text").collect()
+    cls: dict = defaultdict(lambda: defaultdict(int))
+    for r in docs:
+        for t in r["text"].lower().split(" "):
+            if t:
+                cls[r["source"]][t] += 1
+    tc = {s: sum(ws.values()) for s, ws in cls.items()}
+    fw: dict = defaultdict(int)
+    for ws in cls.values():
+        for t, n in ws.items():
+            fw[t] += n
+    total, nc = sum(tc.values()), len(cls)
+    got = defaultdict(dict)
+    for r in q_ctfidf_terms(spark, sf_dir).collect():
+        got[r["source"]][r["rk"]] = (r["token"], r["tf"], r["score"])
+    assert set(got) == set(cls)
+    for s, ws in cls.items():
+        scored = sorted(
+            (-(n / tc[s]) * math.log(1 + (total / nc) / fw[t]), t, n)
+            for t, n in ws.items()
+        )[:CTFIDF_TOPK]
+        for rk, (negscore, t, n) in enumerate(scored, 1):
+            gt, gn, gs = got[s][rk]
+            assert (gt, gn) == (t, n)
+            assert gs == pytest.approx(-negscore, rel=1e-12)
