@@ -893,3 +893,102 @@ def q_item_cf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rk") <= CF_TOP)
         .select("item", "rec", "w", "cosine", "rk")
     )
+
+
+# ---------------------------------------------------------------------------
+# BFS hop distances (single-source shortest unweighted paths, bounded depth)
+# ---------------------------------------------------------------------------
+
+BFS_HOPS = 4  # fixed — bounds the recursive oracle and the frontier loop
+
+
+def _bfs_oracle() -> str:
+    return f"""
+    WITH RECURSIVE li AS (
+        SELECT l_orderkey, l_partkey FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '{PR_YEAR}-01-01'
+          AND l_shipdate <  TIMESTAMP '{PR_YEAR + 1}-01-01'
+    ),
+    edges AS (
+        SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+        FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+        WHERE a.l_partkey <> b.l_partkey
+    ),
+    walk(node, d) AS (
+        SELECT (SELECT min(src) FROM edges), 0
+        UNION
+        SELECT e.dst, w.d + 1 FROM walk w
+        JOIN edges e ON e.src = w.node WHERE w.d < {BFS_HOPS}
+    ),
+    bfs AS (SELECT node, min(d) AS d FROM walk GROUP BY node)
+    SELECT CAST(d AS INT) AS hops,
+           CAST(count(*) AS BIGINT) AS n_nodes,
+           CAST(sum(node) AS BIGINT) AS sum_node,
+           min(node) AS min_node, max(node) AS max_node
+    FROM bfs GROUP BY d
+    """
+
+
+@query(
+    "q_graph_bfs",
+    oracle=_bfs_oracle(),
+    description="named 'graph' workload, traversal: single-source BFS hop "
+    f"distances (≤{BFS_HOPS} hops) from the smallest part in the {PR_YEAR} "
+    "co-purchase graph — per-hop reach census (count / id-sum checksum / "
+    "min / max, all exact integers); the oracle is a recursive CTE taking "
+    "min(depth) per node, the Spark side the classic frontier loop with an "
+    "anti-join visited set — structurally different statements of the same "
+    "fixpoint, hash-equal",
+)
+def q_graph_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frontier BFS is the canonical 'iteration with a growing exclusion
+    set' shape: per hop one join (frontier ⋈ edges, shuffle on src) + one
+    anti-join against the visited set (shuffle on node) — state is
+    O(reached nodes), never edges². The static edge table and each new
+    frontier are localCheckpoint-pinned (same lineage discipline as
+    q_pagerank/q_lpa_communities: without it hop h re-evaluates hops
+    1..h-1, turning a linear loop quadratic). Depth is a fixed constant so
+    the plan, like the oracle's recursion bound, is finite by
+    construction; at 100 TB this is exactly Pregel-style BFS with the
+    visited set as the vertex state, and the bounded-depth variant is the
+    one that matters in practice (k-hop neighborhoods for feature
+    extraction, blast-radius queries)."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .where(
+            (F.col("l_shipdate") >= f"{PR_YEAR}-01-01")
+            & (F.col("l_shipdate") < f"{PR_YEAR + 1}-01-01")
+        )
+        .select("l_orderkey", "l_partkey")
+    )
+    a = li.select("l_orderkey", F.col("l_partkey").alias("src"))
+    b = li.select("l_orderkey", F.col("l_partkey").alias("dst"))
+    edges = (
+        a.join(b, "l_orderkey")
+        .where(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    seed = edges.agg(F.min("src").alias("node")).localCheckpoint(eager=False)
+    visited = seed.withColumn("hops", F.lit(0))
+    frontier = seed
+    for h in range(1, BFS_HOPS + 1):
+        nxt = (
+            edges.join(frontier, edges.src == frontier.node)
+            .select(F.col("dst").alias("node"))
+            .distinct()
+        )
+        new = (
+            nxt.join(visited.select("node"), "node", "left_anti")
+            .withColumn("hops", F.lit(h))
+            .localCheckpoint(eager=False)
+        )
+        visited = visited.union(new)
+        frontier = new.select("node")
+    return visited.groupBy("hops").agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        F.sum("node").alias("sum_node"),
+        F.min("node").alias("min_node"),
+        F.max("node").alias("max_node"),
+    )

@@ -1357,3 +1357,121 @@ def q_naive_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pred.groupBy("lang", F.col("m.c").alias("predicted")).agg(
         F.count(F.lit(1)).alias("n")
     )
+
+
+# ---------------------------------------------------------------------------
+# q_decision_stump — exact 1-level decision tree trained in-engine
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_decision_stump",
+    oracle="""
+    WITH lab AS (
+        SELECT n_chars AS x, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+        FROM documents
+    ),
+    tot AS (SELECT count(*) AS n, sum(y) AS pos FROM lab),
+    vals AS (SELECT x, count(*) AS c, sum(y) AS p FROM lab GROUP BY x),
+    cum AS (
+        SELECT x, sum(c) OVER (ORDER BY x) AS nl, sum(p) OVER (ORDER BY x) AS pl
+        FROM vals
+    ),
+    scored AS (
+        SELECT x AS threshold, nl, pl, n, pos,
+               (nl - greatest(pl, nl - pl))
+             + ((n - nl) - greatest(pos - pl, (n - nl) - (pos - pl))) AS err
+        FROM cum, tot
+    ),
+    best AS (SELECT * FROM scored ORDER BY err, threshold LIMIT 1)
+    SELECT CAST(threshold AS BIGINT) AS threshold,
+           CAST(err AS BIGINT) AS err,
+           CAST(n AS BIGINT) AS n,
+           CAST(pos AS BIGINT) AS pos,
+           CAST(CASE WHEN pl > nl - pl THEN 1 ELSE 0 END AS INT) AS left_pred,
+           CAST(CASE WHEN pos - pl > (n - nl) - (pos - pl) THEN 1 ELSE 0 END AS INT) AS right_pred,
+           CAST((n - err) * 1000000 // n AS BIGINT) AS acc_ppm
+    FROM best
+    """,
+    description="1-level decision tree (stump) trained in-engine: the exact "
+    "misclassification-minimizing threshold on n_chars for predicting "
+    "lang='en' — every candidate split scored from ONE cumulative window "
+    "over the distinct-value census, argmin by exact integer error count "
+    "(ties to the smallest threshold), majority leaf predictions and "
+    "floor-divided accuracy ppm; the weak learner every boosting stack is "
+    "built from, and the standard first-look baseline for 'is this "
+    "metadata feature predictive at all'",
+)
+def q_decision_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact stump training is two aggregations, not a model-zoo import:
+    (1) census the feature's distinct values with per-value positives,
+    (2) one cumulative window in value order turns each distinct value
+    into a fully-scored candidate split (left/right counts in O(1) from
+    the prefix sums), then an integer argmin. Misclassification count —
+    not Gini/entropy — is the split criterion precisely because it is an
+    INTEGER: the argmin is exact in both engines with no float-tie
+    hazard, and for a 1-level tree it is a perfectly standard criterion.
+    The window runs over the distinct-VALUE census (vocabulary-sized,
+    ~500 lengths here), never the corpus; at 100 TB a continuous feature
+    is first bucketed to ~10⁴ quantile bins by one map-side pass and the
+    same plan runs on the bin census — the corpus is touched exactly
+    once either way. The grand total rides a 1-row broadcast join."""
+    lab = load_table(spark, sf_dir, "documents").select(
+        F.col("n_chars").alias("x"),
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("y"),
+    )
+    tot = lab.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("y").alias("pos")
+    )
+    vals = lab.groupBy("x").agg(
+        F.count(F.lit(1)).alias("c"), F.sum("y").alias("p")
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy("x").rangeBetween(Window.unboundedPreceding, 0)
+    cum = vals.select(
+        "x", F.sum("c").over(w).alias("nl"), F.sum("p").over(w).alias("pl")
+    )
+    scored = cum.join(F.broadcast(tot)).select(
+        F.col("x").alias("threshold"),
+        "nl",
+        "pl",
+        "n",
+        "pos",
+        (
+            (F.col("nl") - F.greatest("pl", F.col("nl") - F.col("pl")))
+            + (
+                (F.col("n") - F.col("nl"))
+                - F.greatest(
+                    F.col("pos") - F.col("pl"),
+                    (F.col("n") - F.col("nl")) - (F.col("pos") - F.col("pl")),
+                )
+            )
+        ).alias("err"),
+    )
+    best = scored.agg(
+        F.min(
+            F.struct(
+                "err", "threshold", "nl", "pl", "n", "pos"
+            )
+        ).alias("b")
+    ).select("b.*")
+    return best.select(
+        F.col("threshold").cast("long").alias("threshold"),
+        F.col("err").cast("long").alias("err"),
+        F.col("n").cast("long").alias("n"),
+        F.col("pos").cast("long").alias("pos"),
+        F.when(F.col("pl") > F.col("nl") - F.col("pl"), 1)
+        .otherwise(0)
+        .cast("int")
+        .alias("left_pred"),
+        F.when(
+            F.col("pos") - F.col("pl")
+            > (F.col("n") - F.col("nl")) - (F.col("pos") - F.col("pl")),
+            1,
+        )
+        .otherwise(0)
+        .cast("int")
+        .alias("right_pred"),
+        F.expr("CAST((n - err) * 1000000 DIV n AS BIGINT)").alias("acc_ppm"),
+    )

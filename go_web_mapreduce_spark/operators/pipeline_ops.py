@@ -31,6 +31,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from go_web_mapreduce_spark.functions.numeric import dsum
 from go_web_mapreduce_spark.functions.text import tokens
 from go_web_mapreduce_spark.registry import query
 from go_web_mapreduce_spark.sources.tables import load_table
@@ -1713,4 +1714,195 @@ def q_dp_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n") + lap).alias("noisy_n"),
         F.lit(DP_EPSILON).cast("double").alias("epsilon"),
         F.lit(math.log(1.0 / 0.05) / DP_EPSILON).alias("err_bound_95"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_orc_roundtrip — file-format interchange: parquet → ORC → DataFrame
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_orc_roundtrip",
+    # lossless round trip ⇒ the oracle aggregates the parquet source
+    # directly; any encoding/typing bug in the ORC path shows up as a
+    # count or checksum mismatch
+    oracle="""
+    SELECT lang, source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT text) AS BIGINT) AS n_unique,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+           CAST(min(doc_id) AS BIGINT) AS min_id,
+           CAST(max(doc_id) AS BIGINT) AS max_id
+    FROM documents GROUP BY lang, source
+    """,
+    description="file-format interchange (SURVEY §2.2 connectors): the "
+    "documents table written as ORC (Spark's second native columnar "
+    "format — the Hive-ecosystem interchange the way parquet is the "
+    "Spark-native one) and read back with an explicit schema; per-"
+    "(lang, source) counts, distinct-text counts, and checksums "
+    "hash-verify against the parquet source",
+)
+def q_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC is the third leg of the interchange family (CSV → text with a
+    null-sentinel caveat, JSONL → text with none, ORC → binary columnar
+    with types preserved exactly, so no sentinel and no re-typing risk at
+    all). Spark's native ORC reader/writer (spark.sql.orc.impl=native)
+    gives predicate pushdown and column pruning like parquet, so at
+    100 TB the round trip is one distributed scan each way with the same
+    pushdown posture as the parquet path — this query is the proof that
+    a Hive/Trino-managed ORC lake can be a first-class source and sink
+    for every other operator in the registry."""
+    import hashlib
+    import os
+    import tempfile
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+    # PID-keyed path: concurrent processes never race on overwrite; the
+    # lazy read below means files must outlive this function — no cleanup
+    key = hashlib.md5(f"{sf_dir}:{os.getpid()}".encode()).hexdigest()[:12]
+    path = f"{tempfile.gettempdir()}/spark_graft_orc_{key}"
+    docs.write.mode("overwrite").orc(path)
+    back = spark.read.schema(
+        "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    ).orc(path)
+    return back.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("text").alias("n_unique"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.min("doc_id").alias("min_id"),
+        F.max("doc_id").alias("max_id"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_partitioned_prune — hive-style partitioned layout + partition pruning
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_partitioned_prune",
+    # the partitioned write must be lossless and the pruned read must see
+    # exactly the lang='en' slice, so the oracle filters the source table
+    oracle="""
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT text) AS BIGINT) AS n_unique,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars
+    FROM documents WHERE lang = 'en' GROUP BY source
+    """,
+    description="data-layout management (the 100 TB table-design "
+    "primitive): the documents table written hive-partitioned by lang "
+    "(partitionBy → lang=en/ directories), read back with a lang filter "
+    "that resolves to PartitionFilters — directory-level pruning, zero "
+    "I/O on the other four language slices; per-source census over the "
+    "pruned read hash-verifies against filtering the unpartitioned source",
+)
+def q_partitioned_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition pruning is the coarsest and cheapest filter an engine
+    has: the lang predicate is resolved against directory NAMES at plan
+    time, so a 100 TB corpus partitioned by a low-cardinality column
+    (lang, date, source-family) serves a one-partition query with one
+    partition's I/O. The plan gate (tests/test_plans.py) asserts the scan
+    carries the lang predicate as a PartitionFilter, not a data filter —
+    the difference between reading 1/5th of the lake and reading all of
+    it and throwing 4/5ths away. Partition values ride directory names,
+    so the partition column comes back typed by the reader: the explicit
+    schema below pins it to string (inference is off-path), keeping the
+    round trip byte-lossless. Cardinality discipline: partitionBy is for
+    LOW-cardinality keys only — a high-cardinality partition column
+    (user_id, doc_id) explodes into millions of tiny directories and
+    kills the metadata layer; that shape belongs to bucketing
+    (q_bucketed_join) or Z-ordering (q_zorder_cluster) instead."""
+    import hashlib
+    import os
+    import tempfile
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+    key = hashlib.md5(f"{sf_dir}:{os.getpid()}".encode()).hexdigest()[:12]
+    path = f"{tempfile.gettempdir()}/spark_graft_part_{key}"
+    docs.write.mode("overwrite").partitionBy("lang").parquet(path)
+    back = spark.read.schema(
+        "doc_id bigint, text string, source string, n_chars bigint, lang string"
+    ).parquet(path)
+    return (
+        back.filter(F.col("lang") == "en")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("text").alias("n_unique"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_bucketed_join — pre-bucketed tables join with NO shuffle on either side
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_bucketed_join",
+    # bucketing must not change results: the oracle is the plain join
+    # over the unbucketed source tables
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(count(DISTINCT c_nationkey) AS BIGINT) AS n_nations,
+           CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS STRING) AS DOUBLE) AS total
+    FROM customer JOIN orders ON c_custkey = o_custkey
+    GROUP BY o_orderpriority
+    """,
+    description="co-located join via bucketed table layout (the 100 TB "
+    "shuffle-elimination play): customer and orders persisted bucketed "
+    "by custkey into the same bucket count, then sort-merge-joined with "
+    "ZERO Exchange on either side — the join reads bucket i against "
+    "bucket i directly; result hash-verifies against the plain join",
+)
+def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketing trades one write-time shuffle for shuffle-freedom on
+    EVERY subsequent join/aggregate on the bucket key — the standard
+    layout for a 100 TB fact table that is repeatedly joined on the same
+    key (orders ⋈ customer, events ⋈ users). Both sides are written with
+    bucketBy(8, custkey) + sortBy into external parquet tables (native
+    Spark bucketing, in-memory catalog — no Hive metastore needed); the
+    merge hint pins SortMergeJoin so the plan gate can assert there is no
+    Exchange between either scan and the join. At cluster scale the
+    bucket count is sized to executor-fleet parallelism (thousands), not
+    the 8 used at test scale; the write-side repartition(8, key) puts
+    each bucket in exactly ONE file per side, which also removes the
+    per-bucket merge-sort fan-in on read."""
+    import hashlib
+    import os
+    import tempfile
+
+    key = hashlib.md5(f"{sf_dir}:{os.getpid()}".encode()).hexdigest()[:12]
+    base = f"{tempfile.gettempdir()}/spark_graft_bucket_{key}"
+    tc, to = f"bkt_customer_{key}", f"bkt_orders_{key}"
+    customer = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderpriority", "o_totalprice"
+    )
+    for name, df, col in ((tc, customer, "c_custkey"), (to, orders, "o_custkey")):
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        (
+            df.repartition(8, F.col(col))
+            .write.mode("overwrite")
+            .bucketBy(8, col)
+            .sortBy(col)
+            .option("path", f"{base}/{name}")
+            .saveAsTable(name)
+        )
+    c, o = spark.table(tc), spark.table(to)
+    joined = c.hint("merge").join(o, c.c_custkey == o.o_custkey, "inner")
+    return joined.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.countDistinct("c_nationkey").alias("n_nations"),
+        dsum("o_totalprice").alias("total"),
     )

@@ -1882,3 +1882,113 @@ def q_ctfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rk") <= CTFIDF_TOPK)
         .select("source", "token", "tf", "score", "rk")
     )
+
+
+# ---------------------------------------------------------------------------
+# q_skipgram_ppmi — word2vec-window co-occurrence with positive PMI
+# ---------------------------------------------------------------------------
+
+SGP_WINDOW = 2   # forward skip-gram distances 1..2 (symmetric-window census)
+SGP_MIN_C = 5    # ignore pairs rarer than this (PMI low-count pathology)
+SGP_TOPK = 20
+
+_SGP_BRANCHES = "\n      UNION ALL\n".join(
+    f"""      SELECT unnest(list_transform(range(1, len(tk) - {d - 1}),
+                     i -> tk[i] || ' ' || tk[i + {d}])) AS pr
+      FROM toks WHERE len(tk) > {d}"""
+    for d in range(1, SGP_WINDOW + 1)
+)
+
+
+def _sgp_pairs(tk, d: int):
+    # factory, not a default-arg lambda: PySpark inspects HOF lambda arity
+    return F.transform(
+        F.sequence(F.lit(1), F.size(tk) - d),
+        lambda i: F.concat_ws(
+            " ", F.element_at(tk, i), F.element_at(tk, i + d)
+        ),
+    )
+
+
+@query(
+    "q_skipgram_ppmi",
+    oracle=f"""
+    WITH toks AS (
+      SELECT {_TK} AS tk FROM documents
+    ), pairs AS (
+{_SGP_BRANCHES}
+    ), cnt AS (
+      SELECT pr, count(*) AS c FROM pairs GROUP BY pr
+    ), tot AS (SELECT sum(c) AS t FROM cnt),
+    pre AS (SELECT split_part(pr, ' ', 1) AS w1, sum(c) AS cw1 FROM cnt GROUP BY 1),
+    suf AS (SELECT split_part(pr, ' ', 2) AS w2, sum(c) AS cw2 FROM cnt GROUP BY 1),
+    scored AS (
+      SELECT cnt.pr, CAST(cnt.c AS BIGINT) AS c,
+             CAST(cnt.c AS DOUBLE) * (SELECT t FROM tot)
+               / (CAST(pre.cw1 AS DOUBLE) * suf.cw2) AS lift
+      FROM cnt
+      JOIN pre ON split_part(cnt.pr, ' ', 1) = pre.w1
+      JOIN suf ON split_part(cnt.pr, ' ', 2) = suf.w2
+      WHERE cnt.c >= {SGP_MIN_C}
+    )
+    SELECT pr, c, CASE WHEN lift > 1 THEN ln(lift) ELSE 0.0 END AS ppmi
+    FROM scored
+    ORDER BY lift DESC, pr LIMIT {SGP_TOPK}
+    """,
+    description=f"top-{SGP_TOPK} skip-gram pairs by positive PMI over a "
+    f"±{SGP_WINDOW} word2vec context window (forward distances 1..{SGP_WINDOW}; "
+    "the symmetric census is the same multiset up to pair orientation): "
+    "the PPMI statistic SGNS word embeddings implicitly factorize (Levy & "
+    "Goldberg 2014) — the corpus-level signal for context-window phrase "
+    "affinity, vs q_pmi_collocations' adjacent-bigram phrases. RANKING is "
+    "the exact rational lift (bit-identical across engines); ln only on "
+    "the reported value, negative PMI clamped to 0 in both engines. Plan: "
+    f"{SGP_WINDOW} in-row transforms explode to (pair) rows, ONE "
+    "vocabulary-sized count shuffle feeds total/marginals/score (pinned), "
+    "top-k via TakeOrdered",
+)
+def q_skipgram_ppmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tk = tokens("text")
+    branches = None
+    for d in range(1, SGP_WINDOW + 1):
+        part = (
+            docs.select(tk.alias("tk"))
+            .filter(F.size("tk") > d)
+            .select(F.explode(_sgp_pairs(F.col("tk"), d)).alias("pr"))
+        )
+        branches = part if branches is None else branches.unionAll(part)
+    # one vocabulary-sized count table feeding four consumers — pinned
+    # (same measured 4x-re-shuffle rationale as q_pmi_collocations)
+    cnt = (
+        branches.groupBy("pr")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=False)
+    )
+    total = cnt.agg(F.sum("c")).first()[0]
+    w1 = F.split(F.col("pr"), " ").getItem(0)
+    w2 = F.split(F.col("pr"), " ").getItem(1)
+    pre = cnt.groupBy(w1.alias("w1")).agg(F.sum("c").alias("cw1"))
+    suf = cnt.groupBy(w2.alias("w2")).agg(F.sum("c").alias("cw2"))
+    scored = (
+        cnt.filter(F.col("c") >= SGP_MIN_C)
+        .join(pre, w1 == pre.w1)
+        .join(suf, w2 == suf.w2)
+        .select(
+            "pr",
+            F.col("c").cast("bigint").alias("c"),
+            (
+                F.col("c").cast("double") * F.lit(float(total))
+                / (F.col("cw1").cast("double") * F.col("cw2"))
+            ).alias("lift"),
+        )
+    )
+    return (
+        scored.orderBy(F.col("lift").desc(), "pr")
+        .limit(SGP_TOPK)
+        .select(
+            "pr",
+            "c",
+            F.when(F.col("lift") > 1, F.log("lift")).otherwise(0.0).alias("ppmi"),
+        )
+    )

@@ -350,3 +350,24 @@ def test_ctfidf_census_is_pinned_and_totals_broadcast(spark, sf_dir):
     # explode); class totals and the 1-row grand total ride broadcasts
     assert "BroadcastExchange" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_bucketed_join_has_no_exchange(spark, sf_dir):
+    plan = executed_plan(spark, sf_dir, "q_bucketed_join")
+    # both scans are bucketed by the join key into the same bucket count,
+    # so the sort-merge join must read bucket i vs bucket i directly —
+    # the only Exchange allowed in the whole plan is the one under the
+    # final groupBy, never between a scan and the join
+    join_part = plan.split("HashAggregate")[-1]  # below the agg = join subtree
+    assert "SortMergeJoin" in plan
+    assert "Exchange" not in join_part, join_part
+    assert "SelectedBucketsCount" in plan  # the scans are bucket-aware
+
+
+def test_partitioned_prune_resolves_lang_at_plan_time(spark, sf_dir):
+    plan = executed_plan(spark, sf_dir, "q_partitioned_prune")
+    # the lang predicate must be a directory-level PartitionFilter (zero
+    # I/O on the other language slices), not a row-level data filter
+    assert "PartitionFilters: [" in plan
+    pf = plan.split("PartitionFilters:")[1].splitlines()[0]
+    assert "lang" in pf and "en" in pf, pf

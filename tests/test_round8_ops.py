@@ -335,3 +335,218 @@ def test_ctfidf_matches_pure_python_replay(spark, sf_dir):
             gt, gn, gs = got[s][rk]
             assert (gt, gn) == (t, n)
             assert gs == pytest.approx(-negscore, rel=1e-12)
+
+
+# ---------------------------------------------------------------------------
+# round-8 continuation: BFS, edit-distance dedup, stump, skip-gram PPMI,
+# and the connector/layout family (ORC, partitioned prune, bucketed join)
+# ---------------------------------------------------------------------------
+
+
+def test_graph_bfs_matches_pure_python_replay(spark, sf_dir):
+    from go_web_mapreduce_spark.operators.graph import BFS_HOPS, PR_YEAR, q_graph_bfs
+
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .where(
+            (F.col("l_shipdate") >= f"{PR_YEAR}-01-01")
+            & (F.col("l_shipdate") < f"{PR_YEAR + 1}-01-01")
+        )
+        .select("l_orderkey", "l_partkey")
+        .collect()
+    )
+    by_order: dict = defaultdict(set)
+    for r in li:
+        by_order[r["l_orderkey"]].add(r["l_partkey"])
+    nbrs: dict = defaultdict(set)
+    for parts in by_order.values():
+        for a, b in combinations(sorted(parts), 2):
+            nbrs[a].add(b)
+            nbrs[b].add(a)
+    seed = min(nbrs)  # min(src) == min node with at least one edge
+    dist = {seed: 0}
+    frontier = {seed}
+    for h in range(1, BFS_HOPS + 1):
+        nxt = set()
+        for u in frontier:
+            nxt |= nbrs[u]
+        frontier = {v for v in nxt if v not in dist}
+        for v in frontier:
+            dist[v] = h
+    expect = defaultdict(list)
+    for node, d in dist.items():
+        expect[d].append(node)
+
+    got = {r["hops"]: r for r in q_graph_bfs(spark, sf_dir).collect()}
+    assert set(got) == set(expect)
+    for d, nodes in expect.items():
+        assert got[d]["n_nodes"] == len(nodes)
+        assert got[d]["sum_node"] == sum(nodes)
+        assert got[d]["min_node"] == min(nodes)
+        assert got[d]["max_node"] == max(nodes)
+
+
+def _levenshtein(a: str, b: str) -> int:
+    if len(a) < len(b):
+        a, b = b, a
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def test_dedup_edit_distance_matches_pure_python_replay(spark, sf_dir):
+    from go_web_mapreduce_spark.operators.dedup import (
+        EDIT_LEN_BAND,
+        EDIT_PFX,
+        EDIT_SIM_PPM,
+        q_dedup_edit_distance,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    by_pfx: dict = defaultdict(list)
+    for r in docs:
+        by_pfx[r["text"][:EDIT_PFX]].append((r["doc_id"], r["text"]))
+    expect = {}
+    for block in by_pfx.values():
+        for (ia, ta), (ib, tb) in combinations(sorted(block), 2):
+            m = max(len(ta), len(tb))
+            if abs(len(ta) - len(tb)) * EDIT_LEN_BAND > m:
+                continue
+            d = _levenshtein(ta, tb)
+            ppm = (m - d) * 1_000_000 // m
+            if ppm >= EDIT_SIM_PPM:
+                expect[(ia, ib)] = (d, ppm)
+
+    got = q_dedup_edit_distance(spark, sf_dir).collect()
+    assert {(r["doc_a"], r["doc_b"]): (r["dist"], r["sim_ppm"]) for r in got} == expect
+
+
+def test_decision_stump_is_exact_argmin(spark, sf_dir):
+    from go_web_mapreduce_spark.operators.ml import q_decision_stump
+
+    rows = load_table(spark, sf_dir, "documents").select("n_chars", "lang").collect()
+    data = sorted((r["n_chars"], 1 if r["lang"] == "en" else 0) for r in rows)
+    n, pos = len(data), sum(y for _, y in data)
+    best = None
+    for t in sorted({x for x, _ in data}):
+        nl = sum(1 for x, _ in data if x <= t)
+        pl = sum(y for x, y in data if x <= t)
+        err = (nl - max(pl, nl - pl)) + ((n - nl) - max(pos - pl, (n - nl) - (pos - pl)))
+        if best is None or (err, t) < best[:2]:
+            best = (err, t, nl, pl)
+
+    got = q_decision_stump(spark, sf_dir).collect()
+    assert len(got) == 1
+    r = got[0]
+    err, t, nl, pl = best
+    assert (r["threshold"], r["err"], r["n"], r["pos"]) == (t, err, n, pos)
+    assert r["left_pred"] == (1 if pl > nl - pl else 0)
+    assert r["right_pred"] == (1 if (pos - pl) > (n - nl) - (pos - pl) else 0)
+    assert r["acc_ppm"] == (n - err) * 1_000_000 // n
+    # the stump can never be worse than always predicting the majority class
+    assert err <= n - max(pos, n - pos)
+
+
+def test_skipgram_ppmi_matches_bruteforce(spark, sf_dir):
+    from fractions import Fraction
+
+    from go_web_mapreduce_spark.operators.text_analysis import (
+        SGP_MIN_C,
+        SGP_TOPK,
+        SGP_WINDOW,
+        q_skipgram_ppmi,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("text").collect()
+    cnt: dict = defaultdict(int)
+    for r in docs:
+        tk = [t for t in r["text"].lower().split(" ") if t]
+        for d in range(1, SGP_WINDOW + 1):
+            for i in range(len(tk) - d):
+                cnt[f"{tk[i]} {tk[i + d]}"] += 1
+    total = sum(cnt.values())
+    cw1: dict = defaultdict(int)
+    cw2: dict = defaultdict(int)
+    for pr, c in cnt.items():
+        a, b = pr.split(" ")
+        cw1[a] += c
+        cw2[b] += c
+    scored = [
+        (Fraction(c * total, cw1[pr.split(" ")[0]] * cw2[pr.split(" ")[1]]), pr, c)
+        for pr, c in cnt.items()
+        if c >= SGP_MIN_C
+    ]
+    scored.sort(key=lambda t: (-t[0], t[1]))
+    expect = scored[:SGP_TOPK]
+
+    got = q_skipgram_ppmi(spark, sf_dir).collect()
+    assert len(got) == len(expect)
+    for row, (lift, pr, c) in zip(got, expect):
+        assert (row["pr"], row["c"]) == (pr, c)
+        want = math.log(float(lift)) if lift > 1 else 0.0
+        assert row["ppmi"] == pytest.approx(want, rel=1e-9, abs=1e-12)
+        assert row["ppmi"] >= 0.0
+
+
+def test_orc_roundtrip_equals_direct_aggregation(spark, sf_dir):
+    from go_web_mapreduce_spark.operators.pipeline_ops import q_orc_roundtrip
+
+    direct = (
+        load_table(spark, sf_dir, "documents")
+        .groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("text").alias("n_unique"),
+            F.sum("n_chars").alias("sum_chars"),
+            F.min("doc_id").alias("min_id"),
+            F.max("doc_id").alias("max_id"),
+        )
+        .collect()
+    )
+    got = q_orc_roundtrip(spark, sf_dir).collect()
+    key = lambda r: (r["lang"], r["source"])  # noqa: E731
+    assert sorted(map(tuple, got)) == sorted(map(tuple, direct))
+    assert len({key(r) for r in got}) == len(got)
+
+
+def test_bucketed_join_equals_plain_join(spark, sf_dir):
+    from go_web_mapreduce_spark.operators.pipeline_ops import q_bucketed_join
+
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    plain = (
+        customer.join(orders, customer.c_custkey == orders.o_custkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.countDistinct("c_nationkey").alias("n_nations"),
+        )
+        .collect()
+    )
+    got = {r["o_orderpriority"]: r for r in q_bucketed_join(spark, sf_dir).collect()}
+    assert len(got) == len(plain)
+    for p in plain:
+        g = got[p["o_orderpriority"]]
+        assert (g["n_orders"], g["n_nations"]) == (p["n_orders"], p["n_nations"])
+
+
+def test_partitioned_prune_sees_only_english(spark, sf_dir):
+    from go_web_mapreduce_spark.operators.pipeline_ops import q_partitioned_prune
+
+    direct = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("lang") == "en")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("text").alias("n_unique"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+        .collect()
+    )
+    got = q_partitioned_prune(spark, sf_dir).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, direct))
