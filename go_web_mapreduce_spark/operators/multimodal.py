@@ -1435,3 +1435,115 @@ def q_image_dedup_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+# ---------------------------------------------------------------------------
+# q_audio_fingerprint — energy-contour perceptual hash dedup over real WAVs
+# ---------------------------------------------------------------------------
+
+FP_WIN = 32  # samples per energy window
+FP_WINDOWS = AUDIO_BYTES // 2 // FP_WIN  # 384 samples → 12 windows → 11 bits
+
+# sample i (1-based) of the tiled clip, as the audio oracle states it:
+# little-endian int16 = byte(2i-1) + 256·byte(2i); ASCII filter ⇒ positive
+_FP_B_SQL = (
+    f"list_transform(range(1, {AUDIO_BYTES} + 1), "
+    "i -> ascii(substr(text, ((i - 1) % len) + 1, 1)))"
+)
+
+
+@query(
+    "q_audio_fingerprint",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, source, {_FP_B_SQL} AS b
+      FROM (SELECT doc_id, source, text, octet_length(encode(text)) AS len
+            FROM documents WHERE {_ASCII_DOCS_SQL})
+    ), e AS (
+      SELECT doc_id, source,
+             list_transform(range(1, {FP_WINDOWS} + 1), w ->
+               list_sum(list_transform(range(1, {FP_WIN} + 1), j ->
+                 CAST(b[2*((w-1)*{FP_WIN} + j) - 1]
+                      + 256 * b[2*((w-1)*{FP_WIN} + j)] AS BIGINT)
+               * (b[2*((w-1)*{FP_WIN} + j) - 1]
+                      + 256 * b[2*((w-1)*{FP_WIN} + j)])))) AS en
+      FROM t
+    ), hashed AS (
+      SELECT doc_id, source,
+             array_to_string(list_transform(range(1, {FP_WINDOWS}), k ->
+               CASE WHEN en[k + 1] > en[k] THEN '1' ELSE '0' END), '') AS h
+      FROM e
+    ), spread AS (
+      SELECT h, count(DISTINCT source) AS ns FROM hashed GROUP BY h
+    )
+    SELECT i.source,
+           CAST(count(*) AS BIGINT) AS n_clips,
+           CAST(count(DISTINCT i.h) AS BIGINT) AS distinct_fps,
+           CAST(count(*) - count(DISTINCT i.h) AS BIGINT) AS n_dup_within,
+           CAST(sum(CASE WHEN s.ns >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_shared_fp
+    FROM hashed i JOIN spread s ON s.h = i.h
+    GROUP BY i.source
+    """,
+    description="audio near-dup detection via an energy-contour "
+    "fingerprint (the monotone core of Haitsma–Kalker 2002's robust "
+    f"audio hash): every synthesized WAV is REALLY decoded, its "
+    f"{FP_WINDOWS * FP_WIN} int16 samples split into {FP_WINDOWS} "
+    f"windows of {FP_WIN}, per-window energy = exact integer Σs², and "
+    "fingerprint bit k = (E(k+1) > E(k)) — the up/down shape of the "
+    "loudness curve, invariant to the container and (in the wild) to "
+    "re-encoding noise that preserves the contour. Per-source census: "
+    "clips, distinct fingerprints, within-source dups, clips whose "
+    "contour recurs in ≥2 sources — the audio sibling of "
+    "q_image_dedup_phash, verified bit-for-bit against a first-"
+    "principles byte-arithmetic oracle",
+)
+def q_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same 100 TB plan as the image phash: decode + window energies +
+    fingerprint are ONE Arrow-batched mapInPandas over the fanned-out
+    corpus scan (no shuffle carries audio bytes), then one map-side-
+    combined (fingerprint, source) groupBy; everything downstream is
+    distinct-fingerprint-sized. Energies are exact int64 (samples ≤
+    32639, so Σ of 32 squares ≤ 3.5·10¹⁰ — no float enters the hash).
+    Reference parity: none — extension mandate (multimodal pipeline)."""
+
+    def run(batches: Iterator) -> Iterator:
+        import numpy as np  # noqa: F811
+        import pandas as pd
+
+        for pdf in batches:
+            fps = []
+            for mime, payload in zip(pdf["mime"], pdf["payload"]):
+                s = decode_payload(mime, bytes(payload)).astype("int64")
+                en = (s * s).reshape(FP_WINDOWS, FP_WIN).sum(axis=1)
+                fps.append(
+                    "".join("1" if en[k + 1] > en[k] else "0"
+                            for k in range(FP_WINDOWS - 1))
+                )
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "source": pdf["source"], "h": fps}
+            )
+
+    media = synthesize_wav_table(load_table(spark, sf_dir, "documents"))
+    hashed = media.select("doc_id", "source", "mime", "payload").mapInPandas(
+        run, "doc_id bigint, source string, h string"
+    )
+    hs = (
+        hashed.groupBy("h", "source")
+        .agg(F.count(F.lit(1)).alias("c"))
+        # referenced twice (census + spread): pin the fingerprint-sized
+        # table so the decode lineage runs once
+        .localCheckpoint(eager=False)
+    )
+    spread = hs.groupBy("h").agg(F.count(F.lit(1)).alias("ns"))
+    return (
+        hs.join(spread, "h")
+        .groupBy("source")
+        .agg(
+            F.sum("c").alias("n_clips"),
+            F.count(F.lit(1)).alias("distinct_fps"),
+            (F.sum("c") - F.count(F.lit(1))).alias("n_dup_within"),
+            F.sum(F.when(F.col("ns") >= 2, F.col("c")).otherwise(0)).alias(
+                "n_shared_fp"
+            ),
+        )
+    )

@@ -1330,3 +1330,103 @@ def q_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("st.l") + 2 * F.col("st.b")).alias("fc_2"),
         (F.col("st.l") + 3 * F.col("st.b")).alias("fc_3"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q_rolling_ols — 7-day rolling OLS trend slope per event type
+# ---------------------------------------------------------------------------
+
+ROLL_K = 7  # window length; x = 0..6 within each window, so the OLS
+# normal-equation constants are fixed integers: Σx=21, Σx²=91, nΣx²−(Σx)²=196
+
+
+@query(
+    "q_rolling_ols",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, date_trunc('day', ts) AS day,
+             CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) AS STRING) AS DOUBLE)
+               / count(*) AS m
+      FROM events GROUP BY 1, 2
+    ),
+    pref AS (
+      SELECT event_type, day,
+             list(m) OVER (PARTITION BY event_type ORDER BY day
+                           ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS arr
+      FROM daily
+    ),
+    ext AS (
+      SELECT event_type, day, arr,
+             list_transform(arr, (x, i) -> x * CAST(i - 1 AS DOUBLE)) AS xy
+      FROM pref WHERE len(arr) = 7
+    ),
+    fold AS (
+      SELECT event_type, day,
+             list_reduce(arr, (a, x) -> a + x) AS sy,
+             list_reduce(xy, (a, x) -> a + x) AS sxy
+      FROM ext
+    )
+    SELECT event_type, strftime(day, '%Y-%m-%d') AS day,
+           sy / 7.0 AS mean7,
+           (7.0 * sxy - 21.0 * sy) / 196.0 AS slope,
+           (sy - ((7.0 * sxy - 21.0 * sy) / 196.0) * 21.0) / 7.0 AS intercept
+    FROM fold
+    """,
+    description="7-day rolling OLS trend per event type: for every full "
+    "7-day window ending at day d, the least-squares slope and intercept "
+    "of the daily-mean-value series against relative day index 0..6 — "
+    "the local trend VELOCITY (units/day) where q_ewma reports level and "
+    "q_trend_mk a whole-series verdict; the window census any metric "
+    "dashboard's sparkline-with-trend is built from. Daily means come "
+    "from exact decimal sums; the window sums Σy and Σxy are explicit "
+    "left-to-right folds over the 7-element frame array (F.aggregate / "
+    "list_reduce — the q_ewma discipline) and the normal-equation "
+    "constants (21, 91, 196) are integer literals, so every float op has "
+    "one documented order and the slope hash-verifies bit-identically",
+)
+def q_rolling_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One corpus aggregation to the (type, day) grid; everything after is
+    dimension-sized (types × days), with 7-element arrays per row — the
+    same 100 TB shape as q_ewma/q_holt_forecast. The x-values are the
+    RELATIVE indices 0..6, not epoch days: the normal equations then have
+    constant integer coefficients, which both kills a catastrophic-
+    cancellation risk (Σx² with epoch-day x ~ 4·10⁸ loses all slope
+    signal to rounding) and lets the expression be stated with literal
+    constants in identical order in both engines."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg((dsum(F.col("value"), 2) / F.count(F.lit(1))).alias("m"))
+    w7 = (
+        W.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-(ROLL_K - 1), W.currentRow)
+    )
+    pref = daily.select(
+        "event_type", "day", F.collect_list("m").over(w7).alias("arr")
+    ).where(F.size("arr") == ROLL_K)
+    ext = pref.select(
+        "event_type",
+        "day",
+        "arr",
+        # 0-based x: Spark's transform index is 0-based where DuckDB's is
+        # 1-based — the (i - 1) lives on the SQL side
+        F.transform("arr", lambda x, i: x * i.cast("double")).alias("xy"),
+    )
+    sy = F.aggregate(
+        F.expr("slice(arr, 2, 6)"), F.element_at("arr", 1), lambda a, x: a + x
+    )
+    sxy = F.aggregate(
+        F.expr("slice(xy, 2, 6)"), F.element_at("xy", 1), lambda a, x: a + x
+    )
+    fold = ext.select(
+        "event_type", "day", sy.alias("sy"), sxy.alias("sxy")
+    )
+    slope = (F.lit(7.0) * F.col("sxy") - F.lit(21.0) * F.col("sy")) / F.lit(196.0)
+    return fold.select(
+        "event_type",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        (F.col("sy") / F.lit(7.0)).alias("mean7"),
+        slope.alias("slope"),
+        ((F.col("sy") - slope * F.lit(21.0)) / F.lit(7.0)).alias("intercept"),
+    )

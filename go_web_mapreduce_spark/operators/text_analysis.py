@@ -1992,3 +1992,109 @@ def q_skipgram_ppmi(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("lift") > 1, F.log("lift")).otherwise(0.0).alias("ppmi"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q_mutual_info — token↔language mutual information over presence counts
+# ---------------------------------------------------------------------------
+
+MI_LANGS = ("de", "en", "es", "fr", "zh")  # the corpus' closed lang set
+MI_DF_PPM = 50_000  # report tokens present in >= 5% of all documents
+
+
+def _mi_term(n: str, row: str, col: str, N: str) -> str:
+    """One (n/N)·ln(N·n/(row·col)) contingency term, zero-guarded.
+
+    Generated ONCE and embedded verbatim in both engines (the module's
+    shared-expression discipline) so the float operation order cannot
+    drift; n > 0 implies row > 0 and col > 0, so the ln argument is
+    always finite when evaluated."""
+    return (
+        f"CASE WHEN {n} > 0 THEN (CAST({n} AS DOUBLE) / CAST({N} AS DOUBLE))"
+        f" * ln((CAST({N} AS DOUBLE) * CAST({n} AS DOUBLE))"
+        f" / (CAST({row} AS DOUBLE) * CAST({col} AS DOUBLE)))"
+        f" ELSE 0.0 END"
+    )
+
+
+# fixed summation order: langs alphabetically, presence term then absence
+# term — one explicit left-to-right chain, never a float SUM over rows
+_MI_EXPR = " + ".join(
+    _mi_term(f"a_{lg}", "n_w", f"d_{lg}", "nn")
+    + " + "
+    + _mi_term(f"(d_{lg} - a_{lg})", "(nn - n_w)", f"d_{lg}", "nn")
+    for lg in MI_LANGS
+)
+
+_MI_CEN_SQL = ", ".join(
+    f"sum(CASE WHEN lang = '{lg}' THEN 1 ELSE 0 END) AS a_{lg}" for lg in MI_LANGS
+)
+_MI_TOT_SQL = ", ".join(
+    f"sum(CASE WHEN lang = '{lg}' THEN 1 ELSE 0 END) AS d_{lg}" for lg in MI_LANGS
+)
+
+
+@query(
+    "q_mutual_info",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, lang, unnest(list_distinct({_TK})) AS w FROM documents
+    ),
+    cen AS (
+      SELECT w, {_MI_CEN_SQL}, count(*) AS n_w FROM toks GROUP BY w
+    ),
+    tot AS (
+      SELECT {_MI_TOT_SQL}, count(*) AS nn FROM documents
+    )
+    SELECT w AS token, CAST(n_w AS BIGINT) AS df, {_MI_EXPR} AS mi_nats
+    FROM cen, tot
+    WHERE n_w * 1000000 >= nn * {MI_DF_PPM}
+    """,
+    description="mutual information I(token presence; language) for every "
+    "token in ≥5% of documents — the information-theoretic feature-"
+    "selection complement of q_chi2_tokens' significance test (chi2 asks "
+    "'is the dependence real', MI asks 'how many nats does seeing the "
+    "token buy about the label'): the standard ranking for building "
+    "compact language-ID / domain-classifier vocabularies. The full "
+    "2×5 contingency is exact integers pivoted to FIXED per-lang columns; "
+    "the MI sum is one generated expression with a documented term order "
+    "shared verbatim by both engines (selection by integer df threshold, "
+    "never by the float value), so the result hash-verifies",
+)
+def q_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two shuffles, both bounded: the (doc, token) presence explode
+    aggregates to the token vocabulary (map-side partial: the distinct
+    token set is per-document, so combiners collapse most of the volume
+    before the shuffle), and the 1-row lang-totals table rides a
+    broadcast. The contingency is pivoted to columns rather than rows
+    precisely so the cross-cell float sum becomes ONE in-row expression
+    with a fixed order — a float SUM over 10 cell rows would be shuffle-
+    order-dependent and could not hash-verify. At 100 TB: vocabulary-
+    sized state, corpus touched once."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", "lang", F.explode(F.array_distinct(tokens("text"))).alias("w")
+    )
+    cen = toks.groupBy("w").agg(
+        *[
+            F.sum(F.when(F.col("lang") == lg, 1).otherwise(0)).alias(f"a_{lg}")
+            for lg in MI_LANGS
+        ],
+        F.count(F.lit(1)).alias("n_w"),
+    )
+    tot = docs.agg(
+        *[
+            F.sum(F.when(F.col("lang") == lg, 1).otherwise(0)).alias(f"d_{lg}")
+            for lg in MI_LANGS
+        ],
+        F.count(F.lit(1)).alias("nn"),
+    )
+    return (
+        cen.join(F.broadcast(tot))
+        .where(F.col("n_w") * 1_000_000 >= F.col("nn") * MI_DF_PPM)
+        .select(
+            F.col("w").alias("token"),
+            F.col("n_w").cast("long").alias("df"),
+            F.expr(_MI_EXPR).alias("mi_nats"),
+        )
+    )

@@ -550,3 +550,118 @@ def test_partitioned_prune_sees_only_english(spark, sf_dir):
     )
     got = q_partitioned_prune(spark, sf_dir).collect()
     assert sorted(map(tuple, got)) == sorted(map(tuple, direct))
+
+
+def test_rolling_ols_matches_numpy_per_window(spark, sf_dir):
+    import numpy as np
+
+    from go_web_mapreduce_spark.operators.temporal import ROLL_K, q_rolling_ols
+
+    got = q_rolling_ols(spark, sf_dir).collect()
+    assert got, "expect at least one full 7-day window"
+    # rebuild the daily-mean series exactly as the query defines it
+    ev = load_table(spark, sf_dir, "events").select("event_type", "ts", "value")
+    daily: dict = defaultdict(dict)
+    acc: dict = defaultdict(lambda: [0, 0])
+    for r in ev.collect():
+        k = (r["event_type"], r["ts"].strftime("%Y-%m-%d"))
+        a = acc[k]
+        a[0] += round(r["value"] * 100)  # exact integer cents (DECIMAL(18,2))
+        a[1] += 1
+    for (et, day), (cents, n) in acc.items():
+        daily[et][day] = (cents / 100) / n
+    x = np.arange(ROLL_K, dtype=float)
+    for r in got:
+        series = daily[r["event_type"]]
+        days = sorted(series)
+        i = days.index(r["day"])
+        assert i >= ROLL_K - 1, "window must be full"
+        y = np.array([series[d] for d in days[i - ROLL_K + 1 : i + 1]])
+        slope, intercept = np.polyfit(x, y, 1)
+        assert r["slope"] == pytest.approx(slope, rel=1e-9, abs=1e-12)
+        assert r["intercept"] == pytest.approx(intercept, rel=1e-9, abs=1e-9)
+        assert r["mean7"] == pytest.approx(y.mean(), rel=1e-12)
+
+
+def test_mutual_info_matches_bruteforce_and_is_nonnegative(spark, sf_dir):
+    from go_web_mapreduce_spark.operators.text_analysis import (
+        MI_DF_PPM,
+        MI_LANGS,
+        q_mutual_info,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("text", "lang").collect()
+    nn = len(docs)
+    d_l = defaultdict(int)
+    a = defaultdict(lambda: defaultdict(int))
+    df = defaultdict(int)
+    for r in docs:
+        d_l[r["lang"]] += 1
+        for w in {t for t in r["text"].lower().split(" ") if t}:
+            a[w][r["lang"]] += 1
+            df[w] += 1
+
+    def term(n, row, col):
+        return (n / nn) * math.log(nn * n / (row * col)) if n > 0 else 0.0
+
+    expect = {}
+    for w, n_w in df.items():
+        if n_w * 1_000_000 < nn * MI_DF_PPM:
+            continue
+        mi = 0.0
+        for lg in MI_LANGS:
+            al = a[w].get(lg, 0)
+            mi += term(al, n_w, d_l[lg])
+            mi += term(d_l[lg] - al, nn - n_w, d_l[lg])
+        expect[w] = (n_w, mi)
+
+    got = q_mutual_info(spark, sf_dir).collect()
+    assert {r["token"] for r in got} == set(expect)
+    for r in got:
+        n_w, mi = expect[r["token"]]
+        assert r["df"] == n_w
+        assert r["mi_nats"] == pytest.approx(mi, rel=1e-9, abs=1e-12)
+        # MI of a true joint distribution is non-negative (Gibbs)
+        assert r["mi_nats"] >= -1e-12
+
+
+def test_audio_fingerprint_matches_pure_python_replay(spark, sf_dir):
+    from go_web_mapreduce_spark.operators.multimodal import (
+        AUDIO_BYTES,
+        FP_WIN,
+        FP_WINDOWS,
+        q_audio_fingerprint,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("source", "text").collect()
+    fps = []
+    for r in docs:
+        raw = r["text"].encode("utf-8")
+        if not raw or len(raw) != len(r["text"]):
+            continue  # the ASCII gate both engines apply
+        pcm = (raw * (-(-AUDIO_BYTES // len(raw))))[:AUDIO_BYTES]
+        samples = [
+            pcm[2 * i] + 256 * pcm[2 * i + 1] for i in range(AUDIO_BYTES // 2)
+        ]
+        en = [
+            sum(s * s for s in samples[w * FP_WIN : (w + 1) * FP_WIN])
+            for w in range(FP_WINDOWS)
+        ]
+        fp = "".join(
+            "1" if en[k + 1] > en[k] else "0" for k in range(FP_WINDOWS - 1)
+        )
+        fps.append((r["source"], fp))
+    per_src: dict = defaultdict(list)
+    spread: dict = defaultdict(set)
+    for src, fp in fps:
+        per_src[src].append(fp)
+        spread[fp].add(src)
+
+    got = {r["source"]: r for r in q_audio_fingerprint(spark, sf_dir).collect()}
+    assert set(got) == set(per_src)
+    for src, lst in per_src.items():
+        g = got[src]
+        assert g["n_clips"] == len(lst)
+        assert g["distinct_fps"] == len(set(lst))
+        assert g["n_dup_within"] == len(lst) - len(set(lst))
+        assert g["n_shared_fp"] == sum(1 for fp in lst if len(spread[fp]) >= 2)
