@@ -1475,3 +1475,105 @@ def q_decision_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("right_pred"),
         F.expr("CAST((n - err) * 1000000 DIV n AS BIGINT)").alias("acc_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q_embedding_outliers — intra-class outliers by distance to own centroid
+# ---------------------------------------------------------------------------
+
+OUTLIER_TOPK = 3  # farthest vectors reported per label
+
+
+@query(
+    "q_embedding_outliers",
+    oracle=f"""
+    WITH comp AS (
+        SELECT label,
+               unnest(list_transform(range(0, len(embedding)),
+                   i -> {{'pos': i, 'v': CAST(embedding[i+1] AS DOUBLE)}})) AS r
+        FROM embeddings
+    ),
+    cent AS (
+        SELECT label AS clabel, CAST(r['pos'] AS BIGINT) AS pos,
+               CAST(CAST(sum(CAST(r['v'] AS DECIMAL(18,{CENTROID_SCALE})))
+                         AS STRING) AS DOUBLE) / count(*) AS cv
+        FROM comp GROUP BY 1, 2
+    ),
+    centarr AS (
+        SELECT clabel, array_agg(cv ORDER BY pos) AS carr
+        FROM cent GROUP BY clabel
+    ),
+    dists AS (
+        SELECT e.vec_id, e.label,
+               list_reduce(list_transform(range(len(e.embedding)),
+                   i -> (e.embedding[i+1]::DOUBLE - c.carr[i+1])
+                      * (e.embedding[i+1]::DOUBLE - c.carr[i+1])),
+                   (x, y) -> x + y) AS d
+        FROM embeddings e JOIN centarr c ON c.clabel = e.label
+    )
+    SELECT label, vec_id, d AS sq_dist,
+           CAST(row_number() OVER (PARTITION BY label ORDER BY d DESC, vec_id)
+                AS INT) AS rnk
+    FROM dists
+    QUALIFY row_number() OVER (PARTITION BY label ORDER BY d DESC, vec_id)
+            <= {OUTLIER_TOPK}
+    """,
+    description=f"intra-class embedding outliers: the {OUTLIER_TOPK} vectors "
+    "farthest (squared L2) from their OWN label's centroid, per label — "
+    "the standard mislabeled-sample / noisy-embedding triage list every "
+    "embedding-space cleaning pass starts from (the within-class "
+    "complement of q_nearest_centroid's between-class assignment). "
+    "Centroids come from exact decimal component sums; each distance is "
+    "the same left-fold zip arithmetic in both engines over bit-identical "
+    "doubles, so the DESC ranking and the reported distances hash-verify",
+)
+def q_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One scan to centroids (labels × dim shuffle, map-side combined),
+    one broadcast of the labels-sized centroid table back onto the
+    embeddings scan — a KEYED join, so each vector meets exactly its own
+    centroid (vs q_nearest_centroid's deliberate probe-batch cross) —
+    then a per-label top-k window over (label)-partitioned distances. At
+    100 TB: no vector leaves its partition until the top-k shuffle, whose
+    carried rows are already label-bounded; AQE handles the label skew."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    comp = emb.select("label", F.posexplode("embedding").alias("pos", "v"))
+    cent = comp.groupBy(
+        F.col("label").alias("clabel"), F.col("pos").cast("bigint").alias("pos")
+    ).agg(
+        (
+            dsum(F.col("v").cast("double"), CENTROID_SCALE) / F.count(F.lit(1))
+        ).alias("cv")
+    )
+    centarr = cent.groupBy("clabel").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "cv"))),
+            lambda s: s["cv"],
+        ).alias("carr")
+    )
+    vec = emb.select(
+        "vec_id",
+        "label",
+        F.transform("embedding", lambda x: x.cast("double")).alias("x"),
+    )
+    dists = vec.join(
+        F.broadcast(centarr), vec.label == centarr.clabel
+    ).select(
+        "vec_id",
+        "label",
+        F.aggregate(
+            F.zip_with(F.col("x"), F.col("carr"), lambda x, c: (x - c) * (x - c)),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ).alias("d"),
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("label").orderBy(F.col("d").desc(), "vec_id")
+    return (
+        dists.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= OUTLIER_TOPK)
+        .select(
+            "label", "vec_id", F.col("d").alias("sq_dist"),
+            F.col("rnk").cast("int").alias("rnk"),
+        )
+    )

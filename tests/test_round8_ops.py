@@ -665,3 +665,52 @@ def test_audio_fingerprint_matches_pure_python_replay(spark, sf_dir):
         assert g["distinct_fps"] == len(set(lst))
         assert g["n_dup_within"] == len(lst) - len(set(lst))
         assert g["n_shared_fp"] == sum(1 for fp in lst if len(spread[fp]) >= 2)
+
+
+def test_embedding_outliers_matches_numpy(spark, sf_dir):
+    import numpy as np
+
+    from go_web_mapreduce_spark.operators.ml import OUTLIER_TOPK, q_embedding_outliers
+
+    rows = load_table(spark, sf_dir, "embeddings").collect()
+    by_label: dict = defaultdict(list)
+    for r in rows:
+        by_label[r["label"]].append((r["vec_id"], np.array(r["embedding"], dtype=np.float64)))
+
+    expect = {}
+    for lab, vecs in by_label.items():
+        cent = np.mean([v for _, v in vecs], axis=0)
+        scored = sorted(
+            ((float(((v - cent) ** 2).sum()), vid) for vid, v in vecs),
+            key=lambda t: (-t[0], t[1]),
+        )
+        expect[lab] = scored[:OUTLIER_TOPK]
+
+    got = q_embedding_outliers(spark, sf_dir).collect()
+    assert len(got) == sum(len(v) for v in expect.values())
+    for r in got:
+        d, vid = expect[r["label"]][r["rnk"] - 1]
+        assert r["vec_id"] == vid
+        # numpy mean/sum orders differ from the engines' exact-decimal
+        # centroid + left-fold distance — agreement is approximate only
+        assert r["sq_dist"] == pytest.approx(d, rel=1e-9)
+
+
+def test_snm_edit_distance_is_subset_with_full_recall_on_base_corpus(spark, sf_dir):
+    from go_web_mapreduce_spark.operators.dedup import (
+        q_dedup_edit_distance,
+        q_dedup_edit_distance_snm,
+    )
+
+    exact = {
+        (r["doc_a"], r["doc_b"]): (r["dist"], r["sim_ppm"])
+        for r in q_dedup_edit_distance(spark, sf_dir).collect()
+    }
+    snm = {
+        (r["doc_a"], r["doc_b"]): (r["dist"], r["sim_ppm"])
+        for r in q_dedup_edit_distance_snm(spark, sf_dir).collect()
+    }
+    # SNM candidates are a subset of the exact variant's (same block, same
+    # band, window on top) — and on the base corpus the window loses nothing
+    assert set(snm) <= set(exact)
+    assert snm == exact
