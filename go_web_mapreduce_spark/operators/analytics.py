@@ -1641,3 +1641,89 @@ def q_profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in profiles[1:]:
         out = out.unionAll(p)
     return out
+
+
+# ---------------------------------------------------------------------------
+# q_rfm_segments — recency/frequency/monetary quintile segmentation
+# ---------------------------------------------------------------------------
+
+RFM_Q = 5  # quintiles; segment ids are 1 (best) .. 5
+
+
+@query(
+    "q_rfm_segments",
+    oracle=f"""
+    WITH u AS (
+      SELECT user_id,
+             max(epoch_us(ts)) AS last_us,
+             count(*) AS n_events,
+             sum(CASE WHEN event_type = 'purchase'
+                      THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END)
+               AS cents
+      FROM events GROUP BY user_id
+    ),
+    scored AS (
+      SELECT user_id, cents,
+             ntile({RFM_Q}) OVER (ORDER BY last_us DESC, user_id) AS r_q,
+             ntile({RFM_Q}) OVER (ORDER BY n_events DESC, user_id) AS f_q,
+             ntile({RFM_Q}) OVER (ORDER BY cents DESC, user_id) AS m_q
+      FROM u
+    )
+    SELECT CAST(r_q AS INT) AS r_q, CAST(f_q AS INT) AS f_q,
+           CAST(m_q AS INT) AS m_q,
+           CAST(count(*) AS BIGINT) AS n_users,
+           CAST(sum(cents) AS BIGINT) AS revenue_cents
+    FROM scored GROUP BY 1, 2, 3
+    """,
+    description=f"RFM segmentation: every user scored into {RFM_Q} "
+    "quintiles on Recency (last event time), Frequency (event count) and "
+    "Monetary (exact purchase cents), quintile 1 = best; per-(r,f,m)-"
+    "segment user counts and revenue — the classic lifecycle census "
+    "(champions / at-risk / hibernating) behind retention targeting. "
+    "Every scored quantity is an exact integer and each ntile ORDER BY "
+    "carries user_id as the total-order tie-break, so the segment "
+    "assignment is engine-identical and the census hash-verifies",
+)
+def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One corpus shuffle to the per-user grid; the three ntile windows
+    run over USERS, not events. They are deliberately unpartitioned —
+    a global quantile needs a global order — which at local scale is one
+    users-sized sort; at 100 TB (billions of users) the same query swaps
+    ntile for the range-partitioned global-sort rank (graph.py::
+    global_sort_index) or percent_rank over it, an order-preserving
+    drop-in that keeps segment boundaries identical up to the documented
+    boundary-tie rule. Monetary is integer cents end to end (round(v*100)
+    matches the DECIMAL(18,2) rendering of the 2-decimal fixture exactly
+    in both engines)."""
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.max(F.expr("ts_ns div 1000")).alias("last_us"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(
+            F.when(
+                F.col("event_type") == "purchase",
+                F.round(F.col("value") * 100).cast("long"),
+            ).otherwise(0)
+        ).alias("cents"),
+    )
+    scored = u.select(
+        "user_id",
+        "cents",
+        F.ntile(RFM_Q)
+        .over(Window.orderBy(F.col("last_us").desc(), "user_id"))
+        .alias("r_q"),
+        F.ntile(RFM_Q)
+        .over(Window.orderBy(F.col("n_events").desc(), "user_id"))
+        .alias("f_q"),
+        F.ntile(RFM_Q)
+        .over(Window.orderBy(F.col("cents").desc(), "user_id"))
+        .alias("m_q"),
+    )
+    return scored.groupBy(
+        F.col("r_q").cast("int").alias("r_q"),
+        F.col("f_q").cast("int").alias("f_q"),
+        F.col("m_q").cast("int").alias("m_q"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("cents").alias("revenue_cents"),
+    )

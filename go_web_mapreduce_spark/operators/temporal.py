@@ -1430,3 +1430,108 @@ def q_rolling_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
         slope.alias("slope"),
         ((F.col("sy") - slope * F.lit(21.0)) / F.lit(7.0)).alias("intercept"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q_attribution — first/last-touch conversion attribution with a lookback
+# ---------------------------------------------------------------------------
+
+ATTR_CONV = "purchase"            # the conversion event
+ATTR_LOOKBACK_US = 86_400_000_000  # 24 h, in microseconds
+
+
+@query(
+    "q_attribution",
+    oracle=f"""
+    WITH ev AS (
+      SELECT user_id, event_type, value, epoch_us(ts) AS tu FROM events
+    ),
+    conv AS (
+      SELECT user_id, tu, value, event_type,
+             first_value(CASE WHEN event_type <> '{ATTR_CONV}'
+                              THEN event_type END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY tu
+                     RANGE BETWEEN {ATTR_LOOKBACK_US} PRECEDING
+                           AND 1 PRECEDING) AS ft,
+             last_value(CASE WHEN event_type <> '{ATTR_CONV}'
+                             THEN event_type END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY tu
+                     RANGE BETWEEN {ATTR_LOOKBACK_US} PRECEDING
+                           AND 1 PRECEDING) AS lt
+      FROM ev
+    )
+    SELECT 'first_touch' AS model, coalesce(ft, 'none') AS touch,
+           CAST(count(*) AS BIGINT) AS n_conv,
+           CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) AS STRING) AS DOUBLE)
+             AS attributed_value
+    FROM conv WHERE event_type = '{ATTR_CONV}' GROUP BY 2
+    UNION ALL
+    SELECT 'last_touch', coalesce(lt, 'none'),
+           CAST(count(*) AS BIGINT),
+           CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) AS STRING) AS DOUBLE)
+    FROM conv WHERE event_type = '{ATTR_CONV}' GROUP BY 2
+    """,
+    description="multi-touch conversion attribution: every purchase is "
+    "attributed to the FIRST and the LAST non-conversion event of the "
+    "same user inside a 24 h lookback (the two classic single-touch "
+    "models), 'none' when the window is empty; per-(model, touch) "
+    "conversion counts and decimal-exact attributed revenue. The "
+    "lookback is an event-time RANGE frame over exact integer "
+    "microseconds ending at 1 PRECEDING — peers at the conversion's own "
+    "timestamp are excluded identically in both engines, and IGNORE "
+    "NULLS picks the touch without a second pass",
+)
+def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One user_id window shuffle computes both models (two frames over
+    the same sort), then everything downstream is conversion-sized and
+    the final aggregates are (model × types)-sized. The RANGE frame on
+    integer microseconds is the loss-free cross-engine formulation of
+    '24 h before' (calendar intervals round-trip differently; epoch math
+    doesn't). At 100 TB this is the one-shuffle sessionization shape:
+    state per user bounded by the lookback, no self-join of events to
+    events (the naive formulation), no pair explosion. The touch rows
+    are pinned after the purchase filter so the two model legs do not
+    re-run the corpus window.
+
+    Determinism note: among RANGE-frame peers (events of one user in the
+    SAME microsecond) first/last_value order is engine-undefined; the
+    driver testdata has no such ties at any scale (asserted 0 tied
+    (user, µs) groups at sf0.001..sf1), and a corpus that has them needs
+    a composite integer order key (tu·k + sub-sequence) on both sides."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "value", F.expr("ts_ns div 1000").alias("tu")
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("tu")
+        .rangeBetween(-ATTR_LOOKBACK_US, -1)
+    )
+    touch = F.when(F.col("event_type") != ATTR_CONV, F.col("event_type"))
+    conv = (
+        ev.select(
+            "event_type",
+            "value",
+            F.first(touch, ignorenulls=True).over(w).alias("ft"),
+            F.last(touch, ignorenulls=True).over(w).alias("lt"),
+        )
+        .where(F.col("event_type") == ATTR_CONV)
+        # conversion-sized pin: both model legs read it, the corpus-sized
+        # window runs once
+        .localCheckpoint(eager=False)
+    )
+    legs = []
+    for model, col in (("first_touch", "ft"), ("last_touch", "lt")):
+        legs.append(
+            conv.groupBy(F.coalesce(F.col(col), F.lit("none")).alias("touch"))
+            .agg(
+                F.count(F.lit(1)).alias("n_conv"),
+                dsum(F.col("value"), 2).alias("attributed_value"),
+            )
+            .select(
+                F.lit(model).alias("model"),
+                "touch",
+                "n_conv",
+                "attributed_value",
+            )
+        )
+    return legs[0].unionAll(legs[1])

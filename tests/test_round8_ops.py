@@ -714,3 +714,84 @@ def test_snm_edit_distance_is_subset_with_full_recall_on_base_corpus(spark, sf_d
     # band, window on top) — and on the base corpus the window loses nothing
     assert set(snm) <= set(exact)
     assert snm == exact
+
+
+def test_attribution_matches_pure_python_replay(spark, sf_dir):
+    from go_web_mapreduce_spark.operators.temporal import (
+        ATTR_CONV,
+        ATTR_LOOKBACK_US,
+        q_attribution,
+    )
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", "event_type", "value", F.expr("ts_ns div 1000").alias("tu"))
+        .collect()
+    )
+    by_user: dict = defaultdict(list)
+    for r in ev:
+        by_user[r["user_id"]].append((r["tu"], r["event_type"], r["value"]))
+    agg: dict = defaultdict(lambda: [0, 0])  # (model, touch) -> [n, cents]
+    for rows in by_user.values():
+        rows.sort()
+        for tu, et, val in rows:
+            if et != ATTR_CONV:
+                continue
+            window = [
+                t for t in rows
+                if tu - ATTR_LOOKBACK_US <= t[0] <= tu - 1 and t[1] != ATTR_CONV
+            ]
+            ft = window[0][1] if window else "none"
+            lt = window[-1][1] if window else "none"
+            cents = round(val * 100)
+            for model, touch in (("first_touch", ft), ("last_touch", lt)):
+                a = agg[(model, touch)]
+                a[0] += 1
+                a[1] += cents
+    got = q_attribution(spark, sf_dir).collect()
+    assert {(r["model"], r["touch"]) for r in got} == set(agg)
+    for r in got:
+        n, cents = agg[(r["model"], r["touch"])]
+        assert r["n_conv"] == n
+        assert r["attributed_value"] == pytest.approx(cents / 100, abs=1e-9)
+
+
+def test_rfm_segments_matches_pure_python_replay(spark, sf_dir):
+    from go_web_mapreduce_spark.operators.analytics import RFM_Q, q_rfm_segments
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", "event_type", "value", F.expr("ts_ns div 1000").alias("tu"))
+        .collect()
+    )
+    users: dict = {}
+    for r in ev:
+        u = users.setdefault(r["user_id"], [0, 0, 0])  # last_us, n, cents
+        u[0] = max(u[0], r["tu"])
+        u[1] += 1
+        if r["event_type"] == "purchase":
+            u[2] += round(r["value"] * 100)
+
+    def ntile(keys, q):
+        n = len(keys)
+        out = {}
+        for i, (_, uid) in enumerate(sorted(keys)):
+            # SQL ntile: first (n % q) tiles get ceil(n/q) rows
+            big, rem = n // q + 1, n % q
+            out[uid] = i // big + 1 if i < rem * big else (i - rem * big) // (n // q) + rem + 1
+        return out
+
+    r_q = ntile([((-last, uid), uid) for uid, (last, _, _) in users.items()], RFM_Q)
+    f_q = ntile([((-n, uid), uid) for uid, (_, n, _) in users.items()], RFM_Q)
+    m_q = ntile([((-c, uid), uid) for uid, (_, _, c) in users.items()], RFM_Q)
+    agg: dict = defaultdict(lambda: [0, 0])
+    for uid, (_, _, cents) in users.items():
+        a = agg[(r_q[uid], f_q[uid], m_q[uid])]
+        a[0] += 1
+        a[1] += cents
+
+    got = q_rfm_segments(spark, sf_dir).collect()
+    assert {(r["r_q"], r["f_q"], r["m_q"]) for r in got} == set(agg)
+    for r in got:
+        n, cents = agg[(r["r_q"], r["f_q"], r["m_q"])]
+        assert (r["n_users"], r["revenue_cents"]) == (n, cents)
