@@ -1727,3 +1727,220 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_users"),
         F.sum("cents").alias("revenue_cents"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q_hll_overlap — sketch-algebra audience overlap (inclusion–exclusion)
+# ---------------------------------------------------------------------------
+
+
+def _hll_overlap_oracle() -> str:
+    from go_web_mapreduce_spark.functions import hll as _hll
+
+    val = "CAST(user_id AS VARCHAR)"
+    est = _hll.hll_estimate_sql_duckdb("sp", "nb")
+    return f"""
+    WITH regs AS (
+      SELECT event_type, {_hll.hll_bucket_sql_duckdb(val)} AS bucket,
+             max({_hll.hll_rank_sql(val)}) AS M
+      FROM events GROUP BY 1, 2
+    ),
+    sstats AS (
+      SELECT event_type, sum({_hll.hll_term_sql_duckdb("M")})::BIGINT AS sp,
+             count(*) AS nb FROM regs GROUP BY 1
+    ),
+    sest AS (SELECT event_type, {est} AS approx FROM sstats),
+    types AS (SELECT DISTINCT event_type FROM events),
+    pairs AS (
+      SELECT a.event_type AS ta, b.event_type AS tb
+      FROM types a JOIN types b ON a.event_type < b.event_type
+    ),
+    uregs AS (
+      SELECT p.ta, p.tb, r.bucket, max(r.M) AS M
+      FROM pairs p JOIN regs r
+        ON r.event_type = p.ta OR r.event_type = p.tb
+      GROUP BY 1, 2, 3
+    ),
+    ustats AS (
+      SELECT ta, tb, sum({_hll.hll_term_sql_duckdb("M")})::BIGINT AS sp,
+             count(*) AS nb FROM uregs GROUP BY 1, 2
+    ),
+    uest AS (SELECT ta, tb, {est} AS u FROM ustats),
+    du AS (SELECT DISTINCT user_id, event_type FROM events),
+    ov AS (
+      SELECT a.event_type AS ta, b.event_type AS tb, count(*) AS exact_overlap
+      FROM du a JOIN du b
+        ON a.user_id = b.user_id AND a.event_type < b.event_type
+      GROUP BY 1, 2
+    )
+    SELECT p.ta, p.tb,
+           ea.approx AS est_a, eb.approx AS est_b, uest.u AS est_union,
+           ea.approx + eb.approx - uest.u AS est_overlap,
+           (ea.approx + eb.approx - uest.u) / uest.u AS jaccard_est,
+           CAST(coalesce(ov.exact_overlap, 0) AS BIGINT) AS exact_overlap
+    FROM pairs p
+    JOIN sest ea ON ea.event_type = p.ta
+    JOIN sest eb ON eb.event_type = p.tb
+    JOIN uest ON uest.ta = p.ta AND uest.tb = p.tb
+    LEFT JOIN ov ON ov.ta = p.ta AND ov.tb = p.tb
+    """
+
+
+@query(
+    "q_hll_overlap",
+    oracle=_hll_overlap_oracle(),
+    description="sketch-algebra audience overlap: |A∩B| and Jaccard "
+    "estimated for every event-type pair by inclusion–exclusion over "
+    "portable-HLL register states — |A|+|B|−|A∪B| with the union sketch "
+    "a bucket-wise max-merge (never a rescan); exact overlap included "
+    "for the error-vs-exact comparison at this SF. The one sketch "
+    "operation exact distinct cannot decompose: at 100 TB the per-"
+    "segment register tables are persisted once and ANY pair/rollup "
+    "overlap is register algebra on 4096-row states",
+)
+def q_hll_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inclusion–exclusion is the canonical sketch-set-algebra workload
+    (audience overlap, cross-source contamination, A/B exposure leaks).
+    Registers are built ONCE (one corpus shuffle, ≤ types×4096 rows) and
+    pinned: singles estimate, pair-union estimate, and the exact check
+    all read the same state. The estimate arithmetic (a + b − u, /u) is
+    two IEEE ops in one documented order on deterministic doubles, so
+    the result hash-verifies; a negative estimate for truly disjoint
+    sets is possible (sketch noise exceeding the tiny intersection) and
+    deliberately reported raw — clamping is the consumer's policy call.
+    Reference parity: extension (the reference's distinct counting is an
+    exact reduce; see functions/hll.py)."""
+    from go_web_mapreduce_spark.functions import hll as _hll
+
+    events = load_table(spark, sf_dir, "events")
+    regs = _hll.hll_registers(
+        events, ["event_type"], F.col("user_id")
+    ).localCheckpoint(eager=False)
+    single = _hll.hll_estimate_from_registers(regs, ["event_type"])
+    types = events.select("event_type").distinct()
+    pairs = (
+        types.select(F.col("event_type").alias("ta"))
+        .join(
+            types.select(F.col("event_type").alias("tb")),
+            F.col("ta") < F.col("tb"),
+        )
+    )
+    pair_regs = regs.join(
+        F.broadcast(pairs),
+        (regs.event_type == pairs.ta) | (regs.event_type == pairs.tb),
+    ).select("ta", "tb", "bucket", "M")
+    uest = _hll.hll_estimate_from_registers(pair_regs, ["ta", "tb"]).select(
+        "ta", "tb", F.col("approx").alias("u")
+    )
+    du = events.select("user_id", "event_type").distinct()
+    a = du.select("user_id", F.col("event_type").alias("ta"))
+    b = du.select("user_id", F.col("event_type").alias("tb"))
+    ov = (
+        a.join(b, "user_id")
+        .where(F.col("ta") < F.col("tb"))
+        .groupBy("ta", "tb")
+        .agg(F.count(F.lit(1)).alias("exact_overlap"))
+    )
+    ea = single.select(F.col("event_type").alias("ta"), F.col("approx").alias("est_a"))
+    eb = single.select(F.col("event_type").alias("tb"), F.col("approx").alias("est_b"))
+    out = (
+        pairs.join(F.broadcast(ea), "ta")
+        .join(F.broadcast(eb), "tb")
+        .join(F.broadcast(uest), ["ta", "tb"])
+        .join(F.broadcast(ov), ["ta", "tb"], "left")
+    )
+    inter = F.col("est_a") + F.col("est_b") - F.col("u")
+    return out.select(
+        "ta",
+        "tb",
+        "est_a",
+        "est_b",
+        F.col("u").alias("est_union"),
+        inter.alias("est_overlap"),
+        (inter / F.col("u")).alias("jaccard_est"),
+        F.coalesce(F.col("exact_overlap"), F.lit(0)).cast("long").alias(
+            "exact_overlap"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_quantile_norm — per-source quantile normalization onto corpus quantiles
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_quantile_norm",
+    oracle="""
+    WITH corpus AS (
+      SELECT n_chars,
+             row_number() OVER (ORDER BY n_chars, doc_id) AS gr,
+             count(*) OVER () AS nn
+      FROM documents
+    ),
+    per_src AS (
+      SELECT source, doc_id, n_chars,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY n_chars, doc_id) AS r,
+             count(*) OVER (PARTITION BY source) AS ns
+      FROM documents
+    ),
+    mapped AS (
+      SELECT s.source, s.n_chars AS orig, c.n_chars AS norm
+      FROM per_src s JOIN corpus c
+        ON c.gr = ((s.r - 1) * (c.nn - 1)) // (s.ns - 1) + 1
+      WHERE s.ns > 1
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(orig) AS BIGINT) AS sum_orig,
+           CAST(sum(norm) AS BIGINT) AS sum_norm,
+           CAST(sum(abs(norm - orig)) AS BIGINT) AS total_shift,
+           CAST(max(abs(norm - orig)) AS BIGINT) AS max_shift
+    FROM mapped GROUP BY source
+    """,
+    description="quantile normalization (the microarray/batch-effect "
+    "classic, Bolstad 2003): every source's n_chars distribution mapped "
+    "onto the CORPUS distribution by rank — doc at in-source rank r of "
+    "n_s takes the corpus value at global rank 1 + ⌊(r−1)(N−1)/(n_s−1)⌋, "
+    "an all-integer index map with (value, doc_id) total orders so both "
+    "engines rank identically; per-source census of the shift (sums, "
+    "total and max absolute displacement — how far each source's length "
+    "profile sits from the corpus profile). The cross-source score-"
+    "calibration primitive for mixing heterogeneous corpora",
+)
+def q_quantile_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two rank windows (one global, one per source) + ONE equi-join on
+    the computed integer index — no percentile interpolation anywhere,
+    so there is no float surface at all until the final census sums
+    (also integers). The global window is a documented single-partition
+    sort at local scale; at 100 TB it swaps for the range-partitioned
+    global_sort_index (graph.py) exactly like q_rfm_segments' ntile —
+    an order-preserving drop-in. The census output is deliberately
+    aggregate (not per-doc) so the operator composes as a mixing
+    diagnostic, not a corpus rewrite."""
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.select(
+        F.col("n_chars").alias("cv"),
+        F.row_number().over(Window.orderBy("n_chars", "doc_id")).alias("gr"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("nn"),
+    )
+    per_src = docs.select(
+        "source",
+        F.col("n_chars").alias("orig"),
+        F.row_number()
+        .over(Window.partitionBy("source").orderBy("n_chars", "doc_id"))
+        .alias("r"),
+        F.count(F.lit(1)).over(Window.partitionBy("source")).alias("ns"),
+    ).where(F.col("ns") > 1)
+    mapped = per_src.join(
+        corpus, F.expr("gr = ((r - 1) * (nn - 1)) DIV (ns - 1) + 1")
+    )
+    diff = F.abs(F.col("cv") - F.col("orig"))
+    return mapped.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("orig").alias("sum_orig"),
+        F.sum("cv").alias("sum_norm"),
+        F.sum(diff).alias("total_shift"),
+        F.max(diff).alias("max_shift"),
+    )

@@ -795,3 +795,64 @@ def test_rfm_segments_matches_pure_python_replay(spark, sf_dir):
     for r in got:
         n, cents = agg[(r["r_q"], r["f_q"], r["m_q"])]
         assert (r["n_users"], r["revenue_cents"]) == (n, cents)
+
+
+def test_hll_overlap_estimates_track_exact_within_sketch_error(spark, sf_dir):
+    from go_web_mapreduce_spark.operators.analytics import q_hll_overlap
+
+    du = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", "event_type")
+        .distinct()
+        .collect()
+    )
+    sets: dict = defaultdict(set)
+    for r in du:
+        sets[r["event_type"]].add(r["user_id"])
+
+    got = q_hll_overlap(spark, sf_dir).collect()
+    assert len(got) == len(sets) * (len(sets) - 1) // 2
+    for r in got:
+        a, b = sets[r["ta"]], sets[r["tb"]]
+        assert r["exact_overlap"] == len(a & b)
+        # m=4096 registers -> ~1.6% relative error on singles and unions
+        assert r["est_a"] == pytest.approx(len(a), rel=0.10)
+        assert r["est_b"] == pytest.approx(len(b), rel=0.10)
+        assert r["est_union"] == pytest.approx(len(a | b), rel=0.10)
+        # inclusion-exclusion amplifies error additively in the set sizes
+        assert abs(r["est_overlap"] - len(a & b)) <= 0.10 * len(a | b) + 5
+        assert r["jaccard_est"] == r["est_overlap"] / r["est_union"]
+
+
+def test_quantile_norm_matches_pure_python_replay(spark, sf_dir):
+    from go_web_mapreduce_spark.operators.analytics import q_quantile_norm
+
+    rows = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "source", "n_chars")
+        .collect()
+    )
+    corpus = sorted((r["n_chars"], r["doc_id"]) for r in rows)
+    vals = [v for v, _ in corpus]
+    nn = len(vals)
+    by_src: dict = defaultdict(list)
+    for r in rows:
+        by_src[r["source"]].append((r["n_chars"], r["doc_id"]))
+    expect = {}
+    for src, lst in by_src.items():
+        ns = len(lst)
+        if ns <= 1:
+            continue
+        lst.sort()
+        norm = [vals[((r - 1) * (nn - 1)) // (ns - 1)] for r in range(1, ns + 1)]
+        orig = [v for v, _ in lst]
+        shifts = [abs(n - o) for n, o in zip(norm, orig)]
+        expect[src] = (ns, sum(orig), sum(norm), sum(shifts), max(shifts))
+
+    got = {r["source"]: r for r in q_quantile_norm(spark, sf_dir).collect()}
+    assert set(got) == set(expect)
+    for src, (ns, so, sn, ts, ms) in expect.items():
+        g = got[src]
+        assert (g["n_docs"], g["sum_orig"], g["sum_norm"], g["total_shift"], g["max_shift"]) == (ns, so, sn, ts, ms)
+    # quantile-normalized distributions all draw from corpus values:
+    # a source identical to the corpus profile would shift by 0
