@@ -371,3 +371,15 @@ def test_partitioned_prune_resolves_lang_at_plan_time(spark, sf_dir):
     assert "PartitionFilters: [" in plan
     pf = plan.split("PartitionFilters:")[1].splitlines()[0]
     assert "lang" in pf and "en" in pf, pf
+
+
+def test_quantile_norm_rank_lookup_is_an_equi_join(spark, sf_dir):
+    plan = executed_plan(spark, sf_dir, "q_quantile_norm")
+    # the corpus-rank lookup must hash-join on the per-source-computed
+    # index key; a key expression mixing both sides degrades to a
+    # nested-loop theta join (measured exp 1.52 before the fix)
+    assert "CartesianProduct" not in plan
+    # exactly one nested-loop join is allowed: the deliberate 1-row
+    # broadcast of the corpus total onto the per-source rank table
+    assert plan.count("BroadcastNestedLoopJoin") <= 1
+    assert "SortMergeJoin" in plan or "BroadcastHashJoin" in plan or "ShuffledHashJoin" in plan
