@@ -1958,3 +1958,167 @@ def q_quantile_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(diff).alias("total_shift"),
         F.max(diff).alias("max_shift"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q_psi_drift — population stability index of value distributions over time
+# ---------------------------------------------------------------------------
+
+PSI_BINS = 10
+PSI_SPLIT = "2024-01-16"  # reference = days before, current = days after
+PSI_ALERT = "0.2"  # the industry convention: PSI > 0.2 = significant shift
+
+
+def _psi_edge_sql(side: str) -> str:
+    """Nine conditional-max decile edges from the reference ranks."""
+    return ", ".join(
+        f"max(CASE WHEN rnk = ({i} * n + 9) // 10 THEN value END) AS e{i}"
+        if side == "duckdb"
+        else f"max(CASE WHEN rnk = ({i} * n + 9) DIV 10 THEN value END) AS e{i}"
+        for i in range(1, PSI_BINS)
+    )
+
+
+_PSI_BIN_EXPR = "1 + " + " + ".join(
+    f"(CASE WHEN value > e{i} THEN 1 ELSE 0 END)" for i in range(1, PSI_BINS)
+)
+
+# fixed-order PSI sum over the 10 pivoted bins, Laplace-smoothed so an
+# empty current-side bin stays finite; generated ONCE for both engines
+_PSI_TERM = (
+    "((CAST(r{b} + 1 AS DOUBLE) / CAST(nr + {m} AS DOUBLE))"
+    " - (CAST(c{b} + 1 AS DOUBLE) / CAST(nc + {m} AS DOUBLE)))"
+    " * ln((CAST(r{b} + 1 AS DOUBLE) / CAST(nr + {m} AS DOUBLE))"
+    " / (CAST(c{b} + 1 AS DOUBLE) / CAST(nc + {m} AS DOUBLE)))"
+)
+_PSI_EXPR = " + ".join(
+    _PSI_TERM.format(b=b, m=PSI_BINS) for b in range(1, PSI_BINS + 1)
+)
+_PSI_PIVOT = ", ".join(
+    f"sum(CASE WHEN side = 'r' AND bin = {b} THEN 1 ELSE 0 END) AS r{b}, "
+    f"sum(CASE WHEN side = 'c' AND bin = {b} THEN 1 ELSE 0 END) AS c{b}"
+    for b in range(1, PSI_BINS + 1)
+)
+
+
+@query(
+    "q_psi_drift",
+    oracle=f"""
+    WITH ev AS (
+      SELECT event_type, value,
+             CASE WHEN ts < TIMESTAMP '{PSI_SPLIT}' THEN 'r' ELSE 'c' END
+               AS side,
+             event_id
+      FROM events
+    ),
+    ranked AS (
+      SELECT event_type, value,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY value, event_id) AS rnk,
+             count(*) OVER (PARTITION BY event_type) AS n
+      FROM ev WHERE side = 'r'
+    ),
+    edges AS (
+      SELECT event_type, {_psi_edge_sql("duckdb")}
+      FROM ranked GROUP BY event_type
+    ),
+    binned AS (
+      SELECT ev.event_type, ev.side, {_PSI_BIN_EXPR} AS bin
+      FROM ev JOIN edges ON edges.event_type = ev.event_type
+    ),
+    pivoted AS (
+      SELECT event_type, {_PSI_PIVOT},
+             sum(CASE WHEN side = 'r' THEN 1 ELSE 0 END) AS nr,
+             sum(CASE WHEN side = 'c' THEN 1 ELSE 0 END) AS nc
+      FROM binned GROUP BY event_type
+    )
+    SELECT event_type,
+           CAST(nr AS BIGINT) AS n_ref, CAST(nc AS BIGINT) AS n_cur,
+           {_PSI_EXPR} AS psi,
+           CAST(CASE WHEN {_PSI_EXPR} > {PSI_ALERT} THEN 1 ELSE 0 END AS INT)
+             AS drift
+    FROM pivoted
+    """,
+    description=f"population stability index per event type: the value "
+    f"distribution of the first half of the window (reference, < "
+    f"{PSI_SPLIT}) vs the rest (current), over {PSI_BINS} bins whose "
+    "edges are DISCRETE rank-selected reference deciles (exact data "
+    "values — no percentile interpolation), Laplace-smoothed so empty "
+    "current bins stay finite; PSI > 0.2 flags the shift (the model-"
+    "monitoring industry convention, the numeric complement of "
+    "q_ks_drift's exact test and q_js_divergence's token version). Bin "
+    "assignment and the 10-term PSI sum are generated expressions shared "
+    "verbatim by both engines — integer counts, ln only on the reported "
+    "value, hash-verified",
+)
+def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One corpus pass tags side + joins the broadcast decile-edge table
+    (types × 9 doubles) and pivots to fixed bin columns — the float PSI
+    sum is ONE in-row expression over exact integers, never a float SUM
+    across rows (the q_mutual_info discipline). The reference ranks run
+    in a per-type window (types-bounded). At 100 TB the edges would come
+    from the q_quantile_rollup sketch instead of exact ranks — same
+    downstream plan. PSI's role in the family: q_ks_drift detects ANY
+    distributional difference (supremum test), PSI measures HOW MUCH
+    mass moved in operating bins — the alerting metric teams page on."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        "value",
+        F.when(F.expr(f"ts < TIMESTAMP '{PSI_SPLIT}'"), "r")
+        .otherwise("c")
+        .alias("side"),
+        "event_id",
+    )
+    ref = ev.where(F.col("side") == "r")
+    ranked = ref.select(
+        "event_type",
+        "value",
+        F.row_number()
+        .over(Window.partitionBy("event_type").orderBy("value", "event_id"))
+        .alias("rnk"),
+        F.count(F.lit(1)).over(Window.partitionBy("event_type")).alias("n"),
+    )
+    edges = ranked.groupBy("event_type").agg(
+        *[
+            F.max(
+                F.when(
+                    F.expr(f"rnk = ({i} * n + 9) DIV 10"), F.col("value")
+                )
+            ).alias(f"e{i}")
+            for i in range(1, PSI_BINS)
+        ]
+    )
+    binned = ev.join(F.broadcast(edges), "event_type").select(
+        "event_type", "side", F.expr(_PSI_BIN_EXPR).alias("bin")
+    )
+    pivoted = binned.groupBy("event_type").agg(
+        *(
+            [
+                F.sum(
+                    F.when((F.col("side") == "r") & (F.col("bin") == b), 1)
+                    .otherwise(0)
+                ).alias(f"r{b}")
+                for b in range(1, PSI_BINS + 1)
+            ]
+            + [
+                F.sum(
+                    F.when((F.col("side") == "c") & (F.col("bin") == b), 1)
+                    .otherwise(0)
+                ).alias(f"c{b}")
+                for b in range(1, PSI_BINS + 1)
+            ]
+            + [
+                F.sum(F.when(F.col("side") == "r", 1).otherwise(0)).alias("nr"),
+                F.sum(F.when(F.col("side") == "c", 1).otherwise(0)).alias("nc"),
+            ]
+        )
+    )
+    return pivoted.select(
+        "event_type",
+        F.col("nr").cast("long").alias("n_ref"),
+        F.col("nc").cast("long").alias("n_cur"),
+        F.expr(_PSI_EXPR).alias("psi"),
+        F.expr(
+            f"CAST(CASE WHEN {_PSI_EXPR} > {PSI_ALERT} THEN 1 ELSE 0 END AS INT)"
+        ).alias("drift"),
+    )

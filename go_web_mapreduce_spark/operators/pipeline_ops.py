@@ -1906,3 +1906,196 @@ def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("c_nationkey").alias("n_nations"),
         dsum("o_totalprice").alias("total"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q_gdpr_erasure — right-to-be-forgotten cascade census
+# ---------------------------------------------------------------------------
+
+ERASE_PCT_BUCKET = 25  # erase users whose md5 bucket < 25/1000 (~2.5%)
+
+
+@query(
+    "q_gdpr_erasure",
+    oracle=f"""
+    WITH victims AS (
+      SELECT c_custkey FROM customer
+      WHERE CAST(('0x' || substr(md5('erase:' || CAST(c_custkey AS VARCHAR)), 1, 6)) AS BIGINT)
+            % 1000 < {ERASE_PCT_BUCKET}
+    ),
+    o AS (
+      SELECT o_orderkey, o_custkey FROM orders
+      WHERE o_custkey IN (SELECT c_custkey FROM victims)
+    ),
+    l AS (
+      SELECT l_orderkey FROM lineitem
+      WHERE l_orderkey IN (SELECT o_orderkey FROM o)
+    ),
+    e AS (
+      SELECT user_id FROM events
+      WHERE user_id IN (SELECT c_custkey FROM victims)
+    )
+    SELECT CAST((SELECT count(*) FROM victims) AS BIGINT) AS n_users,
+           CAST((SELECT count(*) FROM o) AS BIGINT) AS n_orders,
+           CAST((SELECT count(*) FROM l) AS BIGINT) AS n_lineitems,
+           CAST((SELECT count(*) FROM e) AS BIGINT) AS n_events,
+           CAST((SELECT count(*) FROM customer) -
+                (SELECT count(*) FROM victims) AS BIGINT) AS customers_kept,
+           CAST((SELECT count(*) FROM orders) -
+                (SELECT count(*) FROM o) AS BIGINT) AS orders_kept
+    """,
+    description="right-to-be-forgotten cascade census: a deterministic "
+    f"~{ERASE_PCT_BUCKET / 10}% erasure cohort (md5-bucketed custkeys — in "
+    "production, the actual DSR list) traced through the referential "
+    "cascade customer → orders → lineitem and customer → events; exact "
+    "counts of every row the erasure touches plus the kept complements — "
+    "the blast-radius report every GDPR/CCPA deletion job runs BEFORE "
+    "rewriting 100 TB, and the post-condition check after",
+)
+def q_gdpr_erasure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Erasure at lake scale is three broadcast/semi-join prunes, not a
+    scan-and-filter of every table by a Python list: the victim set stays
+    a DataFrame end to end (no driver collect — a DSR list of millions
+    would kill a collect-based plan), orders prune by an o_custkey
+    semi-join, lineitems by an l_orderkey semi-join against the pruned
+    orders (the transitive cascade), events by user_id. Each census leg
+    is a partial-aggregated count on the semi-join output; at 100 TB the
+    victim side broadcasts and every fact table is read once. The same
+    plan with anti-joins IS the deletion rewrite (see q_except /
+    q_upsert for the write patterns); this operator is the audit face."""
+    spark_victims_pred = (
+        F.conv(F.substring(F.md5(F.concat(F.lit("erase:"), F.col("c_custkey").cast("string"))), 1, 6), 16, 10)
+        .cast("bigint") % 1000
+        < ERASE_PCT_BUCKET
+    )
+    customer = load_table(spark, sf_dir, "customer")
+    victims = customer.where(spark_victims_pred).select("c_custkey")
+    orders = load_table(spark, sf_dir, "orders")
+    o = orders.join(
+        victims, orders.o_custkey == victims.c_custkey, "left_semi"
+    )
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    li = lineitem.join(
+        o.select("o_orderkey"),
+        lineitem.l_orderkey == F.col("o_orderkey"),
+        "left_semi",
+    )
+    events = load_table(spark, sf_dir, "events")
+    ev = events.join(
+        victims, events.user_id == victims.c_custkey, "left_semi"
+    )
+    n_users = victims.agg(F.count(F.lit(1)).alias("n")).select(
+        F.col("n").alias("n_users")
+    )
+    n_orders = o.agg(F.count(F.lit(1)).alias("n_orders"))
+    n_li = li.agg(F.count(F.lit(1)).alias("n_lineitems"))
+    n_ev = ev.agg(F.count(F.lit(1)).alias("n_events"))
+    n_cust = customer.agg(F.count(F.lit(1)).alias("nc"))
+    n_ord = orders.agg(F.count(F.lit(1)).alias("no"))
+    out = (
+        n_users.join(n_orders)
+        .join(n_li)
+        .join(n_ev)
+        .join(n_cust)
+        .join(n_ord)
+    )
+    return out.select(
+        "n_users",
+        "n_orders",
+        "n_lineitems",
+        "n_events",
+        (F.col("nc") - F.col("n_users")).alias("customers_kept"),
+        (F.col("no") - F.col("n_orders")).alias("orders_kept"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_data_contract — declarative expectation checks (ingest gate)
+# ---------------------------------------------------------------------------
+
+# (table, column, check name, SQL violation predicate — shared verbatim)
+CONTRACT_CHECKS = (
+    ("documents", "text", "not_null", "text IS NULL"),
+    ("documents", "text", "not_empty", "length(text) = 0"),
+    ("documents", "lang", "enum_member",
+     "lang NOT IN ('de', 'en', 'es', 'fr', 'zh')"),
+    ("documents", "n_chars", "in_range",
+     "n_chars < 1 OR n_chars > 100000"),
+    ("documents", "n_chars", "consistent_with_text",
+     "n_chars <> length(text)"),
+    ("events", "value", "non_negative", "value < 0"),
+    ("events", "event_type", "enum_member",
+     "event_type NOT IN ('view', 'click', 'purchase', 'signup', 'error')"),
+    ("events", "user_id", "not_null", "user_id IS NULL"),
+)
+
+
+def _contract_oracle() -> str:
+    legs = []
+    for table, col, check, pred in CONTRACT_CHECKS:
+        legs.append(f"""
+    SELECT '{table}' AS tbl, '{col}' AS col, '{check}' AS chk,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CASE WHEN {pred} THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_violations,
+           CAST(CASE WHEN sum(CASE WHEN {pred} THEN 1 ELSE 0 END) = 0
+                THEN 1 ELSE 0 END AS INT) AS pass
+    FROM {table}""")
+        # noqa: the predicate text is a module constant, not user input
+    return "\nUNION ALL\n".join(legs)
+
+
+@query(
+    "q_data_contract",
+    oracle=_contract_oracle(),
+    description=f"declarative data-contract gate ({len(CONTRACT_CHECKS)} "
+    "expectations over documents and events: not-null, non-empty, enum "
+    "membership, numeric range, cross-column consistency) — one row per "
+    "check with exact violation counts and a pass flag; the schema-and-"
+    "content admission test every ingest into a governed 100 TB lake "
+    "runs before data lands (the Great-Expectations / dbt-test shape). "
+    "Each check's violation predicate is ONE shared SQL text evaluated "
+    "by both engines, so the census is definitionally engine-identical",
+)
+def q_data_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All checks against one table fuse into a SINGLE aggregate scan
+    (conditional sums), so the cost is one pass per table regardless of
+    how many expectations the contract grows — the property that keeps a
+    500-assertion production contract from becoming 500 scans. The
+    per-check rows come from a literal-labeled projection of that one
+    aggregate, not per-check jobs. Violating ROWS are deliberately not
+    emitted (at 100 TB that can be the whole table); the quarantine
+    rewrite is this plan's filter complement, same scan."""
+    by_table: dict[str, list[tuple[str, str, str]]] = {}
+    for table, col, check, pred in CONTRACT_CHECKS:
+        by_table.setdefault(table, []).append((col, check, pred))
+    legs = []
+    for table, checks in by_table.items():
+        df = load_table(spark, sf_dir, table)
+        aggs = [F.count(F.lit(1)).alias("n_rows")]
+        for i, (_, _, pred) in enumerate(checks):
+            aggs.append(
+                F.sum(F.when(F.expr(pred), 1).otherwise(0)).alias(f"v{i}")
+            )
+        # 1-row pin, load-bearing: each check leg projects from this
+        # aggregate, and Catalyst does not dedupe repeated subplans — an
+        # unpinned `one` would re-scan the table once per expectation
+        one = df.agg(*aggs).localCheckpoint(eager=False)
+        for i, (col, check, _) in enumerate(checks):
+            legs.append(
+                one.select(
+                    F.lit(table).alias("tbl"),
+                    F.lit(col).alias("col"),
+                    F.lit(check).alias("chk"),
+                    "n_rows",
+                    F.col(f"v{i}").alias("n_violations"),
+                    F.when(F.col(f"v{i}") == 0, 1)
+                    .otherwise(0)
+                    .cast("int")
+                    .alias("pass"),
+                )
+            )
+    out = legs[0]
+    for leg in legs[1:]:
+        out = out.unionAll(leg)
+    return out

@@ -383,3 +383,11 @@ def test_quantile_norm_rank_lookup_is_an_equi_join(spark, sf_dir):
     # broadcast of the corpus total onto the per-source rank table
     assert plan.count("BroadcastNestedLoopJoin") <= 1
     assert "SortMergeJoin" in plan or "BroadcastHashJoin" in plan or "ShuffledHashJoin" in plan
+
+
+def test_data_contract_scans_each_table_once(spark, sf_dir):
+    plan = executed_plan(spark, sf_dir, "q_data_contract")
+    # all expectations against one table fuse into ONE aggregate scan,
+    # pinned; the per-check legs project from the pinned 1-row result
+    assert plan.count("FileScan parquet") == 0
+    assert plan.count("Scan ExistingRDD") >= 2  # one pin per table

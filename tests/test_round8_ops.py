@@ -856,3 +856,123 @@ def test_quantile_norm_matches_pure_python_replay(spark, sf_dir):
         assert (g["n_docs"], g["sum_orig"], g["sum_norm"], g["total_shift"], g["max_shift"]) == (ns, so, sn, ts, ms)
     # quantile-normalized distributions all draw from corpus values:
     # a source identical to the corpus profile would shift by 0
+
+
+def test_gdpr_erasure_matches_pure_python_cascade(spark, sf_dir):
+    import hashlib as _hl
+
+    from go_web_mapreduce_spark.operators.pipeline_ops import (
+        ERASE_PCT_BUCKET,
+        q_gdpr_erasure,
+    )
+
+    cust = [r["c_custkey"] for r in load_table(spark, sf_dir, "customer").select("c_custkey").collect()]
+    victims = {
+        c for c in cust
+        if int(_hl.md5(f"erase:{c}".encode()).hexdigest()[:6], 16) % 1000 < ERASE_PCT_BUCKET
+    }
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey").collect()
+    vorders = {r["o_orderkey"] for r in orders if r["o_custkey"] in victims}
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey").collect()
+    n_li = sum(1 for r in li if r["l_orderkey"] in vorders)
+    ev = load_table(spark, sf_dir, "events").select("user_id").collect()
+    n_ev = sum(1 for r in ev if r["user_id"] in victims)
+
+    got = q_gdpr_erasure(spark, sf_dir).collect()
+    assert len(got) == 1
+    g = got[0]
+    assert g["n_users"] == len(victims)
+    assert g["n_orders"] == len(vorders)
+    assert g["n_lineitems"] == n_li
+    assert g["n_events"] == n_ev
+    assert g["customers_kept"] == len(cust) - len(victims)
+    assert g["orders_kept"] == len(orders) - len(vorders)
+
+
+def test_data_contract_all_checks_pass_on_clean_fixture(spark, sf_dir):
+    from go_web_mapreduce_spark.operators.pipeline_ops import (
+        CONTRACT_CHECKS,
+        q_data_contract,
+    )
+
+    got = q_data_contract(spark, sf_dir).collect()
+    assert len(got) == len(CONTRACT_CHECKS)
+    # the driver fixture satisfies its own contract — every check green,
+    # and n_rows is consistent per table
+    for r in got:
+        assert r["pass"] == 1 and r["n_violations"] == 0, r
+    by_table = defaultdict(set)
+    for r in got:
+        by_table[r["tbl"]].add(r["n_rows"])
+    assert all(len(v) == 1 for v in by_table.values())
+
+
+def test_data_contract_catches_planted_violations(spark, sf_dir):
+    # same predicates over a tampered in-memory table: violations surface
+    from go_web_mapreduce_spark.operators.pipeline_ops import CONTRACT_CHECKS
+
+    rows = [
+        (1, "good text", "en", "src0", 9),
+        (2, "", "en", "src0", 0),            # not_empty
+        (3, "xx", "tlh", "src1", 2),         # enum_member (Klingon)
+        (4, "abc", "de", "src1", 99),        # consistent_with_text
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    )
+    from pyspark.sql import functions as SF
+
+    # doc2 violates not_empty and in_range (n_chars=0 < 1); doc3 violates
+    # enum_member; doc4 violates consistent_with_text (len('abc')=3 != 99)
+    expect = {"not_null": 0, "not_empty": 1, "enum_member": 1,
+              "in_range": 1, "consistent_with_text": 1}
+    for table, col, check, pred in CONTRACT_CHECKS:
+        if table != "documents":
+            continue
+        n = df.where(SF.expr(pred)).count()
+        assert n == expect[check], (check, n)
+
+
+def test_psi_drift_matches_pure_python_replay(spark, sf_dir):
+    from go_web_mapreduce_spark.operators.analytics import (
+        PSI_BINS,
+        PSI_SPLIT,
+        q_psi_drift,
+    )
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select("event_type", "value", "event_id",
+                F.expr(f"ts < TIMESTAMP '{PSI_SPLIT}'").alias("is_ref"))
+        .collect()
+    )
+    by_type: dict = defaultdict(lambda: ([], []))
+    for r in ev:
+        by_type[r["event_type"]][0 if r["is_ref"] else 1].append(
+            (r["value"], r["event_id"])
+        )
+    got = {r["event_type"]: r for r in q_psi_drift(spark, sf_dir).collect()}
+    assert set(got) == set(by_type)
+    for et, (ref, cur) in by_type.items():
+        ref.sort()
+        n = len(ref)
+        edges = [ref[(i * n + 9) // 10 - 1][0] for i in range(1, PSI_BINS)]
+
+        def bin_of(v):
+            return 1 + sum(1 for e in edges if v > e)
+
+        rc = [0] * (PSI_BINS + 1)
+        cc = [0] * (PSI_BINS + 1)
+        for v, _ in ref:
+            rc[bin_of(v)] += 1
+        for v, _ in cur:
+            cc[bin_of(v)] += 1
+        psi = 0.0
+        for b in range(1, PSI_BINS + 1):
+            p = (rc[b] + 1) / (n + PSI_BINS)
+            q = (cc[b] + 1) / (len(cur) + PSI_BINS)
+            psi += (p - q) * math.log(p / q)
+        g = got[et]
+        assert (g["n_ref"], g["n_cur"]) == (n, len(cur))
+        assert g["psi"] == pytest.approx(psi, rel=1e-9, abs=1e-12)
+        assert g["drift"] == (1 if psi > 0.2 else 0)
