@@ -2099,3 +2099,73 @@ def q_data_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
     for leg in legs[1:]:
         out = out.unionAll(leg)
     return out
+
+
+# ---------------------------------------------------------------------------
+# q_class_balance — deterministic balanced downsampling to the minority class
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_class_balance",
+    oracle="""
+    WITH ranked AS (
+      SELECT lang, n_chars,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY md5('bal:' || CAST(doc_id AS VARCHAR)),
+                                         doc_id) AS r,
+             count(*) OVER (PARTITION BY lang) AS n_lang
+      FROM documents
+    ),
+    floor_n AS (SELECT min(n_lang) AS n_min FROM ranked),
+    kept AS (
+      SELECT lang, n_chars, n_lang FROM ranked, floor_n WHERE r <= n_min
+    )
+    SELECT lang,
+           CAST(max(n_lang) AS BIGINT) AS n_total,
+           CAST(count(*) AS BIGINT) AS n_kept,
+           CAST(sum(n_chars) AS BIGINT) AS kept_chars,
+           CAST(max(n_lang) - count(*) AS BIGINT) AS n_dropped
+    FROM kept GROUP BY lang
+    """,
+    description="class-balanced downsampling: every language class cut to "
+    "the minority class's size by a DETERMINISTIC md5 lottery (rank by "
+    "md5('bal:'||doc_id) within class — reproducible across runs and "
+    "engines, no RNG), per-class kept/dropped census with exact kept-"
+    "char sums; the class-rebalancing step imbalanced-label training "
+    "sets get before a classifier sees them (the fixed-quota cousin of "
+    "q_stratified_sample's proportional draw)",
+)
+def q_class_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One shuffle on lang ranks each class by the md5 lottery; the
+    minority size is a 1-row broadcast. The md5 rank — not a float RNG —
+    is what makes the sample identical on any engine, any partitioning,
+    any run: the keep set is a pure function of doc_id. At 100 TB the
+    per-class windows are the only sort, and a class too large to sort
+    switches to the threshold form (keep iff md5 < n_min/n_class
+    quantile of the class's hash distribution) — same determinism, no
+    window; the census here is the audit either way."""
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    ranked = docs.select(
+        "lang",
+        "n_chars",
+        F.row_number()
+        .over(
+            W.partitionBy("lang").orderBy(
+                F.md5(F.concat(F.lit("bal:"), F.col("doc_id").cast("string"))),
+                "doc_id",
+            )
+        )
+        .alias("r"),
+        F.count(F.lit(1)).over(W.partitionBy("lang")).alias("n_lang"),
+    )
+    floor_n = ranked.agg(F.min("n_lang").alias("n_min"))
+    kept = ranked.join(F.broadcast(floor_n)).where(F.col("r") <= F.col("n_min"))
+    return kept.groupBy("lang").agg(
+        F.max("n_lang").alias("n_total"),
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("n_chars").alias("kept_chars"),
+        (F.max("n_lang") - F.count(F.lit(1))).alias("n_dropped"),
+    )

@@ -1535,3 +1535,118 @@ def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     return legs[0].unionAll(legs[1])
+
+
+# ---------------------------------------------------------------------------
+# q_sequence_pairs — "A then B" temporal association within sessions
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_sequence_pairs",
+    oracle=f"""
+    WITH flagged AS (
+      SELECT user_id, event_id, event_type, epoch_us(ts) AS us,
+             CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w IS NULL
+                    OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > {SESSION_GAP_US}
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+    ), sess AS (
+      SELECT user_id, event_id, event_type, us,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS session_id
+      FROM flagged
+    ), firsts AS (
+      SELECT user_id, session_id, event_type,
+             min(us) AS us, min(event_id) AS eid
+      FROM (SELECT user_id, session_id, event_type, us, event_id,
+                   row_number() OVER (PARTITION BY user_id, session_id, event_type
+                                      ORDER BY us, event_id) AS rn
+            FROM sess) fr
+      WHERE rn = 1 GROUP BY 1, 2, 3
+    ), tot AS (
+      SELECT count(DISTINCT (user_id, session_id)) AS s FROM sess
+    ), occ AS (
+      SELECT event_type, count(*) AS n_a FROM firsts GROUP BY 1
+    ), pair AS (
+      SELECT a.event_type AS a, b.event_type AS b, count(*) AS n_sessions
+      FROM firsts a JOIN firsts b
+        ON a.user_id = b.user_id AND a.session_id = b.session_id
+       AND a.event_type <> b.event_type
+       AND (a.us < b.us OR (a.us = b.us AND a.eid < b.eid))
+      GROUP BY 1, 2
+    )
+    SELECT pair.a, pair.b, CAST(n_sessions AS BIGINT) AS n_sessions,
+           CAST(n_sessions * 1000000 // (SELECT s FROM tot) AS BIGINT)
+             AS support_ppm,
+           CAST(n_sessions * 1000000 // occ.n_a AS BIGINT) AS confidence_ppm
+    FROM pair JOIN occ ON occ.event_type = pair.a
+    """,
+    description="temporal association mining: for every ordered type pair "
+    "(A, B), the sessions where A's FIRST occurrence precedes B's — "
+    "'users who view THEN purchase' — with integer support (share of all "
+    "sessions) and confidence (share of A-sessions) in ppm; the ordered "
+    "complement of q_lift_association's unordered baskets and the "
+    "non-adjacent complement of q_markov_transitions' consecutive "
+    "transitions (A→…→B counts here however many events intervene). "
+    "First occurrences collapse each session to ≤|types| rows before the "
+    "pair join, so the pair volume is sessions × types², never events²",
+)
+def q_sequence_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One user_id shuffle sessionizes (shared sort with the first-
+    occurrence aggregation); the self-join runs on (user, session) keys
+    over the ≤|types|-row-per-session firsts table — bounded fan-out,
+    the same discipline as the co-purchase edge build. Ties in first-
+    occurrence time break on event_id in BOTH engines (the corpus has
+    no same-µs user ties — asserted in q_attribution's determinism
+    note — but the tiebreak keeps the operator total-order-correct on
+    corpora that do)."""
+    sess = sessionize(load_table(spark, sf_dir, "events"))
+    firsts = sess.groupBy("user_id", "session_id", "event_type").agg(
+        F.min(F.struct(F.col("_ts_us").alias("us"), F.col("event_id").alias("eid"))).alias("m")
+    )
+    firsts = firsts.select(
+        "user_id", "session_id", "event_type",
+        F.col("m.us").alias("us"), F.col("m.eid").alias("eid"),
+    ).localCheckpoint(eager=False)  # read three times: total, occ, both join legs
+    tot = sess.select("user_id", "session_id").distinct().agg(
+        F.count(F.lit(1)).alias("s")
+    )
+    occ = firsts.groupBy(F.col("event_type").alias("a_type")).agg(
+        F.count(F.lit(1)).alias("n_a")
+    )
+    a = firsts.select(
+        "user_id", "session_id", F.col("event_type").alias("a"),
+        F.col("us").alias("ua"), F.col("eid").alias("ea"),
+    )
+    b = firsts.select(
+        "user_id", "session_id", F.col("event_type").alias("b"),
+        F.col("us").alias("ub"), F.col("eid").alias("eb"),
+    )
+    pair = (
+        a.join(b, ["user_id", "session_id"])
+        .where(F.col("a") != F.col("b"))
+        .where(
+            (F.col("ua") < F.col("ub"))
+            | ((F.col("ua") == F.col("ub")) & (F.col("ea") < F.col("eb")))
+        )
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("n_sessions"))
+    )
+    return (
+        pair.join(F.broadcast(occ), pair.a == F.col("a_type"))
+        .join(F.broadcast(tot))
+        .select(
+            "a",
+            "b",
+            "n_sessions",
+            F.expr("CAST(n_sessions * 1000000 DIV s AS BIGINT)").alias(
+                "support_ppm"
+            ),
+            F.expr("CAST(n_sessions * 1000000 DIV n_a AS BIGINT)").alias(
+                "confidence_ppm"
+            ),
+        )
+    )

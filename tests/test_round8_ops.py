@@ -976,3 +976,73 @@ def test_psi_drift_matches_pure_python_replay(spark, sf_dir):
         assert (g["n_ref"], g["n_cur"]) == (n, len(cur))
         assert g["psi"] == pytest.approx(psi, rel=1e-9, abs=1e-12)
         assert g["drift"] == (1 if psi > 0.2 else 0)
+
+
+def test_sequence_pairs_matches_pure_python_replay(spark, sf_dir):
+    from go_web_mapreduce_spark.operators.temporal import (
+        SESSION_GAP_US,
+        q_sequence_pairs,
+    )
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", "event_id", "event_type", F.expr("ts_ns div 1000").alias("us"))
+        .collect()
+    )
+    by_user: dict = defaultdict(list)
+    for r in ev:
+        by_user[r["user_id"]].append((r["us"], r["event_id"], r["event_type"]))
+    sessions = []
+    for rows in by_user.values():
+        rows.sort()
+        cur = []
+        last = None
+        for us, eid, et in rows:
+            if last is not None and us - last > SESSION_GAP_US:
+                sessions.append(cur)
+                cur = []
+            cur.append((us, eid, et))
+            last = us
+        sessions.append(cur)
+    total = len(sessions)
+    occ: dict = defaultdict(int)
+    pair: dict = defaultdict(int)
+    for s in sessions:
+        first: dict = {}
+        for us, eid, et in s:
+            if et not in first:
+                first[et] = (us, eid)
+        for a in first:
+            occ[a] += 1
+        for a in first:
+            for b in first:
+                if a != b and first[a] < first[b]:
+                    pair[(a, b)] += 1
+
+    got = q_sequence_pairs(spark, sf_dir).collect()
+    assert {(r["a"], r["b"]) for r in got} == set(pair)
+    for r in got:
+        n = pair[(r["a"], r["b"])]
+        assert r["n_sessions"] == n
+        assert r["support_ppm"] == n * 1_000_000 // total
+        assert r["confidence_ppm"] == n * 1_000_000 // occ[r["a"]]
+
+
+def test_class_balance_is_exactly_min_class_and_deterministic(spark, sf_dir):
+    from go_web_mapreduce_spark.operators.pipeline_ops import q_class_balance
+
+    counts = {
+        r["lang"]: r["n"]
+        for r in load_table(spark, sf_dir, "documents")
+        .groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    n_min = min(counts.values())
+    got = {r["lang"]: r for r in q_class_balance(spark, sf_dir).collect()}
+    assert set(got) == set(counts)
+    for lang, r in got.items():
+        assert r["n_total"] == counts[lang]
+        assert r["n_kept"] == n_min
+        assert r["n_dropped"] == counts[lang] - n_min
+    # determinism: a second run keeps the identical char sums
+    again = {r["lang"]: r["kept_chars"] for r in q_class_balance(spark, sf_dir).collect()}
+    assert again == {lang: r["kept_chars"] for lang, r in got.items()}
