@@ -992,3 +992,106 @@ def q_graph_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("node").alias("min_node"),
         F.max("node").alias("max_node"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Weighted single-source shortest paths (bounded Bellman–Ford)
+# ---------------------------------------------------------------------------
+
+SSSP_HOPS = 4    # relaxation rounds = max path edges considered
+SSSP_TOPK = 20   # closest nodes reported
+SSSP_SCALE = 1_000_000  # edge length = SCALE DIV co-purchase weight
+
+
+def _sssp_oracle() -> str:
+    return f"""
+    WITH RECURSIVE li AS (
+        SELECT l_orderkey, l_partkey FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '{PR_YEAR}-01-01'
+          AND l_shipdate <  TIMESTAMP '{PR_YEAR + 1}-01-01'
+    ),
+    edges AS (
+        SELECT a.l_partkey AS src, b.l_partkey AS dst,
+               {SSSP_SCALE} // count(DISTINCT a.l_orderkey) AS len
+        FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+        WHERE a.l_partkey <> b.l_partkey GROUP BY 1, 2
+    ),
+    walk(node, hops, d) AS (
+        SELECT (SELECT min(src) FROM edges), 0, CAST(0 AS BIGINT)
+        UNION
+        SELECT e.dst, w.hops + 1, w.d + e.len
+        FROM walk w JOIN edges e ON e.src = w.node WHERE w.hops < {SSSP_HOPS}
+    ),
+    best AS (SELECT node, min(d) AS dist FROM walk GROUP BY node)
+    SELECT node, dist FROM best ORDER BY dist, node LIMIT {SSSP_TOPK}
+    """
+
+
+@query(
+    "q_graph_sssp",
+    oracle=_sssp_oracle(),
+    description="named 'graph' workload, weighted traversal: single-source "
+    f"shortest paths (≤{SSSP_HOPS} edges) from the smallest part in the "
+    f"{PR_YEAR} co-purchase graph, edge length = {SSSP_SCALE} DIV "
+    "co-purchase-order-count (stronger affinity = shorter) — exact "
+    f"integer distances, {SSSP_TOPK} closest nodes; Spark runs bounded "
+    "Bellman–Ford (state O(nodes), one min-plus relaxation per round), "
+    "the oracle a recursive CTE enumerating ≤4-edge path costs and "
+    "taking the min — different statements of the same semiring "
+    "fixpoint, hash-equal",
+)
+def q_graph_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bellman–Ford is BFS on the (min, +) semiring: per round one join
+    of the current distance table to the edge list (shuffle on src) and
+    one min-aggregate on dst — after k rounds the table holds the exact
+    minimum over all ≤k-edge paths, which is what the bounded oracle
+    enumerates. State stays O(reached nodes); the edge table and each
+    round's distances are localCheckpoint-pinned (q_pagerank lineage
+    discipline — without it round k re-derives rounds 1..k-1). Integer
+    lengths make every comparison exact: no float path-sum can tie-break
+    differently across engines. At 100 TB this is the standard
+    Pregel/GraphFrames SSSP shape; the hop bound is the practical form
+    (k-hop influence radius) and the convergence-loop variant just runs
+    the same round until a round changes nothing."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .where(
+            (F.col("l_shipdate") >= f"{PR_YEAR}-01-01")
+            & (F.col("l_shipdate") < f"{PR_YEAR + 1}-01-01")
+        )
+        .select("l_orderkey", "l_partkey")
+    )
+    a = li.select("l_orderkey", F.col("l_partkey").alias("src"))
+    b = li.select("l_orderkey", F.col("l_partkey").alias("dst"))
+    edges = (
+        a.join(b, "l_orderkey")
+        .where(F.col("src") != F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count_distinct("l_orderkey").alias("w"))
+        .select(
+            "src", "dst",
+            F.expr(f"CAST({SSSP_SCALE} DIV w AS BIGINT)").alias("len"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    dist = (
+        edges.agg(F.min("src").alias("node"))
+        .withColumn("d", F.lit(0).cast("long"))
+        .localCheckpoint(eager=False)
+    )
+    for _ in range(SSSP_HOPS):
+        relaxed = (
+            edges.join(dist, edges.src == dist.node)
+            .select(F.col("dst").alias("node"), (F.col("d") + F.col("len")).alias("d"))
+        )
+        dist = (
+            dist.unionAll(relaxed)
+            .groupBy("node")
+            .agg(F.min("d").alias("d"))
+            .localCheckpoint(eager=False)
+        )
+    return (
+        dist.orderBy("d", "node")
+        .limit(SSSP_TOPK)
+        .select("node", F.col("d").alias("dist"))
+    )

@@ -1046,3 +1046,45 @@ def test_class_balance_is_exactly_min_class_and_deterministic(spark, sf_dir):
     # determinism: a second run keeps the identical char sums
     again = {r["lang"]: r["kept_chars"] for r in q_class_balance(spark, sf_dir).collect()}
     assert again == {lang: r["kept_chars"] for lang, r in got.items()}
+
+
+def test_graph_sssp_matches_pure_python_bellman_ford(spark, sf_dir):
+    from go_web_mapreduce_spark.operators.graph import (
+        PR_YEAR,
+        SSSP_HOPS,
+        SSSP_SCALE,
+        SSSP_TOPK,
+        q_graph_sssp,
+    )
+
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .where(
+            (F.col("l_shipdate") >= f"{PR_YEAR}-01-01")
+            & (F.col("l_shipdate") < f"{PR_YEAR + 1}-01-01")
+        )
+        .select("l_orderkey", "l_partkey")
+        .collect()
+    )
+    by_order: dict = defaultdict(set)
+    for r in li:
+        by_order[r["l_orderkey"]].add(r["l_partkey"])
+    wt: dict = defaultdict(set)
+    for ok, parts in by_order.items():
+        for a, b in combinations(sorted(parts), 2):
+            wt[(a, b)].add(ok)
+            wt[(b, a)].add(ok)
+    edges = {k: SSSP_SCALE // len(v) for k, v in wt.items()}
+    seed = min(a for a, _ in edges)
+    dist = {seed: 0}
+    for _ in range(SSSP_HOPS):
+        nxt = dict(dist)
+        for (a, b), ln in edges.items():
+            if a in dist and dist[a] + ln < nxt.get(b, float("inf")):
+                nxt[b] = dist[a] + ln
+        dist = nxt
+    expect = sorted((d, n) for n, d in dist.items())[:SSSP_TOPK]
+
+    got = q_graph_sssp(spark, sf_dir).collect()
+    assert [(r["dist"], r["node"]) for r in got] == expect
+    assert got[0]["node"] == seed and got[0]["dist"] == 0
