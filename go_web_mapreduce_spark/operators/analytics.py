@@ -1650,6 +1650,44 @@ def q_profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
 RFM_Q = 5  # quintiles; segment ids are 1 (best) .. 5
 
 
+def _ntile_from_pos(pos, nn, q: int):
+    """Exact ntile(q) bucket from a 1-based global rank ``pos`` and total
+    row count ``nn`` (both Columns): SQL ntile gives the first ``nn % q``
+    buckets ``nn div q + 1`` rows and the rest ``nn div q`` — reproduced
+    arithmetically so a distributed global rank can replace the single-
+    partition ntile window with bit-identical bucket boundaries."""
+    sz = F.floor(nn / F.lit(q)).cast("long")
+    rem = (nn % F.lit(q)).cast("long")
+    cut = rem * (sz + 1)  # rows 1..cut live in the (sz+1)-sized buckets
+    return (
+        F.when(pos <= cut, F.floor((pos - 1) / (sz + 1)) + 1)
+        .otherwise(rem + F.floor((pos - cut - 1) / sz) + 1)
+        .cast("int")
+    )
+
+
+def _global_ntile(u: DataFrame, metric: str, out: str) -> DataFrame:
+    """(user_id, ``out``) with ``out`` = ntile(RFM_Q) over
+    (``metric`` DESC, user_id) — computed via the range-partitioned
+    global_sort_index (descending realized by negating the integral
+    metric), never a single-partition window."""
+    from go_web_mapreduce_spark.operators.graph import global_sort_index
+
+    nn_df = u.agg(F.count(F.lit(1)).alias("nn"))
+    ranked = global_sort_index(
+        u.select("user_id", (-F.col(metric)).alias("neg_m")),
+        "neg_m",
+        "user_id",
+    )
+    return (
+        ranked.join(F.broadcast(nn_df))
+        .select(
+            "user_id",
+            _ntile_from_pos(F.col("global_pos"), F.col("nn"), RFM_Q).alias(out),
+        )
+    )
+
+
 @query(
     "q_rfm_segments",
     oracle=f"""
@@ -1685,16 +1723,18 @@ RFM_Q = 5  # quintiles; segment ids are 1 (best) .. 5
     "assignment is engine-identical and the census hash-verifies",
 )
 def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """One corpus shuffle to the per-user grid; the three ntile windows
-    run over USERS, not events. They are deliberately unpartitioned —
-    a global quantile needs a global order — which at local scale is one
-    users-sized sort; at 100 TB (billions of users) the same query swaps
-    ntile for the range-partitioned global-sort rank (graph.py::
-    global_sort_index) or percent_rank over it, an order-preserving
-    drop-in that keeps segment boundaries identical up to the documented
-    boundary-tie rule. Monetary is integer cents end to end (round(v*100)
-    matches the DECIMAL(18,2) rendering of the 2-decimal fixture exactly
-    in both engines)."""
+    """One corpus shuffle to the per-user grid (localCheckpoint-ed: six
+    traversals follow); each quintile is then a range-partitioned global
+    rank (graph.py::global_sort_index — range shuffle + local sort +
+    partition-count prefix sum) folded through the exact ntile bucket
+    arithmetic (_ntile_from_pos), so NO corpus-scaled data ever moves to
+    a single partition — the plan that survives billions of users. The
+    descending orders are realized by negating the integral metrics
+    (exact for longs), user_id stays the total-order tie-break, and the
+    bucket formula reproduces SQL ntile's uneven-bucket rule exactly, so
+    the census hash still matches the oracle's ntile verbatim. Monetary
+    is integer cents end to end (round(v*100) matches the DECIMAL(18,2)
+    rendering of the 2-decimal fixture exactly in both engines)."""
     ev = load_table(spark, sf_dir, "events")
     u = ev.groupBy("user_id").agg(
         F.max(F.expr("ts_ns div 1000")).alias("last_us"),
@@ -1705,19 +1745,12 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.round(F.col("value") * 100).cast("long"),
             ).otherwise(0)
         ).alias("cents"),
-    )
-    scored = u.select(
-        "user_id",
-        "cents",
-        F.ntile(RFM_Q)
-        .over(Window.orderBy(F.col("last_us").desc(), "user_id"))
-        .alias("r_q"),
-        F.ntile(RFM_Q)
-        .over(Window.orderBy(F.col("n_events").desc(), "user_id"))
-        .alias("f_q"),
-        F.ntile(RFM_Q)
-        .over(Window.orderBy(F.col("cents").desc(), "user_id"))
-        .alias("m_q"),
+    ).localCheckpoint(eager=False)
+    scored = (
+        u.select("user_id", "cents")
+        .join(_global_ntile(u, "last_us", "r_q"), "user_id")
+        .join(_global_ntile(u, "n_events", "f_q"), "user_id")
+        .join(_global_ntile(u, "cents", "m_q"), "user_id")
     )
     return scored.groupBy(
         F.col("r_q").cast("int").alias("r_q"),
@@ -1916,17 +1949,21 @@ def q_quantile_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two rank windows (one global, one per source) + ONE equi-join on
     the computed integer index — no percentile interpolation anywhere,
     so there is no float surface at all until the final census sums
-    (also integers). The global window is a documented single-partition
-    sort at local scale; at 100 TB it swaps for the range-partitioned
-    global_sort_index (graph.py) exactly like q_rfm_segments' ntile —
-    an order-preserving drop-in. The census output is deliberately
-    aggregate (not per-doc) so the operator composes as a mixing
-    diagnostic, not a corpus rewrite."""
+    (also integers). The corpus rank is the range-partitioned
+    global_sort_index (graph.py) — range shuffle + local sort +
+    partition-count prefix sum — NOT a single-partition row_number, so
+    the global order scales to corpus-sized document counts; (n_chars,
+    doc_id) is a unique total order so the positions are bit-identical
+    to the oracle's row_number. The per-source rank window keeps its
+    partition key. The census output is deliberately aggregate (not
+    per-doc) so the operator composes as a mixing diagnostic, not a
+    corpus rewrite."""
+    from go_web_mapreduce_spark.operators.graph import global_sort_index
+
     docs = load_table(spark, sf_dir, "documents")
-    corpus = docs.select(
-        F.col("n_chars").alias("cv"),
-        F.row_number().over(Window.orderBy("n_chars", "doc_id")).alias("gr"),
-    )
+    corpus = global_sort_index(
+        docs.select(F.col("n_chars").alias("cv"), "doc_id"), "cv", "doc_id"
+    ).select("cv", F.col("global_pos").alias("gr"))
     total = docs.agg(F.count(F.lit(1)).alias("nn"))
     # the index key is computed ENTIRELY on the per-source side (nn rides
     # a 1-row broadcast) so the rank lookup is a hash EQUI-join on gr — a

@@ -1612,6 +1612,7 @@ EDIT_SIM_PPM = 900_000  # keep pairs with >= 90% character similarity
                greatest(a.len, b.len) AS max_len
         FROM d a JOIN d b ON a.pfx = b.pfx AND a.doc_id < b.doc_id
         WHERE abs(a.len - b.len) * {EDIT_LEN_BAND} <= greatest(a.len, b.len)
+          AND greatest(a.len, b.len) > 0
     )
     SELECT doc_a, doc_b, CAST(dist AS BIGINT) AS dist,
            CAST((max_len - dist) * 1000000 // max_len AS BIGINT) AS sim_ppm
@@ -1666,6 +1667,10 @@ def q_dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.abs(F.col("la") - F.col("lb")) * EDIT_LEN_BAND
             <= F.greatest("la", "lb")
         )
+        # two empty texts would divide by zero in sim_ppm (NULL in Spark,
+        # an error in DuckDB — a cross-engine divergence); stated in both
+        # engines rather than relying on the fixture's non-empty invariant
+        .where(F.greatest("la", "lb") > 0)
         # optimization BARRIER, load-bearing (measured 81 -> 8 s at sf1):
         # without it Catalyst pushes the sim_ppm predicate into the join
         # condition, evaluating levenshtein for every same-prefix pair
@@ -1728,6 +1733,7 @@ SNM_WINDOW = 8  # compare each doc to its next 8 neighbors in block-len order
           ON a.pfx = b.pfx
          AND b.rnk - a.rnk BETWEEN 1 AND {SNM_WINDOW}
         WHERE abs(a.len - b.len) * {EDIT_LEN_BAND} <= greatest(a.len, b.len)
+          AND greatest(a.len, b.len) > 0
     )
     SELECT doc_a, doc_b, CAST(dist AS BIGINT) AS dist,
            CAST((max_len - dist) * 1000000 // max_len AS BIGINT) AS sim_ppm
@@ -1785,6 +1791,8 @@ def q_dedup_edit_distance_snm(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.abs(F.col("la") - F.col("lb")) * EDIT_LEN_BAND
             <= F.greatest("la", "lb")
         )
+        # same empty-text division guard as the exact variant
+        .where(F.greatest("la", "lb") > 0)
         # same load-bearing barrier as the exact variant: keep the DP out
         # of the join condition
         .localCheckpoint(eager=False)

@@ -91,12 +91,23 @@ def global_sort_index(df: DataFrame, *keys: str,
 
     indexed = ranged.mapInPandas(add_local_idx, schema=out_schema)
 
-    # ≤ num_partitions rows: a single-partition window here is bounded by
-    # construction, unlike one over the corpus
+    # ≤ num_partitions rows: the prefix sum runs on ONE partition, but it
+    # is bounded by construction (one row per range partition), unlike a
+    # corpus window. A coalesce(1) + sorted Arrow pass states that
+    # deliberately — and keeps the plan free of partitionless WindowExec
+    # nodes, so the "no global window" plan gates stay meaningful.
     counts = ranged.groupBy("pid").agg(F.count(F.lit(1)).alias("n"))
-    off_w = W.orderBy("pid").rowsBetween(W.unboundedPreceding, -1)
-    offsets = counts.select(
-        "pid", F.coalesce(F.sum("n").over(off_w), F.lit(0)).alias("offset")
+
+    def prefix_sum(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        acc = 0
+        for pdf in batches:
+            pdf = pdf.sort_values("pid")
+            off = pdf["n"].cumsum().shift(fill_value=0) + acc
+            acc += int(pdf["n"].sum())
+            yield pd.DataFrame({"pid": pdf["pid"], "offset": off})
+
+    offsets = counts.coalesce(1).sortWithinPartitions("pid").mapInPandas(
+        prefix_sum, schema="pid int, offset long"
     )
 
     return (

@@ -37,6 +37,53 @@ from go_web_mapreduce_spark.registry import query
 from go_web_mapreduce_spark.sources.tables import load_table
 
 # ---------------------------------------------------------------------------
+# scratch-artifact management for the interchange/layout queries
+# ---------------------------------------------------------------------------
+
+_SCRATCH_ROOT = None
+_SCRATCH_TABLES: list = []
+
+
+def _scratch_dir(prefix: str) -> str:
+    """Per-invocation scratch directory for the write-then-read-back
+    queries (CSV/JSONL/ORC round trips, partitioned/bucketed layouts).
+
+    A uuid4 nonce keys every invocation, so two concurrent runs of the
+    same query in one process (the FAIR-pool bench shape) can never race
+    on a path or a catalog table; all nonce dirs live under ONE
+    per-process root that an atexit hook removes, so artifacts do not
+    accumulate across processes either. The reads these queries return
+    are lazy — files must outlive the building function — but every
+    action runs before interpreter exit, so exit-time cleanup is safe.
+    """
+    global _SCRATCH_ROOT
+    import atexit
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    if _SCRATCH_ROOT is None:
+        _SCRATCH_ROOT = tempfile.mkdtemp(prefix="spark_graft_scratch_")
+
+        def _cleanup() -> None:
+            shutil.rmtree(_SCRATCH_ROOT, ignore_errors=True)
+            # best-effort catalog hygiene; the in-memory catalog dies with
+            # the process anyway, so a stopped session is fine to skip
+            try:
+                from pyspark.sql import SparkSession
+
+                active = SparkSession.getActiveSession()
+                if active is not None:
+                    for t in _SCRATCH_TABLES:
+                        active.sql(f"DROP TABLE IF EXISTS {t}")
+            except Exception:
+                pass
+
+        atexit.register(_cleanup)
+    return os.path.join(_SCRATCH_ROOT, f"{prefix}_{uuid.uuid4().hex[:12]}")
+
+# ---------------------------------------------------------------------------
 # portable expression generators
 # ---------------------------------------------------------------------------
 
@@ -798,18 +845,12 @@ def q_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus where ``\\N`` is plausible content must pick a sentinel provably
     absent from the data (e.g. a ``\\x00``-prefixed token) on BOTH sides —
     or use parquet, which needs no sentinel."""
-    import hashlib
-    import os
-    import tempfile
-
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "text", "lang", "source", "n_chars"
     )
-    # key includes the PID so concurrent processes on the same dataset
-    # never race on rmtree/overwrite (the read below is lazy — the files
-    # must survive until the caller collects, so no eager cleanup here)
-    key = hashlib.md5(f"{sf_dir}:{os.getpid()}".encode()).hexdigest()[:12]
-    path = f"{tempfile.gettempdir()}/spark_graft_csv_{key}"
+    # nonce-keyed scratch path (see _scratch_dir): no races between
+    # concurrent invocations or processes, removed at interpreter exit
+    path = _scratch_dir("csv")
     # pin the null/empty dialect explicitly on BOTH sides: nulls travel as
     # \N, empty strings as quoted "" — Spark's default read maps empty
     # fields to null, which would silently change n_unique/sum_len for a
@@ -866,17 +907,11 @@ def q_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     line-splits JSONL in parallel like any text source, so both directions
     are one distributed scan, no driver involvement; fields absent from a
     line arrive as NULL and round-trip exactly."""
-    import hashlib
-    import os
-    import tempfile
-
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "text", "lang", "source", "n_chars"
     )
-    # PID-keyed path: concurrent processes never race on overwrite; the
-    # lazy read below means files must outlive this function — no cleanup
-    key = hashlib.md5(f"{sf_dir}:{os.getpid()}".encode()).hexdigest()[:12]
-    path = f"{tempfile.gettempdir()}/spark_graft_jsonl_{key}"
+    # nonce-keyed scratch path (see _scratch_dir): race-free, exit-cleaned
+    path = _scratch_dir("jsonl")
     docs.write.mode("overwrite").json(path)
     back = (
         spark.read.schema(
@@ -1753,17 +1788,11 @@ def q_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     pushdown posture as the parquet path — this query is the proof that
     a Hive/Trino-managed ORC lake can be a first-class source and sink
     for every other operator in the registry."""
-    import hashlib
-    import os
-    import tempfile
-
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "text", "lang", "source", "n_chars"
     )
-    # PID-keyed path: concurrent processes never race on overwrite; the
-    # lazy read below means files must outlive this function — no cleanup
-    key = hashlib.md5(f"{sf_dir}:{os.getpid()}".encode()).hexdigest()[:12]
-    path = f"{tempfile.gettempdir()}/spark_graft_orc_{key}"
+    # nonce-keyed scratch path (see _scratch_dir): race-free, exit-cleaned
+    path = _scratch_dir("orc")
     docs.write.mode("overwrite").orc(path)
     back = spark.read.schema(
         "doc_id bigint, text string, lang string, source string, n_chars bigint"
@@ -1816,15 +1845,11 @@ def q_partitioned_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     (user_id, doc_id) explodes into millions of tiny directories and
     kills the metadata layer; that shape belongs to bucketing
     (q_bucketed_join) or Z-ordering (q_zorder_cluster) instead."""
-    import hashlib
-    import os
-    import tempfile
-
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "text", "lang", "source", "n_chars"
     )
-    key = hashlib.md5(f"{sf_dir}:{os.getpid()}".encode()).hexdigest()[:12]
-    path = f"{tempfile.gettempdir()}/spark_graft_part_{key}"
+    # nonce-keyed scratch path (see _scratch_dir): race-free, exit-cleaned
+    path = _scratch_dir("part")
     docs.write.mode("overwrite").partitionBy("lang").parquet(path)
     back = spark.read.schema(
         "doc_id bigint, text string, source string, n_chars bigint, lang string"
@@ -1876,13 +1901,15 @@ def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     the 8 used at test scale; the write-side repartition(8, key) puts
     each bucket in exactly ONE file per side, which also removes the
     per-bucket merge-sort fan-in on read."""
-    import hashlib
     import os
-    import tempfile
 
-    key = hashlib.md5(f"{sf_dir}:{os.getpid()}".encode()).hexdigest()[:12]
-    base = f"{tempfile.gettempdir()}/spark_graft_bucket_{key}"
+    # nonce-keyed path AND table names (see _scratch_dir): two concurrent
+    # invocations can never race on the same catalog table or directory;
+    # the tables are registered for best-effort exit-time DROP
+    base = _scratch_dir("bucket")
+    key = os.path.basename(base).rsplit("_", 1)[-1]
     tc, to = f"bkt_customer_{key}", f"bkt_orders_{key}"
+    _SCRATCH_TABLES.extend([tc, to])
     customer = load_table(spark, sf_dir, "customer").select(
         "c_custkey", "c_nationkey"
     )

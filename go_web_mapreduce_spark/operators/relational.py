@@ -937,8 +937,11 @@ def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     "whole-stage-codegen pass — the form a cluster deployment runs (no "
     "md5/hex string ops, binary sketch states merged map-side). Rows-only "
     "because DuckDB cannot reproduce engine-internal sketch estimates; "
-    "the native estimator's accuracy vs the hash-verified portable HLL is "
-    "cross-pinned in tests/test_analytics.py",
+    "the native estimator's accuracy is cross-pinned against exact "
+    "distinct AND the hash-verified portable HLL in tests/test_approx.py "
+    "at the base fixture (±8%) and at the sf1 corpus (±3% at ~375k "
+    "distinct per group, past the linear-counting regime), plus the "
+    "native-sketch band assertion in tests/test_analytics.py",
 )
 def q_approx_distinct_native(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Same answer shape as q_approx_distinct, one corpus pass, all JVM

@@ -76,3 +76,61 @@ def test_gated_sample_equals_ungated_bottom_k(spark, sf_dir):
         ).select("l_returnflag", "k")
     )
     assert gated == ungated
+
+
+def _native_vs_portable_vs_exact(spark, sf_dir, tol):
+    """Shared pin: the registry's only oracle-less entry
+    (q_approx_distinct_native, Spark HLL++) must land within ``tol`` of
+    exact distinct per group, and within the same band as the
+    hash-verified portable HLL — the three-way accuracy triangle."""
+    from go_web_mapreduce_spark.operators.relational import (
+        q_approx_distinct_native,
+    )
+
+    native = {
+        r["l_returnflag"]: r
+        for r in q_approx_distinct_native(spark, sf_dir).collect()
+    }
+    portable = {
+        r["l_returnflag"]: r["approx_orders"]
+        for r in q_approx_distinct(spark, sf_dir).collect()
+    }
+    li = load_table(spark, sf_dir, "lineitem")
+    exact = {
+        r["l_returnflag"]: r["n"]
+        for r in li.groupBy("l_returnflag")
+        .agg(F.countDistinct("l_orderkey").alias("n"))
+        .collect()
+    }
+    bounds = li.agg(F.min("l_extendedprice"), F.max("l_extendedprice")).first()
+    assert set(native) == set(exact) == set(portable)
+    for k, r in native.items():
+        assert abs(r["approx_orders"] - exact[k]) <= max(tol * exact[k], 5), (
+            k, r["approx_orders"], exact[k],
+        )
+        assert abs(portable[k] - exact[k]) <= max(tol * exact[k], 5)
+        assert bounds[0] <= r["price_p50"] <= r["price_p95"] <= bounds[1]
+        assert r["n"] > 0
+
+
+def test_approx_distinct_native_pinned_vs_exact(spark, sf_dir):
+    # HLL++ at rsd=0.016 → 5-sigma ≈ 8%; small groups take the absolute-5
+    # floor in the shared helper
+    _native_vs_portable_vs_exact(spark, sf_dir, 0.08)
+
+
+def test_approx_distinct_native_pinned_at_sf1(spark):
+    """The sf1 extension of the pin (round-8 verdict task): distinct
+    cardinalities here are ~375k per returnflag group, far past HLL's
+    linear-counting regime, so this asserts the true large-n accuracy of
+    both estimators. Runs only when the scratch sf1 corpus exists
+    (tools/make_scale_corpus.py --copies 10)."""
+    import os
+
+    import pytest as _pytest
+
+    sf1 = "/tmp/spark_graft_sf1"
+    if not os.path.exists(f"{sf1}/lineitem.parquet"):
+        _pytest.skip("sf1 scratch corpus not generated")
+    # rsd=0.016 and m=4096 portable HLL (~1.6%): 3% is ~2 sigma for both
+    _native_vs_portable_vs_exact(spark, sf1, 0.03)

@@ -143,16 +143,37 @@ def test_plan_utils_agree_with_direct_assertions(spark, sf_dir):
 
 def test_global_sort_is_range_partitioned_not_single_window(spark, sf_dir):
     """TeraSort shape: a range exchange + per-partition sorts; no global
-    (single-partition) Sort and no corpus-wide Window."""
+    (single-partition) Sort and no Window at all — the partition-offset
+    prefix sum is a bounded coalesce(1) Arrow pass, not a window."""
     plan = executed_plan(spark, sf_dir, "q_global_sort")
     assert "rangepartitioning(ship_date" in plan
     # every Sort node is non-global (the 'false' flag after the ordering)
     for line in plan.splitlines():
         if "+- Sort [" in line:
             assert "], false, 0" in line, line
-    # the only Window runs over the <=32-row per-partition counts, keyed pid
-    assert "windowspecdefinition(pid" in plan
-    assert "windowspecdefinition(ship_date" not in plan
+    assert "windowspecdefinition" not in plan
+
+
+def test_rfm_segments_has_no_global_window(spark, sf_dir):
+    """The three quintiles come from range-partitioned global ranks +
+    exact ntile arithmetic — no partitionless ntile window anywhere."""
+    plan = executed_plan(spark, sf_dir, "q_rfm_segments")
+    assert "windowspecdefinition" not in plan
+    assert "ntile" not in plan
+    # one range shuffle per quintile, each appearing in both the indexed
+    # and the counts subtree until the lazy checkpoint materializes
+    assert plan.count("rangepartitioning(neg_m") >= 3
+
+
+def test_quantile_norm_corpus_rank_is_range_partitioned(spark, sf_dir):
+    """The corpus rank must be the global_sort_index shape (range shuffle),
+    never a partitionless row_number over all documents; the only window
+    left is the per-source rank, which carries its partition key."""
+    plan = executed_plan(spark, sf_dir, "q_quantile_norm")
+    assert "rangepartitioning(cv" in plan
+    for line in plan.splitlines():
+        if "windowspecdefinition" in line:
+            assert "windowspecdefinition(source" in line, line
 
 
 def test_ml_linreg_is_one_partial_aggregated_shuffle(spark, sf_dir):
@@ -352,16 +373,40 @@ def test_ctfidf_census_is_pinned_and_totals_broadcast(spark, sf_dir):
     assert "CartesianProduct" not in plan
 
 
+def _walk_physical(node):
+    """Depth-first over a physical-plan tree, descending through AQE
+    wrappers (AdaptiveSparkPlanExec is a leaf whose real subtree hangs
+    off executedPlan/inputPlan, not children)."""
+    name = node.getClass().getSimpleName()
+    yield node
+    if name == "AdaptiveSparkPlanExec":
+        yield from _walk_physical(node.executedPlan())
+        return
+    children = node.children()
+    for i in range(children.size()):
+        yield from _walk_physical(children.apply(i))
+
+
 def test_bucketed_join_has_no_exchange(spark, sf_dir):
-    plan = executed_plan(spark, sf_dir, "q_bucketed_join")
     # both scans are bucketed by the join key into the same bucket count,
     # so the sort-merge join must read bucket i vs bucket i directly —
-    # the only Exchange allowed in the whole plan is the one under the
-    # final groupBy, never between a scan and the join
-    join_part = plan.split("HashAggregate")[-1]  # below the agg = join subtree
-    assert "SortMergeJoin" in plan
-    assert "Exchange" not in join_part, join_part
-    assert "SelectedBucketsCount" in plan  # the scans are bucket-aware
+    # asserted STRUCTURALLY: no Exchange node anywhere under the join
+    # operator's subtree (a text split on aggregate names was vacuous
+    # under plan-layout changes)
+    df = REGISTRY["q_bucketed_join"].fn(spark, sf_dir)
+    root = df._jdf.queryExecution().executedPlan()
+    nodes = list(_walk_physical(root))
+    joins = [
+        n for n in nodes
+        if n.getClass().getSimpleName() == "SortMergeJoinExec"
+    ]
+    assert joins, [n.getClass().getSimpleName() for n in nodes]
+    for j in joins:
+        under = [
+            n.getClass().getSimpleName() for n in _walk_physical(j)
+        ][1:]
+        assert not any("Exchange" in s for s in under), under
+    assert "SelectedBucketsCount" in root.toString()  # bucket-aware scans
 
 
 def test_partitioned_prune_resolves_lang_at_plan_time(spark, sf_dir):

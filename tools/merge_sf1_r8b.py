@@ -9,18 +9,35 @@ Layers (later wins on overlap):
    whose plan changed this session — barrier + thresholded DP — with the
    hash required unchanged).
 
-Usage: python tools/merge_sf1_r8b.py
+Usage: python tools/merge_sf1_r8b.py PARTIAL_RESULTS.json
+
+PARTIAL_RESULTS.json is the check_oracle --json output for the sixteen
+second-continuation operators (originally /tmp/sf1_newops_r8b.json; the
+/tmp copy is ephemeral, so the path is an explicit argument — without it
+the committed artifact would not be reproducible from this tool).
+
+Note: round 9 replaced this merged artifact with a single-pass sweep
+(CORRECTNESS_sf1_r9.json); this tool is kept only as provenance for the
+round-8 file.
 """
 
 from __future__ import annotations
 
 import json
+import sys
+
+if len(sys.argv) != 2:
+    sys.exit(
+        "usage: python tools/merge_sf1_r8b.py PARTIAL_RESULTS.json\n"
+        "(the check_oracle --json partial for the second-continuation "
+        "operators; the original /tmp/sf1_newops_r8b.json was ephemeral)"
+    )
 
 base = json.load(open("CORRECTNESS_sf1_r8.json"))
 out_queries = dict(base["queries"])
 counts = {"carried": len(out_queries), "new_r8b": 0}
 
-part = json.load(open("/tmp/sf1_newops_r8b.json"))
+part = json.load(open(sys.argv[1]))
 for name, rec in part["queries"].items():
     if name not in out_queries:
         counts["new_r8b"] += 1
