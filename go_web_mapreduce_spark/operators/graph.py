@@ -1106,3 +1106,128 @@ def q_graph_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(SSSP_TOPK)
         .select("node", F.col("d").alias("dist"))
     )
+
+
+# ---------------------------------------------------------------------------
+# q_kcore — bounded k-core peeling census over the co-purchase graph
+# ---------------------------------------------------------------------------
+
+KCORE_K = 8       # the core threshold: survive with >= 8 alive neighbors
+KCORE_ROUNDS = 4  # bounded peel rounds (the full decomposition loops the
+                  # same round to a fixpoint; 4 rounds is the census probe)
+
+
+def _kcore_oracle() -> str:
+    rounds = []
+    for i in range(1, KCORE_ROUNDS + 1):
+        rounds.append(f"""
+    deg{i} AS (
+        SELECT e.src AS node, count(*) AS d
+        FROM edges e
+        JOIN alive{i - 1} x ON x.node = e.src
+        JOIN alive{i - 1} y ON y.node = e.dst
+        GROUP BY e.src
+    ),
+    alive{i} AS (SELECT node FROM deg{i} WHERE d >= {KCORE_K})""")
+        rounds.append(f"""
+    r{i} AS (
+        SELECT {i} AS round,
+               (SELECT count(*) FROM alive{i - 1})
+                 - (SELECT count(*) FROM alive{i}) AS n_removed,
+               (SELECT count(*) FROM alive{i}) AS n_remaining,
+               (SELECT min(d) FROM deg{i} WHERE d >= {KCORE_K}) AS min_deg,
+               (SELECT max(d) FROM deg{i} WHERE d >= {KCORE_K}) AS max_deg
+    )""")
+    union = " UNION ALL ".join(f"SELECT * FROM r{i}" for i in range(1, KCORE_ROUNDS + 1))
+    return f"""
+    WITH li AS (
+      SELECT l_orderkey, l_partkey FROM lineitem
+      WHERE l_shipdate >= '{PR_YEAR}-01-01' AND l_shipdate < '{PR_YEAR + 1}-01-01'
+    ),
+    edges AS (
+      SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+      FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+      WHERE a.l_partkey <> b.l_partkey
+    ),
+    alive0 AS (SELECT DISTINCT src AS node FROM edges),{",".join(rounds)}
+    SELECT CAST(round AS INT) AS round,
+           CAST(n_removed AS BIGINT) AS n_removed,
+           CAST(n_remaining AS BIGINT) AS n_remaining,
+           CAST(min_deg AS BIGINT) AS min_deg,
+           CAST(max_deg AS BIGINT) AS max_deg
+    FROM ({union})
+    """
+
+
+@query(
+    "q_kcore",
+    oracle=_kcore_oracle(),
+    description=f"bounded k-core peeling (k={KCORE_K}, {KCORE_ROUNDS} "
+    "rounds) over the part co-purchase graph: each round recomputes every "
+    "surviving node's degree within the surviving subgraph and removes "
+    "nodes below k — the classic graph-density screen (Seidman 1983) "
+    "behind community seeding and spam/boilerplate hub detection. Census "
+    "per round: nodes removed, nodes remaining, min/max surviving degree; "
+    "all integers, oracle unrolled as chained CTEs like q_pagerank",
+)
+def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One round = two node-keyed hash joins (edge endpoints against the
+    alive set) + one groupBy(src) count — O(|E|) work per round with no
+    corpus-scaled single point, the Pregel peeling shape. alive sets and
+    the edge list are localCheckpoint-pinned so round k does not re-derive
+    rounds 1..k-1 (q_pagerank lineage discipline). The full decomposition
+    runs this exact round to a fixpoint (or uses the O(log n) distributed
+    peeling of Esfandiari 2018); the bounded form is the deterministic
+    census the oracle can unroll, and at 100 TB it is also the practical
+    screen — after 3-4 rounds the survivor set is already the dense core
+    that downstream community detection wants. Reference parity: the
+    presentation names 'graph traversal' as a target workload
+    (presentation.pptx); this is its density-screen sibling on the same
+    co-purchase graph as q_pagerank/q_triangle_count."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .where(
+            (F.col("l_shipdate") >= f"{PR_YEAR}-01-01")
+            & (F.col("l_shipdate") < f"{PR_YEAR + 1}-01-01")
+        )
+        .select("l_orderkey", "l_partkey")
+    )
+    edges = (
+        copurchase_edges(li)
+        .select("src", "dst")
+        .localCheckpoint(eager=False)
+    )
+    alive = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    out = None
+    for i in range(1, KCORE_ROUNDS + 1):
+        deg = (
+            edges.join(alive.select(F.col("node").alias("src")), "src")
+            .join(alive.select(F.col("node").alias("dst")), "dst")
+            .groupBy("src")
+            .agg(F.count(F.lit(1)).alias("d"))
+        )
+        survivors = deg.where(F.col("d") >= KCORE_K).localCheckpoint(
+            eager=False
+        )
+        prev_n = alive.agg(F.count(F.lit(1)).alias("pn"))
+        stats = survivors.agg(
+            F.count(F.lit(1)).alias("n_remaining"),
+            F.min("d").alias("min_deg"),
+            F.max("d").alias("max_deg"),
+        )
+        row = prev_n.join(F.broadcast(stats)).select(
+            F.lit(i).alias("round"),
+            (F.col("pn") - F.col("n_remaining")).alias("n_removed"),
+            "n_remaining",
+            F.col("min_deg").cast("long").alias("min_deg"),
+            F.col("max_deg").cast("long").alias("max_deg"),
+        )
+        out = row if out is None else out.unionByName(row)
+        alive = survivors.select(F.col("src").alias("node")).localCheckpoint(
+            eager=False
+        )
+    return out

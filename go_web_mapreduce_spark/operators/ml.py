@@ -31,7 +31,7 @@ from __future__ import annotations
 
 import hashlib
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from go_web_mapreduce_spark.functions import linalg_oracle
@@ -1575,5 +1575,182 @@ def q_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "label", "vec_id", F.col("d").alias("sq_dist"),
             F.col("rnk").cast("int").alias("rnk"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_ndcg — ranking-quality evaluation (NDCG@k) with integer-scaled discounts
+# ---------------------------------------------------------------------------
+
+NDCG_K = 10      # evaluate the top-10 of the system ranking
+NDCG_GRADES = 4  # graded relevance 0..3 from revenue quartiles
+
+# discount weights floor(10^6 / log2(pos+1)) for positions 1..k, computed
+# ONCE here and embedded as integer literals in BOTH engines — the only
+# transcendental in NDCG becomes a fixed lookup, so the whole metric is
+# integer arithmetic until the final dcg/idcg ratio of two exact bigints
+import math as _math  # noqa: E402
+
+_NDCG_W = [int(10**6 // _math.log2(p + 1)) for p in range(1, NDCG_K + 1)]
+_NDCG_W_CASE = (
+    "CASE rn " + " ".join(f"WHEN {p + 1} THEN {w}" for p, w in enumerate(_NDCG_W))
+    + " ELSE 0 END"
+)
+# graded gain (2^rel - 1) as a CASE so both engines state identical text
+_NDCG_GAIN_CASE = (
+    "CASE rel "
+    + " ".join(f"WHEN {r} THEN {(1 << r) - 1}" for r in range(NDCG_GRADES))
+    + " ELSE 0 END"
+)
+
+
+@query(
+    "q_ndcg",
+    oracle=f"""
+    WITH perf AS (
+      SELECT c.c_mktsegment AS segment, l.l_partkey AS part,
+             sum(CAST(round(l.l_quantity) AS BIGINT)) AS qty,
+             sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)) AS rev_cents
+      FROM customer c
+      JOIN orders o ON o.o_custkey = c.c_custkey
+      JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      GROUP BY 1, 2
+    ),
+    graded AS (
+      SELECT segment, part, qty,
+             {NDCG_GRADES} - ntile({NDCG_GRADES}) OVER (
+                 PARTITION BY segment ORDER BY rev_cents DESC, part) AS rel
+      FROM perf
+    ),
+    gains AS (
+      SELECT segment, part, qty, {_NDCG_GAIN_CASE} AS gain FROM graded
+    ),
+    sys_top AS (
+      SELECT segment, gain, rn FROM (
+        SELECT segment, gain, row_number() OVER (
+                   PARTITION BY segment ORDER BY qty DESC, part) AS rn
+        FROM gains
+      ) WHERE rn <= {NDCG_K}
+    ),
+    ideal_top AS (
+      SELECT segment, gain, rn FROM (
+        SELECT segment, gain, row_number() OVER (
+                   PARTITION BY segment ORDER BY gain DESC, part) AS rn
+        FROM gains
+      ) WHERE rn <= {NDCG_K}
+    ),
+    dcg AS (
+      SELECT segment, sum(gain * ({_NDCG_W_CASE})) AS dcg_scaled
+      FROM sys_top GROUP BY segment
+    ),
+    idcg AS (
+      SELECT segment, sum(gain * ({_NDCG_W_CASE})) AS idcg_scaled
+      FROM ideal_top GROUP BY segment
+    ),
+    np AS (SELECT segment, count(*) AS n_parts FROM perf GROUP BY segment)
+    SELECT np.segment,
+           CAST(np.n_parts AS BIGINT) AS n_parts,
+           CAST(dcg.dcg_scaled AS BIGINT) AS dcg_scaled,
+           CAST(idcg.idcg_scaled AS BIGINT) AS idcg_scaled,
+           CASE WHEN idcg.idcg_scaled = 0 THEN NULL
+                ELSE CAST(dcg.dcg_scaled AS DOUBLE) / CAST(idcg.idcg_scaled AS DOUBLE)
+           END AS ndcg
+    FROM np
+    JOIN dcg ON dcg.segment = np.segment
+    JOIN idcg ON idcg.segment = np.segment
+    """,
+    description=f"ranking-quality evaluation: NDCG@{NDCG_K} per market "
+    "segment of the behavioral ranking (parts by units sold) against "
+    f"revenue-graded relevance ({NDCG_GRADES} quartile grades, gain "
+    "2^rel-1) — the standard retrieval/recommender eval metric "
+    "(Järvelin & Kekäläinen 2002). The log2 discounts are pre-scaled "
+    "integer weights embedded identically in both engines, so DCG/IDCG "
+    "are exact bigints and NDCG is the same double bit-for-bit",
+)
+def q_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Evaluation queries are corpus-scale too: the per-segment part
+    census is one shuffle; both rank windows carry the segment partition
+    key and feed a rn <= k filter, which Spark executes as
+    WindowGroupLimit — each map-side partition forwards at most k rows
+    per segment, so the windows never sort a corpus-scaled partition for
+    the top-10. The relevance grade's per-segment ntile runs over the
+    same per-segment part grid; at corpus-scaled part counts it swaps
+    for the range-partitioned global rank + _ntile_from_pos arithmetic
+    exactly as q_rfm_segments does (order-preserving, documented there).
+    The discount table trick is the load-bearing determinism move: NDCG's
+    only transcendental (log2) is evaluated ONCE in Python over the k
+    fixed positions and shipped as integer literals to both engines —
+    no float surface until the final ratio of two exact integers."""
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", F.col("c_mktsegment").alias("segment")
+    )
+    o = load_table(spark, sf_dir, "orders").select("o_custkey", "o_orderkey")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        F.col("l_partkey").alias("part"),
+        F.round("l_quantity").cast("long").alias("q1"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("rc1"),
+    )
+    perf = (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("segment", "part")
+        .agg(F.sum("q1").alias("qty"), F.sum("rc1").alias("rev_cents"))
+    )
+    graded = perf.select(
+        "segment",
+        "part",
+        "qty",
+        (
+            F.lit(NDCG_GRADES)
+            - F.ntile(NDCG_GRADES).over(
+                Window.partitionBy("segment").orderBy(
+                    F.col("rev_cents").desc(), "part"
+                )
+            )
+        ).alias("rel"),
+    )
+    gains = graded.select(
+        "segment", "part", "qty", F.expr(_NDCG_GAIN_CASE).alias("gain")
+    ).localCheckpoint(eager=False)  # feeds both rank legs — one derivation
+
+    def _top(order_cols) -> DataFrame:
+        return (
+            gains.select(
+                "segment",
+                "gain",
+                F.row_number()
+                .over(Window.partitionBy("segment").orderBy(*order_cols))
+                .alias("rn"),
+            )
+            .where(F.col("rn") <= NDCG_K)
+            .groupBy("segment")
+            .agg(
+                F.sum(F.col("gain") * F.expr(_NDCG_W_CASE)).alias("s")
+            )
+        )
+
+    dcg = _top([F.col("qty").desc(), F.col("part")]).withColumnRenamed(
+        "s", "dcg_scaled"
+    )
+    idcg = _top([F.col("gain").desc(), F.col("part")]).withColumnRenamed(
+        "s", "idcg_scaled"
+    )
+    np_df = perf.groupBy("segment").agg(F.count(F.lit(1)).alias("n_parts"))
+    return (
+        np_df.join(dcg, "segment")
+        .join(idcg, "segment")
+        .select(
+            "segment",
+            "n_parts",
+            "dcg_scaled",
+            "idcg_scaled",
+            F.when(F.col("idcg_scaled") == 0, F.lit(None).cast("double"))
+            .otherwise(
+                F.col("dcg_scaled").cast("double")
+                / F.col("idcg_scaled").cast("double")
+            )
+            .alias("ndcg"),
         )
     )

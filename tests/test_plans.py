@@ -436,3 +436,30 @@ def test_data_contract_scans_each_table_once(spark, sf_dir):
     # pinned; the per-check legs project from the pinned 1-row result
     assert plan.count("FileScan parquet") == 0
     assert plan.count("Scan ExistingRDD") >= 2  # one pin per table
+
+
+def test_ndcg_topk_windows_are_group_limited(spark, sf_dir):
+    """Both rank legs must pre-prune with WindowGroupLimit (map-side
+    per-segment top-k) so no corpus-scaled partition is fully sorted for
+    a top-10; the metric joins stay hash/broadcast, never cartesian."""
+    plan = executed_plan(spark, sf_dir, "q_ndcg")
+    assert plan.count("WindowGroupLimit") >= 2
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_kcore_rounds_are_keyed_joins(spark, sf_dir):
+    """Every peel round is endpoint-keyed hash joins + a partial-agg
+    count — no cartesian anywhere; the per-round census rows are 1-row
+    broadcasts."""
+    plan = executed_plan(spark, sf_dir, "q_kcore")
+    assert "CartesianProduct" not in plan
+    assert "partial_count" in plan
+
+
+def test_scene_cut_decodes_once_per_clip(spark, sf_dir):
+    """One Arrow pass synthesizes and one decodes+diffs; the rollup is a
+    partial-aggregated groupBy — no per-consumer re-decode."""
+    plan = executed_plan(spark, sf_dir, "q_video_scene_cut")
+    assert plan.count("MapInPandas") == 2  # synthesize + decode/diff
+    assert "partial_sum" in plan

@@ -1,0 +1,94 @@
+"""Round-9 operators: bounded k-core peeling, NDCG@k ranking eval, and
+video scene-cut detection — semantic invariants beyond the oracle hash."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from go_web_mapreduce_spark.operators.graph import KCORE_K, q_kcore
+from go_web_mapreduce_spark.operators.ml import (
+    NDCG_K,
+    _NDCG_W,
+    q_ndcg,
+)
+from go_web_mapreduce_spark.operators.multimodal import (
+    SCENE_CUT_SUM,
+    VIDEO_FRAMES,
+    q_video_scene_cut,
+)
+
+
+def test_kcore_census_is_monotone(spark, sf_dir):
+    rows = sorted(q_kcore(spark, sf_dir).collect(), key=lambda r: r["round"])
+    assert [r["round"] for r in rows] == list(range(1, len(rows) + 1))
+    remaining = [r["n_remaining"] for r in rows]
+    # peeling only removes: the survivor count never grows
+    assert all(a >= b for a, b in zip(remaining, remaining[1:]))
+    for r in rows:
+        assert r["n_removed"] >= 0
+        if r["n_remaining"] > 0:
+            # every survivor met the threshold when it survived
+            assert r["min_deg"] >= KCORE_K
+            assert r["max_deg"] >= r["min_deg"]
+
+
+def test_kcore_round1_degrees_match_bruteforce(spark, sf_dir):
+    """Round 1 of the peel is plain degree filtering on the full graph —
+    recompute it directly from copurchase_edges."""
+    from go_web_mapreduce_spark.operators.graph import (
+        PR_YEAR,
+        copurchase_edges,
+    )
+    from go_web_mapreduce_spark.sources.tables import load_table
+
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .where(
+            (F.col("l_shipdate") >= f"{PR_YEAR}-01-01")
+            & (F.col("l_shipdate") < f"{PR_YEAR + 1}-01-01")
+        )
+        .select("l_orderkey", "l_partkey")
+    )
+    deg = (
+        copurchase_edges(li)
+        .groupBy("src")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    n_nodes = deg.count()
+    n_core1 = deg.where(F.col("d") >= KCORE_K).count()
+    r1 = {r["round"]: r for r in q_kcore(spark, sf_dir).collect()}[1]
+    assert r1["n_remaining"] == n_core1
+    assert r1["n_removed"] == n_nodes - n_core1
+
+
+def test_ndcg_weights_are_the_log2_discounts():
+    for pos, w in enumerate(_NDCG_W, start=1):
+        assert w == int(10**6 // math.log2(pos + 1))
+    # strictly decreasing: later positions must never outweigh earlier
+    assert all(a > b for a, b in zip(_NDCG_W, _NDCG_W[1:]))
+    assert len(_NDCG_W) == NDCG_K
+
+
+def test_ndcg_bounded_and_ideal_dominates(spark, sf_dir):
+    rows = q_ndcg(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        # DCG of any ranking never exceeds the ideal ranking's DCG
+        assert 0 <= r["dcg_scaled"] <= r["idcg_scaled"]
+        if r["idcg_scaled"] > 0:
+            assert 0.0 <= r["ndcg"] <= 1.0
+        assert r["n_parts"] > 0
+
+
+def test_scene_cut_counts_are_consistent(spark, sf_dir):
+    rows = q_video_scene_cut(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["n_transitions"] == r["n_videos"] * (VIDEO_FRAMES - 1)
+        assert 0 <= r["n_cuts"] <= r["n_transitions"]
+        # every counted cut contributes at least the threshold to the sum
+        assert r["diff_sum"] >= r["n_cuts"] * SCENE_CUT_SUM
+        # 16x16 uint8 frames bound any single transition diff
+        assert 0 <= r["max_diff"] <= 255 * 256
