@@ -75,6 +75,16 @@ def pick_config(
     number that was actually observed — and, the pipeline being
     content-deterministic, reproduces exactly under the measurement
     protocol (tests/test_ann_config.py).
+
+    SCALE RULE (measured at sf10, SCALE.md round 9): these curves are
+    per-CORPUS-SIZE — the shortlist/candidate knobs are absolute counts,
+    so at 10× the vectors the same config covers 1/10 the corpus
+    fraction and recall collapses (ivfpq's 0.82 point measured 0.44 at
+    200k vectors). To carry an operating point to a new corpus size n,
+    scale ``shortlist`` ∝ n to preserve ``candidate_fraction`` (and
+    raise nprobe with it): shortlist 400→4000 + nprobe 16→32 restored
+    recall@10 to 0.800 at 200k. candidate_fraction, not the raw knob,
+    is the transferable quantity.
     """
     if family is None:
         return {f: _pick_one(target_recall, f) for f in MEASURED}
