@@ -1674,10 +1674,15 @@ def q_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
     key and feed a rn <= k filter, which Spark executes as
     WindowGroupLimit — each map-side partition forwards at most k rows
     per segment, so the windows never sort a corpus-scaled partition for
-    the top-10. The relevance grade's per-segment ntile runs over the
-    same per-segment part grid; at corpus-scaled part counts it swaps
-    for the range-partitioned global rank + _ntile_from_pos arithmetic
-    exactly as q_rfm_segments does (order-preserving, documented there).
+    the top-10. The relevance grade deliberately does NOT use a
+    per-segment ntile window (segments are a 5-value dimension, so each
+    window partition would be corpus/5-sized — the exact hazard
+    q_rfm_segments eliminated): the grade comes from ONE range-
+    partitioned global_sort_index over (segment, -rev_cents, part) —
+    each segment is a contiguous run in the total order, so in-segment
+    rank = global_pos − segment base + 1, folded through the exact
+    _ntile_from_pos bucket arithmetic against the per-segment count (a
+    segment-dimension broadcast). Bit-identical to the oracle's ntile.
     The discount table trick is the load-bearing determinism move: NDCG's
     only transcendental (log2) is evaluated ONCE in Python over the k
     fixed positions and shipped as integer literals to both engines —
@@ -1697,17 +1702,33 @@ def q_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
         .groupBy("segment", "part")
         .agg(F.sum("q1").alias("qty"), F.sum("rc1").alias("rev_cents"))
+        .localCheckpoint(eager=False)  # feeds the rank, the count, n_parts
     )
-    graded = perf.select(
+    from go_web_mapreduce_spark.operators.analytics import _ntile_from_pos
+    from go_web_mapreduce_spark.operators.graph import global_sort_index
+
+    ranked = global_sort_index(
+        perf.select(
+            "segment", (-F.col("rev_cents")).alias("neg_rc"), "part", "qty"
+        ),
+        "segment",
+        "neg_rc",
+        "part",
+    )
+    segstats = ranked.groupBy("segment").agg(
+        F.min("global_pos").alias("seg_base"),
+        F.count(F.lit(1)).alias("ns"),
+    )
+    graded = ranked.join(F.broadcast(segstats), "segment").select(
         "segment",
         "part",
         "qty",
         (
             F.lit(NDCG_GRADES)
-            - F.ntile(NDCG_GRADES).over(
-                Window.partitionBy("segment").orderBy(
-                    F.col("rev_cents").desc(), "part"
-                )
+            - _ntile_from_pos(
+                F.col("global_pos") - F.col("seg_base") + 1,
+                F.col("ns"),
+                NDCG_GRADES,
             )
         ).alias("rel"),
     )

@@ -441,9 +441,14 @@ def test_data_contract_scans_each_table_once(spark, sf_dir):
 def test_ndcg_topk_windows_are_group_limited(spark, sf_dir):
     """Both rank legs must pre-prune with WindowGroupLimit (map-side
     per-segment top-k) so no corpus-scaled partition is fully sorted for
-    a top-10; the metric joins stay hash/broadcast, never cartesian."""
+    a top-10; the metric joins stay hash/broadcast, never cartesian.
+    (The relevance-grade subtree — range-partitioned global_sort_index +
+    exact ntile arithmetic — sits behind the gains localCheckpoint
+    boundary, so it is invisible here; its ntile-equivalence is proven
+    by the oracle hash, whose SQL uses ntile verbatim.)"""
     plan = executed_plan(spark, sf_dir, "q_ndcg")
     assert plan.count("WindowGroupLimit") >= 2
+    assert "ntile" not in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
 
