@@ -2159,3 +2159,113 @@ def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"CAST(CASE WHEN {_PSI_EXPR} > {PSI_ALERT} THEN 1 ELSE 0 END AS INT)"
         ).alias("drift"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q_key_skew — join-key skew diagnostics (the salting/AQE pre-flight)
+# ---------------------------------------------------------------------------
+
+SKEW_TOPK = 5  # report the 5 hottest keys per column
+
+
+@query(
+    "q_key_skew",
+    oracle=f"""
+    WITH stats AS (
+      SELECT 'events.user_id' AS key_col, user_id AS k, count(*) AS c
+      FROM events GROUP BY user_id
+      UNION ALL
+      SELECT 'lineitem.l_partkey', l_partkey, count(*)
+      FROM lineitem GROUP BY l_partkey
+      UNION ALL
+      SELECT 'orders.o_custkey', o_custkey, count(*)
+      FROM orders GROUP BY o_custkey
+    ),
+    agg AS (
+      SELECT key_col,
+             count(*) AS n_keys,
+             sum(c) AS n_rows,
+             max(c) AS max_rows
+      FROM stats GROUP BY key_col
+    ),
+    hot AS (
+      SELECT key_col, k, c,
+             row_number() OVER (PARTITION BY key_col
+                                ORDER BY c DESC, k) AS rnk
+      FROM stats
+    )
+    SELECT h.key_col, CAST(h.rnk AS INT) AS rnk,
+           CAST(h.k AS BIGINT) AS hot_key,
+           CAST(h.c AS BIGINT) AS hot_rows,
+           CAST(a.n_keys AS BIGINT) AS n_keys,
+           CAST(a.n_rows AS BIGINT) AS n_rows,
+           CAST(h.c * 1000000 // (a.n_rows // a.n_keys) AS BIGINT)
+             AS skew_ratio_ppm
+    FROM hot h JOIN agg a ON a.key_col = h.key_col
+    WHERE h.rnk <= {SKEW_TOPK}
+    """,
+    description=f"join-key skew diagnostics: for each fact-side join key "
+    "(events.user_id, lineitem.l_partkey, orders.o_custkey) the "
+    f"{SKEW_TOPK} hottest keys with exact row counts, total key/row "
+    "census, and the hot-key/mean-key ratio in ppm — the pre-flight "
+    "that decides between the plain shuffle join, AQE's skew split, "
+    "and q_salted_join's explicit 16-way salting (functions/skew.py). "
+    "All integers; per-key top-k via rank window",
+)
+def q_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One groupBy per key column (map-side partial counts — the shuffle
+    carries one row per distinct key, never fact rows) + a 3-partition
+    rank window whose rnk <= k filter runs as WindowGroupLimit, so no
+    partition is fully sorted: per input split only the local top-5
+    survive the exchange. This is the measurement a 100 TB join planner
+    acts on — AQE's skew split sees per-PARTITION sizes at runtime, but
+    per-KEY counts are what decide whether one key alone exceeds any
+    partition budget (then only salting helps, q_salted_join). The
+    integer skew_ratio_ppm against the MEAN key (total rows DIV total
+    keys) is the number a planner compares to its partition budget when
+    choosing functions/skew.py's 16-way salting."""
+    parts = []
+    for label, table, col in (
+        ("events.user_id", "events", "user_id"),
+        ("lineitem.l_partkey", "lineitem", "l_partkey"),
+        ("orders.o_custkey", "orders", "o_custkey"),
+    ):
+        t = load_table(spark, sf_dir, table)
+        parts.append(
+            t.groupBy(F.col(col).alias("k")).agg(
+                F.count(F.lit(1)).alias("c")
+            ).select(F.lit(label).alias("key_col"), "k", "c")
+        )
+    stats = parts[0]
+    for p in parts[1:]:
+        stats = stats.unionByName(p)
+    stats = stats.localCheckpoint(eager=False)  # feeds agg + hot
+    agg = stats.groupBy("key_col").agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("c").alias("n_rows"),
+        F.max("c").alias("max_rows"),
+    )
+    hot = (
+        stats.select(
+            "key_col",
+            "k",
+            "c",
+            F.row_number()
+            .over(
+                Window.partitionBy("key_col").orderBy(F.col("c").desc(), "k")
+            )
+            .alias("rnk"),
+        )
+        .where(F.col("rnk") <= SKEW_TOPK)
+    )
+    return hot.join(F.broadcast(agg), "key_col").select(
+        "key_col",
+        F.col("rnk").cast("int").alias("rnk"),
+        F.col("k").cast("long").alias("hot_key"),
+        F.col("c").cast("long").alias("hot_rows"),
+        "n_keys",
+        "n_rows",
+        F.expr("CAST(c * 1000000 DIV (n_rows DIV n_keys) AS BIGINT)").alias(
+            "skew_ratio_ppm"
+        ),
+    )

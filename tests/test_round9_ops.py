@@ -92,3 +92,35 @@ def test_scene_cut_counts_are_consistent(spark, sf_dir):
         assert r["diff_sum"] >= r["n_cuts"] * SCENE_CUT_SUM
         # 16x16 uint8 frames bound any single transition diff
         assert 0 <= r["max_diff"] <= 255 * 256
+
+
+def test_key_skew_census_consistency(spark, sf_dir):
+    from go_web_mapreduce_spark.operators.analytics import (
+        SKEW_TOPK,
+        q_key_skew,
+    )
+    from go_web_mapreduce_spark.sources.tables import load_table
+
+    rows = q_key_skew(spark, sf_dir).collect()
+    by_col: dict = {}
+    for r in rows:
+        by_col.setdefault(r["key_col"], []).append(r)
+    assert set(by_col) == {
+        "events.user_id", "lineitem.l_partkey", "orders.o_custkey",
+    }
+    ev = load_table(spark, sf_dir, "events")
+    n_events = ev.count()
+    n_users = ev.select("user_id").distinct().count()
+    for col, rs in by_col.items():
+        rs.sort(key=lambda r: r["rnk"])
+        assert [r["rnk"] for r in rs] == list(range(1, len(rs) + 1))
+        assert len(rs) <= SKEW_TOPK
+        counts = [r["hot_rows"] for r in rs]
+        assert counts == sorted(counts, reverse=True)
+        for r in rs:
+            # the hottest key is at least the mean -> ratio >= 1e6
+            if r["rnk"] == 1:
+                assert r["skew_ratio_ppm"] >= 1_000_000
+            assert r["hot_rows"] <= r["n_rows"]
+    er = by_col["events.user_id"][0]
+    assert er["n_rows"] == n_events and er["n_keys"] == n_users
