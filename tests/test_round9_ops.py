@@ -124,3 +124,53 @@ def test_key_skew_census_consistency(spark, sf_dir):
             assert r["hot_rows"] <= r["n_rows"]
     er = by_col["events.user_id"][0]
     assert er["n_rows"] == n_events and er["n_keys"] == n_users
+
+
+def test_ntile_from_pos_matches_sql_ntile_exhaustively(spark):
+    """_ntile_from_pos must reproduce SQL ntile's uneven-bucket rule for
+    every (n, q) in a dense grid — the arithmetic the rfm/quantile-norm/
+    ndcg window swaps rest on. Python reference: first n % q buckets get
+    n div q + 1 rows, the rest n div q."""
+    from pyspark.sql import functions as F
+
+    from go_web_mapreduce_spark.operators.analytics import _ntile_from_pos
+
+    def py_ntile(pos: int, n: int, q: int) -> int:
+        sz, rem = divmod(n, q)
+        cut = rem * (sz + 1)
+        if pos <= cut:
+            return (pos - 1) // (sz + 1) + 1
+        return rem + (pos - cut - 1) // sz + 1
+
+    cases = []
+    for n in list(range(1, 40)) + [97, 1000, 10**7 + 3]:
+        for q in (2, 3, 4, 5, 7):
+            if n < 1:
+                continue
+            poss = set(range(1, min(n, 12) + 1)) | {n, max(1, n // 2)}
+            cases.extend((p, n, q) for p in poss if 1 <= p <= n)
+    df = spark.createDataFrame(cases, "pos long, nn long, q int")
+    got = df.select(
+        "pos", "nn", "q",
+        _ntile_from_pos(F.col("pos"), F.col("nn"), 2).alias("t2"),
+        _ntile_from_pos(F.col("pos"), F.col("nn"), 3).alias("t3"),
+        _ntile_from_pos(F.col("pos"), F.col("nn"), 4).alias("t4"),
+        _ntile_from_pos(F.col("pos"), F.col("nn"), 5).alias("t5"),
+        _ntile_from_pos(F.col("pos"), F.col("nn"), 7).alias("t7"),
+    ).collect()
+    for r in got:
+        for q, col in ((2, "t2"), (3, "t3"), (4, "t4"), (5, "t5"), (7, "t7")):
+            assert r[col] == py_ntile(r["pos"], r["nn"], q), (
+                r["pos"], r["nn"], q, r[col],
+            )
+    # and the python reference itself against Spark's own ntile window on
+    # one concrete partition, closing the loop to the engine semantics
+    from pyspark.sql import Window
+
+    n, q = 23, 5
+    rows = spark.range(1, n + 1).select(
+        F.col("id").alias("pos"),
+        F.ntile(q).over(Window.orderBy("id")).alias("t"),
+    ).collect()
+    for r in rows:
+        assert r["t"] == py_ntile(r["pos"], n, q)
