@@ -1775,3 +1775,120 @@ def q_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("ndcg"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q_classification_report — per-class precision / recall / F1 from a
+# confusion-matrix census (the multi-class companion to q_auc_eval /
+# q_pr_curve, which are binary)
+# ---------------------------------------------------------------------------
+
+# fixed price-band thresholds (cents) for the weak priority classifier:
+# band k predicts priority class k. Fixed literals — NOT data quantiles —
+# so the predictor is a pure map-side projection at any corpus size.
+CLSRPT_BANDS_CENTS = [8_000_00, 15_000_00, 22_000_00, 29_000_00]
+
+_CLSRPT_PRED_SQL = (
+    "CASE"
+    + "".join(
+        f" WHEN price_cents < {t} THEN '{k + 1}'"
+        for k, t in enumerate(CLSRPT_BANDS_CENTS)
+    )
+    + f" ELSE '{len(CLSRPT_BANDS_CENTS) + 1}' END"
+)
+
+
+@query(
+    "q_classification_report",
+    oracle=f"""
+    WITH scored AS (
+      SELECT substr(o_orderpriority, 1, 1) AS y,
+             {_CLSRPT_PRED_SQL} AS p
+      FROM (SELECT o_orderpriority,
+                   CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents
+            FROM orders)
+    ),
+    conf AS (SELECT y, p, COUNT(*) AS n FROM scored GROUP BY y, p),
+    by_true AS (SELECT y AS cls, SUM(n) AS support,
+                       SUM(CASE WHEN y = p THEN n ELSE 0 END) AS tp
+                FROM conf GROUP BY y),
+    by_pred AS (SELECT p AS cls, SUM(n) AS predicted FROM conf GROUP BY p)
+    SELECT t.cls,
+           CAST(t.support AS BIGINT) AS support,
+           CAST(t.tp AS BIGINT) AS tp,
+           CAST(coalesce(pr.predicted, 0) - t.tp AS BIGINT) AS fp,
+           CAST(t.support - t.tp AS BIGINT) AS fn,
+           CASE WHEN coalesce(pr.predicted, 0) > 0
+                THEN CAST(t.tp AS DOUBLE) / pr.predicted ELSE 0.0 END
+             AS precision,
+           CAST(t.tp AS DOUBLE) / t.support AS recall,
+           CASE WHEN 2 * t.tp + (coalesce(pr.predicted, 0) - t.tp)
+                     + (t.support - t.tp) > 0
+                THEN 2.0 * t.tp
+                     / (2 * t.tp + (coalesce(pr.predicted, 0) - t.tp)
+                        + (t.support - t.tp))
+                ELSE 0.0 END AS f1
+    FROM by_true t LEFT JOIN by_pred pr ON pr.cls = t.cls
+    ORDER BY t.cls
+    """,
+    description="multi-class classification report: per-class support / "
+    "tp / fp / fn / precision / recall / F1 of a fixed price-band "
+    "priority predictor against the true order priority — the standard "
+    "model-eval summary (one row per class) behind every classifier "
+    "comparison in a data pipeline. The whole report derives from ONE "
+    "confusion-matrix census: a single (y, p) group-aggregate whose "
+    "result is classes² rows (25 here), after which every metric is "
+    "arithmetic on that tiny table; F1 uses the exact-integer identity "
+    "2·tp / (2·tp + fp + fn) so no float precedes the final ratios",
+)
+def q_classification_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB shape: the corpus is touched exactly once, by a map-side
+    projection (priority prefix + fixed price banding — no quantiles, no
+    second pass) feeding a partial-aggregated groupBy(y, p) that emits at
+    most classes² = 25 rows. Everything after — the per-true and
+    per-predicted marginals and their join — is dimension-sized; the join
+    is broadcast by AQE at any scale. Precision/recall/F1 are ratios of
+    exact bigint counts (F1 via 2tp/(2tp+fp+fn), not the mean-of-ratios
+    form), so the report hash-verifies bit-for-bit."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.substring("o_orderpriority", 1, 1).alias("y"),
+        F.round(F.col("o_totalprice") * 100)
+        .cast("bigint")
+        .alias("price_cents"),
+    )
+    scored = orders.select("y", F.expr(_CLSRPT_PRED_SQL).alias("p"))
+    conf = scored.groupBy("y", "p").agg(F.count(F.lit(1)).alias("n"))
+    by_true = conf.groupBy(F.col("y").alias("cls")).agg(
+        F.sum("n").alias("support"),
+        F.sum(F.when(F.col("y") == F.col("p"), F.col("n")).otherwise(0)).alias(
+            "tp"
+        ),
+    )
+    by_pred = conf.groupBy(F.col("p").alias("cls")).agg(
+        F.sum("n").alias("predicted")
+    )
+    j = by_true.join(F.broadcast(by_pred), "cls", "left").select(
+        "cls",
+        "support",
+        "tp",
+        (F.coalesce(F.col("predicted"), F.lit(0)) - F.col("tp")).alias("fp"),
+        (F.col("support") - F.col("tp")).alias("fn"),
+    )
+    denom_f1 = 2 * F.col("tp") + F.col("fp") + F.col("fn")
+    return j.select(
+        "cls",
+        "support",
+        "tp",
+        "fp",
+        "fn",
+        F.when(
+            (F.col("tp") + F.col("fp")) > 0,
+            F.col("tp").cast("double") / (F.col("tp") + F.col("fp")),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("precision"),
+        (F.col("tp").cast("double") / F.col("support")).alias("recall"),
+        F.when(denom_f1 > 0, F.lit(2.0) * F.col("tp") / denom_f1)
+        .otherwise(F.lit(0.0))
+        .alias("f1"),
+    )

