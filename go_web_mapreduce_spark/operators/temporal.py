@@ -1650,3 +1650,94 @@ def q_sequence_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q_stl_decompose — classical additive seasonal decomposition (centered
+# moving-average trend, per-hour-of-day seasonal) of the hourly event series
+# ---------------------------------------------------------------------------
+
+STL_HALF = 12  # centered 25-hour trend window: ±12 hours around the bucket
+STL_W = 2 * STL_HALF + 1
+
+
+@query(
+    "q_stl_decompose",
+    oracle=f"""
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS bucket,
+             CAST(count(*) AS BIGINT) AS x
+      FROM events GROUP BY 1, 2
+    ),
+    ma AS (
+      SELECT event_type, bucket, x,
+             sum(x) OVER w AS wsum,
+             count(*) OVER w AS wn
+      FROM hourly
+      WINDOW w AS (PARTITION BY event_type ORDER BY bucket
+                   ROWS BETWEEN {STL_HALF} PRECEDING
+                            AND {STL_HALF} FOLLOWING)
+    ),
+    detr AS (
+      SELECT event_type, CAST(extract(hour FROM bucket) AS INT) AS hod,
+             {STL_W} * x - wsum AS d25
+      FROM ma WHERE wn = {STL_W}
+    )
+    SELECT event_type, hod,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(d25) AS BIGINT) AS det_sum,
+           CAST(sum(d25) AS DOUBLE) / ({STL_W}.0 * count(*)) AS seasonal
+    FROM detr GROUP BY event_type, hod
+    """,
+    description="classical additive seasonal decomposition (the moving-"
+    "average construction underlying STL, Cleveland 1990): hourly event "
+    f"counts detrended by a centered {STL_W}-hour moving average, then "
+    "averaged per hour-of-day to give each event type's intra-day "
+    "seasonal component. Only full trend windows contribute, so the "
+    f"detrended value is the exact bigint {STL_W}·x − window_sum and "
+    "every aggregate is integer until the single final division — the "
+    "decomposition hash-verifies with no float-sum ordering surface",
+)
+def q_stl_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB shape: the corpus collapses to the (event_type, hour)
+    grid in one partial-aggregated shuffle; every window after that runs
+    on the GRID, whose size is calendar hours × event types — it grows
+    with time span, not data volume, so the ±12h moving average is a
+    bounded-frame window over a dimension-sized partition (each event
+    type's hourly series), never a corpus-scaled sort. Gap hours (no
+    events at all) are absent from the grid; the MA spans grid-adjacent
+    rows in both engines identically (a gap-filled variant would compose
+    with q_gap_fill's grid join). Trend rows need the full 25-hour frame
+    (wn = 25), which drops the 12 edge hours per type — the standard
+    centered-MA boundary loss — and makes 25·x − Σwindow an exact bigint
+    detrending: the per-hour-of-day seasonal means are ratios of exact
+    integer sums, bit-identical cross-engine."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("bucket")
+    ).agg(F.count(F.lit(1)).alias("x"))
+    w = (
+        W.partitionBy("event_type")
+        .orderBy("bucket")
+        .rowsBetween(-STL_HALF, STL_HALF)
+    )
+    ma = hourly.select(
+        "event_type",
+        "bucket",
+        "x",
+        F.sum("x").over(w).alias("wsum"),
+        F.count(F.lit(1)).over(w).alias("wn"),
+    )
+    detr = ma.where(F.col("wn") == STL_W).select(
+        "event_type",
+        F.hour("bucket").cast("int").alias("hod"),
+        (F.lit(STL_W) * F.col("x") - F.col("wsum")).alias("d25"),
+    )
+    return detr.groupBy("event_type", "hod").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("d25").alias("det_sum"),
+        (
+            F.sum("d25").cast("double")
+            / (F.lit(float(STL_W)) * F.count(F.lit(1)))
+        ).alias("seasonal"),
+    )

@@ -2098,3 +2098,104 @@ def q_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(_MI_EXPR).alias("mi_nats"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q_readability — Flesch reading-ease banding with exact integer banding
+# (the readability axis of corpus quality scoring, next to q_quality_score)
+# ---------------------------------------------------------------------------
+
+# Flesch reading ease = 206.835 − 1.015·(W/S) − 84.6·(V/W). Multiplying by
+# the denominator 1000·S·W clears both divisions: score_num =
+# 206835·S·W − 1015·W² − 84600·V·S over score_den = 1000·S·W — two exact
+# bigints per document, so band thresholds compare score_num against
+# threshold·score_den with NO float anywhere in the banding decision.
+READ_BANDS = [(90, "very_easy"), (70, "easy"), (50, "medium"), (30, "hard")]
+
+_READ_BAND_CASE = (
+    "CASE"
+    + "".join(
+        f" WHEN score_num >= {t} * score_den THEN '{b}'"
+        for t, b in READ_BANDS
+    )
+    + " ELSE 'very_hard' END"
+)
+
+
+@query(
+    "q_readability",
+    oracle=f"""
+    WITH m AS (
+      SELECT source,
+             CAST(len(list_filter(string_split(lower(text), ' '),
+                                  t -> t <> '')) AS BIGINT) AS w_raw,
+             CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1)
+                  AS BIGINT) AS s,
+             CAST(len(regexp_extract_all(lower(text), '[aeiou]+'))
+                  AS BIGINT) AS v
+      FROM documents
+    ),
+    scored AS (
+      SELECT source,
+             206835 * s * w - 1015 * w * w - 84600 * v * s AS score_num,
+             1000 * s * w AS score_den
+      FROM (SELECT source, greatest(w_raw, 1) AS w, s, v FROM m)
+    )
+    SELECT source, {_READ_BAND_CASE} AS band,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(score_num) AS BIGINT) AS score_num_sum,
+           CAST(sum(score_den) AS BIGINT) AS score_den_sum,
+           CAST(sum(score_num) AS DOUBLE) / sum(score_den) AS pooled_score
+    FROM scored GROUP BY source, band
+    """,
+    description="readability scoring: Flesch reading ease (Flesch 1948; "
+    "syllables proxied by vowel-group runs, sentences by [.!?]+ runs, "
+    "words by whitespace tokens) banded per document into five classic "
+    "difficulty bands and rolled up per source — the readability axis of "
+    "training-corpus quality curation. The score is kept as the exact "
+    "integer pair (206835·S·W − 1015·W² − 84600·V·S, 1000·S·W); band "
+    "edges compare num ≥ threshold·den in bigints, so banding can never "
+    "flip on a float ulp and the rollup is integer until one division",
+)
+def q_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB shape: a pure map-side projection — three regex/split
+    counters per document, all inside whole-stage codegen (regexp_extract_all
+    + size; no Python) — feeding one partial-aggregated groupBy(source,
+    band) whose output is sources × 5 bands. Nothing corpus-sized ever
+    shuffles: the shuffle payload is the tiny (source, band) census. The
+    integer-pair score trick (clear the W/S and V/W denominators by
+    multiplying through 1000·S·W) is what makes a float formula from 1948
+    hash-verify across engines — the only doubles are the final pooled
+    ratios of two exact bigint sums."""
+    from go_web_mapreduce_spark.functions.text import token_count
+
+    docs = load_table(spark, sf_dir, "documents")
+    m = docs.select(
+        "source",
+        F.greatest(token_count("text"), F.lit(1)).cast("bigint").alias("w"),
+        F.greatest(
+            F.size(F.regexp_extract_all("text", F.lit("[.!?]+"), 0)), F.lit(1)
+        )
+        .cast("bigint")
+        .alias("s"),
+        F.size(F.regexp_extract_all(F.lower("text"), F.lit("[aeiou]+"), 0))
+        .cast("bigint")
+        .alias("v"),
+    )
+    scored = m.select(
+        "source",
+        (
+            F.lit(206835) * F.col("s") * F.col("w")
+            - F.lit(1015) * F.col("w") * F.col("w")
+            - F.lit(84600) * F.col("v") * F.col("s")
+        ).alias("score_num"),
+        (F.lit(1000) * F.col("s") * F.col("w")).alias("score_den"),
+    )
+    return scored.groupBy("source", F.expr(_READ_BAND_CASE).alias("band")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("score_num").alias("score_num_sum"),
+        F.sum("score_den").alias("score_den_sum"),
+        (F.sum("score_num").cast("double") / F.sum("score_den")).alias(
+            "pooled_score"
+        ),
+    )
