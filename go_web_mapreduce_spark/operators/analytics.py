@@ -2269,3 +2269,116 @@ def q_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
             "skew_ratio_ppm"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# q_itemsets3 — level-wise frequent 3-itemset mining (Apriori, Agrawal &
+# Srikant 1994) over order baskets of part brands
+# ---------------------------------------------------------------------------
+
+ITEMSET_MINSUP_PPM = 1000  # minimum support as parts-per-million of baskets
+
+
+@query(
+    "q_itemsets3",
+    oracle=f"""
+    WITH items AS (
+      SELECT DISTINCT l.l_orderkey AS o, p.p_brand AS b
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    ),
+    nb AS (SELECT count(DISTINCT o) AS n FROM items),
+    tri AS (
+      SELECT a.b AS brand_a, c.b AS brand_b, d.b AS brand_c,
+             count(*) AS support
+      FROM items a JOIN items c ON c.o = a.o AND c.b > a.b
+                   JOIN items d ON d.o = a.o AND d.b > c.b
+      GROUP BY 1, 2, 3
+    )
+    SELECT brand_a, brand_b, brand_c,
+           CAST(support AS BIGINT) AS support,
+           CAST(support * 1000000 // (SELECT n FROM nb) AS BIGINT)
+             AS support_ppm
+    FROM tri
+    WHERE support * 1000000 >= (SELECT n FROM nb) * {ITEMSET_MINSUP_PPM}
+    """,
+    description="frequent 3-itemset mining (Apriori level-wise, Agrawal & "
+    "Srikant 1994): orders are baskets, part brands are items; triples "
+    f"kept at relative support ≥ {ITEMSET_MINSUP_PPM} ppm of baskets, "
+    "reported with exact integer support and floor-divided ppm. The "
+    "oracle states the naive within-basket triple count; the Spark plan "
+    "is the level-wise algorithm — frequent pairs first (same minsup, so "
+    "the Apriori downward-closure prune is lossless: a frequent triple's "
+    "sub-pairs are at least as frequent), then candidate triples built "
+    "only from baskets' pair hits that survived level 2",
+)
+def q_itemsets3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB shape: basket construction is one lineitem→part key join
+    (dimension-side projected to (partkey, brand) before the join) and a
+    DISTINCT bounded by baskets × |brands|; the within-basket self-joins
+    shuffle on the basket key ONCE and reuse that partitioning for both
+    levels — pair/triple volume is Σ C(k,2) / Σ C(k,3) over basket sizes
+    k (bounded by order width, never corpus²). Level-2 output is at most
+    |brands|² rows, broadcast back as the Apriori prune: each triple leg
+    semi-joins against the frequent-pair set before the level-3 count,
+    so on skewed real corpora the candidate stream collapses to the
+    support-bearing subspace (downward closure, lossless at equal
+    minsup). Absolute thresholds are derived from one COUNT(DISTINCT
+    basket) scalar — integer ppm comparisons, no float support."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    pt = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    items = (
+        li.join(pt, li.l_partkey == pt.p_partkey)
+        .select(F.col("l_orderkey").alias("o"), F.col("p_brand").alias("b"))
+        .distinct()
+        .localCheckpoint(eager=False)  # three join legs + the basket count
+    )
+    n_baskets = items.select("o").distinct().count()
+
+    a = items.select("o", F.col("b").alias("brand_a"))
+    b = items.select(F.col("o").alias("o2"), F.col("b").alias("brand_b"))
+    c = items.select(F.col("o").alias("o3"), F.col("b").alias("brand_c"))
+    pairs = (
+        a.join(b, (a.o == b.o2) & (F.col("brand_a") < F.col("brand_b")))
+        .groupBy("brand_a", "brand_b")
+        .agg(F.count(F.lit(1)).alias("sp"))
+    )
+    freq2 = pairs.where(
+        F.col("sp") * 1_000_000 >= F.lit(n_baskets) * ITEMSET_MINSUP_PPM
+    ).select("brand_a", "brand_b")
+
+    cand = (
+        a.join(b, (a.o == b.o2) & (F.col("brand_a") < F.col("brand_b")))
+        # Apriori prune level 2→3, leg (a,b): only frequent pairs extend
+        .join(F.broadcast(freq2), ["brand_a", "brand_b"], "left_semi")
+        .join(c, (a.o == F.col("o3")) & (F.col("brand_b") < F.col("brand_c")))
+        # prune legs (b,c) and (a,c) against the same frequent-pair set
+        .join(
+            F.broadcast(
+                freq2.select(
+                    F.col("brand_a").alias("brand_b"),
+                    F.col("brand_b").alias("brand_c"),
+                )
+            ),
+            ["brand_b", "brand_c"],
+            "left_semi",
+        )
+        .join(
+            F.broadcast(freq2.withColumnRenamed("brand_b", "brand_c")),
+            ["brand_a", "brand_c"],
+            "left_semi",
+        )
+    )
+    tri = cand.groupBy("brand_a", "brand_b", "brand_c").agg(
+        F.count(F.lit(1)).alias("support")
+    )
+    return tri.where(
+        F.col("support") * 1_000_000 >= F.lit(n_baskets) * ITEMSET_MINSUP_PPM
+    ).select(
+        "brand_a",
+        "brand_b",
+        "brand_c",
+        F.col("support").cast("bigint").alias("support"),
+        F.expr(f"CAST(support * 1000000 DIV {n_baskets} AS BIGINT)").alias(
+            "support_ppm"
+        ),
+    )

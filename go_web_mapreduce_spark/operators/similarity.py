@@ -2317,3 +2317,90 @@ def q_contrastive_pairs_ivf_scaled(spark: SparkSession, sf_dir: str) -> DataFram
         num_centroids=KNN_IVF_SCALED_CENTROIDS,
     ).localCheckpoint(eager=False)
     return _mine_contrastive(kn)
+
+
+# ---------------------------------------------------------------------------
+# q_random_projection — Johnson–Lindenstrauss sign projection (Achlioptas
+# 2003): 64-dim embeddings → 16 integer projections, the map-side
+# dimensionality reduction that precedes ANN indexing at corpus scale
+# ---------------------------------------------------------------------------
+
+RP_IN_DIM = 64
+RP_OUT_DIM = 16
+RP_SCALE = 1_000_000  # per-component quantization: q_i = round(x_i · 1e6)
+
+# ±1 signs derived once from md5 — the projection matrix is PART OF THE
+# OPERATOR (fixed literals in both engines), the same trick as q_ndcg's
+# discount table: no RNG, no float matrix, bit-identical cross-engine
+_RP_SIGNS = [
+    [
+        1 if int(hashlib.md5(f"rp:{i}:{j}".encode()).hexdigest()[:8], 16) % 2 == 0
+        else -1
+        for i in range(RP_IN_DIM)
+    ]
+    for j in range(RP_OUT_DIM)
+]
+
+
+def _rp_proj_sql(j: int, elem: str) -> str:
+    """Σ_i ±q_i for output dim ``j``; ``elem`` formats a 1-based element
+    reference of the quantized array (engines differ only in indexing
+    syntax)."""
+    terms = [
+        ("+" if s > 0 else "-") + f" {elem.format(i=i + 1)}"
+        for i, s in enumerate(_RP_SIGNS[j])
+    ]
+    return "0 " + " ".join(terms)
+
+
+_RP_SPARK_COLS = [
+    _rp_proj_sql(j, "element_at(q, {i})") + f" AS p{j:02d}"
+    for j in range(RP_OUT_DIM)
+]
+_RP_DUCK_COLS = ", ".join(
+    _rp_proj_sql(j, "q[{i}]") + f" AS p{j:02d}" for j in range(RP_OUT_DIM)
+)
+
+
+@query(
+    "q_random_projection",
+    oracle=f"""
+    WITH quant AS (
+      SELECT vec_id,
+             list_transform(embedding,
+                 x -> CAST(round(CAST(x AS DOUBLE) * {RP_SCALE}) AS BIGINT)) AS q
+      FROM embeddings
+    )
+    SELECT vec_id, {_RP_DUCK_COLS} FROM quant
+    """,
+    description="Johnson–Lindenstrauss sign projection (Achlioptas 2003): "
+    f"each {RP_IN_DIM}-dim embedding is quantized to exact bigints "
+    f"(round(x·10^6)) and multiplied by a fixed ±1 matrix into "
+    f"{RP_OUT_DIM} integer projections — the distance-preserving "
+    "dimensionality reduction that shrinks ANN index memory 4× before "
+    "bucketing. The sign matrix is md5-derived literals embedded in both "
+    "engines (the q_ndcg discount-table move), so the projection is pure "
+    "integer arithmetic and hash-verifies exactly",
+)
+def q_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB shape: a stateless map-side projection — no shuffle, no
+    aggregation, no Python; one whole-stage-codegen pass quantizes the
+    float array once (transform) and folds 16 signed integer sums per
+    row. This is the standard pre-ANN compression step: downstream
+    LSH/IVF bucketing on 16 ints instead of 64 floats cuts both shuffle
+    bytes and comparator cost ~4× while JL guarantees pairwise-distance
+    distortion bounds, and integer projections make every downstream
+    band/bucket key deterministic. Column pruning pushes to the scan:
+    only (vec_id, embedding) is read. The explicit CAST(x AS DOUBLE)
+    before the ×10^6 multiply is load-bearing: both engines otherwise
+    multiply in single precision (array<float> element × int literal),
+    and a 1-ulp float32 product difference flips round() by one on
+    ~1 component per vector — caught by the oracle hash."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    quant = emb.select(
+        "vec_id",
+        F.expr(
+            f"transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * {RP_SCALE}) AS BIGINT))"
+        ).alias("q"),
+    )
+    return quant.selectExpr("vec_id", *_RP_SPARK_COLS)

@@ -265,3 +265,88 @@ def test_readability_banding_matches_float_flesch(spark, sf_dir):
         # magnitude: the formula is bounded above by 206.835
         assert pooled <= 206.835 + 1e-9
         assert r["band"] in {*edges.values(), "very_hard"}
+
+
+def test_itemsets3_downward_closure_and_ordering(spark, sf_dir):
+    """Apriori's defining invariant: every reported frequent triple's
+    sub-pairs are at least as frequent (recomputed from the same basket
+    set), and itemsets are canonically ordered."""
+    from go_web_mapreduce_spark.operators.analytics import (
+        ITEMSET_MINSUP_PPM,
+        q_itemsets3,
+    )
+    from go_web_mapreduce_spark.sources.tables import load_table
+
+    tri = q_itemsets3(spark, sf_dir).collect()
+    assert tri
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    pt = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    items = (
+        li.join(pt, li.l_partkey == pt.p_partkey)
+        .select(F.col("l_orderkey").alias("o"), F.col("p_brand").alias("b"))
+        .distinct()
+    )
+    n_baskets = items.select("o").distinct().count()
+    pair_support = {
+        (r["x"], r["y"]): r["c"]
+        for r in items.alias("i1")
+        .join(
+            items.alias("i2"),
+            (F.col("i1.o") == F.col("i2.o")) & (F.col("i1.b") < F.col("i2.b")),
+        )
+        .groupBy(
+            F.col("i1.b").alias("x"), F.col("i2.b").alias("y")
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    }
+    for r in tri:
+        a, b, c, s = r["brand_a"], r["brand_b"], r["brand_c"], r["support"]
+        assert a < b < c
+        assert s * 1_000_000 >= n_baskets * ITEMSET_MINSUP_PPM
+        assert r["support_ppm"] == s * 1_000_000 // n_baskets
+        for pair in ((a, b), (a, c), (b, c)):
+            assert pair_support[pair] >= s  # downward closure
+
+
+def test_random_projection_matches_numpy_and_preserves_norm(spark, sf_dir):
+    import numpy as np
+
+    from go_web_mapreduce_spark.operators.similarity import (
+        RP_OUT_DIM,
+        RP_SCALE,
+        _RP_SIGNS,
+        q_random_projection,
+    )
+    from go_web_mapreduce_spark.sources.tables import load_table
+
+    rows = q_random_projection(spark, sf_dir).collect()
+    emb = {
+        r["vec_id"]: r["embedding"]
+        for r in load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", "embedding")
+        .limit(2000)
+        .collect()
+    }
+    signs = np.array(_RP_SIGNS, dtype=np.int64)  # (out, in)
+    checked = 0
+    norm_ratios = []
+    for r in rows:
+        if r["vec_id"] not in emb:
+            continue
+        q = np.round(np.array(emb[r["vec_id"]], dtype=np.float64) * RP_SCALE
+                     ).astype(np.int64)
+        p_np = signs @ q
+        p_got = np.array([r[f"p{j:02d}"] for j in range(RP_OUT_DIM)])
+        assert (p_np == p_got).all()
+        if (q != 0).any():
+            # JL: E[p_j^2] = ||q||^2 — the mean squared projection tracks
+            # the input norm (ratio concentrates near 1 per vector)
+            norm_ratios.append(float((p_got.astype(np.float64) ** 2).mean()
+                                     / float((q.astype(np.float64) ** 2).sum())))
+        checked += 1
+        if checked >= 200:
+            break
+    assert checked >= 100
+    mean_ratio = sum(norm_ratios) / len(norm_ratios)
+    assert 0.7 < mean_ratio < 1.3
