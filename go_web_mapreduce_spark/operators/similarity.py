@@ -2404,3 +2404,117 @@ def q_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("q"),
     )
     return quant.selectExpr("vec_id", *_RP_SPARK_COLS)
+
+
+# ---------------------------------------------------------------------------
+# q_kcenter_sample — greedy k-center coreset selection (Gonzalez 1985):
+# the farthest-point diversity sample used to pick maximally-spread
+# exemplars from an embedding corpus (2-approximation of the k-center
+# optimum), with the coverage-radius sequence as the audit trail
+# ---------------------------------------------------------------------------
+
+KCENTER_K = 8
+KCENTER_SCALE = 1000  # quantization: exact bigint squared distances
+
+
+def _kc_d2(a: str, b: str, dim: int) -> str:
+    """Exact bigint squared L2 distance between two quantized lists
+    (DuckDB text; Spark uses zip_with/aggregate on the same integers)."""
+    return (
+        f"list_reduce(list_transform(range({dim}), "
+        f"i -> ({a}[i+1] - {b}[i+1]) * ({a}[i+1] - {b}[i+1])), "
+        "(x, y) -> x + y)"
+    )
+
+
+def _kcenter_oracle(k: int, dim: int) -> str:
+    ctes = [
+        "q AS (SELECT vec_id, list_transform(embedding, "
+        f"x -> CAST(round(CAST(x AS DOUBLE) * {KCENTER_SCALE}) AS BIGINT)) "
+        "AS v FROM embeddings)",
+        "c0 AS (SELECT vec_id, v FROM q ORDER BY vec_id LIMIT 1)",
+        f"d0 AS (SELECT q.vec_id, q.v, {_kc_d2('q.v', 'c0.v', dim)} AS md "
+        "FROM q CROSS JOIN c0)",
+    ]
+    for r in range(1, k):
+        prev = f"d{r - 1}"
+        ctes.append(
+            f"c{r} AS (SELECT vec_id, v, md FROM {prev} "
+            "ORDER BY md DESC, vec_id LIMIT 1)"
+        )
+        if r < k - 1:
+            ctes.append(
+                f"d{r} AS (SELECT {prev}.vec_id, {prev}.v, "
+                f"least({prev}.md, {_kc_d2(f'{prev}.v', f'c{r}.v', dim)}) "
+                f"AS md FROM {prev} CROSS JOIN c{r})"
+            )
+    selects = ["SELECT 0 AS round, vec_id, CAST(0 AS BIGINT) AS dist2 FROM c0"]
+    selects += [
+        f"SELECT {r} AS round, vec_id, CAST(md AS BIGINT) AS dist2 FROM c{r}"
+        for r in range(1, k)
+    ]
+    return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL ".join(selects)
+
+
+@query(
+    "q_kcenter_sample",
+    oracle=_kcenter_oracle(KCENTER_K, RP_IN_DIM),
+    description=f"greedy k-center coreset selection (Gonzalez 1985, the "
+    "farthest-point traversal): starting from the lowest vec_id, each of "
+    f"{KCENTER_K} rounds adds the point farthest from the chosen set — "
+    "the classic maximally-diverse exemplar sampler (2-approximation of "
+    "the k-center optimum) used to seed diverse training subsets and "
+    "annotation batches; each row reports the selection round and the "
+    "coverage radius² at selection (a non-increasing sequence after "
+    "round 1 — the audit trail of how fast diversity saturates). "
+    "Distances are exact bigint squared L2 on round(x·10³) quantized "
+    "embeddings, ties broken by vec_id, so the greedy trajectory is "
+    "bit-identical cross-engine",
+)
+def q_kcenter_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB shape: each greedy round is ONE map-side scan — the
+    running min-distance column md folds the new center (a broadcast
+    64-int literal) with least(md, d²), and the round's winner comes
+    from a single max(struct(md, -vec_id, v)) partial aggregate (one
+    candidate per partition crosses to the driver: a k-row total driver
+    footprint, same bounded-collect discipline as the quantizer
+    training). No pairwise matrix, no shuffle of corpus rows at all —
+    k scans of a lineage-truncated quantized projection. The classic
+    scale refinement (not needed at this k) batches rounds with
+    tournament sampling; the docstringed plan is already O(k·n) work
+    with O(1) driver state per round."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    q = emb.select(
+        "vec_id",
+        F.expr(
+            f"transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * "
+            f"{KCENTER_SCALE}) AS BIGINT))"
+        ).alias("v"),
+    ).localCheckpoint(eager=False)
+
+    def d2_to(vec: list[int]) -> str:
+        lits = "array(" + ", ".join(f"{x}L" for x in vec) + ")"
+        return (
+            f"aggregate(zip_with(v, {lits}, (a, b) -> (a - b) * (a - b)), "
+            "0L, (acc, x) -> acc + x)"
+        )
+
+    seed = q.orderBy("vec_id").limit(1).collect()[0]
+    rows = [(0, int(seed["vec_id"]), 0)]
+    cur = q.withColumn("md", F.expr(d2_to(list(seed["v"]))))
+    for r in range(1, KCENTER_K):
+        top = cur.select(
+            F.max(
+                F.struct(
+                    F.col("md").alias("d"),
+                    (-F.col("vec_id")).alias("nid"),
+                    F.col("v").alias("v"),
+                )
+            ).alias("t")
+        ).first()["t"]
+        rows.append((r, int(-top["nid"]), int(top["d"])))
+        if r < KCENTER_K - 1:
+            cur = cur.withColumn(
+                "md", F.least(F.col("md"), F.expr(d2_to(list(top["v"]))))
+            )
+    return spark.createDataFrame(rows, "round int, vec_id bigint, dist2 bigint")

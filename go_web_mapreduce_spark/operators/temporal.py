@@ -1741,3 +1741,63 @@ def q_stl_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.lit(float(STL_W)) * F.count(F.lit(1)))
         ).alias("seasonal"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q_ohlc_bars — open/high/low/close candlestick rollup of the event value
+# stream (the classic financial bar aggregation; open/close are exact
+# first/last picks, not sums, so no float-aggregation surface exists)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_ohlc_bars",
+    oracle="""
+    SELECT event_type,
+           date_trunc('hour', ts) AS bucket,
+           CAST(count(*) AS BIGINT) AS n_events,
+           arg_min(value, printf('%020d-%020d', epoch_us(ts), event_id))
+             AS open,
+           max(value) AS high,
+           min(value) AS low,
+           arg_max(value, printf('%020d-%020d', epoch_us(ts), event_id))
+             AS close,
+           CAST(CAST(sum(CAST(value AS DECIMAL(18,4))) AS STRING) AS DOUBLE)
+             AS volume
+    FROM events
+    GROUP BY 1, 2
+    """,
+    description="OHLC candlestick bars: per event type and hour, the "
+    "first/last value by exact (microsecond, event_id) order plus the "
+    "high/low/volume — the time-series bar rollup every monitoring and "
+    "market pipeline runs. Open/close are arg_min/arg_max VALUE PICKS "
+    "(min_by/max_by over a struct ordering key), not aggregated floats, "
+    "and volume uses the decimal-cast exact sum, so every column "
+    "hash-verifies. One partial-aggregated shuffle on (type, hour); "
+    "min_by partial-aggregates map-side like min — no window, no sort",
+)
+def q_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB shape: the tempting formulation is a row_number window
+    per (type, hour) to find first/last rows — that sorts every group.
+    min_by/max_by instead fold to a single (key, candidate) state per
+    group per partition map-side, so the shuffle carries one candidate
+    row per group per map partition, same as min/max. The ordering key
+    is the exact integer pair (ts_ns div 1000, event_id) — microseconds
+    match DuckDB's epoch_us, event_id breaks ties deterministically.
+    Bars are (types × hours)-sized: calendar-bounded output."""
+    ev = load_table(spark, sf_dir, "events")
+    # zero-padded fixed-width string: lexicographic == numeric order, and
+    # (unlike a struct key) DuckDB's arg_min accepts VARCHAR ordering keys
+    okey = F.format_string(
+        "%020d-%020d", F.expr("ts_ns div 1000"), F.col("event_id")
+    )
+    return ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("bucket")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min_by("value", okey).alias("open"),
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        F.max_by("value", okey).alias("close"),
+        dsum("value").alias("volume"),
+    )

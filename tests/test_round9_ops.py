@@ -350,3 +350,76 @@ def test_random_projection_matches_numpy_and_preserves_norm(spark, sf_dir):
     assert checked >= 100
     mean_ratio = sum(norm_ratios) / len(norm_ratios)
     assert 0.7 < mean_ratio < 1.3
+
+
+def test_ohlc_bars_pick_semantics(spark, sf_dir):
+    """open/close must be actual event values from the bar's hour, high/low
+    must bound them, and volume is the exact decimal sum — recheck one bar
+    against raw rows."""
+    from go_web_mapreduce_spark.operators.temporal import q_ohlc_bars
+    from go_web_mapreduce_spark.sources.tables import load_table
+
+    bars = q_ohlc_bars(spark, sf_dir).collect()
+    assert bars
+    for r in bars:
+        assert r["low"] <= r["open"] <= r["high"]
+        assert r["low"] <= r["close"] <= r["high"]
+        assert r["n_events"] >= 1
+    # deep-check the densest bar
+    top = max(bars, key=lambda r: r["n_events"])
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .where(
+            (F.col("event_type") == top["event_type"])
+            & (F.date_trunc("hour", "ts") == top["bucket"])
+        )
+        .select("ts_ns", "event_id", "value")
+        .collect()
+    )
+    ordered = sorted(ev, key=lambda r: (r["ts_ns"] // 1000, r["event_id"]))
+    assert len(ordered) == top["n_events"]
+    assert top["open"] == ordered[0]["value"]
+    assert top["close"] == ordered[-1]["value"]
+    assert top["high"] == max(r["value"] for r in ordered)
+    assert top["low"] == min(r["value"] for r in ordered)
+
+
+def test_kcenter_radius_sequence_and_recompute(spark, sf_dir):
+    """The greedy coverage radius is non-increasing after round 1, centers
+    are distinct, and a numpy replay of the greedy traversal agrees."""
+    import numpy as np
+
+    from go_web_mapreduce_spark.operators.similarity import (
+        KCENTER_K,
+        KCENTER_SCALE,
+        q_kcenter_sample,
+    )
+    from go_web_mapreduce_spark.sources.tables import load_table
+
+    got = sorted(q_kcenter_sample(spark, sf_dir).collect(),
+                 key=lambda r: r["round"])
+    assert len(got) == KCENTER_K
+    assert len({r["vec_id"] for r in got}) == KCENTER_K
+    radii = [r["dist2"] for r in got[1:]]
+    assert all(a >= b for a, b in zip(radii, radii[1:]))
+
+    rows = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    ids = np.array([r["vec_id"] for r in rows])
+    order = np.argsort(ids)
+    ids = ids[order]
+    q = np.round(
+        np.array([rows[i]["embedding"] for i in order], dtype=np.float64)
+        * KCENTER_SCALE
+    ).astype(np.int64)
+    sel = [0]  # lowest vec_id is index 0 after the sort
+    md = ((q - q[sel[0]]) ** 2).sum(axis=1)
+    replay = [(0, int(ids[0]), 0)]
+    for r in range(1, KCENTER_K):
+        best = int(np.lexsort((ids, -md))[0])
+        replay.append((r, int(ids[best]), int(md[best])))
+        md = np.minimum(md, ((q - q[best]) ** 2).sum(axis=1))
+    assert [(r["round"], r["vec_id"], r["dist2"]) for r in got] == replay
