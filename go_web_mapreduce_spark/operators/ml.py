@@ -1857,7 +1857,11 @@ def q_classification_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("price_cents"),
     )
     scored = orders.select("y", F.expr(_CLSRPT_PRED_SQL).alias("p"))
-    conf = scored.groupBy("y", "p").agg(F.count(F.lit(1)).alias("n"))
+    conf = (
+        scored.groupBy("y", "p")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=False)  # both marginals read the census
+    )
     by_true = conf.groupBy(F.col("y").alias("cls")).agg(
         F.sum("n").alias("support"),
         F.sum(F.when(F.col("y") == F.col("p"), F.col("n")).otherwise(0)).alias(
