@@ -2518,3 +2518,139 @@ def q_kcenter_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "md", F.least(F.col("md"), F.expr(d2_to(list(top["v"]))))
             )
     return spark.createDataFrame(rows, "round int, vec_id bigint, dist2 bigint")
+
+
+# ---------------------------------------------------------------------------
+# q_mmr_diversify — Maximal Marginal Relevance re-ranking (Carbonell &
+# Goldstein 1998): diversity-aware top-k over the similarity candidates,
+# the retrieval-side complement of q_kcenter_sample's corpus-side sampler
+# ---------------------------------------------------------------------------
+
+MMR_M = 32        # distributed candidate pool: top-M by relevance
+MMR_K = 5         # re-ranked picks
+MMR_LAMBDA10 = 7  # λ = 0.7 as the integer pair (7, 3): score = 7·rel − 3·maxsim
+MMR_SCALE = 1000  # quantization for exact bigint dot products
+
+
+def _mmr_dot(a: str, b: str, dim: int) -> str:
+    return (
+        f"list_reduce(list_transform(range({dim}), "
+        f"i -> {a}[i+1] * {b}[i+1]), (x, y) -> x + y)"
+    )
+
+
+def _mmr_oracle(k: int, m: int, dim: int) -> str:
+    dot = _mmr_dot
+    ctes = [
+        "q AS (SELECT vec_id, list_transform(embedding, "
+        f"x -> CAST(round(CAST(x AS DOUBLE) * {MMR_SCALE}) AS BIGINT)) AS v "
+        "FROM embeddings)",
+        "p AS (SELECT v AS pv FROM q WHERE vec_id = 0)",
+        f"cand AS (SELECT q.vec_id, q.v, {dot('q.v', 'p.pv', dim)} AS rel "
+        "FROM q CROSS JOIN p WHERE q.vec_id <> 0 "
+        f"ORDER BY rel DESC, q.vec_id LIMIT {m})",
+        # round 1: empty selected set → maxsim = 0
+        "d1 AS (SELECT vec_id, v, rel, CAST(0 AS BIGINT) AS ms FROM cand)",
+        f"c1 AS (SELECT * FROM d1 ORDER BY {MMR_LAMBDA10} * rel "
+        f"- {10 - MMR_LAMBDA10} * ms DESC, vec_id LIMIT 1)",
+    ]
+    for r in range(2, k + 1):
+        prev, sel = f"d{r - 1}", f"c{r - 1}"
+        ctes.append(
+            f"d{r} AS (SELECT {prev}.vec_id, {prev}.v, {prev}.rel, "
+            f"greatest({prev}.ms, {dot(f'{prev}.v', f'{sel}.v', dim)}) AS ms "
+            f"FROM {prev} CROSS JOIN {sel} "
+            f"WHERE {prev}.vec_id <> {sel}.vec_id)"
+        )
+        ctes.append(
+            f"c{r} AS (SELECT * FROM d{r} ORDER BY {MMR_LAMBDA10} * rel "
+            f"- {10 - MMR_LAMBDA10} * ms DESC, vec_id LIMIT 1)"
+        )
+    selects = [
+        f"SELECT {r} AS round, vec_id, CAST(rel AS BIGINT) AS rel, "
+        f"CAST(ms AS BIGINT) AS max_sim, "
+        f"CAST({MMR_LAMBDA10} * rel - {10 - MMR_LAMBDA10} * ms AS BIGINT) "
+        f"AS mmr10 FROM c{r}"
+        for r in range(1, k + 1)
+    ]
+    return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL ".join(selects)
+
+
+@query(
+    "q_mmr_diversify",
+    oracle=_mmr_oracle(MMR_K, MMR_M, RP_IN_DIM),
+    description="Maximal Marginal Relevance re-ranking (Carbonell & "
+    f"Goldstein 1998): the top-{MMR_M} relevance candidates for probe "
+    f"vec_id 0 are greedily re-ranked into {MMR_K} picks maximizing "
+    f"λ·relevance − (1−λ)·max-similarity-to-selected with λ=0.7 kept as "
+    "the integer pair (7,3) — the standard diversity-aware retrieval "
+    "head that stops a result page (or a RAG context window) filling "
+    "with near-duplicates. Relevance and inter-candidate similarity are "
+    "exact bigint dot products on round(x·10³) quantized embeddings, "
+    "ties by vec_id — the greedy trajectory is bit-identical cross-engine",
+)
+def q_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB shape: the DISTRIBUTED part is the candidate pool — one
+    map-side dot product per vector against the broadcast probe and a
+    TakeOrderedAndProject top-M (per-partition heads, no global sort);
+    the greedy MMR then runs on those M rows in the driver (a bounded
+    M-row collect, the same discipline as the quantizer-training
+    samples) because MMR is sequential by definition — each pick changes
+    every remaining score. M×K dot products on 32 rows is driver-trivial
+    at any corpus size; the corpus-scaled work stays in the scan."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    q = emb.select(
+        "vec_id",
+        F.expr(
+            f"transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * "
+            f"{MMR_SCALE}) AS BIGINT))"
+        ).alias("v"),
+    )
+    probe = q.where(F.col("vec_id") == 0).select(F.col("v").alias("pv"))
+    cand = (
+        q.where(F.col("vec_id") != 0)
+        .join(F.broadcast(probe))
+        .select(
+            "vec_id",
+            "v",
+            F.expr(
+                "aggregate(zip_with(v, pv, (a, b) -> a * b), 0L, "
+                "(acc, x) -> acc + x)"
+            ).alias("rel"),
+        )
+        .orderBy(F.col("rel").desc(), "vec_id")
+        .limit(MMR_M)
+        .collect()
+    )
+    pool = [
+        {"vec_id": int(r["vec_id"]), "v": list(r["v"]), "rel": int(r["rel"])}
+        for r in cand
+    ]
+    for c in pool:
+        c["ms"] = 0
+    picks = []
+    for rnd in range(1, MMR_K + 1):
+        best = max(
+            pool,
+            key=lambda c: (
+                MMR_LAMBDA10 * c["rel"] - (10 - MMR_LAMBDA10) * c["ms"],
+                -c["vec_id"],
+            ),
+        )
+        picks.append(
+            (
+                rnd,
+                best["vec_id"],
+                best["rel"],
+                best["ms"],
+                MMR_LAMBDA10 * best["rel"] - (10 - MMR_LAMBDA10) * best["ms"],
+            )
+        )
+        pool = [c for c in pool if c["vec_id"] != best["vec_id"]]
+        for c in pool:
+            s = sum(a * b for a, b in zip(c["v"], best["v"]))
+            if s > c["ms"]:
+                c["ms"] = s
+    return spark.createDataFrame(
+        picks, "round int, vec_id bigint, rel bigint, max_sim bigint, mmr10 bigint"
+    )

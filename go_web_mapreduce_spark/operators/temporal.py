@@ -1801,3 +1801,83 @@ def q_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max_by("value", okey).alias("close"),
         dsum("value").alias("volume"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q_twap — time-weighted average of the event value per user-day (each
+# observation holds until the next one), the irregular-sampling mean that
+# plain AVG gets wrong whenever observation density correlates with value
+# ---------------------------------------------------------------------------
+
+TWAP_VSCALE = 10_000  # value quantization: v4 = round(value · 10^4)
+
+
+@query(
+    "q_twap",
+    oracle=f"""
+    WITH seq AS (
+      SELECT user_id, date_trunc('day', ts) AS day,
+             CAST(round(value * {TWAP_VSCALE}) AS BIGINT) AS v4,
+             lead(epoch_us(ts)) OVER w - epoch_us(ts) AS dt_us
+      FROM events
+      WINDOW w AS (PARTITION BY user_id, date_trunc('day', ts)
+                   ORDER BY epoch_us(ts), event_id)
+    ),
+    agg AS (
+      SELECT user_id, day,
+             CAST(count(*) AS BIGINT) AS n_events,
+             CAST(sum(dt_us) AS BIGINT) AS span_us,
+             CAST(sum(v4 * dt_us) AS BIGINT) AS vw_sum
+      FROM seq WHERE dt_us IS NOT NULL
+      GROUP BY 1, 2
+    )
+    SELECT user_id, strftime(day, '%Y-%m-%d') AS day, n_events, span_us,
+           CAST(vw_sum AS DOUBLE) / ({TWAP_VSCALE}.0 * span_us) AS twap
+    FROM agg WHERE span_us > 0
+    """,
+    description="time-weighted average price/value (TWAP) per user-day: "
+    "each observation's value holds until the next observation, weighted "
+    "by its exact microsecond duration — the standard irregular-series "
+    "mean (arithmetic AVG over-weights bursts; TWAP is what billing, "
+    "position, and market pipelines actually need). Values quantized to "
+    "round(v·10⁴) bigints, so Σ v·dt and Σ dt are exact integers "
+    "(bounded: max value ×  a day in µs ≪ 2⁶³) and the TWAP is one "
+    "final division — hash-exact cross-engine",
+)
+def q_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB shape: ONE window pass partitioned by (user_id, day) —
+    partitions are a user's single-day activity, the same user-bounded
+    key every sequence operator here rides (q_sessionize, q_attribution);
+    never a global or type-level sort. The weighted sums then partial-
+    aggregate on the same key, so the shuffle set is touched once and
+    AQE coalesces the user-day grid. The last observation of each
+    user-day has no successor and carries no duration (the standard
+    left-closed TWAP convention); single-event days drop out via
+    span_us > 0 — both stated in the oracle verbatim."""
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id", F.date_trunc("day", "ts")).orderBy(
+        F.expr("ts_ns div 1000"), "event_id"
+    )
+    seq = ev.select(
+        "user_id",
+        F.date_trunc("day", "ts").alias("day"),
+        F.round(F.col("value") * TWAP_VSCALE).cast("bigint").alias("v4"),
+        (
+            F.lead(F.expr("ts_ns div 1000")).over(w) - F.expr("ts_ns div 1000")
+        ).alias("dt_us"),
+    ).where(F.col("dt_us").isNotNull())
+    agg = seq.groupBy("user_id", "day").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("dt_us").alias("span_us"),
+        F.sum(F.col("v4") * F.col("dt_us")).alias("vw_sum"),
+    )
+    return agg.where(F.col("span_us") > 0).select(
+        "user_id",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "n_events",
+        "span_us",
+        (
+            F.col("vw_sum").cast("double")
+            / (F.lit(float(TWAP_VSCALE)) * F.col("span_us"))
+        ).alias("twap"),
+    )

@@ -727,3 +727,78 @@ def q_stream_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rnk", F.row_number().over(wnd).cast("int"))
         .filter(F.col("rnk") <= STREAM_TOPK)
     )
+
+
+# ---------------------------------------------------------------------------
+# q_stream_sliding — overlapping sliding-window aggregation (every event
+# belongs to window_len/slide windows), the one window semantic the hourly
+# family's tumbling windows don't exercise
+# ---------------------------------------------------------------------------
+
+SLIDE_LEN = "2 hours"
+SLIDE_STEP = "1 hour"
+
+
+@query(
+    "q_stream_sliding",
+    # epoch-aligned 2h windows sliding by 1h: event at t belongs to the
+    # windows starting at floor_hour(t) and floor_hour(t) − 1h — the oracle
+    # states that membership directly as a two-way union
+    oracle="""
+    WITH asg AS (
+      SELECT date_trunc('hour', ts) AS ws, event_type, value FROM events
+      UNION ALL
+      SELECT date_trunc('hour', ts) - INTERVAL 1 HOUR, event_type, value
+      FROM events
+    )
+    SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type, count(*) AS n,
+           CAST(CAST(sum(CAST(value AS DECIMAL(18,4))) AS STRING) AS DOUBLE)
+             AS total_value
+    FROM asg GROUP BY 1, 2
+    """,
+    description="sliding-window streaming rollup: 2-hour windows advancing "
+    "every hour (each event counted in exactly two overlapping windows) "
+    "per event type — the moving-aggregate semantic behind rate alarms "
+    "and rolling SLO monitors; tumbling windows can't express it. "
+    "Oracle states window membership as a two-way union of shifted "
+    "hourly assignments; the stream must land on the identical table",
+)
+def q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB shape: Spark expands each event to its window_len/slide
+    memberships BEFORE the stateful agg (an explode in the micro-batch,
+    no cross-batch blowup), so state size is windows × types — calendar-
+    bounded like the tumbling family, just 2× denser. The watermark
+    bounds how long each overlapping window stays open; state partitions
+    are sized to key cardinality per the module's state-store note."""
+    name = f"sliding_stream_{next(_counter)}"
+    agg = (
+        stream_events(spark, sf_dir)
+        .withWatermark("ts", "2 hours")
+        .groupBy(
+            F.window("ts", SLIDE_LEN, SLIDE_STEP).alias("w"), "event_type"
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,4)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+    )
+    with scoped_shuffle_partitions(spark, STREAM_STATE_PARTITIONS):
+        q = (
+            agg.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    return spark.table(name).select(
+        F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        "event_type",
+        "n",
+        "total_value",
+    )

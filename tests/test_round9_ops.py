@@ -423,3 +423,74 @@ def test_kcenter_radius_sequence_and_recompute(spark, sf_dir):
         replay.append((r, int(ids[best]), int(md[best])))
         md = np.minimum(md, ((q - q[best]) ** 2).sum(axis=1))
     assert [(r["round"], r["vec_id"], r["dist2"]) for r in got] == replay
+
+
+def test_stream_sliding_double_counts_exactly(spark, sf_dir):
+    """2h windows sliding 1h: every event is a member of exactly two
+    windows, so the sliding census sums to exactly 2× the event count
+    (and 2× the decimal-exact value total)."""
+    from go_web_mapreduce_spark.sources.tables import load_table
+    from go_web_mapreduce_spark.streaming.events import q_stream_sliding
+
+    rows = q_stream_sliding(spark, sf_dir).collect()
+    assert rows
+    ev = load_table(spark, sf_dir, "events")
+    n_events = ev.count()
+    assert sum(r["n"] for r in rows) == 2 * n_events
+    total = ev.agg(
+        F.sum(F.col("value").cast("decimal(18,4)")).alias("s")
+    ).first()["s"]
+    from decimal import Decimal
+
+    got = sum(Decimal(str(r["total_value"])) for r in rows)
+    assert abs(got - 2 * total) < Decimal("0.01") * len(rows)
+
+
+def test_mmr_greedy_properties(spark, sf_dir):
+    """Round 1 is the pure-relevance argmax; scores are the stated integer
+    combination; the greedy pick sequence is non-increasing in mmr10
+    (candidate scores only decay as the selected set grows)."""
+    from go_web_mapreduce_spark.operators.similarity import (
+        MMR_K,
+        MMR_LAMBDA10,
+        q_mmr_diversify,
+    )
+
+    rows = sorted(q_mmr_diversify(spark, sf_dir).collect(),
+                  key=lambda r: r["round"])
+    assert len(rows) == MMR_K
+    assert len({r["vec_id"] for r in rows}) == MMR_K
+    assert rows[0]["max_sim"] == 0  # empty selected set at round 1
+    for r in rows:
+        assert r["mmr10"] == MMR_LAMBDA10 * r["rel"] - (10 - MMR_LAMBDA10) * r["max_sim"]
+    scores = [r["mmr10"] for r in rows]
+    assert all(a >= b for a, b in zip(scores, scores[1:]))
+
+
+def test_twap_replays_one_user_day(spark, sf_dir):
+    from go_web_mapreduce_spark.operators.temporal import TWAP_VSCALE, q_twap
+    from go_web_mapreduce_spark.sources.tables import load_table
+
+    rows = q_twap(spark, sf_dir).collect()
+    assert rows
+    top = max(rows, key=lambda r: r["n_events"])
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .where(
+            (F.col("user_id") == top["user_id"])
+            & (F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd") == top["day"])
+        )
+        .select(F.expr("ts_ns div 1000").alias("us"), "event_id", "value")
+        .collect()
+    )
+    seq = sorted(ev, key=lambda r: (r["us"], r["event_id"]))
+    vw = sp = 0
+    for a, b in zip(seq, seq[1:]):
+        dt = b["us"] - a["us"]
+        vw += round(a["value"] * TWAP_VSCALE) * dt
+        sp += dt
+    assert top["n_events"] == len(seq) - 1
+    assert top["span_us"] == sp
+    assert abs(top["twap"] - vw / (TWAP_VSCALE * sp)) < 1e-12
+    vals = [r["value"] for r in seq[:-1]]
+    assert min(vals) - 1e-9 <= top["twap"] <= max(vals) + 1e-9
