@@ -1231,3 +1231,192 @@ def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
             eager=False
         )
     return out
+
+
+# ---------------------------------------------------------------------------
+# q_graph_modularity — Newman modularity of the brand partition over the
+# co-purchase graph (Newman & Girvan 2004): how much more within-brand
+# co-purchasing happens than a degree-preserving random graph predicts
+# ---------------------------------------------------------------------------
+
+_MOD_EDGE_SQL = f"""
+    li AS (
+        SELECT l_orderkey, l_partkey FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '{PR_YEAR}-01-01'
+          AND l_shipdate <  TIMESTAMP '{PR_YEAR + 1}-01-01'
+    ),
+    edges AS (
+        SELECT a.l_partkey AS src, b.l_partkey AS dst,
+               CAST(count(DISTINCT a.l_orderkey) AS BIGINT) AS w
+        FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+        WHERE a.l_partkey <> b.l_partkey
+        GROUP BY src, dst
+    )"""
+
+
+@query(
+    "q_graph_modularity",
+    oracle=f"""
+    WITH {_MOD_EDGE_SQL},
+    lab AS (
+        SELECT e.src, e.dst, e.w, ps.p_brand AS cs, pd.p_brand AS cd
+        FROM edges e JOIN part ps ON ps.p_partkey = e.src
+                     JOIN part pd ON pd.p_partkey = e.dst
+    ),
+    m2t AS (SELECT sum(w) AS m2 FROM lab),
+    comm AS (
+        SELECT cs AS community,
+               CAST(count(DISTINCT src) AS BIGINT) AS n_nodes,
+               CAST(sum(CASE WHEN cs = cd THEN w ELSE 0 END) AS BIGINT)
+                 AS in_w,
+               CAST(sum(w) AS BIGINT) AS deg_w
+        FROM lab GROUP BY cs
+    )
+    SELECT community, n_nodes, in_w, deg_w,
+           CAST(in_w * (SELECT m2 FROM m2t) - deg_w * deg_w AS BIGINT)
+             AS q_num,
+           CAST(in_w * (SELECT m2 FROM m2t) - deg_w * deg_w AS DOUBLE)
+             / (CAST((SELECT m2 FROM m2t) AS DOUBLE)
+                * CAST((SELECT m2 FROM m2t) AS DOUBLE)) AS q_contrib
+    FROM comm
+    """,
+    description="graph-partition quality: Newman modularity (Newman & "
+    "Girvan 2004) of the brand partition over the 1995 co-purchase "
+    "graph — per community the within-community edge weight, total "
+    "degree weight, and the exact contribution (in_c·2m − deg_c²) so "
+    "Q = Σ q_num / (2m)² is integer-derived; the standard score for "
+    "judging ANY community assignment (the LPA/k-core outputs' quality "
+    "metric) against the degree-preserving null model",
+)
+def q_graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB shape: one edge-list pass. The node→community label is
+    a dimension join (part → brand, broadcastable); the per-community
+    census is a partial-aggregated groupBy on the label, and 2m is one
+    scalar broadcast back into the community-sized table. Exact bigint
+    arithmetic end to end — in_c·2m and deg_c² stay under 2⁶³ through
+    sf100 (2m ≈ 4.5×10⁸ there) — with the single double division last."""
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= f"{PR_YEAR}-01-01")
+        & (F.col("l_shipdate") < f"{PR_YEAR + 1}-01-01")
+    ).select("l_orderkey", "l_partkey")
+    edges = copurchase_edges(li).select(
+        "src", "dst", F.col("w").cast("bigint").alias("w")
+    )
+    brand = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    lab = (
+        edges.join(
+            F.broadcast(brand.select(F.col("p_partkey").alias("src"),
+                                     F.col("p_brand").alias("cs"))),
+            "src",
+        )
+        .join(
+            F.broadcast(brand.select(F.col("p_partkey").alias("dst"),
+                                     F.col("p_brand").alias("cd"))),
+            "dst",
+        )
+        .localCheckpoint(eager=False)  # feeds both 2m and the census
+    )
+    m2 = lab.agg(F.sum("w").alias("m2")).first()["m2"]
+    comm = lab.groupBy(F.col("cs").alias("community")).agg(
+        F.count_distinct("src").alias("n_nodes"),
+        F.sum(F.when(F.col("cs") == F.col("cd"), F.col("w")).otherwise(0)).alias(
+            "in_w"
+        ),
+        F.sum("w").alias("deg_w"),
+    )
+    qn = F.col("in_w") * F.lit(int(m2)) - F.col("deg_w") * F.col("deg_w")
+    return comm.select(
+        "community",
+        "n_nodes",
+        "in_w",
+        "deg_w",
+        qn.alias("q_num"),
+        (qn.cast("double") / F.lit(float(m2) * float(m2))).alias("q_contrib"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_graph_assortativity — degree assortativity (Newman 2002): do hubs
+# co-purchase with hubs? Pearson correlation of endpoint degrees over edges
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_graph_assortativity",
+    oracle=f"""
+    WITH {_MOD_EDGE_SQL},
+    deg AS (
+        SELECT src AS node, CAST(count(*) AS BIGINT) AS d
+        FROM edges GROUP BY src
+    ),
+    xy AS (
+        SELECT ds.d AS x, dd.d AS y
+        FROM edges e JOIN deg ds ON ds.node = e.src
+                     JOIN deg dd ON dd.node = e.dst
+    ),
+    s AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+               CAST(sum(x * y) AS BIGINT) AS sxy,
+               CAST(sum(x * x) AS BIGINT) AS sxx,
+               CAST(sum(y * y) AS BIGINT) AS syy
+        FROM xy
+    )
+    SELECT n, sx, sy, sxy, sxx, syy,
+           (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+             / (sqrt(CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                * sqrt(CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy))
+             AS assortativity
+    FROM s
+    """,
+    description="degree assortativity (Newman 2002) of the 1995 "
+    "co-purchase graph: the Pearson correlation of endpoint out-degrees "
+    "over all directed edges — positive = hubs link to hubs (social-"
+    "style mixing), negative = hub-and-spoke (infrastructure-style). "
+    "All five moment sums are exact bigints over integer degrees; the "
+    "correlation combines them in one identical IEEE expression, so the "
+    "scalar hash-verifies",
+)
+def q_graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB shape: degree table = one groupBy(src) on the edge list;
+    endpoint annotation = two hash joins keyed on node (the degree table
+    is nodes-sized — joinable by shuffle or broadcast as AQE sizes it);
+    the five moments partial-aggregate to a single row. Nothing beyond
+    the edge list is ever materialized, and the moment sums stay exact
+    (degrees ≤ nodes, Σx·y ≤ E·d²max ≪ 2⁶³ through sf100); only the
+    final n·Σxy − Σx·Σy combination needs doubles, done identically in
+    both engines."""
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= f"{PR_YEAR}-01-01")
+        & (F.col("l_shipdate") < f"{PR_YEAR + 1}-01-01")
+    ).select("l_orderkey", "l_partkey")
+    edges = copurchase_edges(li).select("src", "dst").localCheckpoint(
+        eager=False
+    )  # feeds the degree census and the endpoint annotation
+    deg = edges.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("d")
+    )
+    xy = edges.join(
+        deg.select(F.col("node").alias("src"), F.col("d").alias("x")), "src"
+    ).join(deg.select(F.col("node").alias("dst"), F.col("d").alias("y")), "dst")
+    s = xy.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    num = F.col("n").cast("double") * F.col("sxy") - F.col("sx").cast(
+        "double"
+    ) * F.col("sy")
+    denx = F.col("n").cast("double") * F.col("sxx") - F.col("sx").cast(
+        "double"
+    ) * F.col("sx")
+    deny = F.col("n").cast("double") * F.col("syy") - F.col("sy").cast(
+        "double"
+    ) * F.col("sy")
+    return s.select(
+        "n", "sx", "sy", "sxy", "sxx", "syy",
+        (num / (F.sqrt(denx) * F.sqrt(deny))).alias("assortativity"),
+    )

@@ -494,3 +494,32 @@ def test_twap_replays_one_user_day(spark, sf_dir):
     assert abs(top["twap"] - vw / (TWAP_VSCALE * sp)) < 1e-12
     vals = [r["value"] for r in seq[:-1]]
     assert min(vals) - 1e-9 <= top["twap"] <= max(vals) + 1e-9
+
+
+def test_modularity_identities(spark, sf_dir):
+    """Σ deg_w over communities = 2m; Σ in_w ≤ 2m; Q = Σ q_contrib lies in
+    the theoretical [-0.5, 1) band; q_num = in_w·2m − deg_w² exactly."""
+    from go_web_mapreduce_spark.operators.graph import q_graph_modularity
+
+    rows = q_graph_modularity(spark, sf_dir).collect()
+    assert rows
+    m2 = sum(r["deg_w"] for r in rows)
+    assert sum(r["in_w"] for r in rows) <= m2
+    q = 0.0
+    for r in rows:
+        assert r["q_num"] == r["in_w"] * m2 - r["deg_w"] ** 2
+        assert abs(r["q_contrib"] - r["q_num"] / (m2 * m2)) < 1e-15
+        q += r["q_contrib"]
+    assert -0.5 <= q < 1.0
+
+
+def test_assortativity_is_a_correlation(spark, sf_dir):
+    """The scalar must be a genuine Pearson r: in [-1, 1], and the moment
+    sums must satisfy Cauchy–Schwarz (n·Σxy ≤ √(n·Σx²)·√(n·Σy²)·…)."""
+    from go_web_mapreduce_spark.operators.graph import q_graph_assortativity
+
+    r = q_graph_assortativity(spark, sf_dir).collect()[0]
+    assert r["n"] > 0
+    # symmetric directed edge list: x and y marginals are identical
+    assert r["sx"] == r["sy"] and r["sxx"] == r["syy"]
+    assert -1.0 - 1e-12 <= r["assortativity"] <= 1.0 + 1e-12
