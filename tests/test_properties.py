@@ -486,3 +486,75 @@ def test_hll_merge_identity_and_error_bound(ids, n_parts):
     )
     true = len(set(ids))
     assert abs(est - true) <= max(6 * 1.04 / (HLL_M ** 0.5) * true, 3.0)
+
+
+@given(
+    w=st.integers(min_value=1, max_value=100_000),
+    s=st.integers(min_value=1, max_value=10_000),
+    v=st.integers(min_value=0, max_value=300_000),
+)
+@settings(max_examples=300, deadline=None)
+def test_readability_integer_banding_equals_rational_flesch(w, s, v):
+    """The integer pair (score_num, score_den) must band EXACTLY like the
+    rational Flesch value 206.835 − 1.015·W/S − 84.6·V/W — including on
+    exact threshold hits, where a float evaluation could flip."""
+    from fractions import Fraction
+
+    from go_web_mapreduce_spark.operators.text_analysis import READ_BANDS
+
+    num = 206_835 * s * w - 1_015 * w * w - 84_600 * v * s
+    den = 1_000 * s * w
+    flesch = (
+        Fraction(206_835, 1_000)
+        - Fraction(1_015, 1_000) * Fraction(w, s)
+        - Fraction(84_600, 1_000) * Fraction(v, w)
+    )
+    band_int = next((b for t, b in READ_BANDS if num >= t * den), "very_hard")
+    band_frac = next((b for t, b in READ_BANDS if flesch >= t), "very_hard")
+    assert band_int == band_frac
+    # and the pair really encodes the score: num/den == flesch exactly
+    assert Fraction(num, den) == flesch
+
+
+@given(
+    rel=st.lists(st.integers(min_value=-10**9, max_value=10**9),
+                 min_size=2, max_size=12),
+    sims=st.data(),
+)
+@settings(max_examples=200, deadline=None)
+def test_mmr_integer_lambda_matches_rational_lambda(rel, sims):
+    """Greedy MMR with the integer pair (7, 3) must pick the same sequence
+    as λ = 0.7 in exact rational arithmetic, whatever the similarity
+    structure (ties broken by index in both)."""
+    from fractions import Fraction
+
+    n = len(rel)
+    sim = [
+        [
+            sims.draw(st.integers(min_value=-10**9, max_value=10**9))
+            if i < j else 0
+            for j in range(n)
+        ]
+        for i in range(n)
+    ]
+
+    def s(i, j):
+        return sim[min(i, j)][max(i, j)] if i != j else 0
+
+    def greedy(score):
+        pool, sel = list(range(n)), []
+        ms = {i: None for i in pool}
+        for _ in range(min(3, n)):
+            best = max(pool, key=lambda i: (score(rel[i], ms[i]), -i))
+            sel.append(best)
+            pool.remove(best)
+            for i in pool:
+                v = s(i, best)
+                ms[i] = v if ms[i] is None else max(ms[i], v)
+        return sel
+
+    int_pick = greedy(lambda r, m: 7 * r - 3 * (m or 0))
+    frac_pick = greedy(
+        lambda r, m: Fraction(7, 10) * r - Fraction(3, 10) * (m or 0)
+    )
+    assert int_pick == frac_pick
