@@ -103,6 +103,19 @@ HEADLINERS = {
     "q_holt_forecast": "Holt forecast: one corpus agg to the (type,day) grid, fold + forecasts on the dimension-sized series",
     "q_item_cf": "item-item CF: distinct baskets checkpointed, orderkey-keyed pair join (bounded fan-out), degree joins, per-item window top-k",
     "q_ctfidf_terms": "c-TF-IDF: pinned (source,token) census, class totals broadcast, vocab-sized token-total join + window",
+    "q_classification_report": "classification report: ONE confusion census behind a checkpoint read by both marginals, broadcast join, classes^2 arithmetic",
+    "q_readability": "Flesch banding: three codegen regex counters map-side, (source,band) partial agg, zero Python",
+    "q_stl_decompose": "seasonal decomposition: one corpus agg to the hourly grid, +/-12h window per event type on the grid, integer detrend",
+    "q_itemsets3": "Apriori triples: one basket-key shuffle reused by both levels, broadcast semi-join prunes, ppm thresholds",
+    "q_random_projection": "JL projection: zero exchanges, pruned 2-column scan, quantize + 16 signed folds in one codegen pass",
+    "q_ohlc_bars": "OHLC bars: min_by/max_by value picks partial-aggregated map-side, one (type,hour) shuffle, no window",
+    "q_kcenter_sample": "k-center: per-round map-side least() fold + one-candidate-per-partition argmax, k-row driver state",
+    "q_mmr_diversify": "MMR re-rank: map-side probe dots + TakeOrdered top-32 pool; sequential greedy on the bounded collect",
+    "q_twap": "TWAP: ONE (user,day) window pass then partial agg on the same key, integer microsecond x value weights",
+    "q_graph_modularity": "modularity: one edge pass, broadcast brand labels, community census with exact bigint contributions",
+    "q_graph_assortativity": "assortativity: degree census + two node-keyed joins, five integer moments to a single row",
+    "q_l_diversity": "l-diversity: custkey join, QI-bounded count_distinct census, nation rollup - only QI keys shuffle",
+    "q_stream_sliding": "sliding stream: in-batch window expansion, state = windows x types, watermark-bounded",
 }
 
 
