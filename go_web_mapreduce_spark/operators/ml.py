@@ -1896,3 +1896,114 @@ def q_classification_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(0.0))
         .alias("f1"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q_als_user_step — one exact user-side step of Alternating Least Squares
+# (Hu, Koren & Volinsky 2008): given fixed rank-2 item factors, solve each
+# user's ridge normal equations in closed form — the building block of
+# every distributed matrix-factorization recommender
+# ---------------------------------------------------------------------------
+
+ALS_LAMBDA = 100  # ridge regularizer (integer, added to the Gram diagonal)
+ALS_FMOD = 19     # item-factor value space: md5-derived integers in [-9, 9]
+
+
+def _als_factor_sql(salt: str, key: str, dialect: str) -> str:
+    if dialect == "duckdb":
+        h = f"('0x' || substr(md5('{salt}:' || CAST({key} AS VARCHAR)), 1, 4))::BIGINT"
+    else:
+        h = f"CAST(conv(substring(md5(CONCAT('{salt}:', CAST({key} AS STRING))), 1, 4), 16, 10) AS BIGINT)"
+    return f"({h} % {ALS_FMOD} - {ALS_FMOD // 2})"
+
+
+@query(
+    "q_als_user_step",
+    oracle=f"""
+    WITH r AS (
+      SELECT o.o_custkey AS u,
+             {_als_factor_sql('alsf1', 'l.l_partkey', 'duckdb')} AS x1,
+             {_als_factor_sql('alsf2', 'l.l_partkey', 'duckdb')} AS x2,
+             CAST(round(l.l_quantity) AS BIGINT) AS y
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    ),
+    g AS (
+      SELECT u, CAST(count(*) AS BIGINT) AS n_obs,
+             sum(x1 * x1) + {ALS_LAMBDA} AS a,
+             sum(x1 * x2) AS b,
+             sum(x2 * x2) + {ALS_LAMBDA} AS d,
+             CAST(sum(x1 * y) AS BIGINT) AS sxy1,
+             CAST(sum(x2 * y) AS BIGINT) AS sxy2
+      FROM r GROUP BY u
+    )
+    SELECT u AS custkey, n_obs, sxy1, sxy2,
+           CAST(a * d - b * b AS BIGINT) AS det,
+           (CAST(d AS DOUBLE) * sxy1 - CAST(b AS DOUBLE) * sxy2)
+             / (CAST(a AS DOUBLE) * d - CAST(b AS DOUBLE) * b) AS w1,
+           (CAST(a AS DOUBLE) * sxy2 - CAST(b AS DOUBLE) * sxy1)
+             / (CAST(a AS DOUBLE) * d - CAST(b AS DOUBLE) * b) AS w2
+    FROM g
+    """,
+    description="one user-side ALS step (Hu, Koren & Volinsky 2008): with "
+    "rank-2 item factors fixed (md5-derived integers in [-9,9] — in a "
+    "real recommender this is the broadcast factor table from the "
+    "previous half-step), each user's ridge normal equations "
+    f"(XᵀX + {ALS_LAMBDA}·I)w = Xᵀy are accumulated as exact bigint "
+    "Gram sums and solved in closed 2×2 form — the distributed "
+    "matrix-factorization primitive. The ridge diagonal keeps det = "
+    "ad − b² ≥ λ² > 0 (Cauchy–Schwarz), so the division is always "
+    "defined; w1/w2 are single IEEE expressions over exact integers",
+)
+def q_als_user_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB shape: the entire step is one fact join (orders ⋈
+    lineitem on the order key) and ONE partial-aggregated groupBy(user)
+    carrying k(k+1)/2 + k = 5 integer sums per user — the canonical ALS
+    layout where per-user state is O(k²) regardless of how many
+    interactions the user has, and the solve is per-row arithmetic on
+    the aggregated table (no second pass, no matrix library). At real
+    scale the item factors arrive by broadcast/bucketed join instead of
+    the hash derivation; the Gram accumulation and closed-form solve
+    are unchanged. Rank 2 keeps the solve literal; higher rank swaps in
+    a k×k Cholesky inside the same aggregate-then-solve shape."""
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", F.round("l_quantity").cast("bigint").alias("y")
+    )
+    r = o.join(li, o.o_orderkey == li.l_orderkey).select(
+        F.col("o_custkey").alias("u"),
+        F.expr(_als_factor_sql("alsf1", "l_partkey", "spark")).alias("x1"),
+        F.expr(_als_factor_sql("alsf2", "l_partkey", "spark")).alias("x2"),
+        "y",
+    )
+    g = r.groupBy("u").agg(
+        F.count(F.lit(1)).alias("n_obs"),
+        (F.sum(F.col("x1") * F.col("x1")) + ALS_LAMBDA).alias("a"),
+        F.sum(F.col("x1") * F.col("x2")).alias("b"),
+        (F.sum(F.col("x2") * F.col("x2")) + ALS_LAMBDA).alias("d"),
+        F.sum(F.col("x1") * F.col("y")).alias("sxy1"),
+        F.sum(F.col("x2") * F.col("y")).alias("sxy2"),
+    )
+    det_d = F.col("a").cast("double") * F.col("d") - F.col("b").cast(
+        "double"
+    ) * F.col("b")
+    return g.select(
+        F.col("u").alias("custkey"),
+        "n_obs",
+        "sxy1",
+        "sxy2",
+        (F.col("a") * F.col("d") - F.col("b") * F.col("b")).alias("det"),
+        (
+            (
+                F.col("d").cast("double") * F.col("sxy1")
+                - F.col("b").cast("double") * F.col("sxy2")
+            )
+            / det_d
+        ).alias("w1"),
+        (
+            (
+                F.col("a").cast("double") * F.col("sxy2")
+                - F.col("b").cast("double") * F.col("sxy1")
+            )
+            / det_d
+        ).alias("w2"),
+    )

@@ -523,3 +523,55 @@ def test_assortativity_is_a_correlation(spark, sf_dir):
     # symmetric directed edge list: x and y marginals are identical
     assert r["sx"] == r["sy"] and r["sxx"] == r["syy"]
     assert -1.0 - 1e-12 <= r["assortativity"] <= 1.0 + 1e-12
+
+
+def test_als_user_step_solves_the_normal_equations(spark, sf_dir):
+    """Replay one user's ridge system in Python from raw lineitems: the
+    Gram sums must match and (w1, w2) must satisfy (XtX + lambda I) w = Xty
+    to solver precision; det is always >= lambda^2 (Cauchy-Schwarz)."""
+    import hashlib as _h
+
+    from go_web_mapreduce_spark.operators.ml import (
+        ALS_FMOD,
+        ALS_LAMBDA,
+        q_als_user_step,
+    )
+    from go_web_mapreduce_spark.sources.tables import load_table
+
+    rows = q_als_user_step(spark, sf_dir).collect()
+    assert rows
+    top = max(rows, key=lambda r: r["n_obs"])
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_quantity"
+    )
+    obs = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .where(F.col("o_custkey") == top["custkey"])
+        .select("l_partkey", "l_quantity")
+        .collect()
+    )
+
+    def fac(salt, part):
+        h = int(_h.md5(f"{salt}:{part}".encode()).hexdigest()[:4], 16)
+        return h % ALS_FMOD - ALS_FMOD // 2
+
+    a = b = d = s1 = s2 = 0
+    for r in obs:
+        x1, x2 = fac("alsf1", r["l_partkey"]), fac("alsf2", r["l_partkey"])
+        y = round(r["l_quantity"])
+        a += x1 * x1
+        b += x1 * x2
+        d += x2 * x2
+        s1 += x1 * y
+        s2 += x2 * y
+    a += ALS_LAMBDA
+    d += ALS_LAMBDA
+    assert top["n_obs"] == len(obs)
+    assert top["sxy1"] == s1 and top["sxy2"] == s2
+    det = a * d - b * b
+    assert top["det"] == det
+    assert det >= ALS_LAMBDA**2  # ridge floor via Cauchy-Schwarz
+    # the returned w solves the system
+    assert abs(a * top["w1"] + b * top["w2"] - s1) < 1e-6 * max(1, abs(s1))
+    assert abs(b * top["w1"] + d * top["w2"] - s2) < 1e-6 * max(1, abs(s2))
