@@ -2282,7 +2282,7 @@ ITEMSET_MINSUP_PPM = 1000  # minimum support as parts-per-million of baskets
 @query(
     "q_itemsets3",
     oracle=f"""
-    WITH items AS (
+    WITH items AS MATERIALIZED (
       SELECT DISTINCT l.l_orderkey AS o, p.p_brand AS b
       FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
     ),

@@ -2429,11 +2429,11 @@ def _kc_d2(a: str, b: str, dim: int) -> str:
 
 def _kcenter_oracle(k: int, dim: int) -> str:
     ctes = [
-        "q AS (SELECT vec_id, list_transform(embedding, "
+        "q AS MATERIALIZED (SELECT vec_id, list_transform(embedding, "
         f"x -> CAST(round(CAST(x AS DOUBLE) * {KCENTER_SCALE}) AS BIGINT)) "
         "AS v FROM embeddings)",
         "c0 AS (SELECT vec_id, v FROM q ORDER BY vec_id LIMIT 1)",
-        f"d0 AS (SELECT q.vec_id, q.v, {_kc_d2('q.v', 'c0.v', dim)} AS md "
+        f"d0 AS MATERIALIZED (SELECT q.vec_id, q.v, {_kc_d2('q.v', 'c0.v', dim)} AS md "
         "FROM q CROSS JOIN c0)",
     ]
     for r in range(1, k):
@@ -2444,7 +2444,7 @@ def _kcenter_oracle(k: int, dim: int) -> str:
         )
         if r < k - 1:
             ctes.append(
-                f"d{r} AS (SELECT {prev}.vec_id, {prev}.v, "
+                f"d{r} AS MATERIALIZED (SELECT {prev}.vec_id, {prev}.v, "
                 f"least({prev}.md, {_kc_d2(f'{prev}.v', f'c{r}.v', dim)}) "
                 f"AS md FROM {prev} CROSS JOIN c{r})"
             )
@@ -2542,22 +2542,22 @@ def _mmr_dot(a: str, b: str, dim: int) -> str:
 def _mmr_oracle(k: int, m: int, dim: int) -> str:
     dot = _mmr_dot
     ctes = [
-        "q AS (SELECT vec_id, list_transform(embedding, "
+        "q AS MATERIALIZED (SELECT vec_id, list_transform(embedding, "
         f"x -> CAST(round(CAST(x AS DOUBLE) * {MMR_SCALE}) AS BIGINT)) AS v "
         "FROM embeddings)",
         "p AS (SELECT v AS pv FROM q WHERE vec_id = 0)",
-        f"cand AS (SELECT q.vec_id, q.v, {dot('q.v', 'p.pv', dim)} AS rel "
+        f"cand AS MATERIALIZED (SELECT q.vec_id, q.v, {dot('q.v', 'p.pv', dim)} AS rel "
         "FROM q CROSS JOIN p WHERE q.vec_id <> 0 "
         f"ORDER BY rel DESC, q.vec_id LIMIT {m})",
         # round 1: empty selected set → maxsim = 0
-        "d1 AS (SELECT vec_id, v, rel, CAST(0 AS BIGINT) AS ms FROM cand)",
+        "d1 AS MATERIALIZED (SELECT vec_id, v, rel, CAST(0 AS BIGINT) AS ms FROM cand)",
         f"c1 AS (SELECT * FROM d1 ORDER BY {MMR_LAMBDA10} * rel "
         f"- {10 - MMR_LAMBDA10} * ms DESC, vec_id LIMIT 1)",
     ]
     for r in range(2, k + 1):
         prev, sel = f"d{r - 1}", f"c{r - 1}"
         ctes.append(
-            f"d{r} AS (SELECT {prev}.vec_id, {prev}.v, {prev}.rel, "
+            f"d{r} AS MATERIALIZED (SELECT {prev}.vec_id, {prev}.v, {prev}.rel, "
             f"greatest({prev}.ms, {dot(f'{prev}.v', f'{sel}.v', dim)}) AS ms "
             f"FROM {prev} CROSS JOIN {sel} "
             f"WHERE {prev}.vec_id <> {sel}.vec_id)"
