@@ -2326,13 +2326,30 @@ def q_itemsets3(spark: SparkSession, sf_dir: str) -> DataFrame:
     basket) scalar — integer ppm comparisons, no float support."""
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     pt = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
-    items = (
+    # the basket item set is CORPUS-scaled and read four times (three join
+    # legs + the basket count): pin it to scratch parquet rather than
+    # localCheckpoint — block-manager caching of a corpus-sized table is
+    # exactly what OOMs at scale (measured: the checkpointed variant died
+    # at sf100/550M items on a 48g local heap; the parquet pin is
+    # disk-backed and column-pruned). Same pattern as pipeline_ops'
+    # pinned censuses.
+    from go_web_mapreduce_spark.operators.pipeline_ops import _scratch_dir
+
+    items_path = _scratch_dir("itemsets")
+    (
         li.join(pt, li.l_partkey == pt.p_partkey)
         .select(F.col("l_orderkey").alias("o"), F.col("p_brand").alias("b"))
         .distinct()
-        .localCheckpoint(eager=False)  # three join legs + the basket count
+        .write.mode("overwrite")
+        .parquet(items_path)
     )
+    items = spark.read.parquet(items_path)
     n_baskets = items.select("o").distinct().count()
+    # threshold computed in Python: lit(n_baskets) arrives as an int32
+    # literal, and int32 * MINSUP_PPM overflowed in ANSI constant
+    # folding at sf100 (147M baskets x 1000 > 2^31) — caught by the
+    # third measured decade
+    min_support_x1m = n_baskets * ITEMSET_MINSUP_PPM
 
     a = items.select("o", F.col("b").alias("brand_a"))
     b = items.select(F.col("o").alias("o2"), F.col("b").alias("brand_b"))
@@ -2343,7 +2360,7 @@ def q_itemsets3(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("sp"))
     )
     freq2 = pairs.where(
-        F.col("sp") * 1_000_000 >= F.lit(n_baskets) * ITEMSET_MINSUP_PPM
+        F.col("sp") * 1_000_000 >= F.lit(min_support_x1m)
     ).select("brand_a", "brand_b")
 
     cand = (
@@ -2372,7 +2389,7 @@ def q_itemsets3(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("support")
     )
     return tri.where(
-        F.col("support") * 1_000_000 >= F.lit(n_baskets) * ITEMSET_MINSUP_PPM
+        F.col("support") * 1_000_000 >= F.lit(min_support_x1m)
     ).select(
         "brand_a",
         "brand_b",

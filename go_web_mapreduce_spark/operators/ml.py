@@ -1955,33 +1955,48 @@ def _als_factor_sql(salt: str, key: str, dialect: str) -> str:
     "defined; w1/w2 are single IEEE expressions over exact integers",
 )
 def q_als_user_step(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The 100 TB shape: the entire step is one fact join (orders ⋈
-    lineitem on the order key) and ONE partial-aggregated groupBy(user)
-    carrying k(k+1)/2 + k = 5 integer sums per user — the canonical ALS
-    layout where per-user state is O(k²) regardless of how many
-    interactions the user has, and the solve is per-row arithmetic on
-    the aggregated table (no second pass, no matrix library). At real
-    scale the item factors arrive by broadcast/bucketed join instead of
-    the hash derivation; the Gram accumulation and closed-form solve
-    are unchanged. Rank 2 keeps the solve literal; higher rank swaps in
-    a k×k Cholesky inside the same aggregate-then-solve shape."""
+    """The 100 TB shape: Gram partials fold BEFORE the join — lineitem
+    aggregates per order key first (count + the five integer sums, all
+    associative), so the orders join carries one partial row per ORDER,
+    not one per line, and the groupBy(user) merely re-sums order
+    partials: per-user state is O(k²) whatever the interaction count,
+    and the join input shrinks by the lines-per-order factor. This
+    ordering is load-bearing at scale — the original line-level join
+    measured exp 1.406 across sf10→sf100 (600M line rows through the
+    shuffle, spill-bound); the partial-first plan moves the same exact
+    integers. At real scale the item factors arrive by broadcast/
+    bucketed join instead of the hash derivation; the accumulation and
+    closed-form solve are unchanged. Rank 2 keeps the solve literal;
+    higher rank swaps in a k×k Cholesky inside the same
+    aggregate-then-solve shape."""
     o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_partkey", F.round("l_quantity").cast("bigint").alias("y")
-    )
-    r = o.join(li, o.o_orderkey == li.l_orderkey).select(
-        F.col("o_custkey").alias("u"),
+    ).select(
+        "l_orderkey",
         F.expr(_als_factor_sql("alsf1", "l_partkey", "spark")).alias("x1"),
         F.expr(_als_factor_sql("alsf2", "l_partkey", "spark")).alias("x2"),
         "y",
     )
-    g = r.groupBy("u").agg(
-        F.count(F.lit(1)).alias("n_obs"),
-        (F.sum(F.col("x1") * F.col("x1")) + ALS_LAMBDA).alias("a"),
-        F.sum(F.col("x1") * F.col("x2")).alias("b"),
-        (F.sum(F.col("x2") * F.col("x2")) + ALS_LAMBDA).alias("d"),
-        F.sum(F.col("x1") * F.col("y")).alias("sxy1"),
-        F.sum(F.col("x2") * F.col("y")).alias("sxy2"),
+    per_order = li.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("pn"),
+        F.sum(F.col("x1") * F.col("x1")).alias("pa"),
+        F.sum(F.col("x1") * F.col("x2")).alias("pb"),
+        F.sum(F.col("x2") * F.col("x2")).alias("pd"),
+        F.sum(F.col("x1") * F.col("y")).alias("p1"),
+        F.sum(F.col("x2") * F.col("y")).alias("p2"),
+    )
+    g = (
+        o.join(per_order, o.o_orderkey == per_order.l_orderkey)
+        .groupBy(F.col("o_custkey").alias("u"))
+        .agg(
+            F.sum("pn").alias("n_obs"),
+            (F.sum("pa") + ALS_LAMBDA).alias("a"),
+            F.sum("pb").alias("b"),
+            (F.sum("pd") + ALS_LAMBDA).alias("d"),
+            F.sum("p1").alias("sxy1"),
+            F.sum("p2").alias("sxy2"),
+        )
     )
     det_d = F.col("a").cast("double") * F.col("d") - F.col("b").cast(
         "double"
