@@ -2399,3 +2399,82 @@ def q_itemsets3(spark: SparkSession, sf_dir: str) -> DataFrame:
             "support_ppm"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# q_weighted_median — exact quantity-weighted median price per brand via
+# the value-census pattern (cumulative window over DISTINCT prices only)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_weighted_median",
+    oracle="""
+    WITH census AS (
+      SELECT p.p_brand AS brand,
+             CAST(round(l.l_extendedprice * 100) AS BIGINT) AS price_cents,
+             CAST(sum(CAST(round(l.l_quantity) AS BIGINT)) AS BIGINT) AS w
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+      GROUP BY 1, 2
+    ),
+    cum AS (
+      SELECT brand, price_cents, w,
+             sum(w) OVER (PARTITION BY brand ORDER BY price_cents) AS cw,
+             sum(w) OVER (PARTITION BY brand) AS tw
+      FROM census
+    )
+    SELECT brand,
+           CAST(min(tw) AS BIGINT) AS total_weight,
+           CAST(min(price_cents) AS BIGINT) AS wmedian_cents
+    FROM cum WHERE 2 * cw >= tw
+    GROUP BY brand
+    """,
+    description="exact weighted median (quantity-weighted median unit "
+    "price per brand): the first distinct price whose cumulative weight "
+    "reaches half the brand's total — the robust central-price statistic "
+    "a plain median (each ROW once) misreports whenever quantity varies. "
+    "Computed on the (brand, price) VALUE census, so the cumulative "
+    "window runs over distinct prices per brand — bounded by the price "
+    "value space, never corpus rows — the same census-not-rows move as "
+    "q_auc_eval and q_decision_stump; all-integer comparisons "
+    "(2·cum ≥ total), no interpolation ambiguity",
+)
+def q_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB shape: the naive weighted median sorts every row within
+    its group (corpus/|brands|-sized window partitions — the known
+    hazard). The census formulation collapses the corpus FIRST: one
+    partial-aggregated groupBy to (brand, distinct price) rows, then the
+    cumulative window touches only the census (distinct cent values per
+    brand — value-space-bounded), and the winner row is an all-integer
+    threshold filter + min. One fact join for the brand label (dimension
+    side projected), one corpus aggregation, everything after is
+    census-sized."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias(
+            "price_cents"
+        ),
+        F.round("l_quantity").cast("bigint").alias("q"),
+    )
+    pt = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    census = (
+        li.join(pt, li.l_partkey == pt.p_partkey)
+        .groupBy(F.col("p_brand").alias("brand"), "price_cents")
+        .agg(F.sum("q").alias("w"))
+    )
+    wcum = Window.partitionBy("brand").orderBy("price_cents")
+    wall = Window.partitionBy("brand")
+    cum = census.select(
+        "brand",
+        "price_cents",
+        F.sum("w").over(wcum).alias("cw"),
+        F.sum("w").over(wall).alias("tw"),
+    )
+    return (
+        cum.where(2 * F.col("cw") >= F.col("tw"))
+        .groupBy("brand")
+        .agg(
+            F.min("tw").alias("total_weight"),
+            F.min("price_cents").alias("wmedian_cents"),
+        )
+    )

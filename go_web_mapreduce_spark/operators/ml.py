@@ -2022,3 +2022,80 @@ def q_als_user_step(spark: SparkSession, sf_dir: str) -> DataFrame:
             / det_d
         ).alias("w2"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q_target_encoding — leave-one-out mean target encoding (Micci-Barreca
+# 2001): the leakage-safe categorical feature every tabular-ML pipeline
+# derives, with the row's own target excluded from its encoding
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_target_encoding",
+    oracle="""
+    WITH obs AS (
+      SELECT o.o_orderkey AS order_key, c.c_mktsegment AS segment,
+             CAST(round(o.o_totalprice * 100) AS BIGINT) AS price_cents
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    ),
+    seg AS (
+      SELECT segment, CAST(count(*) AS BIGINT) AS seg_n,
+             CAST(sum(price_cents) AS BIGINT) AS seg_sum
+      FROM obs GROUP BY segment
+    )
+    SELECT obs.order_key, obs.segment,
+           CAST(seg.seg_sum - obs.price_cents AS BIGINT) AS loo_sum_cents,
+           CAST(seg.seg_n - 1 AS BIGINT) AS loo_n,
+           CAST(seg.seg_sum - obs.price_cents AS DOUBLE)
+             / (100.0 * (seg.seg_n - 1)) AS te
+    FROM obs JOIN seg ON seg.segment = obs.segment
+    WHERE seg.seg_n > 1
+    """,
+    description="leave-one-out mean target encoding (Micci-Barreca 2001): "
+    "each order's market segment encoded as the mean order value of the "
+    "OTHER orders in that segment — the leakage-safe form of the most "
+    "common categorical feature in tabular ML (including the row's own "
+    "target is exactly the train-time leak target encoding is infamous "
+    "for). LOO needs no per-row window: (Σ_seg − y_row)/(n_seg − 1) "
+    "derives every row's encoding from the segment-level sums, all "
+    "exact integer cents until the final division",
+)
+def q_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB shape: the naive formulation windows over each segment
+    (corpus/|segments|-sized partitions — the q_rfm hazard). The LOO
+    algebra removes the window entirely: ONE partial-aggregated census
+    to |segments| rows, broadcast back into a map-side projection —
+    every row's leave-one-out encoding is (seg_sum − own)/(seg_n − 1)
+    with no per-row state. One fact join (orders ⋈ customer, the same
+    custkey shuffle every enrichment shares), one census, one broadcast;
+    the output is corpus-sized by definition (it IS the feature column),
+    but nothing corpus-sized ever sorts or re-shuffles."""
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("order_key"),
+        "o_custkey",
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("price_cents"),
+    )
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", F.col("c_mktsegment").alias("segment")
+    )
+    obs = o.join(c, o.o_custkey == c.c_custkey).select(
+        "order_key", "segment", "price_cents"
+    ).localCheckpoint(eager=False)  # census + projection read it once each
+    seg = obs.groupBy("segment").agg(
+        F.count(F.lit(1)).alias("seg_n"), F.sum("price_cents").alias("seg_sum")
+    )
+    return (
+        obs.join(F.broadcast(seg), "segment")
+        .where(F.col("seg_n") > 1)
+        .select(
+            "order_key",
+            "segment",
+            (F.col("seg_sum") - F.col("price_cents")).alias("loo_sum_cents"),
+            (F.col("seg_n") - 1).alias("loo_n"),
+            (
+                (F.col("seg_sum") - F.col("price_cents")).cast("double")
+                / (F.lit(100.0) * (F.col("seg_n") - 1))
+            ).alias("te"),
+        )
+    )

@@ -575,3 +575,59 @@ def test_als_user_step_solves_the_normal_equations(spark, sf_dir):
     # the returned w solves the system
     assert abs(a * top["w1"] + b * top["w2"] - s1) < 1e-6 * max(1, abs(s1))
     assert abs(b * top["w1"] + d * top["w2"] - s2) < 1e-6 * max(1, abs(s2))
+
+
+def test_target_encoding_loo_identity(spark, sf_dir):
+    """Per segment: every row's loo_sum equals seg_sum − own price; the
+    average of LOO encodings times loo_n reconstructs (n−1)·seg_sum; and
+    no row's own target leaks (te of the max-price row < plain mean)."""
+    from go_web_mapreduce_spark.operators.ml import q_target_encoding
+    from go_web_mapreduce_spark.sources.tables import load_table
+
+    rows = q_target_encoding(spark, sf_dir).collect()
+    assert rows
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.round(F.col("o_totalprice") * 100).cast("bigint").alias("pc")
+    )
+    prices = {r["o_orderkey"]: r["pc"] for r in o.collect()}
+    by_seg: dict[str, list] = {}
+    for r in rows:
+        by_seg.setdefault(r["segment"], []).append(r)
+    for seg, rs in by_seg.items():
+        n = len(rs)
+        total = rs[0]["loo_sum_cents"] + prices[rs[0]["order_key"]]
+        for r in rs:
+            assert r["loo_n"] == n - 1
+            assert r["loo_sum_cents"] == total - prices[r["order_key"]]
+            assert abs(r["te"] - r["loo_sum_cents"] / (100.0 * r["loo_n"])) < 1e-9
+        # anti-leak direction: the priciest row's encoding is the LOWEST
+        tes = sorted(rs, key=lambda r: prices[r["order_key"]])
+        assert tes[-1]["te"] <= tes[0]["te"]
+
+
+def test_weighted_median_against_numpy_replay(spark, sf_dir):
+    from go_web_mapreduce_spark.operators.analytics import q_weighted_median
+    from go_web_mapreduce_spark.sources.tables import load_table
+
+    got = {r["brand"]: r for r in q_weighted_median(spark, sf_dir).collect()}
+    assert got
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("pc"),
+        F.round("l_quantity").cast("bigint").alias("q"),
+    )
+    pt = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    rows = li.join(pt, li.l_partkey == pt.p_partkey).collect()
+    acc: dict[str, list] = {}
+    for r in rows:
+        acc.setdefault(r["p_brand"], []).append((r["pc"], r["q"]))
+    for brand, obs in acc.items():
+        obs.sort()
+        tw = sum(w for _, w in obs)
+        cw = 0
+        for pc, w in obs:
+            cw += w
+            if 2 * cw >= tw:
+                assert got[brand]["wmedian_cents"] == pc
+                assert got[brand]["total_weight"] == tw
+                break

@@ -116,6 +116,8 @@ HEADLINERS = {
     "q_graph_assortativity": "assortativity: degree census + two node-keyed joins, five integer moments to a single row",
     "q_l_diversity": "l-diversity: custkey join, QI-bounded count_distinct census, nation rollup - only QI keys shuffle",
     "q_stream_sliding": "sliding stream: in-batch window expansion, state = windows x types, watermark-bounded",
+    "q_target_encoding": "LOO target encoding: segment census broadcast back, (sum-own)/(n-1) map-side - the per-row window algebraically removed",
+    "q_weighted_median": "weighted median: (brand,price) value census, cumulative window over distinct prices only, integer threshold pick",
 }
 
 
