@@ -2067,10 +2067,14 @@ def q_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
     algebra removes the window entirely: ONE partial-aggregated census
     to |segments| rows, broadcast back into a map-side projection —
     every row's leave-one-out encoding is (seg_sum − own)/(seg_n − 1)
-    with no per-row state. One fact join (orders ⋈ customer, the same
-    custkey shuffle every enrichment shares), one census, one broadcast;
-    the output is corpus-sized by definition (it IS the feature column),
-    but nothing corpus-sized ever sorts or re-shuffles."""
+    with no per-row state. The census leg folds orders per customer
+    BEFORE touching the dimension (a partial-aggregated 150M→15M
+    shuffle at sf100), so the segment sums come from a
+    customer-sized join; the output leg is one fact join + one
+    broadcast, with no corpus-scaled caching anywhere. The output is
+    corpus-sized by definition (it IS the feature column), but
+    nothing corpus-sized ever sorts, re-shuffles, or pins in
+    memory."""
     o = load_table(spark, sf_dir, "orders").select(
         F.col("o_orderkey").alias("order_key"),
         "o_custkey",
@@ -2079,11 +2083,23 @@ def q_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer").select(
         "c_custkey", F.col("c_mktsegment").alias("segment")
     )
+    # the census leg pre-aggregates orders per CUSTOMER first (150M→15M at
+    # sf100) so the segment census never touches a corpus-scaled join, and
+    # the output leg joins orders⋈customer⋈broadcast(census) with nothing
+    # cached — the original localCheckpoint pinned the 150M-row joined
+    # table in block storage and the third measured decade showed the GC
+    # churn (raw 20× across sf10→sf100; the same defect class the decade
+    # caught in q_itemsets3)
+    per_cust = o.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("pn"), F.sum("price_cents").alias("ps")
+    )
+    seg = (
+        per_cust.join(c, per_cust.o_custkey == c.c_custkey)
+        .groupBy("segment")
+        .agg(F.sum("pn").alias("seg_n"), F.sum("ps").alias("seg_sum"))
+    )
     obs = o.join(c, o.o_custkey == c.c_custkey).select(
         "order_key", "segment", "price_cents"
-    ).localCheckpoint(eager=False)  # census + projection read it once each
-    seg = obs.groupBy("segment").agg(
-        F.count(F.lit(1)).alias("seg_n"), F.sum("price_cents").alias("seg_sum")
     )
     return (
         obs.join(F.broadcast(seg), "segment")
