@@ -587,3 +587,28 @@ def test_kcenter_rounds_are_map_side_folds(spark, sf_dir):
     assert "partial_max" in plan
     assert "Exchange hashpartitioning" not in plan  # single final merge only
     assert df.count() == 8
+
+
+def test_target_encoding_census_leg_is_pre_aggregated(spark, sf_dir):
+    """The scale contract the third decade enforced: the census must fold
+    orders per customer BEFORE the dimension join (a corpus-scaled joined
+    table must never be cached), the census joins back by broadcast, and
+    nothing sits behind an RDD checkpoint."""
+    plan = executed_plan(spark, sf_dir, "q_target_encoding")
+    assert "Scan ExistingRDD" not in plan  # no corpus localCheckpoint
+    assert "BroadcastHashJoin" in plan     # census joins back broadcast
+    # the per-customer pre-aggregation exists: a partial aggregate keyed
+    # on o_custkey upstream of the segment census
+    assert "partial_count" in plan or "partial_sum" in plan
+    assert plan.count("orders.parquet") == 2  # census leg + output leg
+
+
+def test_weighted_median_window_runs_on_the_value_census(spark, sf_dir):
+    """The cumulative window's input must be the (brand, price) census —
+    an aggregation sits below the Window, so the window never sees
+    corpus rows; and the window carries the brand partition key."""
+    plan = executed_plan(spark, sf_dir, "q_weighted_median")
+    assert "windowspecdefinition(brand" in plan
+    w = plan.index("Window")
+    assert "HashAggregate" in plan[w:]  # census (below the window in text)
+    assert "partial_sum" in plan
