@@ -2314,16 +2314,21 @@ ITEMSET_MINSUP_PPM = 1000  # minimum support as parts-per-million of baskets
 def q_itemsets3(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The 100 TB shape: basket construction is one lineitem→part key join
     (dimension-side projected to (partkey, brand) before the join) and a
-    DISTINCT bounded by baskets × |brands|; the within-basket self-joins
-    shuffle on the basket key ONCE and reuse that partitioning for both
-    levels — pair/triple volume is Σ C(k,2) / Σ C(k,3) over basket sizes
-    k (bounded by order width, never corpus²). Level-2 output is at most
-    |brands|² rows, broadcast back as the Apriori prune: each triple leg
-    semi-joins against the frequent-pair set before the level-3 count,
-    so on skewed real corpora the candidate stream collapses to the
-    support-bearing subspace (downward closure, lossless at equal
-    minsup). Absolute thresholds are derived from one COUNT(DISTINCT
-    basket) scalar — integer ppm comparisons, no float support."""
+    DISTINCT bounded by baskets × |brands|. The within-basket pair join
+    a⋈b executes ONCE: its Σ C(k,2) output rows (o, brand_a, brand_b)
+    are pinned to scratch parquet, and BOTH level 2 (the frequent-pair
+    count) and the level-3 candidate stream read that pin — the
+    expensive basket-key shuffle is never recomputed (round-10 fix: the
+    previous plan rebuilt a⋈b for the candidate leg, executing the
+    level-2 join twice). Pair/triple volume is Σ C(k,2) / Σ C(k,3) over
+    basket sizes k (bounded by order width, never corpus²). Level-2
+    output is at most |brands|² rows, broadcast back as the Apriori
+    prune: each triple leg semi-joins against the frequent-pair set
+    before the level-3 count, so on skewed real corpora the candidate
+    stream collapses to the support-bearing subspace (downward closure,
+    lossless at equal minsup). Absolute thresholds are derived from one
+    COUNT(DISTINCT basket) scalar — integer ppm comparisons, no float
+    support."""
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     pt = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
     # the basket item set is CORPUS-scaled and read four times (three join
@@ -2354,20 +2359,34 @@ def q_itemsets3(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = items.select("o", F.col("b").alias("brand_a"))
     b = items.select(F.col("o").alias("o2"), F.col("b").alias("brand_b"))
     c = items.select(F.col("o").alias("o3"), F.col("b").alias("brand_c"))
-    pairs = (
+    # the Σ C(k,2) pair stream is read twice (level-2 count + level-3
+    # candidates): execute the basket-key join ONCE and pin its output to
+    # scratch parquet — disk-backed like the items pin, so nothing
+    # corpus-sized sits in the block manager
+    pair_path = _scratch_dir("itemsets_pairs")
+    (
         a.join(b, (a.o == b.o2) & (F.col("brand_a") < F.col("brand_b")))
-        .groupBy("brand_a", "brand_b")
-        .agg(F.count(F.lit(1)).alias("sp"))
+        .select("o", "brand_a", "brand_b")
+        .write.mode("overwrite")
+        .parquet(pair_path)
+    )
+    pair_rows = spark.read.parquet(pair_path)
+    pairs = pair_rows.groupBy("brand_a", "brand_b").agg(
+        F.count(F.lit(1)).alias("sp")
     )
     freq2 = pairs.where(
         F.col("sp") * 1_000_000 >= F.lit(min_support_x1m)
     ).select("brand_a", "brand_b")
 
     cand = (
-        a.join(b, (a.o == b.o2) & (F.col("brand_a") < F.col("brand_b")))
+        pair_rows
         # Apriori prune level 2→3, leg (a,b): only frequent pairs extend
         .join(F.broadcast(freq2), ["brand_a", "brand_b"], "left_semi")
-        .join(c, (a.o == F.col("o3")) & (F.col("brand_b") < F.col("brand_c")))
+        .join(
+            c,
+            (pair_rows.o == F.col("o3"))
+            & (F.col("brand_b") < F.col("brand_c")),
+        )
         # prune legs (b,c) and (a,c) against the same frequent-pair set
         .join(
             F.broadcast(

@@ -1317,6 +1317,14 @@ def q_graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=False)  # feeds both 2m and the census
     )
     m2 = lab.agg(F.sum("w").alias("m2")).first()["m2"]
+    if m2 is None:
+        # zero edges under the ship-date filter: sum() is NULL — return
+        # the empty result with the declared schema instead of TypeError
+        return spark.createDataFrame(
+            [],
+            "community string, n_nodes bigint, in_w bigint, deg_w bigint, "
+            "q_num bigint, q_contrib double",
+        )
     comm = lab.groupBy(F.col("cs").alias("community")).agg(
         F.count_distinct("src").alias("n_nodes"),
         F.sum(F.when(F.col("cs") == F.col("cd"), F.col("w")).otherwise(0)).alias(

@@ -2630,6 +2630,11 @@ def q_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
         c["ms"] = 0
     picks = []
     for rnd in range(1, MMR_K + 1):
+        if not pool:
+            # fewer than MMR_K candidates (tiny corpus / absent probe):
+            # degrade to the rows available, matching the oracle's
+            # recursive CTE which simply stops extending
+            break
         best = max(
             pool,
             key=lambda c: (

@@ -768,9 +768,16 @@ def q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The 100 TB shape: Spark expands each event to its window_len/slide
     memberships BEFORE the stateful agg (an explode in the micro-batch,
     no cross-batch blowup), so state size is windows × types — calendar-
-    bounded like the tumbling family, just 2× denser. The watermark
-    bounds how long each overlapping window stays open; state partitions
-    are sized to key cardinality per the module's state-store note."""
+    bounded like the tumbling family, just 2× denser. NOTE on the
+    watermark: in ``complete`` output mode Spark retains ALL window
+    state regardless of the watermark (eviction only happens in
+    append/update modes), so here state grows with the replay's full
+    calendar span — acceptable for this bounded-replay harness, whose
+    span is a fixed test window. A production deployment of this query
+    would run ``update`` mode against an idempotent upsert sink, where
+    the same 2-hour watermark genuinely evicts closed windows and state
+    is bounded by (open windows × types). State partitions are sized to
+    key cardinality per the module's state-store note."""
     name = f"sliding_stream_{next(_counter)}"
     agg = (
         stream_events(spark, sf_dir)

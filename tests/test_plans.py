@@ -545,10 +545,15 @@ def test_itemsets3_prunes_with_broadcast_semijoins(spark, sf_dir):
 
 def test_ohlc_bars_aggregate_without_windows(spark, sf_dir):
     """Open/close are min_by/max_by folds inside ONE partial-aggregated
-    groupBy — no window, no per-group sort, one events scan."""
+    groupBy — no window, no GLOBAL sort, one hash shuffle, one events
+    scan. (Local ``Sort …, false, 0`` nodes are expected: min_by with a
+    string ordering key plans as SortAggregate, which sorts within each
+    partition — that is map-side work, not a corpus-wide range
+    exchange.)"""
     plan = executed_plan(spark, sf_dir, "q_ohlc_bars")
     assert "Window" not in plan
-    assert "Sort" not in plan.split("AdaptiveSparkPlan")[-1].split("Exchange")[0] or True
+    assert "Exchange rangepartitioning" not in plan  # no global sort
+    assert plan.count("Exchange") == 1  # the one (type, hour) shuffle
     assert "partial_min_by" in plan or "partial_count" in plan
     assert plan.count("events.parquet") == 1
 
