@@ -18,10 +18,19 @@ scan always reads all 8-byte codes), for LSH it is the scanned fraction.
 
 from __future__ import annotations
 
+import math
+
 # measurement protocol (tools/ann_curves.py)
 CURVES_SF_DIR = "/root/testdata/sf0.1"
 CURVES_K = 10
 CURVES_N_PROBES = 20
+# the corpus the MEASURED table was produced on: sf0.1 = 2,000 vectors.
+# Every shortlist/radius knob in MEASURED is an ABSOLUTE count relative
+# to this n — the reason fixed knobs collapse at a new corpus size.
+CURVES_CORPUS_SIZE = 2_000
+# the coarse quantizer's cluster count (operators/similarity.py
+# IVF_CENTROIDS) — nprobe's ceiling
+IVF_C = 32
 
 # (config, candidate_fraction, recall@10) per family, sorted by fraction.
 MEASURED: dict[str, list[tuple[dict, float, float]]] = {
@@ -57,8 +66,70 @@ MEASURED: dict[str, list[tuple[dict, float, float]]] = {
 }
 
 
+# Re-measurements at OTHER corpus sizes (SCALE.md round 9, sf10 =
+# 200,000 vectors = 100x the curve corpus). Two lessons, both encoded in
+# scale_config below: (1) the unscaled knobs collapse — the default
+# (nprobe=8, shortlist=100) fell 0.58 -> 0.26 and pick_config(0.8)'s
+# (nprobe=16, shortlist=400) fell 0.82 -> 0.44; (2) preserving the
+# candidate FRACTION restores the curve — shortlist 400 -> 4000 (the
+# same 2% rerank fraction) measured 0.745 at nprobe=16 and 0.800 at
+# nprobe=32. Keyed by (family, corpus_size); configs listed with the
+# recall actually observed.
+MEASURED_AT_SCALE: dict[tuple[str, int], list[tuple[dict, float]]] = {
+    ("ivfpq", 200_000): [
+        ({"nprobe": 8, "shortlist": 100}, 0.26),  # unscaled default
+        ({"nprobe": 16, "shortlist": 400}, 0.44),  # unscaled 0.8-pick
+        ({"nprobe": 16, "shortlist": 4000}, 0.745),  # fraction-preserved
+        ({"nprobe": 32, "shortlist": 4000}, 0.800),  # + nprobe doubling
+    ],
+}
+
+
+def scale_config(config: dict, corpus_size: int) -> dict:
+    """Carry a MEASURED operating point to a corpus of ``corpus_size``
+    vectors — the executable form of the scale rule the sf10
+    re-measurement proved (MEASURED_AT_SCALE above):
+
+    - ``shortlist`` (and LSH ``radius``'s bucket analogue does not
+      apply — radius is already corpus-relative) scales ∝ n so the
+      exact-rerank **candidate fraction** — the transferable quantity —
+      is preserved: ceil(shortlist · n / CURVES_CORPUS_SIZE).
+    - ``nprobe`` doubles per decade of scale-up, capped at IVF_C: the
+      fraction nprobe/C is nominally corpus-independent, but with 100×
+      points per Voronoi cell the coarse-quantizer boundary losses grow
+      — measured: a 10×'d shortlist alone recovered only 0.745 of the
+      0.82 base point; doubling nprobe 16→32 restored 0.800. (At
+      nprobe=C the coarse quantizer is exhaustive and the loss term is
+      gone entirely.)
+    - ``m``/``ksub`` are per-vector code parameters — corpus-size
+      independent, unchanged.
+
+    This is the conservative EXTRAPOLATION: fraction preservation keeps
+    the operating point on the measured curve, at ∝n rerank cost. Where
+    a cheaper operating point has actually been measured at the target
+    size (MEASURED_AT_SCALE — e.g. 200k vectors needs only shortlist
+    4000, a tenth of the fraction-preserving 40,000, for recall 0.800),
+    :func:`pick_config` returns that observation instead of this rule.
+
+    Down-scaling (corpus smaller than the curve corpus) floors at the
+    measured knobs — the measured point is already achievable.
+    """
+    scale = corpus_size / CURVES_CORPUS_SIZE
+    out = dict(config)
+    if scale <= 1:
+        return out
+    if "shortlist" in out:
+        out["shortlist"] = int(math.ceil(out["shortlist"] * scale))
+    if "nprobe" in out:
+        decades = math.ceil(math.log10(scale))
+        out["nprobe"] = min(IVF_C, out["nprobe"] * 2**decades)
+    return out
+
+
 def pick_config(
-    target_recall: float, family: str | None = None
+    target_recall: float,
+    family: str | None = None,
+    corpus_size: int | None = None,
 ) -> dict | dict[str, dict | None]:
     """Cheapest measured configuration meeting ``target_recall``.
 
@@ -76,18 +147,29 @@ def pick_config(
     content-deterministic, reproduces exactly under the measurement
     protocol (tests/test_ann_config.py).
 
-    SCALE RULE (measured at sf10, SCALE.md round 9): these curves are
-    per-CORPUS-SIZE — the shortlist/candidate knobs are absolute counts,
-    so at 10× the vectors the same config covers 1/10 the corpus
-    fraction and recall collapses (ivfpq's 0.82 point measured 0.44 at
-    200k vectors). To carry an operating point to a new corpus size n,
-    scale ``shortlist`` ∝ n to preserve ``candidate_fraction`` (and
-    raise nprobe with it): shortlist 400→4000 + nprobe 16→32 restored
-    recall@10 to 0.800 at 200k. candidate_fraction, not the raw knob,
-    is the transferable quantity.
+    SCALE RULE (measured at sf10, SCALE.md round 9; now EXECUTABLE):
+    these curves are per-CORPUS-SIZE — the shortlist/candidate knobs are
+    absolute counts, so at 10× the vectors the same config covers 1/10
+    the corpus fraction and recall collapses (ivfpq's 0.82 point
+    measured 0.44 at 200k vectors). Pass ``corpus_size`` and the picked
+    config is carried to that n: if a re-measurement exists at that
+    exact size (MEASURED_AT_SCALE), the cheapest measured point meeting
+    the target is returned with its OBSERVED recall
+    (``recall_basis = "measured-at-scale"`` — at 200k that is shortlist
+    4000 + nprobe 32 → 0.800, a tenth of the fraction-preserving
+    shortlist); otherwise :func:`scale_config` extrapolates by
+    preserving the candidate fraction (shortlist ∝ n; nprobe doubled
+    per decade, capped at IVF_C) and ``recall_basis = "fraction-rule"``
+    with expected_recall still the base-curve observation the rule aims
+    to preserve. Without ``corpus_size`` the knobs are valid ONLY at
+    CURVES_CORPUS_SIZE vectors.
     """
     if family is None:
-        return {f: _pick_one(target_recall, f) for f in MEASURED}
+        return {
+            f: _scaled(_pick_one(target_recall, f), f, target_recall,
+                       corpus_size)
+            for f in MEASURED
+        }
     out = _pick_one(target_recall, family)
     if out is None:
         best = max(r for _, _, r in MEASURED[family])
@@ -96,7 +178,34 @@ def pick_config(
             f"= {best:.3f} < target {target_recall} — pick another family "
             "(pick_config(target) compares all)"
         )
-    return out
+    return _scaled(out, family, target_recall, corpus_size)
+
+
+def _scaled(
+    pick: dict | None,
+    family: str,
+    target_recall: float,
+    corpus_size: int | None,
+):
+    if pick is None or corpus_size is None:
+        return pick
+    # measured override: entries are listed cheapest-first, so the first
+    # one meeting the target is the pick
+    for m_cfg, m_recall in MEASURED_AT_SCALE.get((family, corpus_size), []):
+        if m_recall >= target_recall:
+            return dict(
+                pick,
+                config=dict(m_cfg),
+                expected_recall=m_recall,
+                corpus_size=corpus_size,
+                recall_basis="measured-at-scale",
+            )
+    return dict(
+        pick,
+        config=scale_config(pick["config"], corpus_size),
+        corpus_size=corpus_size,
+        recall_basis="fraction-rule",
+    )
 
 
 def _pick_one(target_recall: float, family: str) -> dict | None:

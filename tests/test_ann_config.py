@@ -42,6 +42,45 @@ def test_pick_config_returns_cheapest_measured_point():
     assert all(v is not None for v in lows.values())
 
 
+def test_scale_rule_reproduces_the_sf10_measurement():
+    """The executable scale rule must land exactly on the knobs the sf10
+    re-measurement proved (SCALE.md round 9): at 200k vectors (100x the
+    curve corpus) the 0.8-target ivfpq pick becomes shortlist 4000
+    (fraction-preserved 2%) + nprobe 32 (one doubling per decade, capped
+    at C), and expected_recall is the OBSERVED 0.800 — not the base
+    curve's 0.820 promise."""
+    from go_web_mapreduce_spark.functions.ann_config import scale_config
+
+    pick = pick_config(TARGET, "ivfpq", corpus_size=200_000)
+    assert pick["config"] == {"nprobe": 32, "shortlist": 4000}
+    assert pick["expected_recall"] == 0.800
+    assert pick["recall_basis"] == "measured-at-scale"
+    assert pick["corpus_size"] == 200_000
+
+    # a size with no re-measurement: knobs scale, basis says so
+    pick2 = pick_config(TARGET, "ivfpq", corpus_size=2_000_000)
+    assert pick2["config"]["shortlist"] == 400 * 1000
+    assert pick2["config"]["nprobe"] == 32  # capped at IVF_C
+    assert pick2["recall_basis"] == "fraction-rule"
+
+    # at or below the curve corpus the measured knobs are returned as-is
+    assert pick_config(TARGET, "ivfpq", corpus_size=2_000)["config"] == {
+        "nprobe": 16,
+        "shortlist": 400,
+    }
+    assert scale_config({"nprobe": 16, "shortlist": 400}, 200) == {
+        "nprobe": 16,
+        "shortlist": 400,
+    }
+
+    # per-family dict form threads corpus_size too
+    picks = pick_config(TARGET, corpus_size=200_000)
+    assert picks["lsh"] is None
+    assert picks["ivfpq"]["config"] == {"nprobe": 32, "shortlist": 4000}
+    # pq scales its shortlist by the same fraction rule
+    assert picks["pq"]["config"]["shortlist"] == 100 * 100
+
+
 def test_measured_table_is_internally_consistent():
     for fam, rows in MEASURED.items():
         assert rows == sorted(rows, key=lambda t: t[1]), fam  # by fraction
