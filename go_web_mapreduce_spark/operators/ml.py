@@ -2025,6 +2025,128 @@ def q_als_user_step(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q_als_user_step_bcast — the same ALS user half-step with the item
+# factors materialized as a FACTOR TABLE and joined in, the shape a real
+# recommender runs (the previous half-step's output is a table, not a
+# derivable function of the item key)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_als_user_step_bcast",
+    oracle=f"""
+    WITH f AS (
+      SELECT p_partkey,
+             {_als_factor_sql('alsf1', 'p_partkey', 'duckdb')} AS x1,
+             {_als_factor_sql('alsf2', 'p_partkey', 'duckdb')} AS x2
+      FROM part
+    ),
+    r AS (
+      SELECT o.o_custkey AS u, f.x1, f.x2,
+             CAST(round(l.l_quantity) AS BIGINT) AS y
+      FROM orders o
+      JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      JOIN f ON f.p_partkey = l.l_partkey
+    ),
+    g AS (
+      SELECT u, CAST(count(*) AS BIGINT) AS n_obs,
+             sum(x1 * x1) + {ALS_LAMBDA} AS a,
+             sum(x1 * x2) AS b,
+             sum(x2 * x2) + {ALS_LAMBDA} AS d,
+             CAST(sum(x1 * y) AS BIGINT) AS sxy1,
+             CAST(sum(x2 * y) AS BIGINT) AS sxy2
+      FROM r GROUP BY u
+    )
+    SELECT u AS custkey, n_obs, sxy1, sxy2,
+           CAST(a * d - b * b AS BIGINT) AS det,
+           (CAST(d AS DOUBLE) * sxy1 - CAST(b AS DOUBLE) * sxy2)
+             / (CAST(a AS DOUBLE) * d - CAST(b AS DOUBLE) * b) AS w1,
+           (CAST(a AS DOUBLE) * sxy2 - CAST(b AS DOUBLE) * sxy1)
+             / (CAST(a AS DOUBLE) * d - CAST(b AS DOUBLE) * b) AS w2
+    FROM g
+    """,
+    description="the ALS user half-step in its production shape: item "
+    "factors live in a FACTOR TABLE (here derived once per PART row — "
+    "the same md5 integers as q_als_user_step, so the two variants are "
+    "hash-identical) that is broadcast-joined into the interaction "
+    "stream; Gram accumulation and the closed-form 2×2 ridge solve are "
+    "unchanged. The oracle inlines the factor table as a CTE over part",
+)
+def q_als_user_step_bcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB shape this variant exists to prove: q_als_user_step
+    derives factors per LINE (1.2B md5 evaluations at sf100 — its
+    measured residual linearity); here the derivation runs once per
+    ITEM (|part| rows, 600× fewer at sf100) and reaches the lines by a
+    broadcast hash join — no shuffle of the interaction stream for the
+    factor lookup, and the scan-side work per line is a hash-table
+    probe instead of two md5s. Everything downstream is identical to
+    q_als_user_step: per-order partial Gram fold, then per-user re-sum,
+    O(k²) state. At item counts past broadcast reach (rank·|items| >
+    executor memory) the same plan swaps the broadcast hint for a
+    bucketed/co-partitioned join on the item key — the aggregate
+    ordering, which is what the sf100 measurement gates, is unchanged."""
+    pt = load_table(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.expr(_als_factor_sql("alsf1", "p_partkey", "spark")).alias("x1"),
+        F.expr(_als_factor_sql("alsf2", "p_partkey", "spark")).alias("x2"),
+    )
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(
+            "l_orderkey",
+            "l_partkey",
+            F.round("l_quantity").cast("bigint").alias("y"),
+        )
+        .join(F.broadcast(pt), F.col("l_partkey") == pt.p_partkey)
+    )
+    per_order = li.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("pn"),
+        F.sum(F.col("x1") * F.col("x1")).alias("pa"),
+        F.sum(F.col("x1") * F.col("x2")).alias("pb"),
+        F.sum(F.col("x2") * F.col("x2")).alias("pd"),
+        F.sum(F.col("x1") * F.col("y")).alias("p1"),
+        F.sum(F.col("x2") * F.col("y")).alias("p2"),
+    )
+    g = (
+        o.join(per_order, o.o_orderkey == per_order.l_orderkey)
+        .groupBy(F.col("o_custkey").alias("u"))
+        .agg(
+            F.sum("pn").alias("n_obs"),
+            (F.sum("pa") + ALS_LAMBDA).alias("a"),
+            F.sum("pb").alias("b"),
+            (F.sum("pd") + ALS_LAMBDA).alias("d"),
+            F.sum("p1").alias("sxy1"),
+            F.sum("p2").alias("sxy2"),
+        )
+    )
+    det_d = F.col("a").cast("double") * F.col("d") - F.col("b").cast(
+        "double"
+    ) * F.col("b")
+    return g.select(
+        F.col("u").alias("custkey"),
+        "n_obs",
+        "sxy1",
+        "sxy2",
+        (F.col("a") * F.col("d") - F.col("b") * F.col("b")).alias("det"),
+        (
+            (
+                F.col("d").cast("double") * F.col("sxy1")
+                - F.col("b").cast("double") * F.col("sxy2")
+            )
+            / det_d
+        ).alias("w1"),
+        (
+            (
+                F.col("a").cast("double") * F.col("sxy2")
+                - F.col("b").cast("double") * F.col("sxy1")
+            )
+            / det_d
+        ).alias("w2"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # q_target_encoding — leave-one-out mean target encoding (Micci-Barreca
 # 2001): the leakage-safe categorical feature every tabular-ML pipeline
 # derives, with the row's own target excluded from its encoding

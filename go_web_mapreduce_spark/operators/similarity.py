@@ -1823,6 +1823,58 @@ def q_similarity_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivfpq_topk(emb, emb.filter(F.col("vec_id") == 0))
 
 
+# the 200k-vector operating point, produced by the EXECUTABLE scale rule
+# (functions/ann_config.pick_config with corpus_size): the sf10
+# re-measurement proved the base (16, 400) knobs collapse to recall 0.44
+# at 200k vectors and (32, 4000) restores 0.800 — this query registers
+# those knobs so the scale configuration is a tested artifact, mirroring
+# q_contrastive_pairs_ivf_scaled / q_knn_graph_ivf_scaled
+from go_web_mapreduce_spark.functions.ann_config import (  # noqa: E402
+    pick_config as _ann_pick,
+)
+
+_IVFPQ_SCALED = _ann_pick(0.8, "ivfpq", corpus_size=200_000)["config"]
+IVFPQ_SCALED_NPROBE = _IVFPQ_SCALED["nprobe"]  # 32
+IVFPQ_SCALED_SHORTLIST = _IVFPQ_SCALED["shortlist"]  # 4000
+
+
+@query(
+    "q_similarity_ivfpq_scaled",
+    oracle=ann_oracle.ivfpq_oracle(
+        dim=EMBEDDING_DIM, k=IVF_CENTROIDS, ivf_iters=10,
+        ivf_cap=IVF_TRAIN_SAMPLE_CAP, nprobe=IVFPQ_SCALED_NPROBE,
+        m=PQ_M, ksub=PQ_KSUB, pq_iters=15, pq_cap=PQ_TRAIN_CAP,
+        shortlist=IVFPQ_SCALED_SHORTLIST, top_k=TOP_K,
+    ),
+    description="IVFPQ at its 200k-vector SCALE operating point: the "
+    "knobs come from the executable fraction rule — "
+    "pick_config(0.8, 'ivfpq', corpus_size=200_000) → nprobe "
+    f"{IVFPQ_SCALED_NPROBE}, shortlist {IVFPQ_SCALED_SHORTLIST}, the "
+    "measured restoration (recall@10 0.800 at 200k where the unscaled "
+    "knobs fell to 0.44). Same unrolled-Lloyd oracle, hash-verified; on "
+    "the small verification corpora the big shortlist degenerates to "
+    "exact rerank of every scanned code, which the oracle replays "
+    "identically",
+    variant_of="q_similarity_ivfpq",
+)
+def q_similarity_ivfpq_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB artifact of the ANN scale rule (SCALE.md round 9/10):
+    absolute shortlist knobs are per-corpus-size, and this registration
+    pins the re-measured 200k-vector point — candidate fraction
+    preserved (2% of 200k), nprobe at the C=32 ceiling where coarse
+    boundary losses vanish. The plan shape is identical to
+    q_similarity_ivfpq (list-pruned ADC pass + shortlist exact rerank);
+    only the knob constants differ, which is exactly the point: scaling
+    an IVFPQ deployment is a config change, not a plan change."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ivfpq_topk(
+        emb,
+        emb.filter(F.col("vec_id") == 0),
+        nprobe=IVFPQ_SCALED_NPROBE,
+        shortlist=IVFPQ_SCALED_SHORTLIST,
+    )
+
+
 # ---------------------------------------------------------------------------
 # hybrid retrieval: reciprocal-rank fusion of a lexical and a vector leg
 # ---------------------------------------------------------------------------
