@@ -2497,3 +2497,471 @@ def q_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("price_cents").alias("wmedian_cents"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-10 statistics wave: KMV distinct sketch, market concentration,
+# categorical association, rank-based k-sample test, diversity index
+# ---------------------------------------------------------------------------
+
+KMV_K = 64  # bottom-k sketch size
+KMV_M_DOUBLE = float(1 << 60)  # hash space size (exactly representable)
+
+_KMV_H_DUCK = (
+    "('0x' || substr(md5('kmv:' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT"
+)
+_KMV_H_SPARK = (
+    "CAST(conv(substring(md5(concat('kmv:', CAST(user_id AS STRING))), "
+    "1, 15), 16, 10) AS BIGINT)"
+)
+
+
+@query(
+    "q_kmv_distinct",
+    oracle=f"""
+    WITH h AS (
+      SELECT DISTINCT event_type, {_KMV_H_DUCK} AS h FROM events
+    ),
+    rk AS (
+      SELECT event_type, h,
+             row_number() OVER (PARTITION BY event_type ORDER BY h) AS r
+      FROM h QUALIFY r <= {KMV_K}
+    )
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n_kept,
+           CAST(max(h) AS BIGINT) AS kth_hash,
+           CASE WHEN count(*) < {KMV_K} THEN CAST(count(*) AS DOUBLE)
+                ELSE CAST({KMV_K - 1} AS DOUBLE) * {KMV_M_DOUBLE!r}
+                     / CAST(max(h) AS DOUBLE)
+           END AS est_distinct
+    FROM rk GROUP BY event_type
+    """,
+    description="KMV / bottom-k distinct sketch (Bar-Yossef et al. 2002): "
+    f"per event type, keep the {KMV_K} smallest distinct 60-bit md5 "
+    "hashes of user_id and estimate distinct users as (k-1)·M/h_(k) — "
+    "the order-statistics dual of HLL, mergeable by taking the union's "
+    "bottom-k. Exact fallback when a group holds fewer than k distinct "
+    "hashes. All integer until the single estimating division",
+)
+def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB shape: one map-side-partial DISTINCT on (type, h) — the
+    only corpus-scaled shuffle, keyed identically to the downstream
+    window — then a rank<=k filter that Spark executes as
+    WindowGroupLimit (each map task forwards at most k rows per group,
+    so the final per-group pass sees |types|·k rows, never the corpus).
+    The estimate is the classic KMV order statistic: E[h_(k)] ≈ k·M/n,
+    so n̂ = (k-1)·M/h_(k) (the -1 makes it unbiased). Unlike
+    count_distinct, the sketch state is a fixed k·8 bytes per group and
+    unions merge by re-taking the bottom-k — the property that lets a
+    1000-executor cluster fold per-partition sketches without ever
+    exchanging raw keys."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.expr(_KMV_H_SPARK).alias("h")
+    )
+    hs = ev.distinct()
+    w = Window.partitionBy("event_type").orderBy("h")
+    kept = hs.withColumn("r", F.row_number().over(w)).where(
+        F.col("r") <= KMV_K
+    )
+    return kept.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.max("h").alias("kth_hash"),
+        F.when(
+            F.count(F.lit(1)) < KMV_K,
+            F.count(F.lit(1)).cast("double"),
+        )
+        .otherwise(
+            F.lit(float(KMV_K - 1))
+            * F.lit(KMV_M_DOUBLE)
+            / F.max("h").cast("double")
+        )
+        .alias("est_distinct"),
+    )
+
+
+@query(
+    "q_hhi",
+    oracle="""
+    WITH srev AS (
+      SELECT l.l_suppkey AS suppkey,
+             CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT))
+                  AS BIGINT) AS rev
+      FROM lineitem l GROUP BY 1
+    ),
+    nat AS (
+      SELECT n.n_name AS nation, srev.rev
+      FROM srev
+      JOIN supplier s ON s.s_suppkey = srev.suppkey
+      JOIN nation n ON n.n_nationkey = s.s_nationkey
+    )
+    SELECT nation,
+           CAST(count(*) AS BIGINT) AS n_suppliers,
+           CAST(sum(rev) AS BIGINT) AS total_rev_cents,
+           CAST(CAST(sum(CAST(rev AS DECIMAL(38,0)) * rev) AS VARCHAR)
+                AS DOUBLE)
+             / (CAST(sum(rev) AS DOUBLE) * CAST(sum(rev) AS DOUBLE))
+             AS hhi,
+           (CAST(sum(rev) AS DOUBLE) * CAST(sum(rev) AS DOUBLE))
+             / CAST(CAST(sum(CAST(rev AS DECIMAL(38,0)) * rev) AS VARCHAR)
+                    AS DOUBLE)
+             AS eff_firms
+    FROM nat GROUP BY nation
+    """,
+    description="Herfindahl–Hirschman market concentration per nation: "
+    "each supplier's revenue share squared and summed — HHI = Σ(rev_i)²"
+    "/(Σrev_i)², plus the equivalent-number-of-firms reciprocal 1/HHI — "
+    "the antitrust/market-structure statistic, and in data-pipeline "
+    "terms the skew census of a key's mass distribution. Sums of "
+    "squared cents run in decimal(38,0) (cents² exceeds int64 at "
+    "sf100); the two divisions are single IEEE expressions",
+)
+def q_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB shape: lineitem folds to one revenue row per SUPPLIER
+    first (map-side partial sum on the natural l_suppkey key), so the
+    supplier/nation dimension joins move |suppliers| rows, not 600M
+    lines; the nation rollup then aggregates |suppliers| rows into 25.
+    The squared term accumulates as decimal(38,0) — exact and
+    order-independent — and only the final share arithmetic is IEEE.
+    HHI is also the engine's own diagnostic: it is exactly the
+    normalized second moment of a join key's mass (q_key_skew's
+    decision input) computed as a mergeable two-scalar state
+    (Σw, Σw²)."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_suppkey",
+        F.round(F.col("l_extendedprice") * 100)
+        .cast("bigint")
+        .alias("cents"),
+    )
+    srev = li.groupBy("l_suppkey").agg(F.sum("cents").alias("rev"))
+    sup = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    nat = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", F.col("n_name").alias("nation")
+    )
+    joined = srev.join(
+        F.broadcast(sup), srev.l_suppkey == sup.s_suppkey
+    ).join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
+    agg = joined.groupBy("nation").agg(
+        F.count(F.lit(1)).alias("n_suppliers"),
+        F.sum("rev").alias("t"),
+        F.sum(F.col("rev").cast("decimal(38,0)") * F.col("rev")).alias("sq"),
+    )
+    sq_d = F.col("sq").cast("string").cast("double")
+    t2 = F.col("t").cast("double") * F.col("t").cast("double")
+    return agg.select(
+        "nation",
+        "n_suppliers",
+        F.col("t").alias("total_rev_cents"),
+        (sq_d / t2).alias("hhi"),
+        (t2 / sq_d).alias("eff_firms"),
+    )
+
+
+@query(
+    "q_cramers_v",
+    oracle="""
+    WITH cells AS (
+      SELECT c.c_mktsegment AS seg, n.n_name AS nat,
+             CAST(count(*) AS BIGINT) AS o
+      FROM customer c JOIN nation n ON n.n_nationkey = c.c_nationkey
+      GROUP BY 1, 2
+    ),
+    rt AS (SELECT seg, CAST(sum(o) AS BIGINT) AS rt FROM cells GROUP BY seg),
+    ct AS (SELECT nat, CAST(sum(o) AS BIGINT) AS ct FROM cells GROUP BY nat),
+    tot AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM cells),
+    grid AS (
+      SELECT rt.seg, ct.nat, rt.rt, ct.ct, coalesce(cells.o, 0) AS o
+      FROM rt CROSS JOIN ct
+      LEFT JOIN cells ON cells.seg = rt.seg AND cells.nat = ct.nat
+    ),
+    terms AS (
+      SELECT (CAST(o AS DOUBLE)
+              - CAST(rt * ct AS DOUBLE) / CAST(tot.n AS DOUBLE))
+             * (CAST(o AS DOUBLE)
+                - CAST(rt * ct AS DOUBLE) / CAST(tot.n AS DOUBLE))
+             / (CAST(rt * ct AS DOUBLE) / CAST(tot.n AS DOUBLE)) AS term
+      FROM grid, tot
+    ),
+    s AS (
+      SELECT CAST(CAST(sum(CAST(term AS DECIMAL(28,12))) AS VARCHAR)
+                  AS DOUBLE) AS chi2
+      FROM terms
+    )
+    SELECT tot.n AS n,
+           (SELECT CAST(count(*) AS BIGINT) FROM rt) AS n_rows,
+           (SELECT CAST(count(*) AS BIGINT) FROM ct) AS n_cols,
+           CAST(((SELECT count(*) FROM rt) - 1)
+                * ((SELECT count(*) FROM ct) - 1) AS BIGINT) AS dof,
+           s.chi2 AS chi2,
+           sqrt(s.chi2 / CAST(tot.n
+                * least((SELECT count(*) FROM rt) - 1,
+                        (SELECT count(*) FROM ct) - 1) AS DOUBLE))
+             AS cramers_v
+    FROM s, tot
+    """,
+    description="Cramér's V association between two categoricals (market "
+    "segment × nation over customers): the full r×c contingency grid — "
+    "zero cells included, they still contribute their expectation — "
+    "χ² = Σ(o−e)²/e with e = row·col/n, V = √(χ²/(n·min(r−1,c−1))). "
+    "Cell terms are IEEE expressions over exact integer margins, summed "
+    "under the decimal(28,12) order-independence discipline; sqrt is "
+    "correctly rounded per IEEE-754 so the statistic hash-verifies",
+)
+def q_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB shape: ONE corpus aggregation to the r×c census (125
+    cells here — bounded by the category value space, never the corpus),
+    then margins, the zero-completing grid cross join, and the χ² fold
+    all run on dimension-sized data (the plan's only cartesian is the
+    5×25 margin grid — the documented dimension-only exception). This
+    is the standard drift/association primitive for categorical feature
+    pairs: at any corpus size the post-census cost is |categories|²."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_mktsegment", "c_nationkey"
+    )
+    nat = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", F.col("n_name").alias("nat")
+    )
+    cells = (
+        cust.join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+        .groupBy(F.col("c_mktsegment").alias("seg"), "nat")
+        .agg(F.count(F.lit(1)).alias("o"))
+    )
+    rt = cells.groupBy("seg").agg(F.sum("o").alias("rt"))
+    ct = cells.groupBy("nat").agg(F.sum("o").alias("ct"))
+    grid = (
+        rt.crossJoin(ct)
+        .join(cells, ["seg", "nat"], "left")
+        .select("seg", "nat", "rt", "ct", F.coalesce("o", F.lit(0)).alias("o"))
+    )
+    n_col = F.sum("o")  # grid sums to n (each obs in exactly one cell)
+    e = F.col("rt_ct").cast("double") / F.col("n").cast("double")
+    term = (
+        (F.col("o").cast("double") - e)
+        * (F.col("o").cast("double") - e)
+        / e
+    )
+    stats = (
+        grid.withColumn("rt_ct", F.col("rt") * F.col("ct"))
+        .withColumn(
+            "n",
+            F.sum("o").over(Window.partitionBy()),  # 125-row grid total
+        )
+        .withColumn("term", term)
+        .agg(
+            F.min("n").alias("n"),
+            F.count_distinct("seg").alias("n_rows"),
+            F.count_distinct("nat").alias("n_cols"),
+            F.sum(F.col("term").cast("decimal(28,12)"))
+            .cast("string")
+            .cast("double")
+            .alias("chi2"),
+        )
+    )
+    return stats.select(
+        "n",
+        "n_rows",
+        "n_cols",
+        ((F.col("n_rows") - 1) * (F.col("n_cols") - 1)).alias("dof"),
+        "chi2",
+        F.sqrt(
+            F.col("chi2")
+            / (
+                F.col("n")
+                * F.least(F.col("n_rows") - 1, F.col("n_cols") - 1)
+            ).cast("double")
+        ).alias("cramers_v"),
+    )
+
+
+@query(
+    "q_kruskal_wallis",
+    oracle="""
+    WITH obs AS (
+      SELECT o.o_orderpriority AS grp,
+             CAST(round(l.l_quantity) AS BIGINT) AS q
+      FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    ),
+    gcen AS (
+      SELECT grp, q, CAST(count(*) AS BIGINT) AS cg FROM obs GROUP BY 1, 2
+    ),
+    vcen AS (
+      SELECT q, CAST(sum(cg) AS BIGINT) AS c FROM gcen GROUP BY q
+    ),
+    ranks AS (
+      SELECT q, c,
+             2 * coalesce(sum(c) OVER (ORDER BY q
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               + c + 1 AS rank2
+      FROM vcen
+    ),
+    gr AS (
+      SELECT g.grp, CAST(sum(g.cg) AS BIGINT) AS nj,
+             CAST(sum(g.cg * r.rank2) AS BIGINT) AS r2j
+      FROM gcen g JOIN ranks r ON r.q = g.q
+      GROUP BY g.grp
+    ),
+    nn AS (SELECT CAST(sum(nj) AS BIGINT) AS n FROM gr),
+    s AS (
+      SELECT CAST(CAST(sum(CAST(
+               (CAST(r2j AS DOUBLE) / 2) * (CAST(r2j AS DOUBLE) / 2)
+               / CAST(nj AS DOUBLE) AS DECIMAL(38,6))) AS VARCHAR)
+             AS DOUBLE) AS srn,
+             CAST(count(*) AS BIGINT) AS k
+      FROM gr
+    ),
+    tie AS (
+      SELECT CAST(CAST(sum(CAST(c AS DECIMAL(38,0)) * c * c - c)
+                  AS VARCHAR) AS DOUBLE) AS t3
+      FROM vcen
+    )
+    SELECT nn.n AS n_total, s.k AS n_groups,
+           12 * s.srn / CAST(nn.n * (nn.n + 1) AS DOUBLE)
+             - 3 * CAST(nn.n + 1 AS DOUBLE) AS h,
+           1 - tie.t3
+             / CAST(CAST(CAST(nn.n AS DECIMAL(38,0)) * nn.n * nn.n - nn.n
+                    AS VARCHAR) AS DOUBLE) AS tie_c,
+           (12 * s.srn / CAST(nn.n * (nn.n + 1) AS DOUBLE)
+             - 3 * CAST(nn.n + 1 AS DOUBLE))
+           / (1 - tie.t3
+              / CAST(CAST(CAST(nn.n AS DECIMAL(38,0)) * nn.n * nn.n - nn.n
+                     AS VARCHAR) AS DOUBLE)) AS h_adj
+    FROM nn, s, tie
+    """,
+    description="Kruskal–Wallis H (rank-based k-sample test): does line "
+    "quantity differ by order priority? Pooled mid-ranks come from the "
+    "VALUE CENSUS (cumulative over the ≤50 distinct quantities, ×2 to "
+    "stay integer), per-group rank sums from census×group counts, "
+    "H = 12·Σ R_j²/n_j / (N(N+1)) − 3(N+1) with the t³−t tie "
+    "correction in decimal(38,0) — exact integers until three final "
+    "IEEE expressions",
+)
+def q_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB shape: the corpus is touched by ONE aggregation to the
+    (group × value) census — ≤ |groups|·|values| rows (5×50 here),
+    partial map-side — and every rank is derived from the census: the
+    cumulative runs over the ≤50-row value grid (the
+    q_decision_stump/q_kaplan_meier value-grid cumulative — bounded by
+    the value space, not the corpus, hence the deliberate partitionless
+    window). No corpus-wide sort, no per-row rank assignment — the
+    classic textbook formulation (rank every observation) is replaced
+    by the tie-midrank algebra on counts, which is also what makes the
+    result exact. Squared rank sums exceed float-53-bit exactness at
+    sf100, so both engines evaluate the identical cast tree
+    (bigint→double is correctly rounded — determinism, not exactness,
+    is the contract); the 5-term Σ R²/n fold is decimal-cast for
+    order independence."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", F.round("l_quantity").cast("bigint").alias("q")
+    )
+    od = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.col("o_orderpriority").alias("grp")
+    )
+    gcen = (
+        li.join(od, li.l_orderkey == od.o_orderkey)
+        .groupBy("grp", "q")
+        .agg(F.count(F.lit(1)).alias("cg"))
+    )
+    vcen = gcen.groupBy("q").agg(F.sum("cg").alias("c"))
+    wv = Window.orderBy("q").rowsBetween(Window.unboundedPreceding, -1)
+    ranks = vcen.select(
+        "q",
+        "c",
+        (2 * F.coalesce(F.sum("c").over(wv), F.lit(0)) + F.col("c") + 1)
+        .alias("rank2"),
+    )
+    gr = (
+        gcen.join(ranks, "q")
+        .groupBy("grp")
+        .agg(
+            F.sum("cg").alias("nj"),
+            F.sum(F.col("cg") * F.col("rank2")).alias("r2j"),
+        )
+    )
+    rj = F.col("r2j").cast("double") / 2
+    s = gr.agg(
+        F.sum("nj").alias("n"),
+        F.count(F.lit(1)).alias("k"),
+        F.sum((rj * rj / F.col("nj").cast("double")).cast("decimal(38,6)"))
+        .cast("string")
+        .cast("double")
+        .alias("srn"),
+    )
+    tie = vcen.agg(
+        F.sum(
+            F.col("c").cast("decimal(38,0)") * F.col("c") * F.col("c")
+            - F.col("c")
+        )
+        .cast("string")
+        .cast("double")
+        .alias("t3")
+    )
+    n = F.col("n")
+    h = 12 * F.col("srn") / (n * (n + 1)).cast("double") - 3 * (
+        n + 1
+    ).cast("double")
+    nd3 = (
+        (n.cast("decimal(38,0)") * n * n - n).cast("string").cast("double")
+    )
+    tie_c = 1 - F.col("t3") / nd3
+    return s.crossJoin(tie).select(
+        n.alias("n_total"),
+        F.col("k").alias("n_groups"),
+        h.alias("h"),
+        tie_c.alias("tie_c"),
+        (h / tie_c).alias("h_adj"),
+    )
+
+
+@query(
+    "q_simpson_diversity",
+    oracle="""
+    WITH cen AS (
+      SELECT source, lang, CAST(count(*) AS BIGINT) AS c
+      FROM documents GROUP BY 1, 2
+    )
+    SELECT source,
+           CAST(sum(c) AS BIGINT) AS n_docs,
+           CAST(count(*) AS BIGINT) AS n_langs,
+           CAST(sum(c * (c - 1)) AS DOUBLE)
+             / (CAST(sum(c) AS DOUBLE) * CAST(sum(c) - 1 AS DOUBLE))
+             AS simpson,
+           1 - CAST(sum(c * (c - 1)) AS DOUBLE)
+             / (CAST(sum(c) AS DOUBLE) * CAST(sum(c) - 1 AS DOUBLE))
+             AS gini_simpson,
+           (CAST(sum(c) AS DOUBLE) * CAST(sum(c) AS DOUBLE))
+             / CAST(sum(c * c) AS DOUBLE) AS eff_langs
+    FROM cen GROUP BY source
+    """,
+    description="Simpson diversity of the language mix per source: "
+    "λ = Σn_l(n_l−1)/(N(N−1)) (the probability two sampled docs share "
+    "a language), Gini–Simpson 1−λ, and the effective number of "
+    "languages N²/Σn² — the corpus-mixture diversity report a "
+    "training-data pipeline publishes per source. Integer counts "
+    "throughout; three single-expression divisions",
+)
+def q_simpson_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB shape: one map-side-partial aggregation to the
+    (source × lang) census, then per-source index arithmetic on census
+    rows — the post-census cost is |sources|·|langs| at any corpus
+    size. n·n stays far inside int64 even at 5M docs/source (2.5e13)."""
+    cen = (
+        load_table(spark, sf_dir, "documents")
+        .groupBy("source", "lang")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    agg = cen.groupBy("source").agg(
+        F.sum("c").alias("n"),
+        F.count(F.lit(1)).alias("n_langs"),
+        F.sum(F.col("c") * (F.col("c") - 1)).alias("pairs"),
+        F.sum(F.col("c") * F.col("c")).alias("sq"),
+    )
+    nd = F.col("n").cast("double")
+    lam = F.col("pairs").cast("double") / (nd * (F.col("n") - 1).cast("double"))
+    return agg.select(
+        "source",
+        F.col("n").alias("n_docs"),
+        "n_langs",
+        lam.alias("simpson"),
+        (1 - lam).alias("gini_simpson"),
+        ((nd * nd) / F.col("sq").cast("double")).alias("eff_langs"),
+    )

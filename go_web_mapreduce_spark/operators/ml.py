@@ -2237,3 +2237,315 @@ def q_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("te"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-10 wave: CUPED variance reduction, the hashing trick, Huber
+# robust location — the experimentation / featurization / robust-stats
+# trio of a tabular-ML platform
+# ---------------------------------------------------------------------------
+
+CUPED_CUTOFF = "2024-01-25 00:00:00"  # pre-period < cutoff <= post-period
+
+
+@query(
+    "q_cuped_adjust",
+    oracle=f"""
+    WITH per_user AS (
+      SELECT user_id,
+             CAST(('0x' || substr(md5('cuped:' || CAST(user_id AS VARCHAR)),
+                   1, 8))::BIGINT % 2 AS BIGINT) AS arm,
+             CAST(coalesce(sum(CASE WHEN ts < TIMESTAMP '{CUPED_CUTOFF}'
+                 THEN CAST(round(value * 100) AS BIGINT) END), 0)
+                 AS BIGINT) AS x,
+             CAST(coalesce(sum(CASE WHEN ts >= TIMESTAMP '{CUPED_CUTOFF}'
+                 THEN CAST(round(value * 100) AS BIGINT) END), 0)
+                 AS BIGINT) AS y
+      FROM events GROUP BY user_id
+    ),
+    pooled AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS sx,
+             CAST(sum(y) AS BIGINT) AS sy,
+             CAST(CAST(sum(CAST(x AS DECIMAL(38,0)) * y) AS VARCHAR)
+                  AS DOUBLE) AS sxy,
+             CAST(CAST(sum(CAST(x AS DECIMAL(38,0)) * x) AS VARCHAR)
+                  AS DOUBLE) AS sxx,
+             (CAST(CAST(count(*) AS DECIMAL(38,0))
+                   * sum(CAST(x AS DECIMAL(38,0)) * y)
+                   - CAST(sum(x) AS DECIMAL(38,0)) * sum(y)
+                   AS VARCHAR)::DOUBLE)
+             / (CAST(CAST(count(*) AS DECIMAL(38,0))
+                     * sum(CAST(x AS DECIMAL(38,0)) * x)
+                     - CAST(sum(x) AS DECIMAL(38,0)) * sum(x)
+                     AS VARCHAR)::DOUBLE) AS theta
+      FROM per_user
+    )
+    SELECT p.arm, CAST(count(*) AS BIGINT) AS n_users,
+           CAST(sum(p.y) AS DOUBLE) / count(*) / 100.0 AS mean_post,
+           CAST(sum(p.x) AS DOUBLE) / count(*) / 100.0 AS mean_pre,
+           pooled.theta AS theta,
+           (CAST(sum(p.y) AS DOUBLE) / count(*)
+            - pooled.theta
+              * (CAST(sum(p.x) AS DOUBLE) / count(*)
+                 - CAST(pooled.sx AS DOUBLE) / pooled.n)) / 100.0
+             AS cuped_mean
+    FROM per_user p, pooled
+    GROUP BY p.arm, pooled.theta, pooled.sx, pooled.n
+    """,
+    description="CUPED variance reduction (Deng, Xu, Kohavi & Walker "
+    "2013): per experiment arm (md5 parity of user_id — the "
+    "deterministic assignment), the post-period mean adjusted by the "
+    "pre-period covariate, ŷ_cuped = ȳ_a − θ(x̄_a − x̄), with "
+    "θ = cov(X,Y)/var(X) from POOLED exact integer-cent moments in "
+    "decimal(38,0) (n·Σxy − ΣxΣy over n·Σxx − (Σx)²) — the standard "
+    "sensitivity boost every experimentation platform applies before "
+    "the t-test",
+)
+def q_cuped_adjust(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB shape: ONE corpus aggregation to per-user (pre, post)
+    integer-cent sums on the natural user_id key (conditional sums, so
+    pre-only and post-only users keep zeros — no outer join), then the
+    pooled second moments and the per-arm means are both |users|-row
+    aggregations with decimal-exact states; θ reaches the arm rollup as
+    a broadcast scalar. Nothing in the plan holds per-row state after
+    the first fold, and every float is a fixed expression over exact
+    integers — the moments would be bit-identical on any partitioning
+    of a 100 TB event log."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    per_user = ev.groupBy("user_id").agg(
+        F.coalesce(
+            F.sum(F.when(F.col("ts") < F.lit(CUPED_CUTOFF).cast("timestamp"),
+                         F.col("cents"))),
+            F.lit(0),
+        ).alias("x"),
+        F.coalesce(
+            F.sum(F.when(F.col("ts") >= F.lit(CUPED_CUTOFF).cast("timestamp"),
+                         F.col("cents"))),
+            F.lit(0),
+        ).alias("y"),
+    ).select(
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit("cuped:"),
+                                   F.col("user_id").cast("string"))),
+                    1, 8,
+                ),
+                16, 10,
+            ).cast("bigint") % 2
+        ).alias("arm"),
+        "x",
+        "y",
+    )
+    xd = F.col("x").cast("decimal(38,0)")
+    nd = F.count(F.lit(1)).cast("decimal(38,0)")
+    pooled = per_user.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        (
+            (nd * F.sum(xd * F.col("y"))
+             - F.sum("x").cast("decimal(38,0)") * F.sum("y"))
+            .cast("string").cast("double")
+            / (nd * F.sum(xd * F.col("x"))
+               - F.sum("x").cast("decimal(38,0)") * F.sum("x"))
+            .cast("string").cast("double")
+        ).alias("theta"),
+    )
+    arms = per_user.groupBy("arm").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("y").alias("sy_a"),
+        F.sum("x").alias("sx_a"),
+    )
+    mean_y = F.col("sy_a").cast("double") / F.col("n_users")
+    mean_x = F.col("sx_a").cast("double") / F.col("n_users")
+    grand_x = F.col("sx").cast("double") / F.col("n")
+    return arms.crossJoin(F.broadcast(pooled)).select(
+        "arm",
+        "n_users",
+        (mean_y / 100.0).alias("mean_post"),
+        (mean_x / 100.0).alias("mean_pre"),
+        "theta",
+        ((mean_y - F.col("theta") * (mean_x - grand_x)) / 100.0).alias(
+            "cuped_mean"
+        ),
+    )
+
+
+FH_DIM = 16  # hashed feature dimension
+
+_FH_COLS = [f"f{j:02d}" for j in range(FH_DIM)]
+
+
+@query(
+    "q_feature_hashing",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+      FROM documents
+    ),
+    hashed AS (
+      SELECT doc_id,
+             ('0x' || substr(md5('fh:' || tok), 1, 8))::BIGINT % {FH_DIM}
+               AS b,
+             CASE WHEN ('0x' || substr(md5('fh:' || tok), 9, 1))::BIGINT % 2
+                  = 0 THEN 1 ELSE -1 END AS s
+      FROM toks WHERE tok <> ''
+    )
+    SELECT doc_id,
+           {", ".join(
+               f"CAST(coalesce(sum(CASE WHEN b = {j} THEN s END), 0) "
+               f"AS BIGINT) AS f{j:02d}" for j in range(FH_DIM)
+           )}
+    FROM hashed GROUP BY doc_id
+    """,
+    description="the hashing trick (Weinberger et al. 2009): every token "
+    f"is hashed into one of {FH_DIM} buckets with an md5-derived ±1 "
+    "sign (the signed construction that makes collisions cancel in "
+    "expectation), producing a fixed-width integer feature vector per "
+    "document with NO vocabulary pass — the one-scan featurizer used "
+    "when the vocab is unbounded or the pipeline must be stateless",
+)
+def q_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB shape: vocabulary-free by construction — exactly why
+    feature hashing exists at scale: no vocab census, no broadcast
+    dictionary, no OOV path; one explode + one doc-keyed partial-agg
+    shuffle, and the feature width is a constant 16 columns whatever
+    the corpus. The signed variant keeps the hashed dot product an
+    unbiased estimator of the true one. Both hash fields come from ONE
+    md5 evaluation per token (bucket = hex[1:8], sign = hex[9])."""
+    toks = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.col("text")), " ")).alias("tok"),
+    ).where(F.col("tok") != "")
+    h = F.md5(F.concat(F.lit("fh:"), F.col("tok")))
+    hashed = toks.select(
+        "doc_id",
+        (F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint") % FH_DIM)
+        .alias("b"),
+        F.when(
+            F.conv(F.substring(h, 9, 1), 16, 10).cast("bigint") % 2 == 0,
+            F.lit(1),
+        ).otherwise(F.lit(-1)).alias("s"),
+    )
+    return hashed.groupBy("doc_id").agg(
+        *[
+            F.coalesce(
+                F.sum(F.when(F.col("b") == j, F.col("s"))), F.lit(0)
+            ).cast("bigint").alias(f"f{j:02d}")
+            for j in range(FH_DIM)
+        ]
+    )
+
+
+HUBER_DELTA_CENTS = 50_000  # δ = $500: beyond this, influence is capped
+
+
+def _huber_iter_sql(mu: str) -> str:
+    """One IRLS re-weighting in DuckDB SQL: Σwx/Σw with w = min(1, δ/|x−μ|)
+    stated as a CASE (no division by zero), decimal-cast sums."""
+    w = (
+        f"CASE WHEN abs(CAST(cents AS DOUBLE) - {mu}) <= {HUBER_DELTA_CENTS}"
+        f" THEN CAST(1 AS DOUBLE) ELSE {HUBER_DELTA_CENTS}"
+        f" / abs(CAST(cents AS DOUBLE) - {mu}) END"
+    )
+    return (
+        f"CAST(CAST(sum(CAST({w} * cents AS DECIMAL(28,6))) AS VARCHAR) AS DOUBLE)"
+        f" / CAST(CAST(sum(CAST({w} AS DECIMAL(28,6))) AS VARCHAR) AS DOUBLE)"
+    )
+
+
+@query(
+    "q_huber_mean",
+    oracle=f"""
+    WITH obs AS (
+      SELECT p.p_brand AS brand,
+             CAST(round(l.l_extendedprice * 100) AS BIGINT) AS cents
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    ),
+    m0 AS (
+      SELECT brand, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(cents) AS DOUBLE) / count(*) AS mu0
+      FROM obs GROUP BY brand
+    ),
+    m1 AS (
+      SELECT obs.brand, {_huber_iter_sql("m0.mu0")} AS mu1
+      FROM obs JOIN m0 ON m0.brand = obs.brand
+      GROUP BY obs.brand
+    ),
+    m2 AS (
+      SELECT obs.brand, {_huber_iter_sql("m1.mu1")} AS mu2
+      FROM obs JOIN m1 ON m1.brand = obs.brand
+      GROUP BY obs.brand
+    )
+    SELECT m0.brand, m0.n,
+           m0.mu0 / 100 AS mean_price,
+           m1.mu1 / 100 AS huber1,
+           m2.mu2 / 100 AS huber2
+    FROM m0 JOIN m1 ON m1.brand = m0.brand JOIN m2 ON m2.brand = m0.brand
+    """,
+    description="Huber robust location (Huber 1964) per brand via two "
+    "unrolled IRLS steps from the mean: w = min(1, δ/|x−μ|) caps each "
+    "observation's influence at δ = $500, μ' = Σwx/Σw — the outlier-"
+    "resistant mean between the mean (δ=∞) and median (δ→0), the "
+    "robust aggregate monitoring pipelines use where single corrupt "
+    "rows must not move the estimate. Weights are branch-stated (no "
+    "division by zero at x=μ); weighted sums are decimal-cast for "
+    "order independence",
+)
+def q_huber_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB shape: IRLS with a FIXED unroll of 2 — each step is one
+    column-pruned corpus scan joined to the ≤|brands| broadcast of the
+    previous step's estimates, then a partial-aggregated fold to
+    |brands| rows; per-group state is two decimals. The corpus stream
+    is deliberately re-scanned rather than cached: a corpus-sized
+    block-manager pin is the q_itemsets3 OOM lesson, while three
+    column-pruned parquet scans are the cheap, spill-free choice at
+    any scale. Convergence note: two steps from the mean is the
+    documented operating point (monitoring wants a fixed plan, not an
+    open loop); the step count is a literal in both engines."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("cents"),
+    )
+    pt = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    obs = li.join(F.broadcast(pt), li.l_partkey == pt.p_partkey).select(
+        F.col("p_brand").alias("brand"), "cents"
+    )
+    m0 = obs.groupBy("brand").agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.sum("cents").cast("double") / F.count(F.lit(1))).alias("mu0"),
+    )
+
+    def irls(prev: DataFrame, mu_col: str, out_col: str) -> DataFrame:
+        j = obs.join(F.broadcast(prev.select("brand", mu_col)), "brand")
+        dev = F.abs(F.col("cents").cast("double") - F.col(mu_col))
+        w = F.when(dev <= HUBER_DELTA_CENTS, F.lit(1.0)).otherwise(
+            F.lit(float(HUBER_DELTA_CENTS)) / dev
+        )
+        return j.groupBy("brand").agg(
+            (
+                F.sum((w * F.col("cents")).cast("decimal(28,6)"))
+                .cast("string").cast("double")
+                / F.sum(w.cast("decimal(28,6)"))
+                .cast("string").cast("double")
+            ).alias(out_col)
+        )
+
+    m1 = irls(m0, "mu0", "mu1")
+    m2 = irls(m1, "mu1", "mu2")
+    return (
+        m0.join(m1, "brand")
+        .join(m2, "brand")
+        .select(
+            "brand",
+            "n",
+            (F.col("mu0") / 100).alias("mean_price"),
+            (F.col("mu1") / 100).alias("huber1"),
+            (F.col("mu2") / 100).alias("huber2"),
+        )
+    )

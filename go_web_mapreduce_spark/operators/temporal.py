@@ -1881,3 +1881,88 @@ def q_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.lit(float(TWAP_VSCALE)) * F.col("span_us"))
         ).alias("twap"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q_path_analysis — top session-opening paths (first-3-event trigrams)
+# ---------------------------------------------------------------------------
+
+PATH_LEN = 3
+PATH_TOP = 10
+
+
+@query(
+    "q_path_analysis",
+    oracle=f"""
+    WITH flagged AS (
+      SELECT user_id, event_id, event_type, epoch_us(ts) AS us,
+             CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w IS NULL
+                    OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > {SESSION_GAP_US}
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+    ), sess AS (
+      SELECT user_id, event_id, event_type, us,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS session_id
+      FROM flagged
+    ), ranked AS (
+      SELECT user_id, session_id, event_type,
+             row_number() OVER (PARTITION BY user_id, session_id
+                                ORDER BY us, event_id) AS r
+      FROM sess QUALIFY r <= {PATH_LEN}
+    ), paths AS (
+      SELECT user_id, session_id,
+             max(CASE WHEN r = 1 THEN event_type END) || '>'
+               || max(CASE WHEN r = 2 THEN event_type END) || '>'
+               || max(CASE WHEN r = 3 THEN event_type END) AS path
+      FROM ranked GROUP BY 1, 2
+      HAVING count(*) >= {PATH_LEN}
+    )
+    SELECT path, CAST(count(*) AS BIGINT) AS n_sessions
+    FROM paths GROUP BY path
+    ORDER BY n_sessions DESC, path LIMIT {PATH_TOP}
+    """,
+    description=f"session path analysis: the top-{PATH_TOP} opening "
+    f"{PATH_LEN}-step event-type paths across user sessions (30-min gap "
+    "rule), 'a>b>c' ordered by (ts, event_id) — the product-analytics "
+    "staple behind onboarding funnels and navigation sunbursts; "
+    "sessions shorter than the path length are excluded",
+)
+def q_path_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB shape: the ONE corpus shuffle is the user_id
+    sessionizing window (shared ordering with q_markov_transitions —
+    the lag flag, the running session sum, and the opening-rank
+    row_number all reuse one (user, time) sort); the rank<=3 filter
+    executes as WindowGroupLimit, so the path-assembly groupBy receives
+    at most 3 rows per session — session-count-scaled, with the
+    conditional-max fold (no collect_list ordering hazard: position is
+    explicit in r). The final census is |type|^3-bounded and the top-10
+    is a TakeOrdered, never a global sort."""
+    sess = sessionize(load_table(spark, sf_dir, "events"))
+    w = W.partitionBy("user_id", "session_id").orderBy("_ts_us", "event_id")
+    ranked = sess.select(
+        "user_id", "session_id", "event_type",
+        F.row_number().over(w).alias("r"),
+    ).where(F.col("r") <= PATH_LEN)
+    paths = (
+        ranked.groupBy("user_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.concat_ws(
+                ">",
+                *[
+                    F.max(F.when(F.col("r") == i + 1, F.col("event_type")))
+                    for i in range(PATH_LEN)
+                ],
+            ).alias("path"),
+        )
+        .where(F.col("n") >= PATH_LEN)
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_sessions"))
+        .orderBy(F.col("n_sessions").desc(), "path")
+        .limit(PATH_TOP)
+    )

@@ -2199,3 +2199,193 @@ def q_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
             "pooled_score"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# q_kneser_ney — Kneser-Ney-smoothed bigram model (the n-gram smoothing
+# standard); D = 3/4 keeps everything in exact integer quarters
+# ---------------------------------------------------------------------------
+
+KN_TOP = 20
+# D = 0.75 = 3/4: max(c−D,0) = (4c−3)/4 for observed bigrams (c ≥ 1), so
+# P_KN(w2|w1) = (4c−3)/(4·c(w1·)) + [3·N1+(w1·)/(4·c(w1·))]·[N1+(·w2)/T]
+#             = ((4c−3)·T + 3·N1+(w1·)·N1+(·w2)) / (4·c(w1·)·T)
+# with T = total bigram types — ONE exact integer numerator and
+# denominator, ONE IEEE division. Both sides run in decimal(38,0) (the
+# numerator brushes int64 at 1e9 types × 1e9 counts).
+
+
+@query(
+    "q_kneser_ney",
+    oracle=f"""
+    WITH toks AS (
+      SELECT list_filter(string_split(lower(text), ' '), t -> t <> '') AS tk
+      FROM documents
+    ), big AS (
+      SELECT unnest(list_transform(range(1, len(tk)),
+                                   i -> tk[i] || ' ' || tk[i+1])) AS bg
+      FROM toks WHERE len(tk) >= 2
+    ), cnt AS (
+      SELECT bg, split_part(bg, ' ', 1) AS w1, split_part(bg, ' ', 2) AS w2,
+             CAST(count(*) AS BIGINT) AS c
+      FROM big GROUP BY bg
+    ), pre AS (
+      SELECT w1, CAST(sum(c) AS BIGINT) AS cw1,
+             CAST(count(*) AS BIGINT) AS n1fw
+      FROM cnt GROUP BY w1
+    ), post AS (
+      SELECT w2, CAST(count(*) AS BIGINT) AS n1pw FROM cnt GROUP BY w2
+    ), tt AS (
+      SELECT CAST(count(*) AS BIGINT) AS t FROM cnt
+    )
+    SELECT cnt.bg, cnt.c, pre.cw1, pre.n1fw, post.n1pw, tt.t AS n_types,
+           CAST(CAST((4 * CAST(cnt.c AS DECIMAL(38,0)) - 3) * tt.t
+                     + 3 * CAST(pre.n1fw AS DECIMAL(38,0)) * post.n1pw
+                AS VARCHAR) AS DOUBLE)
+           / CAST(CAST(4 * CAST(pre.cw1 AS DECIMAL(38,0)) * tt.t
+                  AS VARCHAR) AS DOUBLE) AS p_kn
+    FROM cnt JOIN pre ON pre.w1 = cnt.w1
+             JOIN post ON post.w2 = cnt.w2, tt
+    ORDER BY cnt.c DESC, cnt.bg LIMIT {KN_TOP}
+    """,
+    description="interpolated Kneser-Ney bigram smoothing (Kneser & Ney "
+    "1995; Chen & Goodman 1998), the n-gram LM standard: "
+    "P(w2|w1) = max(c−D,0)/c(w1·) + λ(w1)·N1+(·w2)/T, discount "
+    "D = 3/4 — the continuation-count backoff that fixes add-k's "
+    "over-smoothing. With D = 3/4 the whole probability collapses to "
+    "one exact integer ratio ((4c−3)T + 3·N1+(w1·)·N1+(·w2)) / "
+    "(4·c(w1·)·T): hash-stable with a single IEEE division. Top-20 "
+    "bigrams by count",
+)
+def q_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB shape: identical skeleton to q_bigram_lm — one explode,
+    one bigram-keyed partial-agg shuffle, then the three marginal
+    censuses (prefix totals+fanouts, suffix fanouts, type count) all
+    derive from the BIGRAM CENSUS, never from the corpus again: the
+    continuation counts that make KN expensive in naive formulations
+    are count/count_distinct folds over census rows (vocab²-bounded,
+    not corpus-bounded). The final join is census-to-census on w1/w2
+    keys. This is the LM-smoothing pass of a tokenizer/LM data
+    pipeline at any corpus size."""
+    docs = load_table(spark, sf_dir, "documents")
+    bg = (
+        docs.select(tokens("text").alias("tk"))
+        .filter(F.size("tk") >= 2)
+        .select(F.explode(word_shingles(F.col("tk"), 2)).alias("bg"))
+    )
+    cnt = (
+        bg.groupBy("bg")
+        .agg(F.count("*").alias("c"))
+        .select(
+            "bg",
+            F.substring_index("bg", " ", 1).alias("w1"),
+            F.substring_index("bg", " ", -1).alias("w2"),
+            "c",
+        )
+    )
+    pre = cnt.groupBy("w1").agg(
+        F.sum("c").alias("cw1"), F.count(F.lit(1)).alias("n1fw")
+    )
+    post = cnt.groupBy("w2").agg(F.count(F.lit(1)).alias("n1pw"))
+    tt = cnt.agg(F.count(F.lit(1)).alias("t"))
+    num = (
+        (4 * F.col("c").cast("decimal(38,0)") - 3) * F.col("t")
+        + 3 * F.col("n1fw").cast("decimal(38,0)") * F.col("n1pw")
+    ).cast("string").cast("double")
+    den = (
+        (4 * F.col("cw1").cast("decimal(38,0)") * F.col("t"))
+        .cast("string").cast("double")
+    )
+    return (
+        cnt.join(pre, "w1")
+        .join(post, "w2")
+        .crossJoin(F.broadcast(tt))
+        .select(
+            "bg", "c", "cw1", "n1fw", "n1pw",
+            F.col("t").alias("n_types"),
+            (num / den).alias("p_kn"),
+        )
+        .orderBy(F.col("c").desc(), "bg")
+        .limit(KN_TOP)
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_vocab_coverage — tokenizer-vocabulary coverage / OOV audit
+# ---------------------------------------------------------------------------
+
+VOCAB_V = 500  # vocabulary size: top-V corpus tokens by frequency
+
+
+@query(
+    "q_vocab_coverage",
+    oracle=f"""
+    WITH toks AS (
+      SELECT lang, unnest(string_split(lower(text), ' ')) AS tok
+      FROM documents
+    ), t AS (
+      SELECT lang, tok FROM toks WHERE tok <> ''
+    ), freq AS (
+      SELECT tok, count(*) AS c FROM t GROUP BY tok
+    ), vocab AS (
+      SELECT tok, row_number() OVER (ORDER BY c DESC, tok) AS r
+      FROM freq QUALIFY r <= {VOCAB_V}
+    )
+    SELECT t.lang,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(coalesce(sum(CASE WHEN v.tok IS NOT NULL THEN 1 END), 0)
+                AS BIGINT) AS in_vocab,
+           CAST(coalesce(sum(CASE WHEN v.tok IS NOT NULL THEN 1 END), 0)
+                AS DOUBLE) / count(*) AS coverage,
+           CAST(count(DISTINCT CASE WHEN v.tok IS NULL THEN t.tok END)
+                AS BIGINT) AS oov_types
+    FROM t LEFT JOIN vocab v ON v.tok = t.tok
+    GROUP BY t.lang
+    """,
+    description=f"tokenizer-vocabulary coverage audit: the top-{VOCAB_V} "
+    "corpus tokens by frequency (deterministic count-then-lexicographic "
+    "order) form the vocabulary; per language, the token coverage "
+    "ratio, in-vocab token count, and distinct OOV types — the check "
+    "run before freezing a tokenizer: a language whose coverage lags "
+    "gets more vocab budget. The same audit, with a supplied vocab "
+    "table, validates an existing tokenizer against a new corpus",
+)
+def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB shape: pass 1 folds the corpus to the token-frequency
+    census (vocab-space-bounded) and takes the top-V as a
+    TakeOrdered-style limit (V rows to the driver plan, broadcast
+    back); pass 2 re-scans tokens with the V-row vocab as a broadcast
+    LEFT join — membership is a hash probe, the per-lang rollup is a
+    partial-aggregated groupBy on ≤|langs| keys. No shuffle ever
+    carries document bodies; OOV types stay distinct-counted per lang
+    (bounded by the lang's type space)."""
+    toks = (
+        load_table(spark, sf_dir, "documents")
+        .select(
+            "lang",
+            F.explode(F.split(F.lower(F.col("text")), " ")).alias("tok"),
+        )
+        .where(F.col("tok") != "")
+    )
+    vocab = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.col("c").desc(), "tok")
+        .limit(VOCAB_V)
+        .select("tok", F.lit(1).alias("_inv"))
+    )
+    j = toks.join(F.broadcast(vocab), "tok", "left")
+    return j.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.coalesce(F.sum(F.when(F.col("_inv").isNotNull(), 1)), F.lit(0))
+        .alias("in_vocab"),
+        (
+            F.coalesce(
+                F.sum(F.when(F.col("_inv").isNotNull(), 1)), F.lit(0)
+            ).cast("double")
+            / F.count(F.lit(1))
+        ).alias("coverage"),
+        F.count_distinct(
+            F.when(F.col("_inv").isNull(), F.col("tok"))
+        ).alias("oov_types"),
+    )

@@ -617,3 +617,93 @@ def test_weighted_median_window_runs_on_the_value_census(spark, sf_dir):
     w = plan.index("Window")
     assert "HashAggregate" in plan[w:]  # census (below the window in text)
     assert "partial_sum" in plan
+
+
+# ---------------------------------------------------------------------------
+# round-10 wave
+# ---------------------------------------------------------------------------
+
+
+def test_kmv_bottom_k_is_window_group_limit(spark, sf_dir):
+    """The rank<=k filter must execute as WindowGroupLimit (map tasks
+    forward at most k rows per group) — never a full per-group sort of
+    the distinct-hash stream."""
+    plan = executed_plan(spark, sf_dir, "q_kmv_distinct")
+    assert "WindowGroupLimit" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_hhi_folds_per_supplier_before_dimension_joins(spark, sf_dir):
+    """Lineitem partial-aggregates to per-supplier revenue before the
+    broadcast supplier/nation joins — the join input is |suppliers|,
+    never line-level."""
+    plan = executed_plan(spark, sf_dir, "q_hhi")
+    assert plan.count("lineitem.parquet") == 1
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+    assert "partial_sum" in plan
+
+
+def test_cramers_v_census_only_cartesian(spark, sf_dir):
+    """One customer scan to the census; the only cross join is the
+    margin grid (5x25 dimension rows)."""
+    plan = executed_plan(spark, sf_dir, "q_cramers_v")
+    assert plan.count("customer.parquet") == 1
+    assert "partial_count" in plan
+
+
+def test_kruskal_corpus_touched_once(spark, sf_dir):
+    """The corpus fold is the single (group, value) census aggregation;
+    ranks derive from the census."""
+    plan = executed_plan(spark, sf_dir, "q_kruskal_wallis")
+    assert plan.count("lineitem.parquet") == 1
+    assert plan.count("orders.parquet") == 1
+    assert "partial_count" in plan
+
+
+def test_feature_hashing_single_shuffle_no_python(spark, sf_dir):
+    """Vocabulary-free: one doc-keyed aggregation shuffle, everything
+    else map-side codegen — no Python workers, no second scan."""
+    plan = executed_plan(spark, sf_dir, "q_feature_hashing")
+    assert plan.count("documents.parquet") == 1
+    assert "MapInPandas" not in plan and "BatchEvalPython" not in plan
+    body = plan.split("AdaptiveSparkPlan")[-1]
+    assert body.count("Exchange") == 1
+
+
+def test_huber_iterations_are_broadcast_joined(spark, sf_dir):
+    """Each IRLS step joins the corpus stream to the |brands| estimate
+    table by broadcast — no shuffle of line rows for the lookup."""
+    plan = executed_plan(spark, sf_dir, "q_huber_mean")
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 3
+
+
+def test_vocab_coverage_broadcasts_the_vocab(spark, sf_dir):
+    plan = executed_plan(spark, sf_dir, "q_vocab_coverage")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    # census pass + membership pass: exactly two document scans
+    assert plan.count("documents.parquet") == 2
+
+
+def test_kneser_ney_top20_is_take_ordered(spark, sf_dir):
+    plan = executed_plan(spark, sf_dir, "q_kneser_ney")
+    assert "TakeOrderedAndProject" in plan
+    assert plan.count("documents.parquet") == 1
+
+
+def test_path_analysis_opening_rank_is_group_limit(spark, sf_dir):
+    """The first-PATH_LEN filter runs as WindowGroupLimit so the path
+    assembly sees <= PATH_LEN rows per session; the top-10 is a
+    TakeOrdered, not a global sort."""
+    plan = executed_plan(spark, sf_dir, "q_path_analysis")
+    assert "WindowGroupLimit" in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_als_bcast_factor_join_is_broadcast(spark, sf_dir):
+    """The factor-table lookup must not shuffle the interaction stream."""
+    plan = executed_plan(spark, sf_dir, "q_als_user_step_bcast")
+    assert "BroadcastHashJoin" in plan
+    assert "partial_sum" in plan

@@ -59,11 +59,21 @@ def main() -> None:
     ap.add_argument("--big", default="/tmp/spark_graft_sf1")
     ap.add_argument("--ratio", type=float, default=10.0)
     ap.add_argument("--json", default=None)
+    ap.add_argument(
+        "--shuffle-partitions",
+        type=int,
+        default=None,
+        help="override spark.sql.shuffle.partitions (knob-sweep runs: "
+        "adjudicating whether a superlinear decade is local 32-partition "
+        "spill or a plan defect — the q_sequence_pairs protocol)",
+    )
     ap.add_argument("queries", nargs="*")
     args = ap.parse_args()
 
     names = args.queries or sorted(REGISTRY)
-    spark = get_spark("bench-scale")
+    spark = get_spark(
+        "bench-scale", shuffle_partitions=args.shuffle_partitions
+    )
     # warm scans + python worker pool + codegen families (mirrors bench.py)
     from pyspark.sql import functions as F
 
@@ -108,6 +118,7 @@ def main() -> None:
         "small": args.small,
         "big": args.big,
         "ratio": args.ratio,
+        "shuffle_partitions": args.shuffle_partitions,
         "queries": out,
     }
     if args.json:

@@ -118,6 +118,19 @@ HEADLINERS = {
     "q_stream_sliding": "sliding stream: in-batch window expansion, state = windows x types, watermark-bounded",
     "q_target_encoding": "LOO target encoding: segment census broadcast back, (sum-own)/(n-1) map-side - the per-row window algebraically removed",
     "q_weighted_median": "weighted median: (brand,price) value census, cumulative window over distinct prices only, integer threshold pick",
+    "q_als_user_step_bcast": "ALS user step, production shape: per-part factor table broadcast into lines, per-order Gram fold, per-user resum",
+    "q_similarity_ivfpq_scaled": "IVFPQ at the 200k operating point: same list-pruned ADC + rerank plan, fraction-scaled knobs from pick_config",
+    "q_kmv_distinct": "KMV bottom-k sketch: one distinct shuffle, WindowGroupLimit rank<=k, (k-1)M/h_k estimate",
+    "q_hhi": "HHI concentration: per-supplier partial fold, broadcast dims, decimal(38) sum of squares, two IEEE divisions",
+    "q_cramers_v": "Cramer's V: one census aggregation, 5x25 margin grid cross join (dimension-only), decimal-cast chi^2 fold",
+    "q_kruskal_wallis": "Kruskal-Wallis: one (group,value) census, midranks from the <=50-row value grid, decimal tie terms",
+    "q_simpson_diversity": "Simpson diversity: (source,lang) census, integer pair counts, three single divisions",
+    "q_cuped_adjust": "CUPED: per-user conditional-sum fold, pooled decimal(38) moments, theta broadcast to the arm rollup",
+    "q_feature_hashing": "hashing trick: explode + ONE doc-keyed partial-agg shuffle, 16 signed CASE folds, no vocab pass",
+    "q_huber_mean": "Huber IRLS x2: corpus re-scans joined to broadcast |brands| estimates, decimal-cast weighted sums",
+    "q_kneser_ney": "Kneser-Ney bigrams: one bigram census shuffle, marginals from the census, single integer-ratio division, TakeOrdered 20",
+    "q_vocab_coverage": "vocab coverage: token census top-V broadcast back, per-lang membership rollup, two document scans",
+    "q_path_analysis": "session paths: one user-time sort serves sessionize + opening rank (WindowGroupLimit), |types|^3 census, TakeOrdered",
 }
 
 
