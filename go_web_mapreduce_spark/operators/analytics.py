@@ -2725,6 +2725,11 @@ def q_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
         cust.join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
         .groupBy(F.col("c_mktsegment").alias("seg"), "nat")
         .agg(F.count(F.lit(1)).alias("o"))
+        # the 125-row census feeds three subtrees (row margins, column
+        # margins, the grid join): pin it so the corpus aggregation runs
+        # ONCE — without this the customer scan executed three times
+        # (caught by tests/test_plans.py::test_cramers_v_census_only_cartesian)
+        .localCheckpoint(eager=False)
     )
     rt = cells.groupBy("seg").agg(F.sum("o").alias("rt"))
     ct = cells.groupBy("nat").agg(F.sum("o").alias("ct"))
@@ -2860,6 +2865,10 @@ def q_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(od, li.l_orderkey == od.o_orderkey)
         .groupBy("grp", "q")
         .agg(F.count(F.lit(1)).alias("cg"))
+        # the <=|groups|x|values| census feeds the value census, the
+        # rank join, and the group rollup: pin it so the corpus join
+        # executes once
+        .localCheckpoint(eager=False)
     )
     vcen = gcen.groupBy("q").agg(F.sum("cg").alias("c"))
     wv = Window.orderBy("q").rowsBetween(Window.unboundedPreceding, -1)

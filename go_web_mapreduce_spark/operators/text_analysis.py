@@ -2282,6 +2282,12 @@ def q_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.substring_index("bg", " ", -1).alias("w2"),
             "c",
         )
+        # the bigram census feeds four subtrees (prefix marginals,
+        # suffix marginals, the type count, the final join): pin it so
+        # the corpus explode+aggregate runs ONCE. Vocabulary^2-bounded;
+        # at extreme type counts swap for the scratch-parquet pin
+        # (the q_itemsets3 pattern)
+        .localCheckpoint(eager=False)
     )
     pre = cnt.groupBy("w1").agg(
         F.sum("c").alias("cw1"), F.count(F.lit(1)).alias("n1fw")

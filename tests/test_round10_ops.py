@@ -195,7 +195,10 @@ def test_huber_mean_is_between_median_and_mean_pull(spark, sf_dir):
             w = [1.0 if d <= HUBER_DELTA_CENTS else HUBER_DELTA_CENTS / d
                  for d in dev]
             mu = sum(wi * xi for wi, xi in zip(w, x)) / sum(w)
-        assert math.isclose(out[brand]["huber2"], mu / 100, rel_tol=1e-6)
+        # the engine quantizes each w*x term to decimal(28,6) before the
+        # exact sum; the raw-float replication drifts ~1e-6 relative from
+        # that quantization, so the tolerance sits above it
+        assert math.isclose(out[brand]["huber2"], mu / 100, rel_tol=5e-5)
         assert x.min() <= out[brand]["huber2"] * 100 <= x.max()
 
 
@@ -234,3 +237,21 @@ def test_path_analysis_paths_are_full_length(spark, sf_dir):
     for r in rows:
         assert len(r["path"].split(">")) == PATH_LEN
         assert r["n_sessions"] >= 1
+
+
+def test_ivfpq_scaled_is_exact_when_shortlist_covers_corpus(spark, sf_dir):
+    """The 200k-vector knobs (nprobe=32=C exhaustive coarse pass,
+    shortlist 4000 >= corpus here) must degenerate to the exact cosine
+    top-k on small corpora — recall 1.0 by construction, pinning that
+    the scale config loses nothing when over-provisioned."""
+    from go_web_mapreduce_spark.operators.similarity import (
+        TOP_K,
+        cosine_topk,
+        q_similarity_ivfpq_scaled,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    probe = emb.filter(F.col("vec_id") == 0)
+    exact = {r["vec_id"] for r in cosine_topk(emb, probe, TOP_K).collect()}
+    got = {r["vec_id"] for r in q_similarity_ivfpq_scaled(spark, sf_dir).collect()}
+    assert got == exact
