@@ -66,6 +66,37 @@ MEASURED: dict[str, list[tuple[dict, float, float]]] = {
 }
 
 
+def cluster_count(corpus_size: int) -> int:
+    """Corpus-sized coarse-quantizer cluster count — the executable form
+    of the C ∝ √n prescription (round 11; previously prose in SCALE.md).
+
+    IVF bucket work is n·(n/C)·probe·d, so a CONSTANT C is quadratic in
+    n; C ∝ √n balances bucket population (n/C) against quantizer cost
+    (C) — the standard IVF sizing (Jégou et al. 2011 §V). The emitted
+    value is the largest power of two ≤ √n, floored at IVF_C, which
+    reproduces BOTH measured anchors exactly rather than interpolating:
+
+    - n = 2,000   (sf0.1, the curve corpus)  → 32  = IVF_C, the base
+      operating point every MEASURED row was produced at;
+    - n = 200,000 (sf10) → 256 = KNN_IVF_SCALED_CENTROIDS, the measured
+      scaled-twin point (C=32 measured exp 1.90 sf1→sf10; C=256 stays
+      sublinear — SCALE.md round 9);
+    - n = 2,000,000 (sf100) → 1024, the prescription where the fixed
+      C=256 point measured an OOM at 2M vectors (round 10's named wall;
+      validated by the bounded-worker run recorded in
+      SCALE_MEASURED_SF100.json round 11).
+
+    Power-of-two quantization keeps the emitted C stable across small
+    corpus-count jitter (a re-ingested corpus ±10% does not retrain to
+    a different C) and makes successive decades exact 4× steps. The
+    training-sample constraint (C ≤ min(n, IVF_TRAIN_SAMPLE_CAP)) holds
+    for free: 2^⌊log2 √n⌋ ≤ √n ≤ 100,000 for any n ≤ 10¹⁰ vectors.
+    """
+    if corpus_size < 1:
+        raise ValueError(f"corpus_size must be >= 1, got {corpus_size}")
+    return max(IVF_C, 2 ** int(math.floor(math.log2(math.sqrt(corpus_size)))))
+
+
 # Re-measurements at OTHER corpus sizes (SCALE.md round 9, sf10 =
 # 200,000 vectors = 100x the curve corpus). Two lessons, both encoded in
 # scale_config below: (1) the unscaled knobs collapse — the default
@@ -76,11 +107,15 @@ MEASURED: dict[str, list[tuple[dict, float, float]]] = {
 # nprobe=32. Keyed by (family, corpus_size); configs listed with the
 # recall actually observed.
 MEASURED_AT_SCALE: dict[tuple[str, int], list[tuple[dict, float]]] = {
+    # num_centroids is explicit (round 11): these points were measured at
+    # the C=32 coarse quantizer (nprobe=32 = C is the exhaustive-coarse
+    # limit where boundary losses vanish) — returning cluster_count(n)
+    # here would claim an UNMEASURED configuration.
     ("ivfpq", 200_000): [
-        ({"nprobe": 8, "shortlist": 100}, 0.26),  # unscaled default
-        ({"nprobe": 16, "shortlist": 400}, 0.44),  # unscaled 0.8-pick
-        ({"nprobe": 16, "shortlist": 4000}, 0.745),  # fraction-preserved
-        ({"nprobe": 32, "shortlist": 4000}, 0.800),  # + nprobe doubling
+        ({"nprobe": 8, "shortlist": 100, "num_centroids": 32}, 0.26),
+        ({"nprobe": 16, "shortlist": 400, "num_centroids": 32}, 0.44),
+        ({"nprobe": 16, "shortlist": 4000, "num_centroids": 32}, 0.745),
+        ({"nprobe": 32, "shortlist": 4000, "num_centroids": 32}, 0.800),
     ],
 }
 
@@ -94,13 +129,20 @@ def scale_config(config: dict, corpus_size: int) -> dict:
       apply — radius is already corpus-relative) scales ∝ n so the
       exact-rerank **candidate fraction** — the transferable quantity —
       is preserved: ceil(shortlist · n / CURVES_CORPUS_SIZE).
-    - ``nprobe`` doubles per decade of scale-up, capped at IVF_C: the
-      fraction nprobe/C is nominally corpus-independent, but with 100×
-      points per Voronoi cell the coarse-quantizer boundary losses grow
-      — measured: a 10×'d shortlist alone recovered only 0.745 of the
-      0.82 base point; doubling nprobe 16→32 restored 0.800. (At
-      nprobe=C the coarse quantizer is exhaustive and the loss term is
-      gone entirely.)
+    - ``num_centroids`` (round 11, the previously-missing knob): any
+      coarse-quantized config (one with ``nprobe``) gets
+      ``cluster_count(corpus_size)`` — C ∝ √n, the knob whose fixed
+      value OOM'd the C=256 operating point at 2M vectors (round 10).
+    - ``nprobe`` doubles per decade of scale-up, capped at the emitted
+      C: the fraction nprobe/C is nominally corpus-independent, but
+      with 100× points per Voronoi cell the coarse-quantizer boundary
+      losses grow — measured: a 10×'d shortlist alone recovered only
+      0.745 of the 0.82 base point; doubling nprobe 16→32 restored
+      0.800. (At nprobe=C the coarse quantizer is exhaustive and the
+      loss term is gone entirely.) With C itself growing ∝ √n the
+      scanned coarse fraction nprobe/C SHRINKS with scale — that is the
+      point of IVF: sub-linear candidate growth, the per-probe loss
+      paid for by the doubling.
     - ``m``/``ksub`` are per-vector code parameters — corpus-size
       independent, unchanged.
 
@@ -121,8 +163,10 @@ def scale_config(config: dict, corpus_size: int) -> dict:
     if "shortlist" in out:
         out["shortlist"] = int(math.ceil(out["shortlist"] * scale))
     if "nprobe" in out:
+        c = cluster_count(corpus_size)
+        out["num_centroids"] = c
         decades = math.ceil(math.log10(scale))
-        out["nprobe"] = min(IVF_C, out["nprobe"] * 2**decades)
+        out["nprobe"] = min(c, out["nprobe"] * 2**decades)
     return out
 
 
@@ -181,6 +225,21 @@ def pick_config(
     return _scaled(out, family, target_recall, corpus_size)
 
 
+def _scaled_fraction(config: dict, corpus_size: int) -> float | None:
+    """Candidate fraction of a SCALED config at its actual corpus size —
+    the base-curve fraction is stale once knobs are carried to a new n
+    (round-10 ADVICE): for shortlist families the cost proxy is the
+    exact-rerank fraction shortlist/n; for pure-IVF it is the scanned
+    coarse fraction nprobe/C (with the emitted C, not IVF_C). LSH's
+    radius is bucket-relative (fixed 256-bucket grid), so its base
+    fraction carries — return None to keep it."""
+    if "shortlist" in config:
+        return config["shortlist"] / corpus_size
+    if "nprobe" in config:
+        return config["nprobe"] / config.get("num_centroids", IVF_C)
+    return None
+
+
 def _scaled(
     pick: dict | None,
     family: str,
@@ -193,18 +252,27 @@ def _scaled(
     # one meeting the target is the pick
     for m_cfg, m_recall in MEASURED_AT_SCALE.get((family, corpus_size), []):
         if m_recall >= target_recall:
+            frac = _scaled_fraction(m_cfg, corpus_size)
             return dict(
                 pick,
                 config=dict(m_cfg),
                 expected_recall=m_recall,
                 corpus_size=corpus_size,
                 recall_basis="measured-at-scale",
+                **(
+                    {"candidate_fraction": frac}
+                    if frac is not None
+                    else {}
+                ),
             )
+    cfg = scale_config(pick["config"], corpus_size)
+    frac = _scaled_fraction(cfg, corpus_size)
     return dict(
         pick,
-        config=scale_config(pick["config"], corpus_size),
+        config=cfg,
         corpus_size=corpus_size,
         recall_basis="fraction-rule",
+        **({"candidate_fraction": frac} if frac is not None else {}),
     )
 
 

@@ -32,6 +32,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from go_web_mapreduce_spark.functions import ann_oracle, linalg_oracle
+from go_web_mapreduce_spark.functions.ann_config import cluster_count
 from go_web_mapreduce_spark.functions.vectors import cosine_similarity
 from go_web_mapreduce_spark.registry import query
 from go_web_mapreduce_spark.sources.tables import load_table
@@ -1152,7 +1153,12 @@ def q_knn_graph_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knn_graph_ivf(emb)
 
 
-KNN_IVF_SCALED_CENTROIDS = 256
+# the 200k-vector (sf10) operating point, EMITTED by the executable C
+# rule rather than hard-coded (round 11): cluster_count anchors on this
+# very measurement, so the value is 256 — test_ann_config.py pins both
+# the equality and the literal so a rule change cannot silently move
+# this registered, hash-verified query
+KNN_IVF_SCALED_CENTROIDS = cluster_count(200_000)
 
 
 @query(
@@ -1177,6 +1183,55 @@ def q_knn_graph_ivf_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
     :func:`knn_graph_ivf` states."""
     emb = load_table(spark, sf_dir, "embeddings")
     return knn_graph_ivf(emb, num_centroids=KNN_IVF_SCALED_CENTROIDS)
+
+
+def knn_graph_ivf_auto(
+    corpus: DataFrame,
+    k: int = KNN_K,
+    aprobe: int = KNN_IVF_APROBE,
+    id_col: str = "vec_id",
+    total_rows: int | None = None,
+) -> DataFrame:
+    """:func:`knn_graph_ivf` with the cluster count EMITTED by the scale
+    rule instead of supplied — the API a user should reach for at an
+    unknown corpus size (round-11 fix for the fixed-C wall: the C=256
+    sf10 operating point OOM'd at 2M vectors, because C was a constant
+    the caller had to know to change; ``cluster_count`` is C ∝ √n,
+    power-of-two quantized, anchored on the measured 32 @ 2k and
+    256 @ 200k points).
+
+    Pass ``total_rows`` when the count is already known (e.g. from table
+    stats) to skip the counting job; otherwise one ``count()`` runs
+    first — against a parquet corpus that is metadata-only.
+
+    At the curve corpus (sf0.1, 2,000 vectors) the emitted C is exactly
+    IVF_C, so this is plan-identical to :func:`knn_graph_ivf`'s default
+    (pinned in tests/test_ann_config.py); at sf10 it emits the measured
+    scaled-twin C=256; at sf100 (2M vectors) it emits 1024 — the
+    configuration the bounded-worker measurement in
+    SCALE_MEASURED_SF100.json validates."""
+    n = total_rows if total_rows is not None else corpus.count()
+    return knn_graph_ivf(
+        corpus, k=k, num_centroids=cluster_count(n), aprobe=aprobe,
+        id_col=id_col,
+    )
+
+
+def contrastive_pairs_ivf_auto(
+    corpus: DataFrame, total_rows: int | None = None
+) -> DataFrame:
+    """Contrastive positive/hard-negative mining over the auto-C IVF kNN
+    graph — :func:`knn_graph_ivf_auto` feeding the same pinned
+    ``_mine_contrastive`` classification as the three registered miners.
+    This is the deployment shape of q_contrastive_pairs_ivf_scaled: the
+    registered twin pins the measured 200k-vector point for hash
+    verification; THIS derives C from the corpus so the sf100 wall
+    (C=256 OOM at 2M vectors, round 10) cannot be reproduced by
+    following the API."""
+    kn = knn_graph_ivf_auto(
+        corpus, k=CP_K, total_rows=total_rows
+    ).localCheckpoint(eager=False)
+    return _mine_contrastive(kn)
 
 
 # ---------------------------------------------------------------------------
