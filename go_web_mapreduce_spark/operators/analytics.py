@@ -2738,7 +2738,6 @@ def q_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(cells, ["seg", "nat"], "left")
         .select("seg", "nat", "rt", "ct", F.coalesce("o", F.lit(0)).alias("o"))
     )
-    n_col = F.sum("o")  # grid sums to n (each obs in exactly one cell)
     e = F.col("rt_ct").cast("double") / F.col("n").cast("double")
     term = (
         (F.col("o").cast("double") - e)
@@ -2931,12 +2930,14 @@ def q_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT source,
            CAST(sum(c) AS BIGINT) AS n_docs,
            CAST(count(*) AS BIGINT) AS n_langs,
-           CAST(sum(c * (c - 1)) AS DOUBLE)
-             / (CAST(sum(c) AS DOUBLE) * CAST(sum(c) - 1 AS DOUBLE))
-             AS simpson,
-           1 - CAST(sum(c * (c - 1)) AS DOUBLE)
-             / (CAST(sum(c) AS DOUBLE) * CAST(sum(c) - 1 AS DOUBLE))
-             AS gini_simpson,
+           CASE WHEN sum(c) >= 2 THEN
+             CAST(sum(c * (c - 1)) AS DOUBLE)
+               / (CAST(sum(c) AS DOUBLE) * CAST(sum(c) - 1 AS DOUBLE))
+           END AS simpson,
+           CASE WHEN sum(c) >= 2 THEN
+             1 - CAST(sum(c * (c - 1)) AS DOUBLE)
+               / (CAST(sum(c) AS DOUBLE) * CAST(sum(c) - 1 AS DOUBLE))
+           END AS gini_simpson,
            (CAST(sum(c) AS DOUBLE) * CAST(sum(c) AS DOUBLE))
              / CAST(sum(c * c) AS DOUBLE) AS eff_langs
     FROM cen GROUP BY source
@@ -2966,11 +2967,16 @@ def q_simpson_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     nd = F.col("n").cast("double")
     lam = F.col("pairs").cast("double") / (nd * (F.col("n") - 1).cast("double"))
+    # λ divides by N(N−1): a single-document source is an undefined
+    # statistic (0/0), emitted as NULL in both engines rather than NaN
+    # (round-10 ADVICE — NaN hash-compares unpredictably and violates
+    # the 0≤λ≤1 invariant test)
+    guarded = F.when(F.col("n") >= 2, lam)
     return agg.select(
         "source",
         F.col("n").alias("n_docs"),
         "n_langs",
-        lam.alias("simpson"),
-        (1 - lam).alias("gini_simpson"),
+        guarded.alias("simpson"),
+        F.when(F.col("n") >= 2, 1 - lam).alias("gini_simpson"),
         ((nd * nd) / F.col("sq").cast("double")).alias("eff_langs"),
     )

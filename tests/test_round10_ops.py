@@ -111,9 +111,37 @@ def test_kruskal_wallis_matches_pandas_midranks(spark, sf_dir):
 
 def test_simpson_diversity_invariants(spark, sf_dir):
     for r in q_simpson_diversity(spark, sf_dir).collect():
+        if r["n_docs"] < 2:
+            # λ divides by N(N−1): undefined for a single-document
+            # source, emitted as NULL (round-10 ADVICE guard)
+            assert r["simpson"] is None and r["gini_simpson"] is None
+            continue
         assert 0.0 <= r["simpson"] <= 1.0
         assert math.isclose(r["simpson"] + r["gini_simpson"], 1.0)
         assert 1.0 - 1e-12 <= r["eff_langs"] <= r["n_langs"] + 1e-9
+
+
+def test_simpson_diversity_single_doc_source_is_null(spark):
+    """Directly exercise the N=1 guard: a one-document source yields
+    NULL simpson/gini_simpson (not NaN) while eff_langs stays defined."""
+    from go_web_mapreduce_spark.operators.analytics import (
+        q_simpson_diversity,
+    )
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(
+            [("solo", "en", "x"), ("multi", "en", "y"), ("multi", "de", "z")],
+            "source string, lang string, text string",
+        ).write.parquet(f"{d}/documents.parquet")
+        rows = {
+            r["source"]: r for r in q_simpson_diversity(spark, d).collect()
+        }
+        assert rows["solo"]["simpson"] is None
+        assert rows["solo"]["gini_simpson"] is None
+        assert rows["solo"]["eff_langs"] == 1.0
+        assert rows["multi"]["simpson"] == 0.0  # 2 docs, 2 langs: λ=0
+        assert rows["multi"]["gini_simpson"] == 1.0
 
 
 def test_cuped_theta_matches_numpy(spark, sf_dir):
