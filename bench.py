@@ -40,6 +40,19 @@ def _calibration_spin(n: int = 10_000_000) -> float:
     return round(time.time() - t0, 3)
 
 
+def _procs_running() -> int | None:
+    """Processes currently in R state (/proc/stat procs_running) — the
+    instantaneous competitor count behind the loadavg stamp."""
+    try:
+        with open("/proc/stat") as f:
+            for line in f:
+                if line.startswith("procs_running"):
+                    return int(line.split()[1])
+    except OSError:
+        pass
+    return None
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -163,6 +176,13 @@ def main() -> None:
         # measurement time (observed to swing ~1.5x with neighbor load —
         # BASELINE.md). Compare rounds via value/calibration, not raw seconds.
         "calibration_spin_sec": _calibration_spin(),
+        # host-load stamp (round 11): the r10 driver pass read a uniform
+        # 1.27× above the same-tree idle-host record — pure neighbor load.
+        # Recording 1/5/15-min loadavg and the live process count at the
+        # END of the run lets a reader separate contention from regression
+        # without a re-run.
+        "host_loadavg": [round(x, 2) for x in os.getloadavg()],
+        "host_nproc_running": _procs_running(),
         "queries_file": "BENCH_detail.json",
     }
     if failed:

@@ -219,10 +219,11 @@ _B_LIST = "[" + ",".join(str(b) for _, b in hash_family(NUM_HASHES)) + "]"
 _N_MATCH_SQL = f"""list_sum(list_transform(range({NUM_HASHES}),
              i -> CASE WHEN sig_a[i+1] = sig_b[i+1] THEN 1 ELSE 0 END))"""
 
-# shared CTE chain: documents → shingles → minhash signatures → LSH band
-# candidates (mirrors minhash_candidates exactly; reused by the connected-
-# components oracle below)
-_MINHASH_CAND_CTE = f"""toks AS (SELECT doc_id, {_TK} AS tk FROM documents),
+# shared CTE chain: documents → shingles → minhash signatures → banded
+# keys (mirrors minhash_candidates exactly); _MINHASH_CAND_CTE extends it
+# with the self-join candidate stage, the incremental oracle below with a
+# batch-vs-index join instead
+_MINHASH_BANDED_CTE = f"""toks AS (SELECT doc_id, {_TK} AS tk FROM documents),
     sh AS (SELECT doc_id, {_sh_sql()} AS shingles FROM toks),
     hs AS (
       SELECT doc_id,
@@ -243,7 +244,9 @@ _MINHASH_CAND_CTE = f"""toks AS (SELECT doc_id, {_TK} AS tk FROM documents),
                         array_to_string(sig[b*{ROWS_PER_BAND}+1 : b*{ROWS_PER_BAND}+{ROWS_PER_BAND}], '|'))))
                AS bk
       FROM sig
-    ), cand AS (
+    )"""
+
+_MINHASH_CAND_CTE = f"""{_MINHASH_BANDED_CTE}, cand AS (
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
              a.sig AS sig_a, b.sig AS sig_b
       FROM banded a JOIN banded b ON a.bk = b.bk AND a.doc_id < b.doc_id
@@ -1017,6 +1020,130 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     seen = docs.filter(F.col("doc_id") < cut)
     new = docs.filter(F.col("doc_id") >= cut)
     return incremental_dedup_stats(seen, new)
+
+
+def incremental_minhash_stats(
+    new_banded: DataFrame, seen_banded: DataFrame, new_docs: DataFrame
+) -> DataFrame:
+    """Classify a new batch against an existing corpus's LSH index by
+    NEAR-duplication: per source, how many new docs are MinHash near-dups
+    (est. jaccard ≥ {MIN_MATCHING}/{NUM_HASHES}) of any seen doc.
+
+    Inputs are banded signature tables — (doc_id, sig, bk) with one row
+    per band key, :func:`minhash_candidates`'s intermediate — plus the new
+    batch's (doc_id, source) rows. Production shape: ``seen_banded`` is
+    the persisted LSH index (band-key-bucketed (bk, doc_id, sig) rows —
+    the near-dup analogue of q_dedup_incremental's content-hash set, ~
+    bands × 8-byte keys per indexed doc, never the corpus bodies); the
+    batch is shingled/signed map-side and equi-joined against the index
+    on band key, so the work is batch-sized, not corpus-sized, and the
+    corpus itself is never re-scanned. The band join is the only
+    candidate generator — no all-pairs stage exists at any scale.
+    """
+    cand = (
+        new_banded.select(
+            "bk",
+            F.col("doc_id").alias("new_doc"),
+            F.col("sig").alias("sig_new"),
+        )
+        .join(
+            seen_banded.select(
+                F.col("bk"),
+                F.col("doc_id").alias("seen_doc"),
+                F.col("sig").alias("sig_seen"),
+            ),
+            "bk",
+        )
+        # a (new, seen) pair can collide in several bands — count it once
+        .dropDuplicates(["new_doc", "seen_doc"])
+    )
+    n_matching = F.aggregate(
+        F.zip_with(
+            "sig_new", "sig_seen", lambda x, y: F.when(x == y, 1).otherwise(0)
+        ),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    )
+    hits = (
+        cand.select("new_doc", n_matching.alias("nm"))
+        .filter(F.col("nm") >= MIN_MATCHING)
+        .select("new_doc")
+        .distinct()
+    )
+    flagged = new_docs.join(hits.withColumn("_dup", F.lit(1)), "new_doc", "left")
+    return flagged.groupBy("source").agg(
+        F.count("*").alias("n_new"),
+        F.sum(F.coalesce("_dup", F.lit(0))).alias("n_neardup_of_seen"),
+        (F.count("*") - F.sum(F.coalesce("_dup", F.lit(0)))).alias("n_novel"),
+    )
+
+
+@query(
+    "q_dedup_incremental_minhash",
+    oracle=f"""
+    WITH bounds AS (
+      SELECT (min(doc_id) + CAST(floor((max(doc_id) - min(doc_id) + 1)
+                 * {INCREMENTAL_SPLIT_FRACTION}) AS BIGINT)) AS cut
+      FROM documents
+    ),
+    {_MINHASH_BANDED_CTE},
+    nb AS (SELECT b.* FROM banded b, bounds WHERE b.doc_id >= cut),
+    sb AS (SELECT b.* FROM banded b, bounds WHERE b.doc_id < cut),
+    cand AS (
+      SELECT DISTINCT n.doc_id AS new_doc, s.doc_id AS seen_doc,
+             n.sig AS sig_a, s.sig AS sig_b
+      FROM nb n JOIN sb s ON n.bk = s.bk
+    ),
+    hits AS (
+      SELECT DISTINCT new_doc FROM cand WHERE {_N_MATCH_SQL} >= {MIN_MATCHING}
+    ),
+    newd AS (SELECT doc_id, source FROM documents, bounds WHERE doc_id >= cut),
+    flagged AS (
+      SELECT n.source, CASE WHEN h.new_doc IS NULL THEN 0 ELSE 1 END AS dup
+      FROM newd n LEFT JOIN hits h ON h.new_doc = n.doc_id
+    )
+    SELECT source, count(*) AS n_new,
+           CAST(sum(dup) AS BIGINT) AS n_neardup_of_seen,
+           CAST(count(*) - sum(dup) AS BIGINT) AS n_novel
+    FROM flagged GROUP BY source
+    """,
+    description="incremental NEAR-dedup: a new ingest batch (top 20% of "
+    "doc_ids) LSH-banded against the already-seen corpus's persisted "
+    "MinHash index — the batch-vs-corpus twin of q_dedup_incremental "
+    f"(exact hashes) at est. jaccard ≥ {MIN_MATCHING}/{NUM_HASHES}: "
+    "band keys of the batch equi-join the index's band buckets, matched "
+    "signature components verify, and the per-source novelty report "
+    "comes out the other end (VERDICT r10 item 7; extension mandate: "
+    "dedup)",
+)
+def q_dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB shape: each side shingles/signs only ITS half of the
+    corpus (the doc_id filters push into both parquet scans, so total
+    Arrow-kernel work is one corpus pass split across the two sides —
+    and in production the seen side is read pre-signed from the persisted
+    index, making the whole job batch-sized). The band equi-join hash-
+    partitions on bk exactly like minhash_candidates' self-join; only
+    (bk, id, 12-int sig) rows ever shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    lo, hi = docs.agg(F.min("doc_id"), F.max("doc_id")).first()
+    cut = lo + int((hi - lo + 1) * INCREMENTAL_SPLIT_FRACTION)
+    shingled = _shingled_docs(spark, sf_dir)
+    sig = shingled.select(
+        "doc_id", minhash_sig_arrow(F.col("shingles"), NUM_HASHES).alias("sig")
+    )
+    banded = sig.select(
+        "doc_id",
+        "sig",
+        F.explode(band_keys(F.col("sig"), BANDS, ROWS_PER_BAND)).alias("bk"),
+    )
+    new_docs = docs.filter(F.col("doc_id") >= cut).select(
+        F.col("doc_id").alias("new_doc"), "source"
+    )
+    return incremental_minhash_stats(
+        banded.filter(F.col("doc_id") >= cut),
+        banded.filter(F.col("doc_id") < cut),
+        new_docs,
+    )
 
 
 # ---------------------------------------------------------------------------

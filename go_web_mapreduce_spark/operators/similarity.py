@@ -2023,6 +2023,12 @@ def q_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle bit-for-bit. Reference parity: composes the inverted-index /
     IR workload (server/views.go:53-55 word pipeline) with the extension
     mandate's similarity search."""
+    return _rrf_fused(spark, sf_dir)
+
+
+def _rrf_fused(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The fused RRF top-{RRF_TOP} list — shared by q_rank_fusion (which
+    returns it) and q_cross_rerank (which rescores it)."""
     from go_web_mapreduce_spark.operators.relational import (
         BM25_B,
         BM25_K1,
@@ -2112,6 +2118,178 @@ def q_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("rrf_score").desc(), "item_id")
         .limit(RRF_TOP)
+    )
+
+
+# ---------------------------------------------------------------------------
+# cross-encoder-style rerank: the stage after fusion in the RAG chain
+# (retrieve → fuse → rerank); VERDICT r10 item 7
+# ---------------------------------------------------------------------------
+
+# fixed linear reranker weights over (semantic, lexical-coverage,
+# tf-density) interaction features — part of the operator, like q_ndcg's
+# discount table: no trained parameters, bit-identical cross-engine
+CE_W_COS = 0.6
+CE_W_COV = 0.3
+CE_W_TF = 0.1
+
+
+def _cross_rerank_oracle() -> str:
+    # DuckDB mirror of functions/text.py::tokens over the candidate docs
+    tk_sql = "list_filter(string_split(lower(d.text), ' '), t -> t <> '')"
+    tf_exprs = ", ".join(
+        f"len(list_filter(tk, w -> w = '{t}')) AS tf{i}"
+        for i, t in enumerate(RRF_TERMS)
+    )
+    tf_sum = " + ".join(f"tf{i}" for i in range(len(RRF_TERMS)))
+    present = " + ".join(
+        f"(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END)"
+        for i in range(len(RRF_TERMS))
+    )
+    return f"""
+    WITH fused AS ({_rrf_oracle()}),
+    cdoc AS (
+      SELECT f.item_id, {tk_sql} AS tk
+      FROM fused f JOIN documents d ON d.doc_id = f.item_id
+    ),
+    feats AS (
+      SELECT item_id, len(tk) AS dl, {tf_exprs} FROM cdoc
+    ),
+    lexf AS (
+      SELECT item_id,
+             CASE WHEN dl > 0
+               THEN CAST({tf_sum} AS DOUBLE) / CAST(dl AS DOUBLE)
+               ELSE CAST(0 AS DOUBLE) END AS tf_norm,
+             CAST({present} AS DOUBLE) / 3.0 AS term_coverage
+      FROM feats
+    ),
+    vecf AS (
+      SELECT e.vec_id AS item_id,
+             {_cos_sql("e.embedding", "p.pv")} AS cos_sim
+      FROM embeddings e
+           JOIN fused f ON e.vec_id = f.item_id,
+           (SELECT embedding AS pv FROM embeddings
+            WHERE vec_id = {RRF_PROBE}) p
+    ),
+    scored AS (
+      SELECT f.item_id, f.rrf_score,
+             coalesce(v.cos_sim, CAST(0 AS DOUBLE)) AS cos_sim,
+             coalesce(l.term_coverage, CAST(0 AS DOUBLE)) AS term_coverage,
+             coalesce(l.tf_norm, CAST(0 AS DOUBLE)) AS tf_norm
+      FROM fused f
+           LEFT JOIN lexf l ON l.item_id = f.item_id
+           LEFT JOIN vecf v ON v.item_id = f.item_id
+    )
+    SELECT item_id, rrf_score, cos_sim, term_coverage, tf_norm,
+           ({CE_W_COS} * cos_sim + {CE_W_COV} * term_coverage)
+             + {CE_W_TF} * tf_norm AS cross_score,
+           CAST(row_number() OVER (
+             ORDER BY ({CE_W_COS} * cos_sim + {CE_W_COV} * term_coverage)
+               + {CE_W_TF} * tf_norm DESC, item_id) AS BIGINT) AS rerank
+    FROM scored
+    """
+
+
+@query(
+    "q_cross_rerank",
+    oracle=_cross_rerank_oracle(),
+    description="cross-encoder-style rerank completing the RAG retrieval "
+    f"chain: q_rank_fusion's RRF top-{RRF_TOP} is rescored with "
+    "query×document INTERACTION features computed on the bounded "
+    "candidate list — exact probe cosine, query-term coverage, and "
+    "query-term tf density — under fixed linear weights "
+    f"({CE_W_COS}/{CE_W_COV}/{CE_W_TF}), then re-ranked. The stage a "
+    "production pipeline runs a neural cross-encoder in; here the scorer "
+    "is a deterministic feature model so the whole chain hash-verifies "
+    "(VERDICT r10 item 7)",
+)
+def q_cross_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB shape of reranking: ALL per-candidate work happens
+    after retrieval has cut the corpus to RRF_TOP rows, so the expensive
+    scorer touches ≤20 (query, doc) pairs regardless of corpus size —
+    the candidate ids broadcast into the documents/embeddings scans
+    (broadcast hash joins, corpus side never shuffles), features are
+    Column expressions over those rows, and the rerank window sorts a
+    20-row list. Swapping the linear scorer for a neural cross-encoder
+    is a mapInPandas over the same bounded candidate frame (the
+    multimodal stub discipline — the plumbing is the operator); the
+    deterministic feature model keeps the chain oracle-verifiable.
+    Fold orders are pinned: tf counts are exact integers, the weighted
+    sum folds (w_cos·cos + w_cov·cov) + w_tf·tf in both engines, and
+    cosine uses the dimension-sequential fold, so cross_score
+    hash-matches bit-for-bit."""
+    from go_web_mapreduce_spark.functions.text import tokens
+
+    fused = _rrf_fused(spark, sf_dir)
+    # the 20-row candidate list feeds three consumers (doc features,
+    # vector features, the output spine): pin it so the two-leg
+    # retrieval pipeline runs ONCE (q_classification_report pattern)
+    fused = fused.localCheckpoint(eager=False)
+    cand_ids = F.broadcast(fused.select("item_id"))
+
+    docs = load_table(spark, sf_dir, "documents")
+    cdoc = docs.join(
+        cand_ids, docs["doc_id"] == cand_ids["item_id"]
+    ).select("item_id", tokens("text").alias("tk"))
+    def _tf(term: str):
+        # factory, not a default-arg lambda: HOF lambdas must be unary
+        # (extra defaults break PySpark's arity inspection)
+        return F.size(F.filter("tk", lambda w: w == F.lit(term)))
+
+    tf_cols = [
+        _tf(t).alias(f"tf{i}") for i, t in enumerate(RRF_TERMS)
+    ]
+    feats = cdoc.select("item_id", F.size("tk").alias("dl"), *tf_cols)
+    tf_sum = F.col("tf0")
+    present = F.when(F.col("tf0") > 0, 1).otherwise(0)
+    for i in range(1, len(RRF_TERMS)):
+        tf_sum = tf_sum + F.col(f"tf{i}")
+        present = present + F.when(F.col(f"tf{i}") > 0, 1).otherwise(0)
+    lexf = feats.select(
+        "item_id",
+        F.when(
+            F.col("dl") > 0,
+            tf_sum.cast("double") / F.col("dl").cast("double"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("tf_norm"),
+        (present.cast("double") / F.lit(3.0)).alias("term_coverage"),
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    probe = F.broadcast(
+        emb.filter(F.col("vec_id") == RRF_PROBE).select(
+            F.col("embedding").alias("pv")
+        )
+    )
+    vecf = (
+        emb.join(cand_ids, emb["vec_id"] == cand_ids["item_id"])
+        .crossJoin(probe)
+        .select("item_id", cosine_similarity("embedding", "pv").alias("cos_sim"))
+    )
+
+    scored = (
+        fused.select("item_id", "rrf_score")
+        .join(lexf, "item_id", "left")
+        .join(vecf, "item_id", "left")
+        .select(
+            "item_id",
+            "rrf_score",
+            F.coalesce("cos_sim", F.lit(0.0)).alias("cos_sim"),
+            F.coalesce("term_coverage", F.lit(0.0)).alias("term_coverage"),
+            F.coalesce("tf_norm", F.lit(0.0)).alias("tf_norm"),
+        )
+    )
+    cross = (
+        F.lit(CE_W_COS) * F.col("cos_sim")
+        + F.lit(CE_W_COV) * F.col("term_coverage")
+    ) + F.lit(CE_W_TF) * F.col("tf_norm")
+    scored = scored.withColumn("cross_score", cross)
+    # RRF_TOP-row list: the partitionless window is bounded by the
+    # retrieval depth, the documented value-grid exception class
+    w = W.orderBy(F.col("cross_score").desc(), "item_id")
+    return scored.withColumn(
+        "rerank", F.row_number().over(w).cast("bigint")
     )
 
 

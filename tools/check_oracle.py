@@ -5,13 +5,22 @@ parquet directory, compares row count, column-name set, and an
 order-insensitive value multiset (floats rounded to 6 significant decimals
 before comparison). Usage:
 
-    python tools/check_oracle.py [--json OUT.json] [sf_dir] [query ...]
+    python tools/check_oracle.py [--json OUT.json] [--sample N --seed S] \
+        [sf_dir] [query ...]
 
 ``--json`` additionally writes a driver-format correctness artifact (one
 entry per query: rows_match/schema_match/hash_match/spark_rows/oracle_rows/
 err) — the committed CORRECTNESS_local_r{N}.json files, which cover ALL
 registered queries where the driver's own file caps at its first 50
 alphabetically.
+
+``--sample N --seed S`` (round 11, VERDICT r10 item 6) selects a
+deterministic rotating N-query subset instead of the full registry:
+queries are ranked by md5(f"{seed}:{name}") and the first N run. With
+``--seed <round>`` the window rotates every round, so every registered
+query gets independent-format driver-window-sized coverage every
+~len(REGISTRY)/N rounds — the mitigation for the driver's alphabetical
+50-cap leaving 200+ queries without a driver-side CORRECTNESS row.
 """
 
 from __future__ import annotations
@@ -55,11 +64,29 @@ def norm_rows(cols, rows):
 def main() -> int:
     argv = sys.argv[1:]
     json_out = None
-    if argv and argv[0] == "--json":
-        json_out = argv[1]
+    sample_n = None
+    seed = "0"
+    while argv and argv[0].startswith("--"):
+        if argv[0] == "--json":
+            json_out = argv[1]
+        elif argv[0] == "--sample":
+            sample_n = int(argv[1])
+        elif argv[0] == "--seed":
+            seed = argv[1]
+        else:
+            raise SystemExit(f"unknown flag {argv[0]}")
         argv = argv[2:]
     sf_dir = argv[0] if argv else "/root/testdata/sf0.001"
     only = set(argv[1:])
+    if sample_n is not None:
+        import hashlib
+
+        ranked = sorted(
+            REGISTRY,
+            key=lambda n: hashlib.md5(f"{seed}:{n}".encode()).hexdigest(),
+        )
+        only = set(ranked[:sample_n]) | only
+        print(f"sample: {sample_n} of {len(REGISTRY)} (seed={seed})")
     spark = get_spark("oracle-check")
     con = duckdb.connect()
     for t in TABLES:
@@ -128,10 +155,14 @@ def main() -> int:
             n_pass += 1
     print(f"\n{n_pass} ok, {n_rows_only} rows-only, {n_fail} FAIL")
     if json_out:
+        payload = {"sf_dir": sf_dir, "summary": {
+            "ok": n_pass, "rows_only": n_rows_only, "fail": n_fail,
+        }, "queries": report}
+        if sample_n is not None:
+            payload["sample"] = {"n": sample_n, "seed": seed,
+                                 "registry_size": len(REGISTRY)}
         with open(json_out, "w") as f:
-            json.dump({"sf_dir": sf_dir, "summary": {
-                "ok": n_pass, "rows_only": n_rows_only, "fail": n_fail,
-            }, "queries": report}, f, indent=1)
+            json.dump(payload, f, indent=1)
         print(f"wrote {json_out}")
     return 1 if n_fail else 0
 

@@ -131,6 +131,8 @@ HEADLINERS = {
     "q_kneser_ney": "Kneser-Ney bigrams: one bigram census shuffle, marginals from the census, single integer-ratio division, TakeOrdered 20",
     "q_vocab_coverage": "vocab coverage: token census top-V broadcast back, per-lang membership rollup, two document scans",
     "q_path_analysis": "session paths: one user-time sort serves sessionize + opening rank (WindowGroupLimit), |types|^3 census, TakeOrdered",
+    "q_dedup_incremental_minhash": "incremental LSH dedup: batch bands equi-join the seen index's band buckets, disjoint pushed doc_id scans, only (bk,id,sig) rows shuffle",
+    "q_cross_rerank": "RAG rerank: fused top-20 checkpointed, candidate ids broadcast into both corpus scans, features + rank on the bounded list",
 }
 
 
