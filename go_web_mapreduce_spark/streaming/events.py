@@ -308,6 +308,122 @@ def q_stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     return session_window_stream(spark, sf_dir)
 
 
+def session_window_append_stream(
+    spark: SparkSession, sf_dir: str, watermark: str = "2 hours"
+) -> DataFrame:
+    """Sessionization in APPEND output mode: a session is emitted exactly
+    once, when the watermark passes its window end (last event + gap),
+    and its state is then evicted — the production mode for unbounded
+    streams. State is bounded by ACTIVE sessions inside the watermark
+    horizon; each emitted row is written once (foreachBatch parquet
+    APPEND), so total sink work is Θ(sessions), where complete mode
+    rewrites the cumulative snapshot every micro-batch
+    (Θ(batches × sessions) — the measured sf100 superlinearity of
+    q_stream_session_window, SCALE_MEASURED_SF100.json round 11).
+
+    On the finite source the emitted set is exactly the merged sessions
+    whose end (last event + 30 min gap) ≤ final watermark =
+    max(event time) floored to ms − 2 h; the tail sessions inside the
+    horizon remain open in state, unemitted — the oracle mirrors that
+    boundary to the microsecond, the q_stream_hourly_append pattern.
+    """
+    import os
+    import tempfile
+
+    agg = (
+        stream_events(spark, sf_dir)
+        .withColumn("_ts_us", F.expr("ts_ns div 1000"))
+        .withWatermark("ts", watermark)
+        .groupBy(
+            F.session_window(F.col("ts"), "30 minutes").alias("w"), "user_id"
+        )
+        .agg(
+            F.min("_ts_us").alias("start_us"),
+            F.count("*").alias("n_events"),
+            (F.max("_ts_us") - F.min("_ts_us")).alias("span_us"),
+        )
+    )
+    out_path = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_session_append_{os.getpid()}_{next(_counter)}",
+    )
+
+    def sink_batch(batch_df, _batch_id):
+        # append-mode rows are final: write once, never rewritten
+        batch_df.write.mode("append").parquet(out_path)
+
+    # RocksDB state store: the HDFS-backed provider loads each partition's
+    # whole version map into the JVM heap and raised
+    # notEnoughMemoryToLoadStore at sf100 session cardinality (1B events);
+    # RocksDB keeps the session state off-heap/on-disk — the standard
+    # production setting for large streaming state, and an implementation
+    # detail only (values identical; the sf0.001/0.01 oracle hashes pin it)
+    with scoped_shuffle_partitions(spark, STREAM_STATE_PARTITIONS), scoped_conf(
+        spark,
+        **{
+            "spark.sql.streaming.stateStore.providerClass":
+                "org.apache.spark.sql.execution.streaming."
+                "state.RocksDBStateStoreProvider"
+        },
+    ):
+        q = (
+            agg.writeStream.outputMode("append")
+            .foreachBatch(sink_batch)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    if not os.path.isdir(out_path):  # nothing emitted (all inside horizon)
+        return spark.createDataFrame(
+            [], "user_id bigint, start_us bigint, n_events bigint, span_us bigint"
+        )
+    return spark.read.parquet(out_path).select(
+        "user_id", "start_us", "n_events", "span_us"
+    )
+
+
+@query(
+    "q_stream_session_append",
+    # finalized sessions only: end (last event + 30 min gap) <= watermark
+    # = max event time (ms floor) - 2 h; same batch-sessionization CTEs
+    # as q_stream_session_window, plus the boundary filter
+    oracle=f"""
+    WITH flagged AS (
+      SELECT user_id, event_id, epoch_us(ts) AS us,
+             CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w IS NULL
+                    OR epoch_us(ts) - lag(epoch_us(ts)) OVER w >= {30 * 60 * 1_000_000}
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+    ), sess AS (
+      SELECT user_id, us,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      FROM flagged
+    ), s AS (
+      SELECT user_id, min(us) AS start_us, count(*) AS n_events,
+             max(us) - min(us) AS span_us, max(us) AS last_us
+      FROM sess GROUP BY user_id, sid
+    ), wm AS (
+      SELECT ((epoch_us(max(ts)) // 1000) - 7200000) * 1000 AS wm_us FROM events
+    )
+    SELECT user_id, start_us, n_events, span_us
+    FROM s, wm WHERE last_us + {30 * 60 * 1_000_000} <= wm_us
+    """,
+    description="append-mode streaming sessionization: sessions emitted "
+    "exactly once when the watermark passes their end, state bounded by "
+    "ACTIVE sessions — the scale path for q_stream_session_window, whose "
+    "complete-mode snapshot rewrites measured superlinear at sf100 "
+    "(SCALE_MEASURED_SF100.json round 11); emitted set oracle-matched "
+    "to the watermark boundary, the q_stream_hourly_append pattern",
+    variant_of="q_stream_session_window",
+)
+def q_stream_session_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return session_window_append_stream(spark, sf_dir)
+
+
 def hourly_rollup_append_stream(
     spark: SparkSession, sf_dir: str, watermark: str = "2 hours"
 ) -> DataFrame:

@@ -113,6 +113,42 @@ def test_cross_rerank_is_a_rescoring_permutation(spark, sf_dir):
         assert expect == r["cross_score"]
 
 
+def test_session_append_emits_exactly_the_closed_sessions(spark, sf_dir):
+    """Append mode must emit a strict watermark-bounded SUBSET of the
+    complete-mode final sessions: every emitted session's end (last
+    event + 30 min gap) is <= final watermark (max ts, ms floor, - 2 h),
+    every closed session IS emitted, and emitted rows match the
+    complete-mode rows exactly (same session, same aggregate values)."""
+    from go_web_mapreduce_spark.sources.tables import load_table
+    from go_web_mapreduce_spark.streaming.events import (
+        q_stream_session_append,
+        q_stream_session_window,
+    )
+
+    comp = {
+        (r["user_id"], r["start_us"]): (r["n_events"], r["span_us"])
+        for r in q_stream_session_window(spark, sf_dir).collect()
+    }
+    app = {
+        (r["user_id"], r["start_us"]): (r["n_events"], r["span_us"])
+        for r in q_stream_session_append(spark, sf_dir).collect()
+    }
+    assert set(app) <= set(comp)
+    for k, v in app.items():
+        assert comp[k] == v
+    ev = load_table(spark, sf_dir, "events")
+    max_us = ev.agg(
+        F.max(F.expr("ts_ns div 1000")).alias("m")
+    ).first()["m"]
+    wm_us = (max_us // 1000 - 7_200_000) * 1000
+    gap_us = 30 * 60 * 1_000_000
+    closed = {
+        k for k, (n, span) in comp.items() if k[1] + span + gap_us <= wm_us
+    }
+    assert set(app) == closed
+    assert 0 < len(app) < len(comp)  # tail sessions stay open in state
+
+
 def test_cross_rerank_touches_only_candidate_rows(spark, sf_dir):
     """Scale shape: the per-candidate feature joins must be broadcast
     hash joins (candidate side broadcast into the corpus scans) — the
