@@ -279,8 +279,13 @@ def q_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     from go_web_mapreduce_spark.functions import hll as _hll
 
     events = load_table(spark, sf_dir, "events")
+    # the register pass is an md5 per row on the scan's map side — fan_out
+    # the pruned columns (one effective task on a one-row-group benchmark
+    # file; no-op at cluster scale), the q_approx_distinct discipline
     daily = _hll.hll_registers(
-        events.withColumn("day", F.date_trunc("day", "ts")),
+        fan_out(events.select("event_type", "ts", "user_id")).withColumn(
+            "day", F.date_trunc("day", "ts")
+        ),
         ["event_type", "day"],
         F.col("user_id"),
     )
@@ -353,8 +358,13 @@ def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             e = e.join(prev, "user_id").filter(F.col("_us") > F.col(prev_t))
         return e.groupBy("user_id").agg(F.min("_us").alias(t))
 
-    s1 = stage(FUNNEL_STEPS[0], None, "", "t1")
-    s2 = stage(FUNNEL_STEPS[1], s1, "t1", "t2")
+    # each frontier feeds the next stage AND its own census count: pinned,
+    # the cascade executes each stage once (unpinned, s1's subtree replayed
+    # under s2, s3, and all three counts — 6 scans for a 3-step funnel).
+    # Frontier state is one (user_id, ts) row per surviving user — the
+    # funnel's inherent state, monotonically shrinking per stage.
+    s1 = stage(FUNNEL_STEPS[0], None, "", "t1").localCheckpoint(eager=False)
+    s2 = stage(FUNNEL_STEPS[1], s1, "t1", "t2").localCheckpoint(eager=False)
     s3 = stage(FUNNEL_STEPS[2], s2, "t2", "t3")
     rows = [
         ("view", s1),
@@ -653,16 +663,20 @@ def q_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     the whole chain hash-verifies against DuckDB (F.percentile ≡
     percentile_cont, the q_percentiles-proven pairing)."""
     events = load_table(spark, sf_dir, "events")
+    # med and mad are ≤|event-types| rows but feed two consumers each —
+    # pinned, so each broadcast ships a computed tiny table instead of
+    # replaying its corpus-scan subtree per reference (was 4 event scans;
+    # the honest two-pass shape is exactly 2 + the flag pass)
     med = events.groupBy("event_type").agg(
         F.percentile("value", F.lit(0.5)).alias("med")
-    )
+    ).localCheckpoint(eager=False)
     dev = events.join(F.broadcast(med), "event_type").select(
         "event_type", "med", F.abs(F.col("value") - F.col("med")).alias("ad")
     )
     mad = dev.groupBy("event_type").agg(
         F.max("med").alias("med"),
         F.percentile("ad", F.lit(0.5)).alias("mad"),
-    )
+    ).localCheckpoint(eager=False)
     flagged = dev.select("event_type", "ad").join(F.broadcast(mad), "event_type")
     return flagged.groupBy("event_type", "med", "mad").agg(
         F.count("*").alias("n"),
@@ -886,7 +900,8 @@ def q_jackknife_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(
         (F.sum("p100").cast("double") / 100.0).alias("s"),
         F.count(F.lit(1)).alias("n"),
-    )
+    ).localCheckpoint(eager=False)  # ≤ flags×64 rows, feeds tot AND loo —
+    # unpinned, the corpus md5 aggregation replays once per reference
     tot = bkt.groupBy("flag").agg(
         dsum("s").alias("st"), F.sum("n").alias("nt"), F.count(F.lit(1)).alias("nb")
     )
@@ -894,7 +909,7 @@ def q_jackknife_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         "flag",
         ((F.col("st") - F.col("s")) / (F.col("nt") - F.col("n"))).alias("m"),
         "st", "nt", "nb",
-    )
+    ).localCheckpoint(eager=False)  # dimension-sized, feeds jk AND se
     jk = loo.groupBy("flag", "st", "nt", "nb").agg(
         (dsum("m", 8) / F.col("nb")).alias("mbar")
     ).select("flag", "mbar")
@@ -1135,7 +1150,12 @@ AB_Z_CRIT = 1.96  # two-sided 5%
 def q_ab_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
     from go_web_mapreduce_spark.functions.numeric import dsum
 
-    ev = load_table(spark, sf_dir, "events")
+    # per-row md5 arm derivation + decimal partial sums are map-side CPU on
+    # the scan: fan_out the pruned columns (one effective task on a
+    # one-row-group benchmark file; no-op at cluster scale)
+    ev = fan_out(
+        load_table(spark, sf_dir, "events").select("event_type", "user_id", "value")
+    )
     per_user = ev.groupBy(
         "event_type", "user_id",
         (
@@ -1233,7 +1253,9 @@ def q_ab_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
-    li = load_table(spark, sf_dir, "lineitem")
+    li = fan_out(load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_returnflag", "l_extendedprice"
+    ))
     p100 = (F.col("l_extendedprice").cast("decimal(18,2)") * 100).cast("bigint")
     per_order = li.groupBy(
         F.col("l_orderkey").alias("k"), F.col("l_returnflag").alias("flag")
@@ -1624,7 +1646,7 @@ def q_profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     for name, make in _PROFILE_COLS_SPARK.items():
         v = make().alias("v")
         profiles.append(
-            orders.select(v).agg(
+            fan_out(orders.select(v)).agg(
                 F.lit(name).alias("column_name"),
                 F.count(F.lit(1)).alias("n_rows"),
                 (F.count(F.lit(1)) - F.count("v")).alias("n_null"),
@@ -1847,7 +1869,8 @@ def q_hll_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     events = load_table(spark, sf_dir, "events")
     regs = _hll.hll_registers(
-        events, ["event_type"], F.col("user_id")
+        fan_out(events.select("event_type", "user_id")),
+        ["event_type"], F.col("user_id"),
     ).localCheckpoint(eager=False)
     single = _hll.hll_estimate_from_registers(regs, ["event_type"])
     types = events.select("event_type").distinct()

@@ -527,7 +527,12 @@ def simhash_pairs(
     and the fingerprint fold are fused in one Arrow kernel (exact integer
     ops — bit-identical to the Column formulation and the oracle).
     """
-    sigs = docs.select(id_col, tokens(text_col).alias("tk")).select(
+    # fan_out the pruned (id, text) projection: the Arrow fingerprint kernel
+    # is map-side CPU and a one-row-group benchmark scan is a single
+    # effective task (no-op at cluster scale)
+    sigs = fan_out(docs.select(id_col, text_col)).select(
+        id_col, tokens(text_col).alias("tk")
+    ).select(
         id_col,
         simhash_from_tokens_arrow(F.col("tk"), SIMHASH_BITS).alias("sh"),
     )
@@ -613,7 +618,9 @@ def simhash_pairs_wide(
     verbatim/boilerplate detector than <= 3 of 60 — exactly the regime
     SimHash is pinned to (use MinHash-LSH for fuzzy dedup).
     """
-    sigs = docs.select(id_col, tokens(text_col).alias("tk")).select(
+    sigs = fan_out(docs.select(id_col, text_col)).select(
+        id_col, tokens(text_col).alias("tk")
+    ).select(
         id_col,
         simhash_wide_from_tokens_arrow(F.col("tk")).alias("sw"),
     ).select(
@@ -1348,7 +1355,12 @@ def duplicate_span_stats(docs: DataFrame, k: int = SPAN_K) -> DataFrame:
       per-doc multiplicity map makes exact for within-doc repeats too.
     """
     toks = tokens("text")
-    eligible = docs.filter(F.size(toks) >= k)
+    # fan_out the pruned projection: tokenize + the Arrow shingle kernel are
+    # map-side CPU on the scan (one effective task on a one-row-group
+    # benchmark file; no-op at cluster scale)
+    eligible = fan_out(docs.select("doc_id", "source", "text")).filter(
+        F.size(toks) >= k
+    )
     local = eligible.select(
         "doc_id",
         "source",
@@ -1497,7 +1509,7 @@ def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     toks = tokens("text")
     sh = (
-        docs.filter(F.size(toks) >= OVERLAP_K)
+        fan_out(docs.select("source", "text")).filter(F.size(toks) >= OVERLAP_K)
         .select(
             "source",
             F.explode(distinct_shingles_arrow(toks, OVERLAP_K)).alias("g"),
@@ -1687,7 +1699,8 @@ def q_passage_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     passage = F.slice(F.col("tk"), F.col("s"), PASSAGE_TOKENS)
     inst = (
-        docs.select("doc_id", "source", tk.alias("tk"), F.explode(starts).alias("s"))
+        fan_out(docs.select("doc_id", "source", "text"))
+        .select("doc_id", "source", tk.alias("tk"), F.explode(starts).alias("s"))
         .select(
             "doc_id",
             "source",

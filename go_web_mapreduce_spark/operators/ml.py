@@ -37,7 +37,7 @@ from pyspark.sql import functions as F
 from go_web_mapreduce_spark.functions import linalg_oracle
 from go_web_mapreduce_spark.functions.numeric import dsum
 from go_web_mapreduce_spark.registry import query
-from go_web_mapreduce_spark.sources.tables import load_table
+from go_web_mapreduce_spark.sources.tables import fan_out, load_table
 
 ML_DIM = 64  # embeddings table dimension
 ML_ITERS = 8  # fixed Newton iterations — deterministic, no convergence races
@@ -191,12 +191,17 @@ def _ns_solve(H, G):
     "q_ml_logreg / gram_matrix partials path",
 )
 def q_ml_linreg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem").select(
+    # the decimal-cast partial aggregation is the whole cost and it runs on
+    # the SCAN's map side — a single-row-group benchmark file is one
+    # effective task, so widen the projected narrow columns first (guide
+    # §2.5 input skew: repartition immediately after an unsplittable read;
+    # a no-op at cluster scale where the scan is already thousands of splits)
+    li = fan_out(load_table(spark, sf_dir, "lineitem").select(
         "l_returnflag",
         "l_linestatus",
         F.col("l_quantity").cast("double").alias("x"),
         F.col("l_extendedprice").cast("double").alias("y"),
-    )
+    ))
     m = li.groupBy("l_returnflag", "l_linestatus").agg(
         dsum("x").alias("sx"),
         dsum("y").alias("sy"),
@@ -264,10 +269,14 @@ def _cov_oracle() -> str:
     "bit-for-bit (cov(x,y) = E[xy] − E[x]E[y] over identical doubles)",
 )
 def q_ml_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem").select(
+    # nine decimal-cast moment sums per row on the scan's map side: fan_out
+    # the projected columns so the partial aggregation runs cluster-wide
+    # rather than on the single effective task a one-row-group benchmark
+    # file yields (no-op at scale; results are order-independent decimals)
+    li = fan_out(load_table(spark, sf_dir, "lineitem").select(
         "l_returnflag",
         *[F.col(c).cast("double").alias(n) for n, c in _COV_COLS],
-    )
+    ))
     aggs = [dsum(n).alias(f"s_{n}") for n, _ in _COV_COLS]
     aggs += [
         dsum(F.col(na) * F.col(nb)).alias(f"s_{na}{nb}")
@@ -816,7 +825,8 @@ def q_embedding_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
             - (F.col("s") / F.col("n")) * (F.col("s") / F.col("n"))
         ).alias("var_c"),
         "n",
-    )
+    ).localCheckpoint(eager=False)  # labels×dim rows, three consumers —
+    # unpinned, the posexplode + decimal-moment aggregation replays per leg
     disp = mu.groupBy("label").agg(
         F.max("n").alias("n"), dsum("var_c", 12).alias("disp")
     )
@@ -1180,7 +1190,8 @@ def q_conformal_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.transform(
             F.array_sort(F.collect_list(F.struct("pos", "cv"))), lambda s: s["cv"]
         ).alias("carr")
-    )
+    ).localCheckpoint(eager=False)  # ≤|labels| rows; broadcast twice (the
+    # calibration and evaluation legs each re-reference scored's subtree)
     scored = split.join(F.broadcast(centarr), "label").select(
         "vec_id", "label", "part",
         F.aggregate(
@@ -1299,16 +1310,24 @@ def q_naive_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
     from go_web_mapreduce_spark.functions.text import tokens
 
     docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select(
+    # tokenize is map-side CPU over the scan (fan_out: one effective task on
+    # a one-row-group benchmark file; no-op at scale) and toks feeds BOTH
+    # the train censuses and the test counts — the class-word census cwc is
+    # vocabulary-bounded, so pin IT and derive everything train-side from
+    # the pin instead of replaying the explode per consumer
+    toks = fan_out(docs.select("doc_id", "lang", "text")).select(
         "doc_id", "lang", F.explode(tokens("text")).alias("w")
     )
     is_test = F.col("doc_id") % NB_TEST_MOD == 0
     train = toks.where(~is_test)
     cwc = train.groupBy(F.col("lang").alias("c"), "w").agg(
         F.count(F.lit(1)).alias("cnt")
-    )
+    ).localCheckpoint(eager=False)
     tot = cwc.groupBy("c").agg(F.sum("cnt").alias("total"))
-    vocab = train.agg(F.count_distinct("w").alias("v"))
+    # |{w}| over train tokens == |{w}| over the (c, w) census (every train
+    # word appears in ≥1 class row) — same value, reads the pin instead of
+    # re-running the corpus explode
+    vocab = cwc.select("w").distinct().agg(F.count(F.lit(1)).alias("v"))
     prior = (
         docs.where(~is_test)
         .groupBy(F.col("lang").alias("c"))
@@ -1970,9 +1989,12 @@ def q_als_user_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     higher rank swaps in a k×k Cholesky inside the same
     aggregate-then-solve shape."""
     o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    li = load_table(spark, sf_dir, "lineitem").select(
+    # two md5 evaluations per LINE on the scan's map side: fan_out the
+    # three projected columns so the hash kernel runs cluster-wide
+    # (single-row-group benchmark file = one effective task; no-op at scale)
+    li = fan_out(load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_partkey", F.round("l_quantity").cast("bigint").alias("y")
-    ).select(
+    )).select(
         "l_orderkey",
         F.expr(_als_factor_sql("alsf1", "l_partkey", "spark")).alias("x1"),
         F.expr(_als_factor_sql("alsf2", "l_partkey", "spark")).alias("x2"),
@@ -2092,12 +2114,11 @@ def q_als_user_step_bcast(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     li = (
-        load_table(spark, sf_dir, "lineitem")
-        .select(
+        fan_out(load_table(spark, sf_dir, "lineitem").select(
             "l_orderkey",
             "l_partkey",
             F.round("l_quantity").cast("bigint").alias("y"),
-        )
+        ))
         .join(F.broadcast(pt), F.col("l_partkey") == pt.p_partkey)
     )
     per_order = li.groupBy("l_orderkey").agg(
@@ -2513,13 +2534,21 @@ def q_huber_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("cents"),
     )
     pt = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
-    obs = li.join(F.broadcast(pt), li.l_partkey == pt.p_partkey).select(
+    obs = fan_out(li).join(F.broadcast(pt), li.l_partkey == pt.p_partkey).select(
         F.col("p_brand").alias("brand"), "cents"
     )
+    # the ≤|brands| estimate tables are each consumed by LATER stages: left
+    # unpinned, Catalyst inlines the producing subtree at every reference —
+    # the physical plan held SIX lineitem scans (m0's subtree replayed under
+    # m1's broadcast, under m2's chain, and in the final join) instead of
+    # the documented three. Pinning the TINY per-brand tables (25 rows —
+    # not the corpus; the q_itemsets3 OOM lesson concerns corpus-sized
+    # pins) makes each IRLS stage execute once: exactly one column-pruned
+    # corpus scan per stage at any scale (guide §2.4: remove recomputation).
     m0 = obs.groupBy("brand").agg(
         F.count(F.lit(1)).alias("n"),
         (F.sum("cents").cast("double") / F.count(F.lit(1))).alias("mu0"),
-    )
+    ).localCheckpoint(eager=False)
 
     def irls(prev: DataFrame, mu_col: str, out_col: str) -> DataFrame:
         j = obs.join(F.broadcast(prev.select("brand", mu_col)), "brand")
@@ -2536,11 +2565,14 @@ def q_huber_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias(out_col)
         )
 
-    m1 = irls(m0, "mu0", "mu1")
+    m1 = irls(m0, "mu0", "mu1").localCheckpoint(eager=False)
     m2 = irls(m1, "mu1", "mu2")
+    # pinned RDDs carry no size statistics, so hint the ≤|brands| estimate
+    # tables into the final join explicitly (the planner would otherwise
+    # sort-merge three 25-row tables)
     return (
-        m0.join(m1, "brand")
-        .join(m2, "brand")
+        m2.join(F.broadcast(m0), "brand")
+        .join(F.broadcast(m1), "brand")
         .select(
             "brand",
             "n",

@@ -34,7 +34,7 @@ from pyspark.sql import functions as F
 from go_web_mapreduce_spark.functions.numeric import dsum
 from go_web_mapreduce_spark.functions.text import tokens
 from go_web_mapreduce_spark.registry import query
-from go_web_mapreduce_spark.sources.tables import load_table
+from go_web_mapreduce_spark.sources.tables import fan_out, load_table
 
 # ---------------------------------------------------------------------------
 # scratch-artifact management for the interchange/layout queries
@@ -1101,7 +1101,10 @@ def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     # so inlining tokens("text") re-tokenized each doc once per bigram —
     # O(len^2) per document (measured 7.6 s -> 0.6 s for the gram explode
     # at sf0.1)
-    grams = docs.select(
+    # fan_out the pruned projection first: tokenize + per-gram md5 bucketing
+    # are map-side CPU on the scan (a one-row-group benchmark file is one
+    # effective task; no-op at cluster scale)
+    grams = fan_out(docs.select("doc_id", "lang", "text")).select(
         "doc_id", "lang", tokens("text").alias("tk")
     ).select(
         "doc_id",
@@ -1509,9 +1512,13 @@ def q_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     st = (
-        docs.select("source", F.explode(tokens("text")).alias("token"))
+        fan_out(docs.select("source", "text"))
+        .select("source", F.explode(tokens("text")).alias("token"))
         .groupBy("source", "token")
         .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=False)  # vocabulary-bounded census, FOUR
+        # consumers (stot, ct, the total scalar, terms) — unpinned, the
+        # corpus tokenize+explode replays once per reference
     )
     stot = st.groupBy("source").agg(F.sum("c").alias("ts"))
     ct = st.groupBy("token").agg(F.sum("c").alias("g"))
@@ -1585,11 +1592,15 @@ def q_cross_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     st = (
-        docs.select("source", F.explode(tokens("text")).alias("token"))
+        fan_out(docs.select("source", "text"))
+        .select("source", F.explode(tokens("text")).alias("token"))
         .groupBy("source", "token")
         .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=False)  # vocabulary-bounded, feeds ct + terms
     )
-    ct = st.groupBy("token").agg(F.sum("c").alias("g"))
+    ct = st.groupBy("token").agg(F.sum("c").alias("g")).localCheckpoint(
+        eager=False  # vocabulary-bounded, feeds the totals scalar + the join
+    )
     t_total, vocab = ct.agg(F.sum("g"), F.count(F.lit(1))).first()
     # H = ln(T + aV) - sum(c ln(g + a))/n : the smoothing denominator folds
     # into one constant, so the per-term join carries only ln(g + a)
@@ -1996,11 +2007,15 @@ def q_gdpr_erasure(spark: SparkSession, sf_dir: str) -> DataFrame:
         < ERASE_PCT_BUCKET
     )
     customer = load_table(spark, sf_dir, "customer")
+    # victims feeds three legs and o feeds two: pinned (both are the ~2.5%
+    # cohort — DSR-list-sized, not corpus-sized), each reference otherwise
+    # replays the md5 scan / the semi-join subtree (the plan held 20 scans)
     victims = customer.where(spark_victims_pred).select("c_custkey")
+    victims = victims.localCheckpoint(eager=False)
     orders = load_table(spark, sf_dir, "orders")
     o = orders.join(
         victims, orders.o_custkey == victims.c_custkey, "left_semi"
-    )
+    ).localCheckpoint(eager=False)
     lineitem = load_table(spark, sf_dir, "lineitem")
     li = lineitem.join(
         o.select("o_orderkey"),

@@ -38,7 +38,13 @@ def tokenized_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     reference's word count (reference: server/views.go:53-55) as a projection;
     only (doc_id, text) are read from the scan (column pruning)."""
     docs = load_table(spark, sf_dir, "documents")
-    return docs.select("doc_id", F.explode(tokens("text")).alias("word"))
+    # split+lower+explode is map-side CPU over the scan: fan_out the pruned
+    # (doc_id, text) projection so tokenization runs cluster-wide instead of
+    # on the single effective task a one-row-group benchmark file yields
+    # (no-op at scale — the scan is already thousands of splits there)
+    return fan_out(docs.select("doc_id", "text")).select(
+        "doc_id", F.explode(tokens("text")).alias("word")
+    )
 
 
 @query(
@@ -637,8 +643,10 @@ def q_scalar_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
     # parse the JSON once per row; two aggregate expressions over the
-    # inline extraction would each run get_json_object
-    parsed = events.select(
+    # inline extraction would each run get_json_object. The parse is
+    # map-side CPU over the scan — fan_out the pruned columns first
+    # (single-row-group benchmark file = one effective task; no-op at scale)
+    parsed = fan_out(events.select("event_type", "props")).select(
         "event_type", F.get_json_object("props", "$.k").cast("bigint").alias("k")
     )
     return parsed.groupBy("event_type").agg(
@@ -663,8 +671,12 @@ def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_array_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     # tokenize ONCE per row in its own projection; inlining tokens() into
-    # both aggregate expressions re-runs the (interpreted-HOF) tokenizer
-    tk = docs.select("lang", tokens("text").alias("tk"))
+    # both aggregate expressions re-runs the (interpreted-HOF) tokenizer.
+    # fan_out first: the HOF tokenizer is map-side CPU and a one-row-group
+    # benchmark scan is a single effective task (no-op at cluster scale)
+    tk = fan_out(docs.select("lang", "text")).select(
+        "lang", tokens("text").alias("tk")
+    )
     return tk.groupBy("lang").agg(
         (F.sum(F.size("tk")).cast("double") / F.count("*")).alias("avg_tokens"),
         F.max(F.size(F.array_distinct("tk"))).alias("max_distinct_tokens"),

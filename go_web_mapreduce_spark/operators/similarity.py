@@ -35,7 +35,7 @@ from go_web_mapreduce_spark.functions import ann_oracle, linalg_oracle
 from go_web_mapreduce_spark.functions.ann_config import cluster_count
 from go_web_mapreduce_spark.functions.vectors import cosine_similarity
 from go_web_mapreduce_spark.registry import query
-from go_web_mapreduce_spark.sources.tables import load_table
+from go_web_mapreduce_spark.sources.tables import fan_out, load_table
 
 TOP_K = 20
 KNN_PROBES = 10  # vec_id < 10 used as the probe set
@@ -219,30 +219,53 @@ def embedding_near_dup_pairs(
     right = packed.select(F.col("blk").alias("blk_b"), F.col("rows").alias("rows_b"))
     joined = left.join(right, "blk_b").select("blk_a", "blk_b", "rows_a", "rows_b")
 
-    def norms_seq(m: "np.ndarray") -> "np.ndarray":
-        acc = np.zeros(m.shape[0])
-        for i in range(m.shape[1]):
-            acc = acc + m[:, i] * m[:, i]
-        return np.sqrt(acc)
-
     def unpack(rows):
-        ids = np.array([r["id"] for r in rows], dtype=np.int64)
-        mat = np.array([list(r["emb"]) for r in rows], dtype=np.float64)
-        return ids, mat
+        """Block → (ids, dim-major matrix, norms). Same float64 values as the
+        original row-loop form (float32→float64 widening is exact; vstack
+        copies bits), just vectorized: the per-row list() conversion was the
+        kernel's hidden Python loop. ``matT`` is dim-major so the sequential
+        per-dimension accumulation below touches contiguous memory; the
+        norm fold keeps the exact dimension-sequential operation order."""
+        ids = np.fromiter((r["id"] for r in rows), dtype=np.int64, count=len(rows))
+        matT = np.ascontiguousarray(
+            np.vstack([r["emb"] for r in rows]).astype(np.float64).T
+        )
+        acc = np.zeros(matT.shape[1])
+        for i in range(matT.shape[0]):
+            acc = acc + matT[i] * matT[i]
+        return ids, matT, np.sqrt(acc)
+
+    def dots_seq(matT_a, matT_b):
+        """Σ_i outer(a_i, b_i) accumulated dimension-sequentially — the
+        IDENTICAL ieee operation order as the Column fold and the DuckDB
+        list_reduce oracle (a BLAS gemm reassociates and diverges in the
+        last ulp — measured, not hypothetical). in-place add + a reused
+        product buffer removes two allocations per dimension without
+        touching the summation order."""
+        dots = np.zeros((matT_a.shape[1], matT_b.shape[1]))
+        buf = np.empty_like(dots)
+        for i in range(matT_a.shape[0]):
+            np.multiply.outer(matT_a[i], matT_b[i], out=buf)
+            dots += buf
+        return dots
 
     def score_block(batches):
         import pandas as pd
+
+        cache: dict = {}  # per-task: each block unpacked once, not once per pair
+
+        def blk(bid, rows):
+            if bid not in cache:
+                cache[bid] = unpack(rows)
+            return cache[bid]
 
         for pdf in batches:
             for rows_a, rows_b, ba, bb in zip(
                 pdf["rows_a"], pdf["rows_b"], pdf["blk_a"], pdf["blk_b"]
             ):
-                ids_a, mat_a = unpack(rows_a)
-                ids_b, mat_b = unpack(rows_b)
-                na, nb = norms_seq(mat_a), norms_seq(mat_b)
-                dots = np.zeros((len(ids_a), len(ids_b)))
-                for i in range(mat_a.shape[1]):
-                    dots = dots + np.outer(mat_a[:, i], mat_b[:, i])
+                ids_a, matT_a, na = blk(ba, rows_a)
+                ids_b, matT_b, nb = blk(bb, rows_b)
+                dots = dots_seq(matT_a, matT_b)
                 denom = np.outer(na, nb)
                 score = np.divide(
                     dots, denom, out=np.zeros_like(dots), where=denom != 0.0
@@ -336,16 +359,30 @@ def knn_graph(
     joined = left.join(right, "blk_b").select("blk_a", "blk_b", "rows_a", "rows_b")
 
     def unpack_sorted(rows):
-        ids = np.array([r["id"] for r in rows], dtype=np.int64)
-        mat = np.array([list(r["emb"]) for r in rows], dtype=np.float64)
+        """Same float64 matrix/values as the original per-row list() loop
+        (vstack + exact float32→float64 widening), vectorized; rows sorted
+        id-ascending (stable ties), dim-major for contiguous access, norms
+        folded dimension-sequentially — identical ieee order throughout."""
+        ids = np.fromiter((r["id"] for r in rows), dtype=np.int64, count=len(rows))
         order = np.argsort(ids)  # id-ascending → stable sort keeps tie order
-        return ids[order], mat[order]
+        ids = ids[order]
+        matT = np.ascontiguousarray(
+            np.vstack([r["emb"] for r in rows]).astype(np.float64)[order].T
+        )
+        acc = np.zeros(matT.shape[1])
+        for i in range(matT.shape[0]):
+            acc = acc + matT[i] * matT[i]
+        return ids, matT, np.sqrt(acc)
 
-    def norms_seq(m: "np.ndarray") -> "np.ndarray":
-        acc = np.zeros(m.shape[0])
-        for i in range(m.shape[1]):
-            acc = acc + m[:, i] * m[:, i]
-        return np.sqrt(acc)
+    def dots_seq(matT_a, matT_b):
+        # dimension-sequential accumulation — see embedding_near_dup_pairs:
+        # the op order must match the oracle's fold; no gemm
+        dots = np.zeros((matT_a.shape[1], matT_b.shape[1]))
+        buf = np.empty_like(dots)
+        for i in range(matT_a.shape[0]):
+            np.multiply.outer(matT_a[i], matT_b[i], out=buf)
+            dots += buf
+        return dots
 
     def local_topk(ids_q, ids_c, score, self_mask):
         """Per row of ``score``: top-k columns by (score desc, id asc) —
@@ -365,16 +402,20 @@ def knn_graph(
     def score_block(batches):
         import pandas as pd
 
+        cache: dict = {}  # per-task: each block unpacked once, not once per pair
+
+        def blk(bid, rows):
+            if bid not in cache:
+                cache[bid] = unpack_sorted(rows)
+            return cache[bid]
+
         for pdf in batches:
             for rows_a, rows_b, ba, bb in zip(
                 pdf["rows_a"], pdf["rows_b"], pdf["blk_a"], pdf["blk_b"]
             ):
-                ids_a, mat_a = unpack_sorted(rows_a)
-                ids_b, mat_b = unpack_sorted(rows_b)
-                na, nb = norms_seq(mat_a), norms_seq(mat_b)
-                dots = np.zeros((len(ids_a), len(ids_b)))
-                for i in range(mat_a.shape[1]):
-                    dots = dots + np.outer(mat_a[:, i], mat_b[:, i])
+                ids_a, matT_a, na = blk(ba, rows_a)
+                ids_b, matT_b, nb = blk(bb, rows_b)
+                dots = dots_seq(matT_a, matT_b)
                 denom = np.outer(na, nb)
                 score = np.divide(
                     dots, denom, out=np.zeros_like(dots), where=denom != 0.0
@@ -1074,10 +1115,14 @@ def knn_graph_ivf(
     def score_block(batches):
         for pdf in batches:
             for qrows, irows in zip(pdf["qrows"], pdf["irows"]):
-                qi = np.array([r["id"] for r in qrows], dtype=np.int64)
-                qm = np.array([list(r["emb"]) for r in qrows], dtype=np.float64)
-                ii = np.array([r["id"] for r in irows], dtype=np.int64)
-                im = np.array([list(r["emb"]) for r in irows], dtype=np.float64)
+                # vectorized unpack — same float64 bits as the per-row
+                # list() loop (float32→float64 widening is exact)
+                qi = np.fromiter((r["id"] for r in qrows), dtype=np.int64,
+                                 count=len(qrows))
+                qm = np.vstack([r["emb"] for r in qrows]).astype(np.float64)
+                ii = np.fromiter((r["id"] for r in irows), dtype=np.int64,
+                                 count=len(irows))
+                im = np.vstack([r["emb"] for r in irows]).astype(np.float64)
                 qo, io = np.argsort(qi), np.argsort(ii)
                 qi, qm, ii, im = qi[qo], qm[qo], ii[io], im[io]
                 # SELECTION uses one BLAS gemm (a 64-pass dimension-

@@ -22,7 +22,7 @@ from pyspark.sql import functions as F
 
 from go_web_mapreduce_spark.functions.numeric import dsum
 from go_web_mapreduce_spark.registry import query
-from go_web_mapreduce_spark.sources.tables import load_table
+from go_web_mapreduce_spark.sources.tables import fan_out, load_table
 
 SESSION_GAP_US = 30 * 60 * 1_000_000  # 30 minutes, in microseconds
 
@@ -520,9 +520,12 @@ MK_Z_CRIT = 1.96
 )
 def q_trend_mk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
+    # (type, day) census: types×days rows, but FOUR consumers (both legs of
+    # the concordance self-join, n, and the tie census) — pinned, so the
+    # corpus aggregation runs once instead of once per reference
     daily = ev.groupBy(
         "event_type", F.date_trunc("day", "ts").alias("day")
-    ).agg(F.count(F.lit(1)).alias("x"))
+    ).agg(F.count(F.lit(1)).alias("x")).localCheckpoint(eager=False)
     a = daily.select("event_type", F.col("day").alias("da"), F.col("x").alias("xa"))
     b = daily.select(
         F.col("event_type").alias("et_b"), F.col("day").alias("db"),
@@ -824,11 +827,23 @@ def q_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
     "never events^2; marginals are a types-sized table",
 )
 def q_lift_association(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sess = (
+    # the session-type basket set feeds FOUR consumers (the basket count,
+    # the marginals, and both legs of the within-basket pair join): left
+    # unpinned, the sessionize window subtree replays once per consumer.
+    # Pin it to scratch parquet (the q_itemsets3 discipline — disk-backed,
+    # column-pruned, never a corpus-sized block-manager pin) so the events
+    # shuffle + session window run exactly once at any scale (guide §2.4).
+    from go_web_mapreduce_spark.operators.pipeline_ops import _scratch_dir
+
+    sess_path = _scratch_dir("lift_sess")
+    (
         sessionize(load_table(spark, sf_dir, "events"))
         .select("user_id", "session_id", "event_type")
         .distinct()
+        .write.mode("overwrite")
+        .parquet(sess_path)
     )
+    sess = spark.read.parquet(sess_path)
     n_baskets = sess.select("user_id", "session_id").distinct().count()
     item = sess.groupBy("event_type").agg(F.count(F.lit(1)).alias("c"))
     a = sess.select("user_id", "session_id", F.col("event_type").alias("ante"))
@@ -932,7 +947,9 @@ def q_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx = daily.select(
         "event_type", "x",
         F.row_number().over(W.partitionBy("event_type").orderBy("day")).alias("i"),
-    )
+    ).localCheckpoint(eager=False)  # types×days rows, four consumers (both
+    # lag-join legs, the moments, var0) — unpinned, the corpus aggregation
+    # + rank window replay once per reference
     mom = idx.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
         (F.sum("x").cast("double") / F.count(F.lit(1))).alias("m"),
@@ -1108,11 +1125,11 @@ def q_seasonal_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     # isodow() is 1=Mon — aligned here (dayofweek() disagrees across engines)
     dow = daily.select(
         "event_type", (F.weekday("day") + 1).alias("dw"), "x"
-    )
+    ).localCheckpoint(eager=False)  # types×days rows, three consumers
     prof = dow.groupBy("event_type", "dw").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_days"),
         (F.sum("x").cast("double") / F.count(F.lit(1))).alias("dow_mean"),
-    )
+    ).localCheckpoint(eager=False)  # types×7 rows, two consumers
     glob = dow.groupBy("event_type").agg(
         (F.sum("x").cast("double") / F.count(F.lit(1))).alias("g_mean"),
         (dsum(F.col("x").cast("double") * F.col("x"), 2) / F.count(F.lit(1))).alias("g_m2"),

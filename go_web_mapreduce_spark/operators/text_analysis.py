@@ -24,7 +24,7 @@ from pyspark.sql import functions as F
 
 from go_web_mapreduce_spark.functions.text import token_count, tokens, word_shingles
 from go_web_mapreduce_spark.registry import query
-from go_web_mapreduce_spark.sources.tables import load_table
+from go_web_mapreduce_spark.sources.tables import fan_out, load_table
 
 # tiny per-language stopword lists (public common words); scoring = number of
 # tokens present in each list, argmax with fixed priority order for ties
@@ -89,7 +89,7 @@ def _lang_id_oracle() -> str:
     "(extension mandate: text analysis)",
 )
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
     # staged like the oracle's CTEs: tokenize once, score once per language,
     # then argmax over the score COLUMNS. Inlining language_id(tokens(...))
     # references the tokenizer subtree once per score use (~11x per row,
@@ -127,7 +127,7 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     description="per-language document statistics (extension mandate: text analysis)",
 )
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
     return docs.groupBy("lang").agg(
         F.count("*").alias("n_docs"),
         (F.sum("n_chars").cast("double") / F.count("*")).alias("avg_chars"),
@@ -176,7 +176,7 @@ def _quality_sql() -> str:
     "(extension mandate: text analysis)",
 )
 def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
     # materialize the score once per row: min/max/sum as separate aggregate
     # expressions would each re-evaluate the whole (tokenize-heavy) score
     # tree — multi-referenced expensive expressions get their own projection
@@ -218,7 +218,7 @@ def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     from go_web_mapreduce_spark.functions.text import distinct_shingles_arrow
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
     norm = F.trim(F.regexp_replace(F.lower("text"), " +", " "))
     # min over md5 of the DISTINCT 5-gram set == min over all 5-grams, and
     # the Arrow shingle kernel replaces the interpreted per-position
@@ -269,7 +269,7 @@ def subword_count(text: Column | str) -> Column:
     "analysis / token counting)",
 )
 def q_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
     return docs.groupBy("lang").agg(
         F.count("*").alias("n_docs"),
         F.sum(subword_count("text")).alias("total_subwords"),
@@ -345,7 +345,7 @@ def corpus_keep_flag(toks: Column) -> Column:
     "aggregation (extension mandate: text analysis / quality filtering)",
 )
 def q_corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
     # stage each rule input as a named column so the per-token length fold
     # and the other HOF passes run exactly once per row
     staged = docs.select("lang", tokens("text").alias("tk")).select(
@@ -436,7 +436,7 @@ def _mixture_rate_sql() -> str:
     "pipeline sampling)",
 )
 def q_data_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
     keep = mixture_keep(F.col("lang"), F.col("doc_id"))
     flagged = docs.select("lang", "text", keep.alias("keep"))
     return flagged.groupBy("lang").agg(
@@ -556,7 +556,7 @@ def q_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
     "on the prefix, all rational arithmetic (no transcendental drift)",
 )
 def q_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
     bg = (
         docs.select(tokens("text").alias("tk"))
         .filter(F.size("tk") >= 2)
@@ -645,7 +645,7 @@ def q_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     the LM) — standard for corpus-level filtering, and what keeps it one
     pass.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
     bg = (
         docs.select("doc_id", tokens("text").alias("tk"))
         .filter(F.size("tk") >= 2)
@@ -726,7 +726,7 @@ def q_bpe_merge_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     merge iterations rewrite the (tiny) vocab table and repeat the second
     aggregate only.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
     freq = (
         docs.select(F.explode(tokens("text")).alias("w"))
         .groupBy("w")
@@ -853,7 +853,7 @@ def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     checkpoints for long trainings and is property-tested against a pure-
     Python reference implementation (tests/test_llm_ops.py).
     """
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
     freq = (
         docs.select(F.explode(tokens("text")).alias("w"))
         .groupBy("w")
@@ -979,7 +979,7 @@ def _bpe_encode_oracle(k: int) -> str:
     "the final rewrite",
 )
 def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
     freq = (
         docs.select(F.explode(tokens("text")).alias("w"))
         .groupBy("w")
@@ -1068,7 +1068,7 @@ def q_ngram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from go_web_mapreduce_spark.functions.text import shingle_counts_arrow
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
     toks = tokens("text")
     uni = (
         docs.select("source", F.explode(toks).alias("w"))
@@ -1173,7 +1173,7 @@ CHI2_MIN_DF = 3  # ignore tokens seen in fewer docs (noise floor)
 def q_chi2_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
     pres = (
         docs.select("doc_id", "lang", F.explode(tokens("text")).alias("token"))
         .distinct()
@@ -1270,7 +1270,7 @@ def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from go_web_mapreduce_spark.functions.numeric import dsum
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
     cnt = (
         docs.select(F.explode(tokens("text")).alias("token"))
         .groupBy("token")
@@ -1356,7 +1356,7 @@ KAPPA_WLEN_MAX = 5.5  # rater B: mean word length ceiling
     "all kappa arithmetic on dimension-sized exact integers",
 )
 def q_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
     tk = tokens("text")
     rated = docs.select(
         "source",
@@ -1439,7 +1439,7 @@ PMI_TOPK = 20
     "TakeOrdered — nothing corpus-sized after the first shuffle",
 )
 def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
     bg = (
         docs.select(tokens("text").alias("tk"))
         .filter(F.size("tk") >= 2)
@@ -1539,7 +1539,7 @@ _SB_GRAM_BRANCHES = "\n      UNION ALL\n".join(
     "corpus marginal minus self)",
 )
 def q_self_bleu(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
     toks = docs.select("source", tokens("text").alias("tk"))
     legs = []
     for n in range(1, SELF_BLEU_MAX_N + 1):
@@ -1557,7 +1557,12 @@ def q_self_bleu(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         legs.append(grams)
     grams = legs[0].unionAll(legs[1]).unionAll(legs[2])
-    sg = grams.groupBy("source", "n", "gram").agg(F.count(F.lit(1)).alias("c"))
+    # gram census: vocabulary-bounded, but TWO consumers (the corpus totals
+    # and the precision join) — unpinned, the whole 3-leg tokenize+shingle
+    # union replays per reference (6 corpus tokenizations instead of 3)
+    sg = grams.groupBy("source", "n", "gram").agg(
+        F.count(F.lit(1)).alias("c")
+    ).localCheckpoint(eager=False)
     tot = sg.groupBy("n", "gram").agg(F.sum("c").alias("g"))
     prec = (
         sg.join(tot, ["n", "gram"])
@@ -1660,7 +1665,7 @@ _RAKE_STOPS_SQL = ", ".join(f"'{w}'" for w in _RAKE_STOPS)
     "TakeOrderedAndProject",
 )
 def q_keyword_rake(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
     # phrase segmentation is a MAP-SIDE regex pass, not a per-doc window:
     # rebuild the normalized token string and cut it at stopwords with one
     # alternation regex (leading boundary captured, trailing boundary a
@@ -1770,7 +1775,7 @@ def q_keyword_rake(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     from go_web_mapreduce_spark.functions.numeric import dsum
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
     dc = (
         docs.select(
             "doc_id", "source",
@@ -1849,7 +1854,7 @@ CTFIDF_TOPK = 5
 def q_ctfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
     cls = (
         docs.select("source", F.explode(tokens("text")).alias("token"))
         .groupBy("source", "token")
@@ -1948,7 +1953,7 @@ def _sgp_pairs(tk, d: int):
     "top-k via TakeOrdered",
 )
 def q_skipgram_ppmi(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
     tk = tokens("text")
     branches = None
     for d in range(1, SGP_WINDOW + 1):
@@ -2071,7 +2076,7 @@ def q_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
     with a fixed order — a float SUM over 10 cell rows would be shuffle-
     order-dependent and could not hash-verify. At 100 TB: vocabulary-
     sized state, corpus touched once."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
     toks = docs.select(
         "doc_id", "lang", F.explode(F.array_distinct(tokens("text"))).alias("w")
     )
@@ -2169,7 +2174,7 @@ def q_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
     ratios of two exact bigint sums."""
     from go_web_mapreduce_spark.functions.text import token_count
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
     m = docs.select(
         "source",
         F.greatest(token_count("text"), F.lit(1)).cast("bigint").alias("w"),
@@ -2267,7 +2272,7 @@ def q_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
     not corpus-bounded). The final join is census-to-census on w1/w2
     keys. This is the LM-smoothing pass of a tokenizer/LM data
     pipeline at any corpus size."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
     bg = (
         docs.select(tokens("text").alias("tk"))
         .filter(F.size("tk") >= 2)
@@ -2366,7 +2371,7 @@ def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     carries document bodies; OOV types stay distinct-counted per lang
     (bounded by the lang's type space)."""
     toks = (
-        load_table(spark, sf_dir, "documents")
+        fan_out(load_table(spark, sf_dir, "documents"))
         .select(
             "lang",
             F.explode(F.split(F.lower(F.col("text")), " ")).alias("tok"),

@@ -177,9 +177,13 @@ def test_quantile_norm_corpus_rank_is_range_partitioned(spark, sf_dir):
 
 
 def test_ml_linreg_is_one_partial_aggregated_shuffle(spark, sf_dir):
+    """Exactly one KEYED shuffle (the group-state exchange). A round-robin
+    fan_out exchange is allowed: it widens the decimal partial aggregation
+    past a small scan's partitioning and is a no-op at cluster scale."""
     plan = executed_plan(spark, sf_dir, "q_ml_linreg")
     assert "partial_sum" in plan
-    assert plan.count("Exchange ") == 1
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert plan.count("Exchange rangepartitioning") == 0
 
 
 def test_knn_graph_rank_is_group_limited(spark, sf_dir):
