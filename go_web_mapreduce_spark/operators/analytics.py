@@ -279,13 +279,8 @@ def q_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     from go_web_mapreduce_spark.functions import hll as _hll
 
     events = load_table(spark, sf_dir, "events")
-    # the register pass is an md5 per row on the scan's map side — fan_out
-    # the pruned columns (one effective task on a one-row-group benchmark
-    # file; no-op at cluster scale), the q_approx_distinct discipline
     daily = _hll.hll_registers(
-        fan_out(events.select("event_type", "ts", "user_id")).withColumn(
-            "day", F.date_trunc("day", "ts")
-        ),
+        events.withColumn("day", F.date_trunc("day", "ts")),
         ["event_type", "day"],
         F.col("user_id"),
     )
@@ -1150,12 +1145,7 @@ AB_Z_CRIT = 1.96  # two-sided 5%
 def q_ab_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
     from go_web_mapreduce_spark.functions.numeric import dsum
 
-    # per-row md5 arm derivation + decimal partial sums are map-side CPU on
-    # the scan: fan_out the pruned columns (one effective task on a
-    # one-row-group benchmark file; no-op at cluster scale)
-    ev = fan_out(
-        load_table(spark, sf_dir, "events").select("event_type", "user_id", "value")
-    )
+    ev = load_table(spark, sf_dir, "events")
     per_user = ev.groupBy(
         "event_type", "user_id",
         (
@@ -1253,9 +1243,7 @@ def q_ab_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
-    li = fan_out(load_table(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_returnflag", "l_extendedprice"
-    ))
+    li = load_table(spark, sf_dir, "lineitem")
     p100 = (F.col("l_extendedprice").cast("decimal(18,2)") * 100).cast("bigint")
     per_order = li.groupBy(
         F.col("l_orderkey").alias("k"), F.col("l_returnflag").alias("flag")
@@ -1646,7 +1634,7 @@ def q_profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     for name, make in _PROFILE_COLS_SPARK.items():
         v = make().alias("v")
         profiles.append(
-            fan_out(orders.select(v)).agg(
+            orders.select(v).agg(
                 F.lit(name).alias("column_name"),
                 F.count(F.lit(1)).alias("n_rows"),
                 (F.count(F.lit(1)) - F.count("v")).alias("n_null"),
@@ -1869,8 +1857,7 @@ def q_hll_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     events = load_table(spark, sf_dir, "events")
     regs = _hll.hll_registers(
-        fan_out(events.select("event_type", "user_id")),
-        ["event_type"], F.col("user_id"),
+        events, ["event_type"], F.col("user_id")
     ).localCheckpoint(eager=False)
     single = _hll.hll_estimate_from_registers(regs, ["event_type"])
     types = events.select("event_type").distinct()

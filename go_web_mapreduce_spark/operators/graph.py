@@ -33,7 +33,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from go_web_mapreduce_spark.registry import query
-from go_web_mapreduce_spark.sources.tables import fan_out, load_table
+from go_web_mapreduce_spark.sources.tables import load_table
 
 SORT_PARTITIONS = 32  # range-shuffle width; at 100 TB size so each ≲ executor memory
 PR_DAMPING = 0.85
@@ -131,15 +131,11 @@ def global_sort_index(df: DataFrame, *keys: str,
     "— range shuffle + local sort + count prefix sum, no global window",
 )
 def q_global_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # fan_out the projected sort keys: the range partitioner SAMPLES its
-    # input (an extra traversal) and the date_format projection is map-side
-    # CPU — both otherwise run on the single effective task a one-row-group
-    # benchmark file yields (no-op at cluster scale)
-    li = fan_out(load_table(spark, sf_dir, "lineitem").select(
+    li = load_table(spark, sf_dir, "lineitem").select(
         F.date_format("l_shipdate", "yyyy-MM-dd").alias("ship_date"),
         "l_orderkey",
         "l_linenumber",
-    ))
+    )
     return global_sort_index(li, "ship_date", "l_orderkey", "l_linenumber")
 
 

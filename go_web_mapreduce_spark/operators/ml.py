@@ -1310,24 +1310,16 @@ def q_naive_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
     from go_web_mapreduce_spark.functions.text import tokens
 
     docs = load_table(spark, sf_dir, "documents")
-    # tokenize is map-side CPU over the scan (fan_out: one effective task on
-    # a one-row-group benchmark file; no-op at scale) and toks feeds BOTH
-    # the train censuses and the test counts — the class-word census cwc is
-    # vocabulary-bounded, so pin IT and derive everything train-side from
-    # the pin instead of replaying the explode per consumer
-    toks = fan_out(docs.select("doc_id", "lang", "text")).select(
+    toks = docs.select(
         "doc_id", "lang", F.explode(tokens("text")).alias("w")
     )
     is_test = F.col("doc_id") % NB_TEST_MOD == 0
     train = toks.where(~is_test)
     cwc = train.groupBy(F.col("lang").alias("c"), "w").agg(
         F.count(F.lit(1)).alias("cnt")
-    ).localCheckpoint(eager=False)
+    )
     tot = cwc.groupBy("c").agg(F.sum("cnt").alias("total"))
-    # |{w}| over train tokens == |{w}| over the (c, w) census (every train
-    # word appears in ≥1 class row) — same value, reads the pin instead of
-    # re-running the corpus explode
-    vocab = cwc.select("w").distinct().agg(F.count(F.lit(1)).alias("v"))
+    vocab = train.agg(F.count_distinct("w").alias("v"))
     prior = (
         docs.where(~is_test)
         .groupBy(F.col("lang").alias("c"))
@@ -2114,11 +2106,12 @@ def q_als_user_step_bcast(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     li = (
-        fan_out(load_table(spark, sf_dir, "lineitem").select(
+        load_table(spark, sf_dir, "lineitem")
+        .select(
             "l_orderkey",
             "l_partkey",
             F.round("l_quantity").cast("bigint").alias("y"),
-        ))
+        )
         .join(F.broadcast(pt), F.col("l_partkey") == pt.p_partkey)
     )
     per_order = li.groupBy("l_orderkey").agg(

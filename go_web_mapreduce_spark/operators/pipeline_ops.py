@@ -1525,7 +1525,7 @@ def q_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     total = st.agg(F.sum("c")).first()[0]
     terms = (
         st.join(F.broadcast(stot), "source")
-        .join(ct, "token")
+        .join(F.broadcast(ct), "token")
         .select(
             "source",
             (F.col("c").cast("double") / F.col("ts")).alias("p"),
@@ -1604,7 +1604,7 @@ def q_cross_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     t_total, vocab = ct.agg(F.sum("g"), F.count(F.lit(1))).first()
     # H = ln(T + aV) - sum(c ln(g + a))/n : the smoothing denominator folds
     # into one constant, so the per-term join carries only ln(g + a)
-    terms = st.join(ct, "token").select(
+    terms = st.join(F.broadcast(ct), "token").select(
         "source", "c", F.log(F.col("g") + XENT_ALPHA).alias("lg")
     )
     agg = terms.groupBy("source").agg(
@@ -2007,15 +2007,11 @@ def q_gdpr_erasure(spark: SparkSession, sf_dir: str) -> DataFrame:
         < ERASE_PCT_BUCKET
     )
     customer = load_table(spark, sf_dir, "customer")
-    # victims feeds three legs and o feeds two: pinned (both are the ~2.5%
-    # cohort — DSR-list-sized, not corpus-sized), each reference otherwise
-    # replays the md5 scan / the semi-join subtree (the plan held 20 scans)
     victims = customer.where(spark_victims_pred).select("c_custkey")
-    victims = victims.localCheckpoint(eager=False)
     orders = load_table(spark, sf_dir, "orders")
     o = orders.join(
         victims, orders.o_custkey == victims.c_custkey, "left_semi"
-    ).localCheckpoint(eager=False)
+    )
     lineitem = load_table(spark, sf_dir, "lineitem")
     li = lineitem.join(
         o.select("o_orderkey"),

@@ -643,10 +643,8 @@ def q_scalar_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
     # parse the JSON once per row; two aggregate expressions over the
-    # inline extraction would each run get_json_object. The parse is
-    # map-side CPU over the scan — fan_out the pruned columns first
-    # (single-row-group benchmark file = one effective task; no-op at scale)
-    parsed = fan_out(events.select("event_type", "props")).select(
+    # inline extraction would each run get_json_object
+    parsed = events.select(
         "event_type", F.get_json_object("props", "$.k").cast("bigint").alias("k")
     )
     return parsed.groupBy("event_type").agg(

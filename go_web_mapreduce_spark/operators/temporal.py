@@ -520,12 +520,9 @@ MK_Z_CRIT = 1.96
 )
 def q_trend_mk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
-    # (type, day) census: types×days rows, but FOUR consumers (both legs of
-    # the concordance self-join, n, and the tie census) — pinned, so the
-    # corpus aggregation runs once instead of once per reference
     daily = ev.groupBy(
         "event_type", F.date_trunc("day", "ts").alias("day")
-    ).agg(F.count(F.lit(1)).alias("x")).localCheckpoint(eager=False)
+    ).agg(F.count(F.lit(1)).alias("x"))
     a = daily.select("event_type", F.col("day").alias("da"), F.col("x").alias("xa"))
     b = daily.select(
         F.col("event_type").alias("et_b"), F.col("day").alias("db"),
@@ -947,9 +944,7 @@ def q_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx = daily.select(
         "event_type", "x",
         F.row_number().over(W.partitionBy("event_type").orderBy("day")).alias("i"),
-    ).localCheckpoint(eager=False)  # types×days rows, four consumers (both
-    # lag-join legs, the moments, var0) — unpinned, the corpus aggregation
-    # + rank window replay once per reference
+    )
     mom = idx.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
         (F.sum("x").cast("double") / F.count(F.lit(1))).alias("m"),

@@ -853,7 +853,7 @@ def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     checkpoints for long trainings and is property-tested against a pure-
     Python reference implementation (tests/test_llm_ops.py).
     """
-    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    docs = load_table(spark, sf_dir, "documents")
     freq = (
         docs.select(F.explode(tokens("text")).alias("w"))
         .groupBy("w")
@@ -979,7 +979,7 @@ def _bpe_encode_oracle(k: int) -> str:
     "the final rewrite",
 )
 def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    docs = load_table(spark, sf_dir, "documents")
     freq = (
         docs.select(F.explode(tokens("text")).alias("w"))
         .groupBy("w")
@@ -1068,7 +1068,7 @@ def q_ngram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from go_web_mapreduce_spark.functions.text import shingle_counts_arrow
 
-    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    docs = load_table(spark, sf_dir, "documents")
     toks = tokens("text")
     uni = (
         docs.select("source", F.explode(toks).alias("w"))
@@ -1173,7 +1173,7 @@ CHI2_MIN_DF = 3  # ignore tokens seen in fewer docs (noise floor)
 def q_chi2_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
-    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    docs = load_table(spark, sf_dir, "documents")
     pres = (
         docs.select("doc_id", "lang", F.explode(tokens("text")).alias("token"))
         .distinct()
@@ -1557,15 +1557,18 @@ def q_self_bleu(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         legs.append(grams)
     grams = legs[0].unionAll(legs[1]).unionAll(legs[2])
-    # gram census: vocabulary-bounded, but TWO consumers (the corpus totals
-    # and the precision join) — unpinned, the whole 3-leg tokenize+shingle
-    # union replays per reference (6 corpus tokenizations instead of 3)
-    sg = grams.groupBy("source", "n", "gram").agg(
-        F.count(F.lit(1)).alias("c")
-    ).localCheckpoint(eager=False)
-    tot = sg.groupBy("n", "gram").agg(F.sum("c").alias("g"))
+    sg = grams.groupBy("source", "n", "gram").agg(F.count(F.lit(1)).alias("c"))
+    # corpus totals per (n, gram) as a WINDOW over the census instead of a
+    # groupBy + self-join: same exact integer sum over the same group, but
+    # the census subtree is referenced once (the join form replayed the
+    # whole 3-leg tokenize+shingle union per reference) and one exchange
+    # replaces the join's two sorted sides
+    from pyspark.sql import Window as _W
+
     prec = (
-        sg.join(tot, ["n", "gram"])
+        sg.withColumn(
+            "g", F.sum("c").over(_W.partitionBy("n", "gram"))
+        )
         .groupBy("source", "n")
         .agg(
             (
@@ -2371,7 +2374,7 @@ def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     carries document bodies; OOV types stay distinct-counted per lang
     (bounded by the lang's type space)."""
     toks = (
-        fan_out(load_table(spark, sf_dir, "documents"))
+        load_table(spark, sf_dir, "documents")
         .select(
             "lang",
             F.explode(F.split(F.lower(F.col("text")), " ")).alias("tok"),

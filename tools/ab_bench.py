@@ -67,7 +67,12 @@ def main() -> None:
 
     acc = {"before": [], "after": []}
     for r in range(args.rounds):
-        for tag, tree in [("before", args.before), ("after", args.after)]:
+        # alternate which tree runs first: the host slows measurably while a
+        # round runs, so a fixed order systematically biases the second tree
+        order = [("before", args.before), ("after", args.after)]
+        if r % 2:
+            order.reverse()
+        for tag, tree in order:
             t0 = time.time()
             res = run_tree(tree, args.names)
             acc[tag].append(res)
