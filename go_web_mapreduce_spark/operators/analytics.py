@@ -1052,15 +1052,25 @@ def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the md5 draws are CPU-bound and the scan is byte-sized (3 partitions
     # at sf0.1) — widen to cluster parallelism; a no-op on a real corpus
     li = fan_out(li.select("l_returnflag", "l_orderkey", p100.alias("p100")))
+    # every replicate weight depends ONLY on l_orderkey — never on the line —
+    # so collapse the corpus to its (flag, orderkey) partial sums FIRST and
+    # evaluate the 4 md5 + 32x7 hex compares once per group instead of once
+    # per line (guide §2.3 "aggregate before you shuffle" applied to the
+    # hash kernel: lineitem has ~4 lines per (flag, order) group). Exact:
+    # s_r = Σ_rows p100·w = Σ_groups (Σ_rows p100)·w and n_r = Σ_groups
+    # cnt·w — all BIGINT algebra, bit-free of float concerns.
+    per_ok = li.groupBy(
+        F.col("l_returnflag").alias("flag"), "l_orderkey"
+    ).agg(F.sum("p100").alias("g100"), F.count(F.lit(1)).alias("gn"))
     aggs = [
-        F.sum("p100").alias("stb"),
-        F.count(F.lit(1)).alias("nt"),
+        F.sum("g100").alias("stb"),
+        F.sum("gn").alias("nt"),
     ]
     for r in range(BS_REPS):
         w = _bs_weight(r)
-        aggs.append(F.sum(F.col("p100") * w).alias(f"s_{r}"))
-        aggs.append(F.sum(w).alias(f"n_{r}"))
-    wide = li.groupBy(F.col("l_returnflag").alias("flag")).agg(*aggs)
+        aggs.append(F.sum(F.col("g100") * w).alias(f"s_{r}"))
+        aggs.append(F.sum(F.col("gn") * w).alias(f"n_{r}"))
+    wide = per_ok.groupBy("flag").agg(*aggs)
 
     stack_args = ", ".join(f"s_{r}, n_{r}" for r in range(BS_REPS))
     rep = wide.select(
@@ -1241,7 +1251,22 @@ def q_ab_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
     "rank windows sharing the flag partitioning, a 5-moment reduce",
 )
 def q_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape (the VERDICT-r11 #1 rewrite): the old plan ranked the
+    per-order table with TWO ``Window.partitionBy(flag)`` passes — flag is
+    a 3-value key, so at 100 TB each window partition is corpus/3-sized on
+    one task, the textbook straggler. Now both midranks come from value
+    censuses: n_items is a ≤ flags × ~50-value grid (tiny window over the
+    census — the q_kruskal_wallis precedent), and the order-total census
+    (≈ |orders|, corpus-scaled) goes through
+    graph.py::keyed_midrank_census — range shuffle + weighted prefix sum +
+    (pid, flag) offset broadcast, no per-key window anywhere. Midrank
+    doubles are constructed by the exact same operand/operation sequence
+    as the window form (integer rank + (count-1)/2), so every rx/ry — and
+    therefore every decimal moment and the final rho — is bit-identical
+    to the oracle's rank()/count() formulation."""
     from pyspark.sql import Window as W
+
+    from go_web_mapreduce_spark.operators.graph import keyed_midrank_census
 
     li = load_table(spark, sf_dir, "lineitem")
     p100 = (F.col("l_extendedprice").cast("decimal(18,2)") * 100).cast("bigint")
@@ -1251,21 +1276,39 @@ def q_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_items"),
         (F.sum(p100).cast("double") / 100.0).alias("total"),
     )
+    # feeds the two censuses and the rank-attach join — pin so the corpus
+    # aggregation runs once (orders-scaled; the q_rfm_segments discipline)
+    per_order = per_order.localCheckpoint(eager=False)
 
-    def midrank(col: str) -> F.Column:
-        return (
-            F.rank().over(W.partitionBy("flag").orderBy(col)).cast("double")
-            + (
-                F.count(F.lit(1))
-                .over(W.partitionBy("flag", col))
-                .cast("double")
-                - 1
-            )
-            / 2
+    def census_midrank(cen: DataFrame, val: str) -> F.Column:
+        # midrank over a census: rank = 1 + #smaller (weighted), expressed
+        # with the identical double algebra as the window form
+        wv = (
+            W.partitionBy("flag")
+            .orderBy(val)
+            .rowsBetween(W.unboundedPreceding, -1)
         )
+        cum_less = F.coalesce(F.sum("c").over(wv), F.lit(0))
+        return (cum_less + 1).cast("double") + (
+            F.col("c").cast("double") - 1
+        ) / 2
 
-    ranked = per_order.select(
-        "flag", midrank("n_items").alias("rx"), midrank("total").alias("ry")
+    # n_items is a bounded value grid (≤ flags × ~50 at any SF): the census
+    # window is dimension-sized, never corpus-sized
+    xcen = per_order.groupBy("flag", "n_items").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    xr = xcen.select("flag", "n_items", census_midrank(xcen, "n_items").alias("rx"))
+    # order totals are ~|orders| distinct — corpus-scaled: midranks via the
+    # range-shuffled weighted prefix machinery, no 3-partition window
+    ycen = per_order.groupBy("flag", "total").agg(F.count(F.lit(1)).alias("c"))
+    yr = keyed_midrank_census(ycen, "flag", "total", "c").select(
+        "flag", "total", F.col("midrank").alias("ry")
+    )
+    ranked = (
+        per_order.join(F.broadcast(xr), ["flag", "n_items"])
+        .join(yr, ["flag", "total"])
+        .select("flag", "rx", "ry")
     )
     # rank moments grow as n^3 — decimal(28,_) accumulators stay exact past
     # 1e26 (dsum's (18,_) would overflow near sf1); the string hop is in
@@ -1336,8 +1379,9 @@ def q_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
     "contribution. All mass in exact integer cents; the rank-weighted "
     "sum accumulates in DECIMAL(28,0) (it grows ~cents*n^2/2 per nation "
     "and would wrap a BIGINT around sf~50-100). Plan: one (nation, "
-    "customer) "
-    "aggregation, a per-nation rank window, a nations-sized reduce",
+    "customer) aggregation, a range-shuffled keyed row index "
+    "(keyed_midrank_census, c=1 — never a per-nation window), a "
+    "nations-sized reduce",
 )
 def q_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
@@ -1353,11 +1397,28 @@ def q_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.sum("cents").alias("cents"))
     )
-    wn = W.partitionBy("nation")
-    ranked = rev.select(
-        "nation", "cents",
-        F.row_number().over(wn.orderBy("cents", "cust")).alias("i"),
-        F.count(F.lit(1)).over(wn).alias("n"),
+    # r12 sibling of the q_spearman rewrite: the per-nation row_number
+    # window put corpus/|nations| customer rows on one task at 100 TB.
+    # (cents, cust) is a unique total order within nation, so with c = 1
+    # the keyed weighted prefix gives i = cum_less + 1 exactly; n comes
+    # from the nations-sized census broadcast.
+    from go_web_mapreduce_spark.operators.graph import keyed_midrank_census
+
+    rev = rev.localCheckpoint(eager=False)  # feeds the rank pass + census
+    ncen = rev.groupBy("nation").agg(F.count(F.lit(1)).alias("n"))
+    ranked = (
+        keyed_midrank_census(
+            rev.withColumn("c", F.lit(1).cast("long")),
+            "nation",
+            ["cents", "cust"],
+            "c",
+        )
+        .join(F.broadcast(ncen), "nation")
+        .select(
+            "nation", "cents",
+            (F.col("cum_less") + 1).alias("i"),
+            "n",
+        )
     )
     top = F.col("i") > F.col("n") - F.floor((F.col("n") + 9) / 10)
     agg = ranked.groupBy("nation").agg(
@@ -1978,22 +2039,33 @@ def q_quantile_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the index key is computed ENTIRELY on the per-source side (nn rides
     # a 1-row broadcast) so the rank lookup is a hash EQUI-join on gr — a
     # key expression mixing both sides degrades to a nested-loop theta
-    # join (measured exp 1.52, 21 s at sf1; this form: 0.63 s, exp ~0)
+    # join (measured exp 1.52, 21 s at sf1; this form: 0.63 s, exp ~0).
+    # The in-source rank is a keyed range-shuffled row index (r12: sibling
+    # of the q_spearman rewrite) — the old Window.partitionBy(source)
+    # row_number put corpus/|sources| rows on one task at 100 TB. With
+    # c = 1 per row and the unique (n_chars, doc_id) total order,
+    # cum_less + 1 IS row_number() over (source ORDER BY n_chars, doc_id).
+    from go_web_mapreduce_spark.operators.graph import keyed_midrank_census
+
+    ns_cen = docs.groupBy("source").agg(F.count(F.lit(1)).alias("ns"))
     per_src = (
-        docs.select(
+        keyed_midrank_census(
+            docs.select(
+                "source", F.col("n_chars").alias("orig"), "doc_id"
+            ).withColumn("c", F.lit(1).cast("long")),
             "source",
-            F.col("n_chars").alias("orig"),
-            F.row_number()
-            .over(Window.partitionBy("source").orderBy("n_chars", "doc_id"))
-            .alias("r"),
-            F.count(F.lit(1)).over(Window.partitionBy("source")).alias("ns"),
+            ["orig", "doc_id"],
+            "c",
         )
+        .join(F.broadcast(ns_cen), "source")
         .where(F.col("ns") > 1)
         .join(F.broadcast(total))
         .select(
             "source",
             "orig",
-            F.expr("((r - 1) * (nn - 1)) DIV (ns - 1) + 1").alias("k"),
+            F.expr(
+                "(cum_less * (nn - 1)) DIV (ns - 1) + 1"
+            ).alias("k"),
         )
     )
     mapped = per_src.join(corpus, per_src.k == corpus.gr)
@@ -2102,10 +2174,11 @@ def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One corpus pass tags side + joins the broadcast decile-edge table
     (types × 9 doubles) and pivots to fixed bin columns — the float PSI
     sum is ONE in-row expression over exact integers, never a float SUM
-    across rows (the q_mutual_info discipline). The reference ranks run
-    in a per-type window (types-bounded). At 100 TB the edges would come
-    from the q_quantile_rollup sketch instead of exact ranks — same
-    downstream plan. PSI's role in the family: q_ks_drift detects ANY
+    across rows (the q_mutual_info discipline). The reference decile
+    edges are rank-selected from the (type, value) census via the
+    range-shuffled weighted prefix (keyed_midrank_census) — never a
+    per-type row_number window, whose partitions are corpus/|types|-sized
+    at 100 TB. PSI's role in the family: q_ks_drift detects ANY
     distributional difference (supremum test), PSI measures HOW MUCH
     mass moved in operating bins — the alerting metric teams page on."""
     ev = load_table(spark, sf_dir, "events").select(
@@ -2117,23 +2190,37 @@ def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
     )
     ref = ev.where(F.col("side") == "r")
-    ranked = ref.select(
-        "event_type",
-        "value",
-        F.row_number()
-        .over(Window.partitionBy("event_type").orderBy("value", "event_id"))
-        .alias("rnk"),
-        F.count(F.lit(1)).over(Window.partitionBy("event_type")).alias("n"),
+    # decile edges by rank selection, census-style (r12 sibling of the
+    # q_spearman rewrite): the old per-type row_number window put corpus/
+    # |types| rows on one task. The value at row position p of the
+    # (value, event_id) order is the value v with rows(< v) < p ≤ rows(≤ v)
+    # — the event_id tiebreak never changes WHICH VALUE holds a position —
+    # so rank selection needs only the (type, value) census and its exact
+    # weighted prefix (keyed_midrank_census.cum_less), never per-row ranks.
+    from go_web_mapreduce_spark.operators.graph import keyed_midrank_census
+
+    vcen = ref.groupBy("event_type", "value").agg(
+        F.count(F.lit(1)).alias("c")
     )
-    edges = ranked.groupBy("event_type").agg(
-        *[
-            F.max(
-                F.when(
-                    F.expr(f"rnk = ({i} * n + 9) DIV 10"), F.col("value")
-                )
-            ).alias(f"e{i}")
-            for i in range(1, PSI_BINS)
-        ]
+    vpos = keyed_midrank_census(vcen, "event_type", "value", "c")
+    ncen = ref.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    edges = (
+        vpos.join(F.broadcast(ncen), "event_type")
+        .groupBy("event_type")
+        .agg(
+            *[
+                F.max(
+                    F.when(
+                        F.expr(
+                            f"cum_less < ({i} * n + 9) DIV 10"
+                            f" AND cum_less + c >= ({i} * n + 9) DIV 10"
+                        ),
+                        F.col("value"),
+                    )
+                ).alias(f"e{i}")
+                for i in range(1, PSI_BINS)
+            ]
+        )
     )
     binned = ev.join(F.broadcast(edges), "event_type").select(
         "event_type", "side", F.expr(_PSI_BIN_EXPR).alias("bin")

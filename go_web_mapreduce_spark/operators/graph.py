@@ -96,7 +96,19 @@ def global_sort_index(df: DataFrame, *keys: str,
     # corpus window. A coalesce(1) + sorted Arrow pass states that
     # deliberately — and keeps the plan free of partitionless WindowExec
     # nodes, so the "no global window" plan gates stay meaningful.
-    counts = ranged.groupBy("pid").agg(F.count(F.lit(1)).alias("n"))
+    #
+    # counts MUST aggregate `indexed`, NOT `ranged` (r12 correctness fix):
+    # aggregating `ranged` lets column pruning narrow the counts subtree's
+    # projection below the range exchange, so the two exchange subplans no
+    # longer canonicalize equal and each samples its own split points
+    # (RangePartitioner's reservoir is seeded per RDD id). Divergent
+    # boundaries make the per-pid counts describe a DIFFERENT partitioning
+    # than the one the rows actually got — measured at 3M rows: 98k
+    # position collisions. `indexed` is opaque to pruning (mapInPandas has
+    # a fixed input schema), so both consumers share one identical subplan
+    # and therefore one physical shuffle — tests/test_graph.py locks the
+    # permutation property in the reservoir-sampling regime.
+    counts = indexed.groupBy("pid").agg(F.count(F.lit(1)).alias("n"))
 
     def prefix_sum(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         acc = 0
@@ -114,6 +126,118 @@ def global_sort_index(df: DataFrame, *keys: str,
         indexed.join(F.broadcast(offsets), "pid")
         .withColumn("global_pos", F.col("offset") + F.col("local_idx") + 1)
         .drop("pid", "local_idx", "offset")
+    )
+
+
+def keyed_midrank_census(census: DataFrame, key: str,
+                         val: str | list[str], cnt: str,
+                         num_partitions: int = SORT_PARTITIONS) -> DataFrame:
+    """Tie-corrected midranks of ``val`` within ``key`` from a value census.
+
+    Input: one row per DISTINCT ``(key, val)`` carrying ``cnt`` = how many
+    observations share that value. Output: the census plus ``midrank`` —
+    the double every observation of the group would receive from
+    ``rank() OVER (PARTITION BY key ORDER BY val)`` + ``(count OVER
+    (PARTITION BY key, val) - 1) / 2``, computed as
+    ``(cum_less + 1)::double + (cnt::double - 1) / 2`` so the operand
+    doubles (exact integer conversions below 2^53, exact halving) and the
+    single rounding addition are identical to the window formulation —
+    bit-for-bit, which is the oracle-parity contract.
+
+    Plan (the per-key rank-window scale rewrite): range-shuffle the census
+    on ``(key, val)`` — equal keys land in one partition and per-key runs
+    are contiguous — then a vectorized per-partition running sum gives the
+    within-partition weighted prefix, and a ≤ ``num_partitions × |keys|``
+    row (pid, key) count table, prefix-summed on one bounded partition and
+    broadcast back, gives each partition's per-key starting offset (the
+    ``global_sort_index`` offset trick generalized to weighted counts and
+    a partition key). Midranks are boundary-independent — cum_less counts
+    strictly-smaller values of the same key, wherever the sampler put the
+    split points — and no corpus-sized single-key window partition exists
+    anywhere in the plan, which is what kills the naive
+    ``Window.partitionBy(<few-valued key>)`` rank at 100 TB.
+
+    ``val`` may be a list of columns (a composite total order). The output
+    also carries ``cum_less`` (the exact BIGINT weighted count of same-key
+    rows ordered strictly before this group) for callers that need row
+    positions or rank-selected order statistics rather than midranks.
+    """
+    vals = [val] if isinstance(val, str) else list(val)
+    ranged = (
+        census.repartitionByRange(num_partitions, key, *vals)
+        .sortWithinPartitions(key, *vals)
+        .withColumn("pid", F.spark_partition_id())
+    )
+
+    out_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in ranged.schema.fields
+    ) + ", local_before long"
+
+    def local_prefix(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # rows arrive sorted by (key, val) and (key, val) is unique, so the
+        # only state crossing Arrow batches is the running total of the
+        # batch-boundary key (sorted order ⇒ rows of that key are the head
+        # run of the next batch)
+        carry_key = None
+        carry = 0
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            c = pdf[cnt].astype("int64")
+            before = c.groupby(pdf[key], sort=False).cumsum() - c
+            if carry_key is not None:
+                before = before + (pdf[key] == carry_key) * carry
+            last_key = pdf[key].iloc[-1]
+            carry = int(c[pdf[key] == last_key].sum()) + (
+                carry if last_key == carry_key else 0
+            )
+            carry_key = last_key
+            yield pdf.assign(local_before=before.astype("int64"))
+
+    indexed = ranged.mapInPandas(local_prefix, schema=out_schema)
+
+    # ≤ num_partitions × |keys| rows — bounded by construction, so the
+    # per-key prefix over pid order runs on ONE deliberate partition (the
+    # global_sort_index counts discipline; never a corpus-scaled single
+    # partition). Aggregates `indexed`, NOT `ranged` — see the
+    # global_sort_index counts comment: a pruned-narrower totals subtree
+    # would re-sample its own range boundaries and describe a partitioning
+    # the rows never had.
+    totals = indexed.groupBy("pid", key).agg(F.sum(cnt).alias("tn"))
+    key_t = census.schema[key].dataType.simpleString()
+
+    def key_prefix(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        carry_key = None
+        carry = 0
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            t = pdf["tn"].astype("int64")
+            off = t.groupby(pdf[key], sort=False).cumsum() - t
+            if carry_key is not None:
+                off = off + (pdf[key] == carry_key) * carry
+            last_key = pdf[key].iloc[-1]
+            carry = int(t[pdf[key] == last_key].sum()) + (
+                carry if last_key == carry_key else 0
+            )
+            carry_key = last_key
+            yield pd.DataFrame(
+                {"pid": pdf["pid"], key: pdf[key], "offset": off.astype("int64")}
+            )
+
+    offsets = totals.coalesce(1).sortWithinPartitions(key, "pid").mapInPandas(
+        key_prefix, schema=f"pid int, {key} {key_t}, offset long"
+    )
+
+    return (
+        indexed.join(F.broadcast(offsets), ["pid", key])
+        .withColumn("cum_less", F.col("offset") + F.col("local_before"))
+        .withColumn(
+            "midrank",
+            (F.col("cum_less") + 1).cast("double")
+            + (F.col(cnt).cast("double") - 1) / 2,
+        )
+        .drop("pid", "local_before", "offset")
     )
 
 

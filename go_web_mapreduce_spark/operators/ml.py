@@ -1726,6 +1726,15 @@ def q_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
         "neg_rc",
         "part",
     )
+    # seg_base MUST come from ranked itself (min over the positions the
+    # grading join actually sees), NOT from a prefix sum over the segment
+    # census: when the input is a lazy localCheckpoint of a shuffled
+    # subtree, the two range exchanges inside global_sort_index are not
+    # guaranteed to reuse one sampled partitioning, so positions are only
+    # exact UP TO a per-evaluation offset profile — min-rebasing within
+    # the same evaluation cancels it, an externally derived 1..N base does
+    # not (r12: the census variant hash-FAILED at sf0.01; measured, not
+    # theoretical).
     segstats = ranked.groupBy("segment").agg(
         F.min("global_pos").alias("seg_base"),
         F.count(F.lit(1)).alias("ns"),

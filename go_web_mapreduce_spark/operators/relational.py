@@ -1571,18 +1571,53 @@ def q_window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """percent_rank = (rank−1)/(n−1) and cume_dist = rank_max/n are exact
     rationals of row positions, so under a total tie order both engines
     produce identical doubles; the decimal(18,12) cast before summing
-    keeps the aggregate order-independent. One shuffle on event_type."""
-    from pyspark.sql import Window
+    keeps the aggregate order-independent.
+
+    r12 (the q_spearman-class rewrite): event_type is a 5-value key, so
+    the old ``Window.partitionBy(event_type)`` put corpus/5 rows on one
+    task at 100 TB. (value, event_id) is a unique total order within
+    type, so with c = 1 the range-shuffled keyed prefix gives
+    rn = cum_less + 1 = row_number exactly, and every distribution
+    function is integer arithmetic over (rn, n): rank()==row_number under
+    a tie-free order, hence pr = (rn−1)/(n−1) (0.0 when n==1 — Spark's
+    guard), cd = rn/n — the same integer operands cast to double and one
+    IEEE division, bit-identical to WindowExec's PercentRank/CumeDist.
+    ntile(4) assigns the first n%4 buckets ceil(n/4) rows and the rest
+    floor(n/4) (SQL standard, both engines) — reproduced in exact integer
+    arithmetic below. n rides a 5-row broadcast census."""
+    from go_web_mapreduce_spark.operators.graph import keyed_midrank_census
 
     ev = load_table(spark, sf_dir, "events").select(
         "event_type", "event_id", F.col("value").cast("double").alias("value")
     )
-    w = Window.partitionBy("event_type").orderBy("value", "event_id")
-    r = ev.select(
+    ncen = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("nt"))
+    rn = (F.col("cum_less") + 1).alias("rn")
+    ranked = keyed_midrank_census(
+        ev.withColumn("c", F.lit(1).cast("long")),
         "event_type",
-        F.ntile(4).over(w).alias("quartile"),
-        F.percent_rank().over(w).alias("pr"),
-        F.cume_dist().over(w).alias("cd"),
+        ["value", "event_id"],
+        "c",
+    ).join(F.broadcast(ncen), "event_type").select("event_type", rn, "nt")
+    # ntile(4): q = nt div 4 rows per bucket, the first r = nt mod 4
+    # buckets take one extra row; cut = r·(q+1) is the last row of the
+    # wide buckets. q == 0 (nt < 4) degenerates to quartile = rn via the
+    # first branch (cut = nt ≥ rn always).
+    quartile = F.expr(
+        "CASE WHEN rn <= (nt % 4) * (nt DIV 4 + 1) "
+        "THEN (rn - 1) DIV (nt DIV 4 + 1) + 1 "
+        "ELSE (nt % 4) + (rn - (nt % 4) * (nt DIV 4 + 1) - 1) DIV (nt DIV 4) + 1 "
+        "END"
+    ).cast("int")
+    pr = F.when(
+        F.col("nt") > 1,
+        (F.col("rn") - 1).cast("double") / (F.col("nt") - 1).cast("double"),
+    ).otherwise(F.lit(0.0))
+    cd = F.col("rn").cast("double") / F.col("nt").cast("double")
+    r = ranked.select(
+        "event_type",
+        quartile.alias("quartile"),
+        pr.alias("pr"),
+        cd.alias("cd"),
     )
     return r.groupBy("event_type", "quartile").agg(
         F.count(F.lit(1)).alias("n"),

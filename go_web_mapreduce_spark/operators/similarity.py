@@ -169,6 +169,37 @@ def grid_num_blocks(corpus: DataFrame, num_blocks: int | None) -> int:
     )
 
 
+_BLK_CACHE_CAP = 4  # unpacked blocks retained per kernel task (tiny LRU)
+
+
+def _blk_lru(unpack_fn):
+    """Bounded per-task unpack cache for the block-grid kernels.
+
+    A task handling one hash partition of the blk_b join can see up to ALL
+    partner blocks; an unbounded memo would retain every unpacked float64
+    matrix for the whole partition iterator and break the kernels'
+    bounded-peak-memory contract at sf10+ (r11 ADVICE). Partner blk_a's for
+    a given blk_b arrive in arbitrary order, so a small LRU still captures
+    most of the reuse while capping peak unpacked state at
+    ``_BLK_CACHE_CAP`` blocks + the live pair.
+    """
+    from collections import OrderedDict
+
+    cache: OrderedDict = OrderedDict()
+
+    def blk(bid, rows):
+        if bid in cache:
+            cache.move_to_end(bid)
+            return cache[bid]
+        out = unpack_fn(rows)
+        cache[bid] = out
+        if len(cache) > _BLK_CACHE_CAP:
+            cache.popitem(last=False)
+        return out
+
+    return blk
+
+
 def embedding_near_dup_pairs(
     corpus: DataFrame,
     threshold: float = NEAR_DUP_COS,
@@ -185,7 +216,8 @@ def embedding_near_dup_pairs(
     on ``j`` materializes every unordered block pair exactly once; each
     (block_i, block_j) row is scored as one vectorized numpy product inside
     ``mapInPandas``. No ``collect()``, no broadcast: peak memory anywhere is
-    two blocks, and shuffle volume is corpus_bytes × (B+1)/2 — the inherent
+    the live block pair plus a ≤ ``_BLK_CACHE_CAP``-entry unpack LRU,
+    and shuffle volume is corpus_bytes × (B+1)/2 — the inherent
     replication of exact all-pairs (``num_blocks`` now ADAPTS to corpus
     size via :func:`grid_num_blocks` so a block always fits a task — the
     round-8 fix after fixed B=16 produced 40-minute straggler kernels at
@@ -252,12 +284,9 @@ def embedding_near_dup_pairs(
     def score_block(batches):
         import pandas as pd
 
-        cache: dict = {}  # per-task: each block unpacked once, not once per pair
-
-        def blk(bid, rows):
-            if bid not in cache:
-                cache[bid] = unpack(rows)
-            return cache[bid]
+        # bounded LRU (r11 ADVICE): reuse without retaining every partner
+        # block a task's join partition happens to stream past
+        blk = _blk_lru(unpack)
 
         for pdf in batches:
             for rows_a, rows_b, ba, bb in zip(
@@ -402,12 +431,8 @@ def knn_graph(
     def score_block(batches):
         import pandas as pd
 
-        cache: dict = {}  # per-task: each block unpacked once, not once per pair
-
-        def blk(bid, rows):
-            if bid not in cache:
-                cache[bid] = unpack_sorted(rows)
-            return cache[bid]
+        # bounded LRU (r11 ADVICE): see embedding_near_dup_pairs
+        blk = _blk_lru(unpack_sorted)
 
         for pdf in batches:
             for rows_a, rows_b, ba, bb in zip(

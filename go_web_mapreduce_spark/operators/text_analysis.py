@@ -1541,22 +1541,32 @@ _SB_GRAM_BRANCHES = "\n      UNION ALL\n".join(
 def q_self_bleu(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = fan_out(load_table(spark, sf_dir, "documents"))
     toks = docs.select("source", tokens("text").alias("tk"))
-    legs = []
-    for n in range(1, SELF_BLEU_MAX_N + 1):
-        grams = (
-            toks.filter(F.size("tk") >= n)
-            .select(
-                "source",
-                F.lit(n).alias("n"),
-                F.explode(word_shingles(F.col("tk"), n)).alias("gram"),
-            )
-            if n > 1
-            else toks.select(
-                "source", F.lit(1).alias("n"), F.explode("tk").alias("gram")
-            )
+    # ONE tokenize + explode pass: the n=1..3 gram streams are concatenated
+    # per document as (n, gram) structs and exploded together — the same
+    # row multiset the old 3-leg unionAll produced (each leg re-scanned and
+    # re-tokenized the corpus; r11's committed after-plan still showed 3
+    # documents scans — this finishes that pin properly: 1 scan, 1 explode).
+    # word_shingles pads short docs with one full-text shingle, so the
+    # size(tk) >= n guard must stay stated per order, as empty arrays.
+    def leg(n: int) -> F.Column:
+        src = (
+            F.col("tk") if n == 1 else word_shingles(F.col("tk"), n)
         )
-        legs.append(grams)
-    grams = legs[0].unionAll(legs[1]).unionAll(legs[2])
+        tagged = F.transform(
+            src, lambda g: F.struct(F.lit(n).alias("n"), g.alias("gram"))
+        )
+        if n == 1:
+            return tagged
+        return F.when(F.size("tk") >= n, tagged).otherwise(
+            F.array().cast("array<struct<n:int,gram:string>>")
+        )
+
+    grams = toks.select(
+        "source",
+        F.explode(
+            F.concat(*[leg(n) for n in range(1, SELF_BLEU_MAX_N + 1)])
+        ).alias("t"),
+    ).select("source", F.col("t.n").alias("n"), F.col("t.gram").alias("gram"))
     sg = grams.groupBy("source", "n", "gram").agg(F.count(F.lit(1)).alias("c"))
     # corpus totals per (n, gram) as a WINDOW over the census instead of a
     # groupBy + self-join: same exact integer sum over the same group, but

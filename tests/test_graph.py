@@ -11,6 +11,7 @@ from go_web_mapreduce_spark.operators.graph import (
     PR_ITERS,
     copurchase_edges,
     global_sort_index,
+    keyed_midrank_census,
     pagerank,
 )
 from go_web_mapreduce_spark.queries import REGISTRY
@@ -34,6 +35,121 @@ def test_global_sort_index_is_layout_independent(spark):
     ra = {(r["k"], r["global_pos"]) for r in global_sort_index(a, "k").collect()}
     rb = {(r["k"], r["global_pos"]) for r in global_sort_index(b, "k").collect()}
     assert ra == rb
+
+
+def test_keyed_midrank_census_matches_window_formulation(spark):
+    """midrank/cum_less from the range-shuffled weighted prefix must equal
+    rank() + (count-1)/2 from a per-key window, bit-for-bit, on a census
+    with ties, multiple keys and values spanning partition boundaries."""
+    import random
+
+    from pyspark.sql import Window as W
+
+    rng = random.Random(7)
+    rows = [
+        (k, rng.randrange(40)) for k in ("a", "b", "c") for _ in range(300)
+    ]
+    obs = spark.createDataFrame(rows, "k string, v int").repartition(7)
+    cen = obs.groupBy("k", "v").agg(F.count(F.lit(1)).alias("c"))
+    got = {
+        (r["k"], r["v"]): (r["midrank"], r["cum_less"])
+        for r in keyed_midrank_census(cen, "k", "v", "c", num_partitions=5)
+        .collect()
+    }
+    win = obs.select(
+        "k",
+        "v",
+        (
+            F.rank().over(W.partitionBy("k").orderBy("v")).cast("double")
+            + (F.count(F.lit(1)).over(W.partitionBy("k", "v")).cast("double") - 1)
+            / 2
+        ).alias("mr"),
+    ).collect()
+    assert len(got) == cen.count()
+    for r in win:
+        assert got[(r["k"], r["v"])][0] == r["mr"]  # exact, not approx
+    # cum_less is the exact weighted strict-predecessor count
+    local = {}
+    for k, v in rows:
+        local.setdefault(k, []).append(v)
+    for (k, v), (_, cl) in got.items():
+        assert cl == sum(1 for x in local[k] if x < v)
+
+
+def test_keyed_midrank_census_composite_order_unit_counts(spark):
+    """With c = 1 and a composite unique (val) tuple, cum_less + 1 is
+    row_number() over (key ORDER BY vals) — the q_quantile_norm shape."""
+    from pyspark.sql import Window as W
+
+    rows = [(k % 3, (k * 37) % 50, k) for k in range(150)]
+    df = spark.createDataFrame(rows, "k int, v int, i int").repartition(6)
+    out = keyed_midrank_census(
+        df.withColumn("c", F.lit(1).cast("long")),
+        "k",
+        ["v", "i"],
+        "c",
+        num_partitions=4,
+    ).collect()
+    got = {(r["k"], r["v"], r["i"]): r["cum_less"] + 1 for r in out}
+    win = df.select(
+        "k", "v", "i",
+        F.row_number().over(W.partitionBy("k").orderBy("v", "i")).alias("rn"),
+    ).collect()
+    assert len(got) == 150
+    for r in win:
+        assert got[(r["k"], r["v"], r["i"])] == r["rn"]
+
+
+def test_global_sort_index_exact_in_reservoir_regime(spark):
+    """Positions must be exactly 1..N even when RangePartitioner's sample
+    is a true reservoir (rows per input partition >> sample size), where
+    independently sampled boundaries would diverge between the counts and
+    indexed subtrees. This is the r12 regression test for counts being
+    derived from the mapInPandas output (one shared exchange), not from
+    `ranged` (pruned-narrower → separate exchange → its own boundaries):
+    the broken form fails this test deterministically."""
+    base = spark.range(0, 50_000).repartition(8).select(
+        (F.col("id") % 5).cast("string").alias("k1"),
+        F.pmod(F.xxhash64("id"), F.lit(1_000_000)).alias("k2"),
+        (F.col("id") * 7).alias("payload"),  # forces the pruning mismatch
+    )
+    out = global_sort_index(base, "k1", "k2", num_partitions=4)
+    agg = out.agg(
+        F.count("*").alias("n"),
+        F.countDistinct("global_pos").alias("d"),
+        F.min("global_pos").alias("mn"),
+        F.max("global_pos").alias("mx"),
+    ).collect()[0]
+    assert agg["mn"] == 1
+    assert agg["n"] == agg["d"] == agg["mx"] == 50_000
+
+
+def test_keyed_midrank_census_exact_in_reservoir_regime(spark):
+    """cum_less must be the exact weighted strict-predecessor count in the
+    reservoir-sampling regime (see test_global_sort_index_exact_in_...):
+    with c = 1 rows, cum_less + 1 must be a permutation of 1..n_k within
+    every key."""
+    base = spark.range(0, 50_000).repartition(8).select(
+        (F.col("id") % 3).cast("string").alias("k"),
+        F.pmod(F.xxhash64("id"), F.lit(1_000_000)).alias("v"),
+        F.col("id").alias("i"),
+    )
+    out = keyed_midrank_census(
+        base.withColumn("c", F.lit(1).cast("long")),
+        "k",
+        ["v", "i"],
+        "c",
+        num_partitions=4,
+    )
+    agg = out.groupBy("k").agg(
+        F.count("*").alias("n"),
+        F.countDistinct("cum_less").alias("d"),
+        F.min("cum_less").alias("mn"),
+        F.max("cum_less").alias("mx"),
+    ).collect()
+    for r in agg:
+        assert r["mn"] == 0
+        assert r["n"] == r["d"] == r["mx"] + 1
 
 
 def test_pagerank_uniform_on_symmetric_complete_graph(spark):

@@ -167,13 +167,13 @@ def test_rfm_segments_has_no_global_window(spark, sf_dir):
 
 def test_quantile_norm_corpus_rank_is_range_partitioned(spark, sf_dir):
     """The corpus rank must be the global_sort_index shape (range shuffle),
-    never a partitionless row_number over all documents; the only window
-    left is the per-source rank, which carries its partition key."""
+    never a partitionless row_number over all documents; since r12 the
+    per-source rank is ALSO range-shuffled (keyed_midrank_census with
+    c = 1), so no window of any kind survives."""
     plan = executed_plan(spark, sf_dir, "q_quantile_norm")
     assert "rangepartitioning(cv" in plan
-    for line in plan.splitlines():
-        if "windowspecdefinition" in line:
-            assert "windowspecdefinition(source" in line, line
+    assert "rangepartitioning(source" in plan
+    assert "windowspecdefinition" not in plan
 
 
 def test_ml_linreg_is_one_partial_aggregated_shuffle(spark, sf_dir):
@@ -184,6 +184,10 @@ def test_ml_linreg_is_one_partial_aggregated_shuffle(spark, sf_dir):
     assert "partial_sum" in plan
     assert plan.count("Exchange hashpartitioning") == 1
     assert plan.count("Exchange rangepartitioning") == 0
+    # r11 ADVICE: the relaxation to "one hashpartitioning exchange" must not
+    # silently admit extra round-robin passes or a single-partition collapse
+    assert plan.count("Exchange roundrobinpartitioning") <= 1
+    assert "Exchange SinglePartition" not in plan
 
 
 def test_knn_graph_rank_is_group_limited(spark, sf_dir):
@@ -420,6 +424,35 @@ def test_partitioned_prune_resolves_lang_at_plan_time(spark, sf_dir):
     assert "PartitionFilters: [" in plan
     pf = plan.split("PartitionFilters:")[1].splitlines()[0]
     assert "lang" in pf and "en" in pf, pf
+
+
+def test_spearman_has_no_corpus_rank_window(spark, sf_dir):
+    """The order-total midranks come from the range-shuffled weighted
+    prefix (keyed_midrank_census) — never a rank window partitioned by
+    the 3-value flag, whose partitions are corpus/3-sized at 100 TB. The
+    only window left runs over the (flag, n_items) value-grid census
+    (≤ flags × ~50 rows at any SF)."""
+    plan = executed_plan(spark, sf_dir, "q_spearman")
+    assert "rangepartitioning(flag" in plan
+    for line in plan.splitlines():
+        if "windowspecdefinition" in line:
+            assert "n_items" in line, line
+
+
+def test_psi_drift_edges_are_census_rank_selected(spark, sf_dir):
+    """Decile edges come from the (type, value) census weighted prefix —
+    no per-type row_number window over the corpus-scaled reference half."""
+    plan = executed_plan(spark, sf_dir, "q_psi_drift")
+    assert "rangepartitioning(event_type" in plan
+    assert "windowspecdefinition" not in plan
+
+
+def test_self_bleu_tokenizes_in_one_scan(spark, sf_dir):
+    """The n=1..3 gram streams are concatenated per document and exploded
+    once — one documents scan, not one per gram order (r11 VERDICT item 2:
+    the claimed pin is now real and gated)."""
+    plan = executed_plan(spark, sf_dir, "q_self_bleu")
+    assert plan.count("FileScan parquet") == 1
 
 
 def test_quantile_norm_rank_lookup_is_an_equi_join(spark, sf_dir):
