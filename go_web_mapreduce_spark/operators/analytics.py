@@ -1302,7 +1302,10 @@ def q_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
     # order totals are ~|orders| distinct — corpus-scaled: midranks via the
     # range-shuffled weighted prefix machinery, no 3-partition window
     ycen = per_order.groupBy("flag", "total").agg(F.count(F.lit(1)).alias("c"))
-    yr = keyed_midrank_census(ycen, "flag", "total", "c").select(
+    # pin=True: ycen is an orders-scaled aggregation; the census machinery
+    # traverses its input twice (sampler sketch + shuffle write), so the
+    # scratch pin pays the aggregation once (SCALE.md pin rule 3)
+    yr = keyed_midrank_census(ycen, "flag", "total", "c", pin=True).select(
         "flag", "total", F.col("midrank").alias("ry")
     )
     ranked = (
@@ -2202,7 +2205,8 @@ def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     vcen = ref.groupBy("event_type", "value").agg(
         F.count(F.lit(1)).alias("c")
     )
-    vpos = keyed_midrank_census(vcen, "event_type", "value", "c")
+    # pin=True: vcen is a corpus-pass aggregation (see q_spearman's note)
+    vpos = keyed_midrank_census(vcen, "event_type", "value", "c", pin=True)
     ncen = ref.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
     edges = (
         vpos.join(F.broadcast(ncen), "event_type")

@@ -131,7 +131,8 @@ def global_sort_index(df: DataFrame, *keys: str,
 
 def keyed_midrank_census(census: DataFrame, key: str,
                          val: str | list[str], cnt: str,
-                         num_partitions: int = SORT_PARTITIONS) -> DataFrame:
+                         num_partitions: int = SORT_PARTITIONS,
+                         pin: bool = False) -> DataFrame:
     """Tie-corrected midranks of ``val`` within ``key`` from a value census.
 
     Input: one row per DISTINCT ``(key, val)`` carrying ``cnt`` = how many
@@ -145,65 +146,79 @@ def keyed_midrank_census(census: DataFrame, key: str,
     bit-for-bit, which is the oracle-parity contract.
 
     Plan (the per-key rank-window scale rewrite): range-shuffle the census
-    on ``(key, val)`` — equal keys land in one partition and per-key runs
-    are contiguous — then a vectorized per-partition running sum gives the
-    within-partition weighted prefix, and a ≤ ``num_partitions × |keys|``
-    row (pid, key) count table, prefix-summed on one bounded partition and
-    broadcast back, gives each partition's per-key starting offset (the
-    ``global_sort_index`` offset trick generalized to weighted counts and
-    a partition key). Midranks are boundary-independent — cum_less counts
-    strictly-smaller values of the same key, wherever the sampler put the
-    split points — and no corpus-sized single-key window partition exists
-    anywhere in the plan, which is what kills the naive
-    ``Window.partitionBy(<few-valued key>)`` rank at 100 TB.
+    on ``(key, val)`` — per-key runs are contiguous and every partition is
+    ~census/``num_partitions`` — then compute the within-partition weighted
+    prefix with a JVM window PARTITIONED BY ``(pid, key)``: its partitions
+    are range-partition-sized by construction (pid count scales with the
+    corpus), never the corpus/|keys| partitions that make a naive
+    ``Window.partitionBy(<few-valued key>)`` rank a straggler at 100 TB.
+    A ≤ ``num_partitions × |keys|`` row (pid, key) count table,
+    prefix-summed on one bounded partition and broadcast back, gives each
+    partition's per-key starting offset (the ``global_sort_index`` offset
+    trick generalized to weighted counts and a partition key). Midranks
+    are boundary-independent — cum_less counts strictly-smaller values of
+    the same key, wherever the sampler put the split points.
+
+    Boundary-consistency invariant (r12): the totals subtree derives
+    ``tn = max(local_before + cnt)`` FROM the window output rather than
+    ``sum(cnt)`` from the raw exchange — referencing the window expression
+    keeps the window node (and its ORDER BY ``val`` columns) alive in the
+    totals branch, so both consumers' subplans stay canonically identical
+    and share ONE physically sampled range exchange. An independently
+    pruned totals branch would re-sample its own split points and describe
+    a partitioning the rows never had (see the global_sort_index counts
+    comment; tests/test_graph.py locks the property in the
+    reservoir-sampling regime). ``max(local_before + cnt)`` is exact:
+    local_before is strictly increasing within (pid, key) and cnt ≥ 1, so
+    the max is the last row's running total = Σ cnt over the group.
 
     ``val`` may be a list of columns (a composite total order). The output
     also carries ``cum_less`` (the exact BIGINT weighted count of same-key
     rows ordered strictly before this group) for callers that need row
     positions or rank-selected order statistics rather than midranks.
+
+    ``pin=True`` writes the census to scratch parquet first (uuid-keyed,
+    in-query — SCALE.md pin rule 3). The machinery necessarily traverses
+    its input twice (the range sampler's sketch pass + the shuffle write),
+    so a caller whose census is itself an expensive aggregation should pin
+    it to pay the computation once; callers whose census is a bare scan
+    should not (re-scanning parquet is cheaper than rewriting it).
     """
+    from pyspark.sql import Window as W
+
     vals = [val] if isinstance(val, str) else list(val)
+    if pin:
+        from go_web_mapreduce_spark.operators.pipeline_ops import _scratch_dir
+
+        path = _scratch_dir("midrank_census")
+        census.write.mode("overwrite").parquet(path)
+        census = census.sparkSession.read.parquet(path)
     ranged = (
-        census.repartitionByRange(num_partitions, key, *vals)
-        .sortWithinPartitions(key, *vals)
+        census.select(key, *vals, cnt)
+        .repartitionByRange(num_partitions, key, *vals)
         .withColumn("pid", F.spark_partition_id())
     )
 
-    out_schema = ", ".join(
-        f"{f.name} {f.dataType.simpleString()}" for f in ranged.schema.fields
-    ) + ", local_before long"
-
-    def local_prefix(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        # rows arrive sorted by (key, val) and (key, val) is unique, so the
-        # only state crossing Arrow batches is the running total of the
-        # batch-boundary key (sorted order ⇒ rows of that key are the head
-        # run of the next batch)
-        carry_key = None
-        carry = 0
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            c = pdf[cnt].astype("int64")
-            before = c.groupby(pdf[key], sort=False).cumsum() - c
-            if carry_key is not None:
-                before = before + (pdf[key] == carry_key) * carry
-            last_key = pdf[key].iloc[-1]
-            carry = int(c[pdf[key] == last_key].sum()) + (
-                carry if last_key == carry_key else 0
-            )
-            carry_key = last_key
-            yield pdf.assign(local_before=before.astype("int64"))
-
-    indexed = ranged.mapInPandas(local_prefix, schema=out_schema)
+    # the (pid, key) window partitions are bounded by the range-partition
+    # size — pid cardinality scales with the corpus, so this is NOT the
+    # few-valued-key corpus window the helper exists to eliminate
+    wloc = (
+        W.partitionBy("pid", key)
+        .orderBy(*vals)
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    indexed = ranged.withColumn(
+        "local_before", F.coalesce(F.sum(cnt).over(wloc), F.lit(0))
+    )
 
     # ≤ num_partitions × |keys| rows — bounded by construction, so the
     # per-key prefix over pid order runs on ONE deliberate partition (the
     # global_sort_index counts discipline; never a corpus-scaled single
-    # partition). Aggregates `indexed`, NOT `ranged` — see the
-    # global_sort_index counts comment: a pruned-narrower totals subtree
-    # would re-sample its own range boundaries and describe a partitioning
-    # the rows never had.
-    totals = indexed.groupBy("pid", key).agg(F.sum(cnt).alias("tn"))
+    # partition). Derived from the WINDOW OUTPUT — see the invariant note
+    # in the docstring.
+    totals = indexed.groupBy("pid", key).agg(
+        F.max(F.col("local_before") + F.col(cnt)).alias("tn")
+    )
     key_t = census.schema[key].dataType.simpleString()
 
     def key_prefix(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

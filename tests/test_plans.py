@@ -169,11 +169,15 @@ def test_quantile_norm_corpus_rank_is_range_partitioned(spark, sf_dir):
     """The corpus rank must be the global_sort_index shape (range shuffle),
     never a partitionless row_number over all documents; since r12 the
     per-source rank is ALSO range-shuffled (keyed_midrank_census with
-    c = 1), so no window of any kind survives."""
+    c = 1), so the only windows left are the helper's (pid, key)-
+    partitioned prefixes, whose partitions are range-partition-sized by
+    construction — assert every window carries the pid bound."""
     plan = executed_plan(spark, sf_dir, "q_quantile_norm")
     assert "rangepartitioning(cv" in plan
     assert "rangepartitioning(source" in plan
-    assert "windowspecdefinition" not in plan
+    for line in plan.splitlines():
+        if "windowspecdefinition" in line:
+            assert "pid" in line, line
 
 
 def test_ml_linreg_is_one_partial_aggregated_shuffle(spark, sf_dir):
@@ -429,22 +433,26 @@ def test_partitioned_prune_resolves_lang_at_plan_time(spark, sf_dir):
 def test_spearman_has_no_corpus_rank_window(spark, sf_dir):
     """The order-total midranks come from the range-shuffled weighted
     prefix (keyed_midrank_census) — never a rank window partitioned by
-    the 3-value flag, whose partitions are corpus/3-sized at 100 TB. The
-    only window left runs over the (flag, n_items) value-grid census
-    (≤ flags × ~50 rows at any SF)."""
+    the 3-value flag alone, whose partitions are corpus/3-sized at 100 TB.
+    Every surviving window is either the helper's (pid, flag)-bounded
+    prefix or the (flag, n_items) value-grid census window (≤ flags × ~50
+    rows at any SF)."""
     plan = executed_plan(spark, sf_dir, "q_spearman")
     assert "rangepartitioning(flag" in plan
     for line in plan.splitlines():
         if "windowspecdefinition" in line:
-            assert "n_items" in line, line
+            assert "n_items" in line or "pid" in line, line
 
 
 def test_psi_drift_edges_are_census_rank_selected(spark, sf_dir):
     """Decile edges come from the (type, value) census weighted prefix —
-    no per-type row_number window over the corpus-scaled reference half."""
+    no per-type row_number window over the corpus-scaled reference half;
+    the only window is the helper's (pid, event_type)-bounded prefix."""
     plan = executed_plan(spark, sf_dir, "q_psi_drift")
     assert "rangepartitioning(event_type" in plan
-    assert "windowspecdefinition" not in plan
+    for line in plan.splitlines():
+        if "windowspecdefinition" in line:
+            assert "pid" in line, line
 
 
 def test_self_bleu_tokenizes_in_one_scan(spark, sf_dir):
